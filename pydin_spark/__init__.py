@@ -1,0 +1,68 @@
+"""pydin_spark — a PySpark-native ETL/analytics engine.
+
+Re-expresses the capabilities of the reference ETL framework
+(t3eHawk/pydin, ``/root/reference``) on Spark DataFrames: model-based
+sources/sinks/transforms, SQL pass-through planned by Catalyst,
+business-date windows, incremental watermarks, lineage keys, idempotent
+recycle, plus large-scale data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing) the reference never had.
+"""
+
+from . import calendar as calendar  # noqa: PLC0414
+from .calendar import Day, Hour, Month, Today, Tomorrow, Year, Yesterday
+from .fields import KEY_FIELDS, KeyField
+from .models import (CSV, JSON, SQL, XML, Executable, Extractable,
+                     FileManager, Filenames, Insert, Loadable, Mapper, Model,
+                     Parquet, Select, Table, Transformable)
+from .pipeline import ErrorLimitExceeded, Node, Pipeline, Step, StepError
+from .session import get_session
+from .sources import Database, Filesystem, Server, SourceRegistry, registry
+
+__version__ = "0.1.0"
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one fixture parquet table, normalizing timestamp encodings.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos and convert (exact:
+    generated values have microsecond precision).
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    previous = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(key, previous)
+    for field_name, dtype in df.dtypes:
+        if field_name == "ts" and dtype == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_tables(spark, sf_dir: str, tables=TPCH_TABLES) -> None:
+    """Register every parquet fixture table in ``sf_dir`` as a temp view so
+    ``Select``/``SQL`` models and ``spark.sql`` can reference them by name.
+    """
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+__all__ = [
+    "CSV", "JSON", "SQL", "XML", "Parquet", "Table", "Select", "Insert",
+    "Mapper", "Filenames", "FileManager", "Model", "Extractable",
+    "Transformable", "Loadable", "Executable",
+    "Pipeline", "Node", "Step", "StepError", "ErrorLimitExceeded",
+    "Day", "Hour", "Month", "Year", "Today", "Yesterday", "Tomorrow",
+    "KeyField", "KEY_FIELDS",
+    "Database", "Filesystem", "Server", "SourceRegistry", "registry",
+    "get_session", "register_tables", "load_table", "TPCH_TABLES",
+]

