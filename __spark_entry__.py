@@ -1,38 +1,437 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` is the engine's public query inventory (SURVEY.md §2 +
+LLM-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL the
+driver hash-compares against at sf0.01.
+
+Determinism policy (so Spark and DuckDB hash-match bit-for-bit):
+- sums of doubles go through ``CAST(... AS DECIMAL(25,4))`` → exact,
+  order-independent — then back to DOUBLE;
+- ratios are int/int or double ops with identical association order;
+- float literals are cast to DOUBLE explicitly in oracle SQL (DuckDB
+  parses bare ``0.4`` as DECIMAL, Spark-side code uses double lits);
+- every ranking has a total order (score DESC, id) so ties are stable.
+
+Relational queries are expressed once as ANSI SQL runnable by BOTH
+engines — that *is* the engine's SQL pass-through surface (reference
+delegates SQL to the source DB, ``pydin/models.py:885-894``; here
+Catalyst is the source).
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pydin_spark import Day, Pipeline, Select, register_tables  # noqa: E402
+from pydin_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Relational surface: one SQL text, two engines (Spark = system under test,
+# DuckDB = oracle). Reference capability: SQL pass-through (SURVEY §2.1
+# Select/Insert/SQL; §2.3-2.7 joins/aggs/windows/sorts/set-ops via user SQL).
+# ---------------------------------------------------------------------------
+
+DUAL_SQL: dict[str, str] = {
+    # TPC-H Q1 shape: scan+filter+group-agg. models.py:755- Select parity.
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    # TPC-H Q3 shape: 3-way join + group agg (no LIMIT: full deterministic set)
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    # TPC-H Q5 shape: 6-way snowflake join, dims broadcast by Catalyst
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    # TPC-H Q6 shape: pure scan filter + single agg (pushdown showcase)
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    # window functions: top-3 orders per customer (total order incl. tie-break)
+    "q_window_top_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+        WHERE rn <= 3
+    """,
+    # running / analytic windows over the events stream table
+    "q_window_running": """
+        SELECT event_id, user_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(25,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_value,
+               LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_event_id
+        FROM events
+    """,
+    # rollup aggregation (int-only: fully deterministic)
+    "q_rollup_status": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    # anti join: customers with no orders
+    "q_customers_no_orders": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    # semi join: customers with at least one urgent open order
+    "q_customers_urgent": """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderstatus = 'O')
+    """,
+    # set operations on deterministic key sets
+    "q_setop_custkeys": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    # distinct aggregation
+    "q_distinct_custs": """
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    # conditional pivot (explicit CASE form runs identically on both engines)
+    "q_pivot_events": """
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events GROUP BY user_id
+    """,
+    # tumbling time window (streaming-shape agg in batch; see streaming/)
+    "q_tumbling_hour": """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    # sessionization via gap detection (30-min inactivity), pure SQL windows
+    "q_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                        WHEN (CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)) > INTERVAL '30' MINUTE THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_no
+            FROM gaps
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_no
+    """,
+    # incremental watermark semantics in SQL (strict >, models.py:862-867)
+    "q_watermark_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM orders
+                            WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+    # value bucketing with CASE
+    "q_value_buckets": """
+        SELECT CASE WHEN value < 10 THEN 'low'
+                    WHEN value < 100 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+# JSON extraction differs syntactically between engines.
+SPARK_JSON_SQL = """
+    SELECT event_type,
+           SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+"""
+DUCK_JSON_SQL = """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+#: shared stopword list literal for oracle SQL (keep in sync with
+#: pydin_spark.operators.text.STOPWORDS)
+_STOP = "('the','a','of','and','in','to','is')"
+
+#: oracle SQL for the operator-module queries (DuckDB dialect)
+OPERATOR_ORACLES: dict[str, str] = {
+    "text_token_stats": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) / len(toks) AS diversity,
+               len(list_filter(toks, x -> x IN {_STOP})) / len(toks) AS stopword_ratio,
+               CAST(0.4 AS DOUBLE) * least(len(toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               + CAST(0.4 AS DOUBLE) * (len(list_distinct(toks)) / len(toks))
+               + CAST(0.2 AS DOUBLE) * (len(list_filter(toks, x -> x IN {_STOP})) / len(toks))
+                   AS quality
+        FROM t
+    """,
+    "text_language_id": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','value','data'))) AS score_en,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS score_de,
+               len(list_filter(toks, x -> x IN ('le','la','les','et','une'))) AS score_fr,
+               len(list_filter(toks, x -> x IN ('el','la','los','y','una'))) AS score_es
+              FROM t)
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+               CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM s
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    """,
+    "dedup_exact": r"""
+        WITH fp AS (SELECT doc_id,
+                           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+                    FROM documents)
+        SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM fp GROUP BY fingerprint
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               shared / (sa.sz + sb.sz - shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared / (sa.sz + sb.sz - shared) >= 0.2
+    """,
+    "sim_topk_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        pairs AS (
+            SELECT q.query_id, c.nbr_id,
+                   list_dot_product(c.cv, q.qv)
+                   / (sqrt(list_dot_product(c.cv, c.cv))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+            FROM c, q WHERE c.nbr_id <> q.query_id)
+        SELECT query_id, nbr_id, cosine, rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, nbr_id) AS rnk
+              FROM pairs) t
+        WHERE rnk <= 5
+    """,
+    "sim_cosine_dup": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    """,
+}
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    register_tables(spark, sf_dir)
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(sql)
+    return run
+
+
+# -- engine-model showcases (date window via the Select model machinery) ----
+
+def _q_date_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-date window load for 2024-01-02 through the Select model
+    (inclusive BETWEEN derived from the pipeline calendar)."""
+    _views(spark, sf_dir)
+    shell = Pipeline(date=Day(dt.datetime(2024, 1, 2)), spark=spark)
+    model = Select(text="SELECT event_id, ts, user_id, event_type, value "
+                        "FROM events", date_field="ts")
+    model.pipeline = shell
+    return model.extract()
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(spark.table("documents"),
+                                   threshold=0.2, bands=32)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return dedup.simhash_pairs(spark.table("documents"), max_hamming=3)
+
+
+def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries_df = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding")
+    return similarity.lsh_topk(emb, queries_df, k=5, planes=4)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: documents' text bytes as opaque payloads
+    → Arrow-batched feature extraction (deterministic fake decoder)."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    assets = spark.table("documents").select(
+        F.col("doc_id").alias("asset_id"), F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.lit("text/plain").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    return multimodal.extract_features(assets, dim=8, fake=True)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
+    _views(spark, "/root/testdata/sf0.001")
+    return spark.sql(DUAL_SQL["q1_pricing_summary"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in DUAL_SQL.items():
+        out[name] = _sql_query(sql)
+    out["q_json_extract"] = _sql_query(SPARK_JSON_SQL)
+    out["q_date_window_events"] = _q_date_window_events
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # operator-module queries (Spark implementations under pydin_spark)
+    def _docs(fn):
+        def run(spark, sf_dir, fn=fn):
+            _views(spark, sf_dir)
+            return fn(spark.table("documents"))
+        return run
+
+    out["text_token_stats"] = _docs(text.token_stats)
+    out["text_quality"] = _docs(text.quality_score)
+    out["text_language_id"] = _docs(text.language_id)
+    out["text_fingerprint"] = _docs(text.fingerprint)
+    out["dedup_exact"] = _docs(dedup.exact_dedup)
+    out["dedup_ngram_jaccard"] = _docs(
+        lambda df: dedup.ngram_jaccard_pairs(df, threshold=0.2,
+                                             max_shingle_freq=100))
+    out["dedup_minhash_lsh"] = _q_dedup_minhash
+    out["dedup_simhash"] = _q_dedup_simhash
+
+    def _emb_topk(spark, sf_dir):
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        queries_df = emb.where("vec_id < 10").selectExpr(
+            "vec_id AS query_id", "embedding")
+        return similarity.cosine_topk(emb, queries_df, k=5)
+
+    def _emb_dup(spark, sf_dir):
+        _views(spark, sf_dir)
+        return similarity.cosine_dup_pairs(spark.table("embeddings"),
+                                           threshold=0.4)
+
+    out["sim_topk_bruteforce"] = _emb_topk
+    out["sim_cosine_dup"] = _emb_dup
+    out["sim_topk_lsh"] = _q_sim_topk_lsh
+    out["multimodal_features"] = _q_multimodal_features
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    out = dict(DUAL_SQL)
+    out["q_json_extract"] = DUCK_JSON_SQL
+    out["q_date_window_events"] = """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                     AND TIMESTAMP '2024-01-02 23:59:59'
     """
-    return {}
+    out.update(OPERATOR_ORACLES)
+    # dedup_minhash_lsh / dedup_simhash / sim_topk_lsh / multimodal_features:
+    # intentionally no oracle (approximate / non-SQL-expressible) → driver
+    # records rows-only checks; exactness covered by pytest against exact
+    # Jaccard / determinism properties.
+    return out

@@ -43,8 +43,9 @@ def load_table(spark, sf_dir: str, name: str):
         spark.conf.set(key, previous)
     for field_name, dtype in df.dtypes:
         if field_name == "ts" and dtype == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div: double division of an ~1.7e18 ns epoch loses the
+            # low microsecond bit (52-bit mantissa)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,246 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine — the scrubbing toolkit for LLM training corpora.
+
+Scale design (the point of each variant):
+
+- **exact**: hash-groupBy on an md5 fingerprint — one shuffle on a fixed
+  32-byte key; at 100 TB this is the cheapest possible dedup and the
+  shuffle key is tiny regardless of document size.
+- **n-gram Jaccard**: exact pairwise similarity but only over pairs that
+  share at least one shingle (inverted-index self-join), never the full
+  O(n²) cross product. Hot shingles are capped (``max_shingle_freq``) —
+  the classic posting-list-truncation trick that keeps the join skew-free.
+- **MinHash-LSH**: constant-size signature per doc (k hashes), banded into
+  buckets; only same-bucket docs are joined. Tunable recall/cost; the
+  only all-pairs-free fuzzy dedup that survives 10^9 docs.
+- **SimHash**: one 64-bit signature per doc; near-dups differ in few bits.
+  Signature generation is a single pass, candidate pairing via band keys.
+- **embedding cosine**: semantic near-dup via the similarity module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint as _fingerprint
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with sequence+transform (JVM-side array ops), exploded once.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams))
+                      .alias("shingle")))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    Returns one row per distinct fingerprint: the survivor (min id), the
+    copy count. Single shuffle on the 32-byte fingerprint.
+    """
+    fp = _fingerprint(df, id_col, text_col)
+    return (fp.groupBy("fingerprint")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_shingle_freq: int | None = 100) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams.
+    Pairs are generated from the inverted index (docs sharing a shingle),
+    so complexity is Σ_shingle freq² — bounded by ``max_shingle_freq``
+    (drop degenerate stop-shingles, standard at corpus scale).
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    shingles = word_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_w = (shingles.groupBy("shingle")
+                  .agg(F.count(F.lit(1)).alias("df")))
+        shingles = (shingles.join(freq_w, "shingle")
+                    .where(F.col("df") <= max_shingle_freq)
+                    .drop("df"))
+    # the shingle set feeds sizes + both sides of the self-join: persist
+    # so the explode/cap subtree is computed once, not four times
+    shingles = shingles.persist()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"),
+                        F.col("shingle"))
+    b = shingles.select(F.col(id_col).alias("id_b"),
+                        F.col("shingle"))
+    shared = (a.join(b, "shingle")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (shared.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("shared")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("shared")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 64,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    """MinHash signature per document: (id, sig array<long>).
+
+    h_i(shingle) = xxhash64(shingle, seed=i); signature_i = min over the
+    doc's shingles. One explode + one groupBy — the signature is
+    constant-size however large the document. Pass a pre-computed (and
+    persisted) ``shingles`` frame to share the explode across operators.
+    """
+    if shingles is None:
+        shingles = word_shingles(df, id_col, text_col, n)
+    agg = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+           for i in range(num_hashes)]
+    sig = shingles.groupBy(id_col).agg(*agg)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5,
+                      verify: bool = True) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    Signatures are banded (``bands`` bands of ``num_hashes/bands`` rows);
+    docs agreeing on any whole band become candidates (bucket equi-join on
+    the band hash — no cross product). ``verify=True`` re-checks
+    candidates with exact n-gram Jaccard and filters at ``threshold``.
+    Output: (id_a, id_b[, jaccard]).
+    """
+    rows_per_band = num_hashes // bands
+    shingles = word_shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             shingles=shingles)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at(F.col("sig"),
+                                           b * rows_per_band + r + 1)
+                              for r in range(rows_per_band)]).alias("bh"))
+        for b in range(bands)
+    ]
+    buckets = (sig.select(F.col(id_col),
+                          F.explode(F.array(*band_cols)).alias("bk"))
+               .select(F.col(id_col), F.col("bk.band"), F.col("bk.bh"))
+               .persist())  # both sides of the bucket self-join reuse this
+    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = (left.join(right, ["band", "bh"])
+                  .where(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+    if not verify:
+        return candidates
+    return (jaccard_for_pairs(candidates, df, id_col, text_col, n,
+                              shingles=shingles)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3,
+                      shingles: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard restricted to given (id_a, id_b) candidate pairs.
+
+    Cost is |candidates| × shingles-per-doc (a candidate-bounded join),
+    never the all-pairs inverted-index blow-up — this is what makes
+    LSH-then-verify cheap at corpus scale.
+    """
+    if shingles is None:
+        shingles = word_shingles(df, id_col, text_col, n).persist()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"),
+                           F.col("shingle"))
+    sh_b = shingles.select(F.col(id_col).alias("id_b"),
+                           F.col("shingle"))
+    shared = (candidates.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("shared")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("shared")))
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    bit_j(doc) = 1 iff Σ_token (±1 by bit j of xxhash64(token)) > 0.
+    Whole computation is array math over the token list — no UDF, no
+    shuffle beyond the final projection.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    def _bit_merge(j):
+        # two-arg closure: a default-arg lambda would change the arity
+        # PySpark sees and bind the wrong lambda variables; shiftright
+        # instead of a (1 << j) literal because 1 << 63 overflows long
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1,
+            1).otherwise(-1)
+
+    bit_sums = [F.aggregate(hashed, F.lit(0), _bit_merge(j))
+                for j in range(64)]
+    sim = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        sim = sim + F.when(
+            s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance.
+
+    Banding: split the 64-bit signature into 4×16-bit chunks; by pigeonhole
+    any pair within hamming distance 3·k shares a chunk — join on chunk
+    equality, then verify the exact hamming distance. Avoids O(n²).
+    """
+    sig = simhash(df, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("simhash"), c * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("ck"))
+        for c in range(4)
+    ])
+    buckets = (sig.select(F.col(id_col), F.col("simhash"),
+                          F.explode(chunks).alias("b"))
+               .select(F.col(id_col), "simhash",
+                       F.col("b.chunk"), F.col("b.ck")))
+    left = buckets.select(F.col(id_col).alias("id_a"),
+                          F.col("simhash").alias("sh_a"), "chunk", "ck")
+    right = buckets.select(F.col(id_col).alias("id_b"),
+                           F.col("simhash").alias("sh_b"), "chunk", "ck")
+    pairs = (left.join(right, ["chunk", "ck"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,127 @@
+"""Operator tests: dedup (LSH recall vs exact Jaccard), similarity
+(arrow path vs expression path), text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydin_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the ocean"),
+        (3, "completely different words about spark engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river"),
+        (5, "der hund und die katze und das haus und nicht hier"),
+        (6, "le chat et la maison et les arbres et une riviere"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["keep_id"]: r["n_copies"]
+           for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1 and 4 identical
+    assert sum(out.values()) == 6
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0                 # identical
+    assert 0.5 < pairs[(1, 2)] < 1.0            # one word differs
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                            num_hashes=64, bands=32).collect()}
+    # verify=True makes LSH precision exact; recall high with 32 bands
+    assert lsh == exact
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    sig1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig1 == sig2
+    assert sig1[1] == sig1[4]  # identical docs → identical signature
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sig1[1], sig1[2]) < ham(sig1[1], sig1[3])
+
+
+def test_simhash_pairs_bucketing(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from pydin_spark import load_table
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_topk_expression_vs_arrow(spark, emb):
+    queries = emb.where("vec_id < 3").selectExpr("vec_id AS query_id",
+                                                 "embedding")
+    a = similarity.cosine_topk(emb, queries, k=5)
+    b = similarity.cosine_topk_arrow(emb, queries, k=5)
+    ra = {(r["query_id"], r["rnk"]): r["nbr_id"] for r in a.collect()}
+    rb = {(r["query_id"], r["rnk"]): r["nbr_id"] for r in b.collect()}
+    assert ra == rb  # same neighbors same order, modulo float sum order
+    cos = {r["nbr_id"]: r["cosine"] for r in a.collect() if r["query_id"] == 0}
+    assert all(-1.0001 <= v <= 1.0001 for v in cos.values())
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.where("vec_id < 5").selectExpr("vec_id AS query_id",
+                                                 "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    approx = similarity.lsh_topk(emb, queries, k=3, planes=2)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    # 2 planes → 4 buckets → recall well above random; sanity: >= 20%
+    assert len(e & a) >= len(e) * 0.2
+
+
+def test_text_language_id_markers(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in text.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[6] == "fr"
+    assert out[3] == "und" or out[3] == "en"
+
+
+def test_text_quality_bounds(spark, docs):
+    for row in text.quality_score(docs).collect():
+        assert 0.0 <= row["quality"] <= 1.0
+        assert 0.0 < row["diversity"] <= 1.0
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.lit("text/plain").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(2500).cast("long").alias("duration_ms")).alias("meta"))
+    feats = multimodal.extract_features(assets, dim=4, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert len(r["feature"]) == 4
+        assert r["n_bytes"] > 0
+    # deterministic: same input → same features
+    again = {r["asset_id"]: r["feature"]
+             for r in multimodal.extract_features(assets, dim=4,
+                                                  fake=True).collect()}
+    assert all(again[r["asset_id"]] == r["feature"] for r in rows)
+    frames = multimodal.sample_frames(assets, every_ms=1000).collect()
+    assert {f["frame_no"] for f in frames} == {0, 1, 2}  # 2500ms / 1000
