@@ -251,6 +251,23 @@ OPERATOR_ORACLES: dict[str, str] = {
                     ELSE 'es' END AS pred_lang
         FROM s
     """,
+    "q_asof_join": """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+              WHERE event_type = 'signup' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.ts AS r_ts, r.signup_id AS r_signup_id
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "text_bpe_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                   AS n_bpe_tokens,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents
+    """,
     "text_fingerprint": r"""
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -356,6 +373,24 @@ def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, k=5, planes=4)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the user's latest signup
+    at-or-before it (point-in-time correctness — no future leakage).
+    Custom operator: pydin_spark.operators.relational.asof_join."""
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.relational import asof_join
+    _views(spark, sf_dir)
+    events = spark.table("events")
+    purchases = events.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value")
+    signups = (events.where("event_type = 'signup'")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("signup_id")))
+    return asof_join(purchases, signups, on="ts", by=("user_id",),
+                     right_cols=("signup_id",))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: documents' text bytes as opaque payloads
     → Arrow-batched feature extraction (deterministic fake decoder)."""
@@ -391,7 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark.table("documents"))
         return run
 
+    out["q_asof_join"] = _q_asof_join
     out["text_token_stats"] = _docs(text.token_stats)
+    out["text_bpe_tokens"] = _docs(text.bpe_token_count)
     out["text_quality"] = _docs(text.quality_score)
     out["text_language_id"] = _docs(text.language_id)
     out["text_fingerprint"] = _docs(text.fingerprint)

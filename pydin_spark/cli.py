@@ -1,0 +1,99 @@
+"""Manager CLI: admin verbs over the Driver API.
+
+Parity target: reference ``pydin/cli.py:22-662`` (help / create job /
+list jobs / enable / disable / run job / cancel run / history). Built on
+argparse instead of an interactive console loop; every verb maps to one
+Driver call so the surface stays scriptable.
+
+Usage:  python -m pydin_spark.cli --db jobs.db <verb> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .api import Driver
+from .scheduler import History, Scheduler
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="pydin-spark",
+                                     description=__doc__)
+    parser.add_argument("--db", default="pydin_spark.db",
+                        help="metadata sqlite path")
+    sub = parser.add_subparsers(dest="verb", required=True)
+
+    create = sub.add_parser("create-job", help="create a schedule entry")
+    create.add_argument("name")
+    create.add_argument("--desc")
+    create.add_argument("--command", help="shell command the job runs")
+    for field in ("mday", "hour", "min", "sec", "wday", "yday"):
+        create.add_argument(f"--{field}")
+    create.add_argument("--timeout", type=int)
+    create.add_argument("--parallelism", default="N")
+
+    sub.add_parser("list-jobs", help="list schedule entries")
+
+    for verb in ("enable-job", "disable-job", "delete-job", "run-job"):
+        p = sub.add_parser(verb)
+        p.add_argument("job_id", type=int)
+
+    cancel = sub.add_parser("cancel-run")
+    cancel.add_argument("run_id", type=int)
+
+    hist = sub.add_parser("history", help="list run history")
+    hist.add_argument("--job-id", type=int)
+    hist.add_argument("--status")
+
+    sub.add_parser("start-scheduler", help="run the scheduler loop")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    driver = Driver(Scheduler(History(args.db)))
+    out: object = None
+    if args.verb == "create-job":
+        fields = {f: getattr(args, f) for f in
+                  ("mday", "hour", "min", "sec", "wday", "yday",
+                   "timeout", "parallelism")
+                  if getattr(args, f) is not None}
+        out = {"job_id": driver.create_job(args.name, desc=args.desc,
+                                           command=args.command, **fields)}
+    elif args.verb == "list-jobs":
+        out = driver.list_jobs()
+    elif args.verb == "enable-job":
+        driver.enable_job(args.job_id)
+        out = {"status": "Y"}
+    elif args.verb == "disable-job":
+        driver.disable_job(args.job_id)
+        out = {"status": "N"}
+    elif args.verb == "delete-job":
+        driver.delete_job(args.job_id)
+        out = {"deleted": args.job_id}
+    elif args.verb == "run-job":
+        run_id = driver.run_job(args.job_id, wait=True)
+        out = driver.get_run(run_id)
+    elif args.verb == "cancel-run":
+        driver.cancel_run(args.run_id)
+        out = driver.get_run(args.run_id)
+    elif args.verb == "history":
+        out = driver.list_runs(job_id=args.job_id, status=args.status)
+    elif args.verb == "start-scheduler":
+        driver.start_scheduler()
+        print("scheduler running; Ctrl-C to stop", file=sys.stderr)
+        try:
+            import time
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            driver.stop_scheduler()
+            out = {"stopped": True}
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -273,7 +273,8 @@ class FileModel(Model, Extractable, Loadable):
 
     def _finalize_single_file(self) -> None:
         """Collapse Spark's part-file directory to one file (parity with the
-        reference's single-file sinks, models.py:1366-1374)."""
+        reference's single-file sinks, models.py:1366-1374). In append
+        mode the parts are appended to an existing file."""
         target = self.resolved_path
         tmp = target + ".__spark_dir__"
         if not os.path.isdir(tmp):
@@ -281,10 +282,18 @@ class FileModel(Model, Extractable, Loadable):
         parts = sorted(
             p for p in _glob.glob(os.path.join(tmp, "part-*"))
             if not p.endswith(".crc"))
-        with open(target, "wb") as out:
+        append = (getattr(self, "mode", "append") == "append"
+                  and os.path.isfile(target)
+                  and os.path.getsize(target) > 0)
+        with open(target, "ab" if append else "wb") as out:
             for part in parts:
                 with open(part, "rb") as src:
-                    shutil.copyfileobj(src, out)
+                    data = src.read()
+                if append and getattr(self, "head", False):
+                    # header only iff file was empty (models.py:1366-1374)
+                    newline = data.find(b"\n")
+                    data = data[newline + 1:] if newline >= 0 else b""
+                out.write(data)
         shutil.rmtree(tmp)
 
     def _write_target(self) -> str:
@@ -520,7 +529,11 @@ class XML(FileModel):
             root = ET.Element(self.root_tag)
             tree = ET.ElementTree(root)
         columns = df.columns
-        for row in df.toLocalIterator():
+        # collect(), not toLocalIterator(): the iterator path never fires
+        # the query-completion event, leaving pipeline Observations (and
+        # thus Step metrics) blocked forever. Single-file XML sinks are
+        # small by contract (reference models.py:1441-1454).
+        for row in df.collect():
             record = ET.SubElement(root, self.row_tag)
             for column in columns:
                 el = ET.SubElement(record, column)

@@ -110,6 +110,28 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+#: BPE-ish pre-tokenization regex: letter runs, digit runs, single
+#: punctuation — the usual pre-merge segmentation shape. Kept to classes
+#: that behave identically under Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Token counts under a BPE-ish pre-tokenizer vs whitespace split.
+
+    A cheap, deterministic proxy for LLM token accounting at corpus
+    scale: regexp extraction is codegen'd JVM-side; a real BPE vocab
+    merge would slot in as a Pandas UDF over the same column.
+    """
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .alias("n_bpe_tokens"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_ws_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,

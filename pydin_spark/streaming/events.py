@@ -1,0 +1,133 @@
+"""Structured Streaming surface over event streams (engine extension).
+
+The reference has no streaming operators (SURVEY §2.10) — its closest
+analogues are the 1-second scheduler tick and the incremental watermark.
+This module exposes the Spark-native streaming constructs a pipeline on
+the ``events`` table shape needs:
+
+- tumbling / sliding window aggregation with late-data watermarks
+- session windows (``F.session_window``) with inactivity gap
+- streaming dedup within a watermark
+- ``foreachBatch`` sinks that reuse the batch ``Loadable`` models, so one
+  model definition serves batch and streaming loads
+
+Scale notes: all aggregations are keyed on (window, group) — Spark
+shards state by key across executors; the watermark bounds state size,
+which is what makes these safe on unbounded input. Each helper also
+works on a *batch* DataFrame (Spark's unified semantics), which is how
+the deterministic tests and DuckDB oracles exercise the same code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts",
+                   delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound; on a batch frame this is a no-op passthrough."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_counts(df: DataFrame, ts_col: str = "ts",
+                    duration: str = "1 hour",
+                    group_cols: tuple[str, ...] = ("event_type",),
+                    value_col: str = "value",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count + sum per group."""
+    df = with_watermark(df, ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, duration), *group_cols)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col(value_col).cast("decimal(25,4)"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("window.start").alias("bucket"),
+                    *group_cols, "n_events", "total_value"))
+
+
+def sliding_counts(df: DataFrame, ts_col: str = "ts",
+                   duration: str = "1 hour", slide: str = "30 minutes",
+                   group_cols: tuple[str, ...] = ("event_type",),
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Sliding-window counts: each event lands in duration/slide windows."""
+    df = with_watermark(df, ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, duration, slide), *group_cols)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("window.start").alias("bucket_start"),
+                    F.col("window.end").alias("bucket_end"),
+                    *group_cols, "n_events"))
+
+
+def session_aggregate(df: DataFrame, ts_col: str = "ts",
+                      gap: str = "30 minutes",
+                      key_cols: tuple[str, ...] = ("user_id",),
+                      value_col: str = "value",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Session windows with an inactivity gap.
+
+    Streaming-native ``F.session_window`` — state per (key, open session),
+    closed by the watermark. Note: session *numbers* differ from the
+    batch gap-detection formulation (q_sessionize) but the (start, end,
+    count) content is equivalent for gaps below the watermark.
+    """
+    df = with_watermark(df, ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap), *key_cols)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col(value_col).cast("decimal(25,4)"))
+                 .cast("double").alias("session_value"))
+            .select(*key_cols,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "session_value"))
+
+
+def dedup_within_watermark(df: DataFrame, keys: tuple[str, ...],
+                           ts_col: str = "ts",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exactly-once-per-key dedup bounded by the watermark."""
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(list(keys)))
+    return df.dropDuplicates(list(keys))
+
+
+def write_foreach_batch(stream_df: DataFrame, loader,
+                        checkpoint: str, trigger_once: bool = True,
+                        output_mode: str = "update"):
+    """Stream → batch ``Loadable`` model bridge.
+
+    Every micro-batch is handed to ``loader.load`` (the same model object
+    a batch Pipeline would use), giving streaming pipelines the full sink
+    matrix (parquet/CSV/JDBC/...) without new code. Returns the started
+    StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        loader.load(batch_df)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(_sink)
+              .outputMode(output_mode)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rate_events(spark, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic streaming source shaped like the events table (for tests
+    and demos; in production swap for kafka/files readStream)."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error")),
+            (F.col("value") % 5 + 1).cast("int")).alias("event_type"),
+        (F.col("value") % 997 / 7.0).alias("value"),
+        F.to_json(F.struct((F.col("value") % 100).alias("k")))
+        .alias("props"))

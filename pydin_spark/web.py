@@ -1,0 +1,86 @@
+"""REST API over the Driver (reference ``pydin/web.py:35-322`` parity).
+
+Token-authenticated JSON routes: scheduler start/stop, job CRUD,
+run-job, cancel-run, history. Flask is imported lazily so the engine
+works without it; ``create_app`` raises a clear error otherwise.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from .api import Driver
+
+
+def create_app(driver: Driver | None = None, token: str | None = None):
+    try:
+        from flask import Flask, jsonify, request
+    except ImportError as exc:  # pragma: no cover - env without flask
+        raise RuntimeError("REST API requires flask") from exc
+
+    driver = driver or Driver()
+    token = token or secrets.token_hex(16)
+    app = Flask("pydin_spark")
+    app.config["API_TOKEN"] = token
+
+    def authed():
+        header = request.headers.get("Authorization", "")
+        return header == f"Bearer {app.config['API_TOKEN']}"
+
+    @app.before_request
+    def gate():  # noqa: ANN202
+        if not authed():
+            return jsonify({"error": "unauthorized"}), 401
+
+    @app.post("/api/scheduler/start")
+    def start_scheduler():
+        driver.start_scheduler()
+        return jsonify({"running": True})
+
+    @app.post("/api/scheduler/stop")
+    def stop_scheduler():
+        driver.stop_scheduler()
+        return jsonify({"running": False})
+
+    @app.get("/api/jobs")
+    def list_jobs():
+        return jsonify(driver.list_jobs())
+
+    @app.post("/api/jobs")
+    def create_job():
+        body = request.get_json(force=True)
+        name = body.pop("job_name")
+        return jsonify({"job_id": driver.create_job(name, **body)})
+
+    @app.post("/api/jobs/<int:job_id>/enable")
+    def enable_job(job_id: int):
+        driver.enable_job(job_id)
+        return jsonify({"status": "Y"})
+
+    @app.post("/api/jobs/<int:job_id>/disable")
+    def disable_job(job_id: int):
+        driver.disable_job(job_id)
+        return jsonify({"status": "N"})
+
+    @app.post("/api/jobs/<int:job_id>/run")
+    def run_job(job_id: int):
+        run_id = driver.run_job(job_id, wait=False)
+        return jsonify({"run_id": run_id})
+
+    @app.post("/api/runs/<int:run_id>/cancel")
+    def cancel_run(run_id: int):
+        driver.cancel_run(run_id)
+        return jsonify(driver.get_run(run_id))
+
+    @app.get("/api/runs")
+    def list_runs():
+        job_id = request.args.get("job_id", type=int)
+        status = request.args.get("status")
+        return jsonify(driver.list_runs(job_id=job_id, status=status))
+
+    @app.get("/api/runs/<int:run_id>")
+    def get_run(run_id: int):
+        run = driver.get_run(run_id)
+        return (jsonify(run), 200) if run else (jsonify({}), 404)
+
+    return app
