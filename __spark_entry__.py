@@ -186,6 +186,49 @@ DUAL_SQL: dict[str, str] = {
         WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM orders
                             WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
     """,
+    # statistical moments from exact decimal sums (variance recomposed in
+    # double from order-independent accumulations)
+    "q_stats_moments": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                   / COUNT(*) AS mean_qty,
+               (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                  / COUNT(*))
+               / (COUNT(*) - 1) AS var_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE)
+                   / COUNT(*) AS mean_disc,
+               (CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,8))) AS DOUBLE)
+                - CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE)
+                  / COUNT(*))
+               / (COUNT(*) - 1) AS var_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # cube aggregation (int-only)
+    "q_cube_orders": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    # scalar string functions
+    "q_string_funcs": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substr(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               replace(c_mktsegment, 'A', '_') AS seg_repl,
+               concat(c_name, '#', c_mktsegment) AS name_seg
+        FROM customer
+    """,
+    # correlated-free scalar subquery
+    "q_above_avg_balance": """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM customer)
+    """,
     # value bucketing with CASE
     "q_value_buckets": """
         SELECT CASE WHEN value < 10 THEN 'low'
@@ -193,6 +236,39 @@ DUAL_SQL: dict[str, str] = {
                     ELSE 'high' END AS bucket,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+}
+
+# Engine-specific SQL pairs (same semantics, different function names).
+SPARK_ONLY_SQL = {
+    # ordered array aggregation (collect_list is unordered; sort_array
+    # canonicalizes — the deterministic form of array_agg)
+    "q_sorted_nations": """
+        SELECT r_name, sort_array(collect_list(n_name)) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    # exact interpolated percentiles
+    "q_quantiles": """
+        SELECT l_returnflag,
+               percentile(l_quantity, 0.5) AS median_qty,
+               percentile(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}
+DUCK_ONLY_SQL = {
+    "q_sorted_nations": """
+        SELECT r_name, list(n_name ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
 
@@ -416,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in DUAL_SQL.items():
         out[name] = _sql_query(sql)
+    for name, sql in SPARK_ONLY_SQL.items():
+        out[name] = _sql_query(sql)
     out["q_json_extract"] = _sql_query(SPARK_JSON_SQL)
     out["q_date_window_events"] = _q_date_window_events
 
@@ -460,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = dict(DUAL_SQL)
+    out.update(DUCK_ONLY_SQL)
     out["q_json_extract"] = DUCK_JSON_SQL
     out["q_date_window_events"] = """
         SELECT event_id, ts, user_id, event_type, value FROM events

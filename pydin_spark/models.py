@@ -93,6 +93,12 @@ class Model:
             return self.pipeline.spark
         return SparkSession.builder.getOrCreate()
 
+    @property
+    def audit(self):
+        """Audit recorder when the owning pipeline carries one
+        (pd_query_log / pd_file_log parity, utils.py:714-869)."""
+        return getattr(self.pipeline, "audit", None)
+
     # -- business-date window (reference models.py:99-144) -------------------
     @property
     def target_period(self) -> Period | None:
@@ -723,16 +729,23 @@ class Select(Model, Extractable):
 
     def extract(self) -> DataFrame:
         source = self.source
-        if isinstance(source, Database):
-            reader = (self.spark.read.format("jdbc")
-                      .options(**source.options())
-                      .option("query", self.query)
-                      .option("fetchsize", self.chunk_size))
-            if self.parallel:
-                reader = reader.option("numPartitions", self.parallel)
-            df = reader.load()
-        else:
-            df = self.spark.sql(self.query)
+        try:
+            if isinstance(source, Database):
+                reader = (self.spark.read.format("jdbc")
+                          .options(**source.options())
+                          .option("query", self.query)
+                          .option("fetchsize", self.chunk_size))
+                if self.parallel:
+                    reader = reader.option("numPartitions", self.parallel)
+                df = reader.load()
+            else:
+                df = self.spark.sql(self.query)
+        except Exception as exc:
+            if self.audit is not None:
+                self.audit.query(self.query, "E", error=str(exc)[:2000])
+            raise
+        if self.audit is not None:
+            self.audit.query(self.query, "D")
         sink = self.pipeline.sink_for(self) if self.pipeline is not None else None
         df = self.apply_read_filters(df, sink=sink)
         if self.columns:
@@ -773,11 +786,16 @@ class SQL(Model, Executable):
         return text
 
     def execute(self) -> int | None:
-        result = self.spark.sql(self.query)
         try:
-            return result.count()
-        except Exception:
-            return None
+            result = self.spark.sql(self.query)
+            count = result.count()
+        except Exception as exc:
+            if self.audit is not None:
+                self.audit.query(self.query, "E", error=str(exc)[:2000])
+            raise
+        if self.audit is not None:
+            self.audit.query(self.query, "D", records=count)
+        return count
 
 
 class Insert(Model, Executable):
@@ -1068,7 +1086,9 @@ class FileManager(Model, Executable):
 
     def execute(self) -> int:
         moved = 0
+        host = self.source_name or "localhost"
         for src in self._matches():
+            n_bytes = os.path.getsize(src)
             if self.action in ("copy", "move"):
                 for dst in self.destinations:
                     self._transfer(src, dst)
@@ -1078,5 +1098,7 @@ class FileManager(Model, Executable):
                 os.remove(src)
             else:
                 raise ValueError(f"unknown action {self.action!r}")
+            if self.audit is not None:
+                self.audit.file(host, src, self.action, "D", n_bytes)
             moved += 1
         return moved

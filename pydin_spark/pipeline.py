@@ -112,7 +112,7 @@ class Pipeline:
     def __init__(self, *models, name: str | None = None, date=None,
                  spark: SparkSession | None = None, registry=None,
                  error_limit: int = 1, process_id: int | None = None,
-                 data: dict | None = None):
+                 data: dict | None = None, audit=None):
         self.name = name or f"pipeline-{uuid.uuid4().hex[:8]}"
         self.calendar = date if hasattr(date, "start") else \
             Day(date or dt.datetime.now())
@@ -122,6 +122,7 @@ class Pipeline:
         self.process_id = process_id if process_id is not None else \
             int(time.time() * 1000) % 10**12
         self.data = data or {}
+        self.audit = audit  # AuditLog → pd_query_log / pd_file_log
         self.nodes: list[Node] = []
         self.roots: list[Node] = []
         self.steps: list[Step] = []

@@ -1,0 +1,63 @@
+"""Audit-log population: pd_query_log from Select/SQL, pd_file_log from
+FileManager, pd_task/step_history from Pipeline metrics."""
+
+from pydin_spark import FileManager, Parquet, Pipeline, Select, SQL
+from pydin_spark.audit import AuditLog
+from pydin_spark.scheduler import History
+
+
+def test_query_log_records_select_and_sql(spark, views, tmp_path):
+    audit = AuditLog(History(), run_id=7)
+    Pipeline(Select(text="SELECT r_regionkey FROM region"),
+             Parquet(file_name="out.parquet", path=str(tmp_path)),
+             spark=spark, audit=audit).run()
+    Pipeline(SQL(text="SELECT COUNT(*) AS n FROM nation"),
+             spark=spark, audit=audit).run()
+    rows = audit.queries()
+    assert len(rows) == 2
+    assert all(r["status"] == "D" and r["run_id"] == 7 for r in rows)
+    assert "region" in rows[0]["query_text"]
+    assert rows[1]["records"] == 1
+
+
+def test_query_log_records_errors(spark, views, tmp_path):
+    audit = AuditLog(History())
+    try:
+        Pipeline(SQL(text="SELECT * FROM missing_table"),
+                 spark=spark, audit=audit).run()
+    except Exception:
+        pass
+    rows = audit.queries()
+    assert rows and rows[0]["status"] == "E"
+    assert "missing_table" in rows[0]["error_text"]
+
+
+def test_file_log_records_transfers(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("abc")
+    audit = AuditLog(History(), run_id=3)
+    fm = FileManager(path=str(src), mask=r"\.txt$", action="copy",
+                     destination=str(tmp_path / "out"))
+    p = Pipeline(fm, audit=audit)
+    p.spark = True  # no Spark needed for EX file steps
+    fm.pipeline = p
+    fm.execute()
+    rows = audit.files()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "copy" and rows[0]["bytes"] == 3
+
+
+def test_pipeline_metrics_into_history(spark, views, tmp_path):
+    hist = History()
+    p = Pipeline(Select(text="SELECT * FROM region"),
+                 Parquet(file_name="r.parquet", path=str(tmp_path)),
+                 spark=spark).run()
+    hist.record_pipeline(run_id=11, pipeline=p)
+    with hist.lock:
+        tasks = [dict(r) for r in hist.conn.execute(
+            "SELECT * FROM pd_task_history")]
+        steps = [dict(r) for r in hist.conn.execute(
+            "SELECT * FROM pd_step_history")]
+    assert tasks[0]["records_written"] == 5
+    assert steps[0]["status"] == "D" and steps[0]["records_read"] == 5
