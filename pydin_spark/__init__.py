@@ -49,12 +49,23 @@ def load_table(spark, sf_dir: str, name: str):
     return df
 
 
-def register_tables(spark, sf_dir: str, tables=TPCH_TABLES) -> None:
+_registered: dict[int, str] = {}
+
+
+def register_tables(spark, sf_dir: str, tables=TPCH_TABLES,
+                    force: bool = False) -> None:
     """Register every parquet fixture table in ``sf_dir`` as a temp view so
     ``Select``/``SQL`` models and ``spark.sql`` can reference them by name.
+    Idempotent while the session stays on the same dir: repeated calls
+    (one per query in the driver/bench harness) skip the 10 parquet
+    footer reads; switching dirs re-registers.
     """
+    key = sf_dir.rstrip("/")
+    if not force and _registered.get(id(spark)) == key:
+        return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _registered[id(spark)] = key
 
 
 __all__ = [

@@ -1,0 +1,5 @@
+"""Scale helpers: skew-aware joins, bucketing, partition sizing."""
+
+from .skew import bucketed_table, explain_has, salted_join, top_keys
+
+__all__ = ["salted_join", "top_keys", "bucketed_table", "explain_has"]

@@ -1,0 +1,77 @@
+"""Skew-aware join helpers and bucketing utilities.
+
+At 100 TB the two join killers are (a) one hot key overwhelming a single
+reducer and (b) re-shuffling the same fact table for every join. The
+standard remedies, packaged:
+
+- **salting** (``salted_join``): replicate the *small* side ``salt``
+  times and spread the big side's hot keys across salt buckets — the hot
+  key's rows now land on ``salt`` reducers instead of one. AQE's skew
+  join handles moderate skew automatically (enabled in session defaults);
+  salting is for the pathological keys AQE can't split (e.g. a single
+  key bigger than an executor).
+- **bucketing** (``bucketed_table``): write a table hash-bucketed by its
+  join key so later joins/aggregations on that key read co-located
+  buckets with NO exchange — the amortize-one-shuffle-forever play for
+  fact tables joined repeatedly on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def top_keys(df: DataFrame, key: str, n: int = 10,
+             min_count: int | None = None) -> list:
+    """The n most frequent key values (candidates for salting)."""
+    counts = (df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.col("cnt").desc()).limit(n))
+    rows = counts.collect()
+    if min_count is not None:
+        rows = [r for r in rows if r["cnt"] >= min_count]
+    return [r[key] for r in rows]
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str, salt: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the big side's keys salted across ``salt`` buckets.
+
+    The big side gets a deterministic per-row salt
+    (``pmod(xxhash64(monotonically_increasing_id), salt)``); the small
+    side is exploded ``salt``× so every (key, salt) pair exists. Result
+    equals ``big.join(small, on, how)`` row-for-row; the shuffle key is
+    (key, salt) so a hot key spreads over ``salt`` reducers.
+
+    Use when one side is small enough to replicate ``salt``× but too big
+    to broadcast outright, and AQE skew-split isn't enough.
+    """
+    salt_col = "__salt"
+    big_salted = big.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    small_exploded = small.withColumn(
+        salt_col,
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)])))
+    out = big_salted.join(small_exploded, [on, salt_col], how)
+    return out.drop(salt_col)
+
+
+def bucketed_table(df: DataFrame, table_name: str, key: str,
+                   buckets: int = 16, sort: bool = True) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) by ``key``.
+
+    Subsequent joins between tables bucketed the same way on the same key
+    execute with no Exchange on either side (verify with
+    ``explain_has(joined, 'Exchange') == False``).
+    """
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
+
+
+def explain_has(df: DataFrame, operator: str) -> bool:
+    """Does the formatted physical plan contain ``operator``?"""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    return operator in plan

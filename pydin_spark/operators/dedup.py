@@ -31,6 +31,12 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
 
     Built with sequence+transform (JVM-side array ops), exploded once.
     """
+    # small-file inputs arrive as one partition; the explode is the
+    # expensive part, so spread docs across the cluster first (tiny
+    # shuffle of the raw docs, big win on the per-doc HOF evaluation)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
@@ -66,16 +72,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     (drop degenerate stop-shingles, standard at corpus scale).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    shingles = word_shingles(df, id_col, text_col, n)
+    # persist the raw explode FIRST: the frequency cap reads it twice
+    # (freq agg + join side), and the capped set feeds three consumers
+    shingles = word_shingles(df, id_col, text_col, n).persist()
     if max_shingle_freq is not None:
         freq_w = (shingles.groupBy("shingle")
                   .agg(F.count(F.lit(1)).alias("df")))
         shingles = (shingles.join(freq_w, "shingle")
                     .where(F.col("df") <= max_shingle_freq)
-                    .drop("df"))
-    # the shingle set feeds sizes + both sides of the self-join: persist
-    # so the explode/cap subtree is computed once, not four times
-    shingles = shingles.persist()
+                    .drop("df")
+                    .persist())
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"),
                         F.col("shingle"))

@@ -12,9 +12,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+    warehouse = tempfile.mkdtemp(prefix="pydin_wh_")
     session = get_session("pydin-spark-tests", master="local[4]",
                           extra_conf={"spark.sql.shuffle.partitions": "4",
-                                      "spark.driver.memory": "4g"})
+                                      "spark.driver.memory": "4g",
+                                      "spark.sql.warehouse.dir": warehouse})
     yield session
 
 

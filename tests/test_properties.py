@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: cron
+matcher algebra and calendar period invariants."""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pydin_spark.calendar import Day, Hour, Month, Year
+from pydin_spark.scheduler import matches
+
+units = st.integers(min_value=0, max_value=366)
+
+
+@given(lo=units, hi=units, u=units)
+def test_range_matches_iff_in_range(lo, hi, u):
+    assert matches(f"{lo}-{hi}", u) is (lo <= u <= hi)
+
+
+@given(n=st.integers(min_value=1, max_value=60), u=units)
+def test_cycle_matches_iff_divisible(n, u):
+    assert matches(f"/{n}", u) is (u % n == 0)
+
+
+@given(n=units, u=units)
+def test_floor_matches_iff_ge(n, u):
+    assert matches(f"{n}+", u) is (u >= n)
+
+
+@given(vals=st.lists(units, min_size=2, max_size=6), u=units)
+def test_list_matches_iff_member(vals, u):
+    period = ",".join(map(str, vals))
+    assert matches(period, u) is (u in vals)
+
+
+@given(u=units)
+def test_star_and_none_always_match(u):
+    assert matches("*", u) and matches(None, u)
+
+
+moments = st.datetimes(min_value=dt.datetime(1980, 1, 2),
+                       max_value=dt.datetime(2099, 12, 30))
+
+
+@settings(max_examples=200)
+@given(now=moments)
+def test_period_bounds_contain_moment(now):
+    for cls in (Day, Hour, Month, Year):
+        p = cls(now)
+        assert p.start <= now.replace(microsecond=0) <= p.end
+        assert p.start <= p.end
+
+
+@given(now=moments, k=st.integers(min_value=0, max_value=48))
+def test_months_back_lands_on_month_start(now, k):
+    m = Day(now).months_back(k)
+    assert m.start.day == 1
+    assert m.start.hour == 0
+
+
+@given(now=moments, k=st.integers(min_value=0, max_value=1000))
+def test_days_back_is_exact_delta(now, k):
+    d = Day(now).days_back(k)
+    assert (now.replace(microsecond=0) - d.now) == dt.timedelta(days=k)
+
+
+@given(now=moments)
+def test_day_window_is_86399_seconds(now):
+    d = Day(now)
+    assert (d.end - d.start) == dt.timedelta(hours=23, minutes=59,
+                                             seconds=59)
