@@ -14,6 +14,7 @@ from .fields import KEY_FIELDS, KeyField
 from .models import (CSV, JSON, SQL, XML, Executable, Extractable,
                      FileManager, Filenames, Insert, Loadable, Mapper, Model,
                      Parquet, Select, Table, Transformable)
+from .config import pipeline_from_config
 from .pipeline import ErrorLimitExceeded, Node, Pipeline, Step, StepError
 from .session import get_session
 from .sources import Database, Filesystem, Server, SourceRegistry, registry
@@ -77,4 +78,5 @@ __all__ = [
     "KeyField", "KEY_FIELDS",
     "Database", "Filesystem", "Server", "SourceRegistry", "registry",
     "get_session", "register_tables", "load_table", "TPCH_TABLES",
+    "pipeline_from_config",
 ]

@@ -727,6 +727,21 @@ class Select(Model, Extractable):
         except (KeyError, IndexError):
             return text
 
+    def describe(self):
+        """Discover the query's column schema without executing it.
+
+        Parity with the reference's ``where 1 = 0`` probe
+        (``models.py:874-883``): Spark SQL resolves the schema at
+        analysis time (no job), and Spark's JDBC source issues the same
+        zero-row probe internally for ``query`` reads.
+        """
+        source = self.source
+        if isinstance(source, Database):
+            return (self.spark.read.format("jdbc")
+                    .options(**source.options())
+                    .option("query", self.query).load().schema)
+        return self.spark.sql(self.query).schema
+
     def extract(self) -> DataFrame:
         source = self.source
         try:
