@@ -451,6 +451,16 @@ def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries_df, k=5, planes=4)
 
 
+def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted lists, nprobe pruning) — the partition-
+    pruning ANN shape for 100 TB corpora. Approximate: rows-only check."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries_df = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding")
+    return similarity.ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=3)
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the user's latest signup
     at-or-before it (point-in-time correctness — no future leakage).
@@ -534,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sim_topk_bruteforce"] = _emb_topk
     out["sim_cosine_dup"] = _emb_dup
     out["sim_topk_lsh"] = _q_sim_topk_lsh
+    out["sim_topk_ivf"] = _q_sim_topk_ivf
     out["multimodal_features"] = _q_multimodal_features
     return out
 

@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     hist.add_argument("--job-id", type=int)
     hist.add_argument("--status")
 
+    runp = sub.add_parser("run-pipeline",
+                          help="run a declarative pipeline from JSON")
+    runp.add_argument("config", help="JSON file: list of node dicts")
+    runp.add_argument("--views", help="parquet dir to register as views")
+    runp.add_argument("--date", help="business date YYYY-MM-DD")
+    runp.add_argument("--lake", help="base dir for a 'lake' filesystem source")
+
     sub.add_parser("start-scheduler", help="run the scheduler loop")
     return parser
 
@@ -81,6 +88,27 @@ def main(argv: list[str] | None = None) -> int:
         out = driver.get_run(args.run_id)
     elif args.verb == "history":
         out = driver.list_runs(job_id=args.job_id, status=args.status)
+    elif args.verb == "run-pipeline":
+        import datetime as dt
+
+        from . import get_session, register_tables
+        from .calendar import Day
+        from .config import pipeline_from_config
+        from .sources import Filesystem, SourceRegistry
+
+        nodes = json.load(open(args.config))
+        spark = get_session("cli-pipeline")
+        if args.views:
+            register_tables(spark, args.views)
+        registry = None
+        if args.lake:
+            registry = SourceRegistry(autoload=False)
+            registry.register(Filesystem("lake", args.lake))
+        date = Day(dt.datetime.fromisoformat(args.date)) if args.date else None
+        pipeline = pipeline_from_config(nodes, spark=spark,
+                                        registry=registry, date=date)
+        pipeline.run()
+        out = pipeline.summary()
     elif args.verb == "start-scheduler":
         driver.start_scheduler()
         print("scheduler running; Ctrl-C to stop", file=sys.stderr)

@@ -194,6 +194,68 @@ def _cosine_candidates_arrow(df: DataFrame, threshold: float,
         block, schema="id_a long, id_b long")
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", nlist: int = 16,
+             nprobe: int = 4, seed: int = 42) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Train ``nlist`` k-means centroids (MLlib, deterministic seed), assign
+    each corpus vector to its nearest centroid (the inverted list), and
+    scan only the ``nprobe`` lists nearest to each query — cost drops to
+    ~``nprobe/nlist`` of brute force while recall stays high for
+    clustered data. At 100 TB: train on a sample, write the corpus
+    partitioned by ``list_id`` once, and every query batch prunes
+    partitions instead of scanning.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F2
+
+    train = corpus.select(
+        array_to_vector(F.transform(F.col(vec_col),
+                                    lambda v: v.cast("double")))
+        .alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    def nearest_lists(vec_col_expr, n):
+        """Column: array of the n nearest centroid ids for a vector."""
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(vec_col_expr,
+                           F.array(*[F.lit(float(x)) for x in centers[c]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias(f"d{c}")
+            for c in range(nlist)
+        ])
+        indexed = F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        return F.slice(F.transform(F.array_sort(indexed),
+                                   lambda s: s.getItem("i")), 1, n)
+
+    cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    c_assigned = corpus.select(
+        F.col(id_col).alias("nbr_id"), cv.alias("cv"),
+        F.element_at(nearest_lists(cv, 1), 1).alias("list_id"))
+    qv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    q_assigned = queries.select(
+        F.col(query_id_col), qv.alias("qv"),
+        F.explode(nearest_lists(qv, nprobe)).alias("list_id"))
+    pairs = c_assigned.join(F2.broadcast(q_assigned), "list_id").where(
+        F.col("nbr_id") != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col), F.col("nbr_id"),
+        (_dot(F.col("cv"), F.col("qv"))
+         / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select(query_id_col, "nbr_id", "cosine", "rnk"))
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      prefilter: bool = True) -> DataFrame:
