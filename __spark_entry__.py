@@ -375,6 +375,25 @@ OPERATOR_ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE shared / (sa.sz + sb.sz - shared) >= 0.2
     """,
+    "dedup_survivors": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        losers AS (SELECT DISTINCT id_b FROM shared
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE shared / (sa.sz + sb.sz - shared) >= 0.5)
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+    """,
     "sim_topk_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id < 10),
@@ -526,6 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_ngram_jaccard"] = _docs(
         lambda df: dedup.ngram_jaccard_pairs(df, threshold=0.2,
                                              max_shingle_freq=100))
+    out["dedup_survivors"] = _docs(
+        lambda df: dedup.drop_near_dups(df, threshold=0.5,
+                                        max_shingle_freq=100))
     out["dedup_minhash_lsh"] = _q_dedup_minhash
     out["dedup_simhash"] = _q_dedup_simhash
 

@@ -193,31 +193,52 @@ def jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
             .select("id_a", "id_b", "jaccard"))
 
 
+def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   threshold: float = 0.5,
+                   max_shingle_freq: int | None = 100) -> DataFrame:
+    """Corpus scrub: keep one survivor per near-duplicate pair.
+
+    Greedy keep-lowest-id policy: any document that appears as the
+    higher id of a pair with jaccard >= threshold is dropped (the
+    standard single-pass policy for training-data dedup; transitive
+    clusters keep their minimum id because every member pairs with it
+    or with a lower survivor chain). One anti-join against the pair set.
+    """
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                max_shingle_freq)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
     bit_j(doc) = 1 iff Σ_token (±1 by bit j of xxhash64(token)) > 0.
-    Whole computation is array math over the token list — no UDF, no
-    shuffle beyond the final projection.
+    Implemented as explode + one hash-aggregate with 64 conditional sums
+    — all whole-stage-codegen (the array-fold formulation runs on the
+    interpreted higher-order-function path and is ~10× slower). One
+    shuffle on the doc id.
     """
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    def _bit_merge(j):
-        # two-arg closure: a default-arg lambda would change the arity
-        # PySpark sees and bind the wrong lambda variables; shiftright
-        # instead of a (1 << j) literal because 1 << 63 overflows long
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1,
-            1).otherwise(-1)
-
-    bit_sums = [F.aggregate(hashed, F.lit(0), _bit_merge(j))
-                for j in range(64)]
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " ")))
+        .alias("__tok"))
+    h = F.xxhash64(F.col("__tok"))
+    sums = [
+        F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
     sim = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
+    for j in range(64):
+        # shiftleft instead of a (1 << j) literal: 1 << 63 overflows long
         sim = sim + F.when(
-            s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+            F.col(f"b{j}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",

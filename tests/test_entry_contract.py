@@ -1,0 +1,47 @@
+"""Driver-contract invariants: every oracle has a query, column names
+match between Spark result and DuckDB oracle (the driver hashes values
+under sorted column names — a name mismatch fails even when values are
+right), and entry() produces rows at sf0.001."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from pydin_spark import TPCH_TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_every_oracle_key_has_a_query():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, f"orphan oracles: {o - q}"
+    # rows-only queries are the documented approximate set
+    assert q - o == {"dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh",
+                     "sim_topk_ivf", "multimodal_features"}
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_column_names_match_oracles(spark, sf_dir, duck):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    mismatches = {}
+    for name, sql in oracles.items():
+        sdf = queries[name](spark, sf_dir)
+        res = duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        d_cols = sorted(d[0] for d in res.description)
+        s_cols = sorted(sdf.columns)
+        if d_cols != s_cols:
+            mismatches[name] = (s_cols, d_cols)
+    assert not mismatches, mismatches
