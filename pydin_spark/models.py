@@ -859,10 +859,14 @@ class Insert(Model, Executable):
             predicate = select.watermark_predicate(last)
             if predicate is not None:
                 df = df.where(predicate)
-        count = df.count()
+        # rowcount via Observation inside the write job — a separate
+        # count() would scan the source twice
+        from pyspark.sql import Observation
+        observation = Observation(f"insert-{id(self)}")
+        df = df.observe(observation, F.count(F.lit(1)).alias("rows"))
         target.prepare()
         target.load(df)
-        return count
+        return int(observation.get["rows"])
 
 
 class Mapper(Model, Transformable):

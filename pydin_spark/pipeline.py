@@ -226,13 +226,23 @@ class Pipeline:
         return None
 
     # -- execution ----------------------------------------------------------
-    def run(self, recycle: int | None = None) -> "Pipeline":
+    def run(self, recycle: int | None = None,
+            parallel: bool = True) -> "Pipeline":
         """Run all steps in dependency order.
 
         ``recycle=<process_id>`` first deletes that prior run's rows from
         every keyed sink (reference ``core.py:2325-2349``), making re-runs
         for the same business date idempotent.
+
+        ``parallel=True`` (default, matching the reference's one-thread-
+        per-step execution, ``core.py:2760-2768``) runs steps whose
+        upstreams are complete concurrently — Spark schedules concurrent
+        jobs from multiple driver threads, so independent branches (one
+        extractor fanning out to N sinks, or disjoint chains) overlap
+        their writes instead of serializing them.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         if self.spark is None:
             self.spark = SparkSession.builder.getOrCreate()
         if recycle is not None:
@@ -246,26 +256,46 @@ class Pipeline:
         shared = {k for k, v in by_extractor.items() if len(v) > 1}
         done: set[int] = set()
         pending = list(self.steps)
-        while pending:
-            progressed = False
-            for step in list(pending):
-                if any(up.step_id not in done for up in
-                       [u for u in step.upstream]):
-                    continue
-                self._run_step(step, share=id(step.a) in shared)
-                if step.status == ERROR:
-                    self.status = ERROR
-                    if isinstance(step.error, StepError):
-                        raise step.error
-                    raise StepError(
-                        f"{step} failed: {step.error}") from step.error
-                done.add(step.step_id)
-                pending.remove(step)
-                progressed = True
-            if not progressed:
-                raise StepError("pipeline step graph has a cycle")
+        max_workers = max(len(self.steps), 1) if parallel else 1
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            while pending:
+                ready = [s for s in pending
+                         if all(u.step_id in done for u in s.upstream)]
+                if not ready:
+                    raise StepError("pipeline step graph has a cycle")
+                # materialize any shared extractor once, before its
+                # consumers run concurrently
+                for step in ready:
+                    if id(step.a) in shared:
+                        self._materialize_shared(step)
+                futures = [pool.submit(self._run_step, s,
+                                       id(s.a) in shared) for s in ready]
+                for future in futures:
+                    future.result()
+                for step in ready:
+                    if step.status == ERROR:
+                        self.status = ERROR
+                        if isinstance(step.error, StepError):
+                            raise step.error
+                        raise StepError(
+                            f"{step} failed: {step.error}") from step.error
+                    done.add(step.step_id)
+                    pending.remove(step)
         self.status = DONE
         return self
+
+    def _materialize_shared(self, step: Step) -> None:
+        """Extract + persist a fan-out extractor's DataFrame once before
+        concurrent consumers read it (avoids a persist race)."""
+        cache = getattr(self, "_shared_df_cache", None)
+        if cache is None:
+            cache = self._shared_df_cache = {}
+        extractor = step.extractor
+        if extractor is None or id(extractor) in cache:
+            return
+        df = extractor.extract()
+        df = self._enforce_error_limit(step, df)
+        cache[id(extractor)] = df.persist()
 
     _shared_cache: dict
 
