@@ -50,7 +50,9 @@ def load_table(spark, sf_dir: str, name: str):
     return df
 
 
-_registered: dict[int, str] = {}
+import weakref as _weakref
+
+_registered: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def register_tables(spark, sf_dir: str, tables=TPCH_TABLES,
@@ -59,14 +61,15 @@ def register_tables(spark, sf_dir: str, tables=TPCH_TABLES,
     ``Select``/``SQL`` models and ``spark.sql`` can reference them by name.
     Idempotent while the session stays on the same dir: repeated calls
     (one per query in the driver/bench harness) skip the 10 parquet
-    footer reads; switching dirs re-registers.
+    footer reads; switching dirs re-registers. Keyed by weak session
+    reference so a recycled session never inherits a stale entry.
     """
     key = sf_dir.rstrip("/")
-    if not force and _registered.get(id(spark)) == key:
+    if not force and _registered.get(spark) == key:
         return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _registered[id(spark)] = key
+    _registered[spark] = key
 
 
 __all__ = [
