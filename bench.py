@@ -31,6 +31,8 @@ HEADLINE = [
     "q_sessionize",
     "q_tumbling_hour",
     "q_rollup_status",
+    "q_asof_join",
+    "q_watermark_orders",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -30,7 +30,10 @@ def load_table(spark, sf_dir: str, name: str):
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as raw nanos and convert (exact:
-    generated values have microsecond precision).
+    generated values have microsecond precision). ``timestamp_micros``
+    renders the instant at the session timezone; the engine (and this
+    container) run UTC, which matches DuckDB's naive rendering — a
+    non-UTC session would shift events wall-clock values.
     """
     from pyspark.sql import functions as F
 

@@ -115,6 +115,38 @@ def write_foreach_batch(stream_df: DataFrame, loader,
     return writer.start()
 
 
+def interval_join(left: DataFrame, right: DataFrame,
+                  key: str = "user_id", ts_col: str = "ts",
+                  within: str = "30 minutes",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream (or batch) interval join: pair left rows with right
+    rows of the same key whose timestamp falls in
+    ``[left.ts - within, left.ts]``.
+
+    On streams both sides carry watermarks and the time-range condition
+    bounds the join state (Spark drops right-side state older than
+    ``within`` + watermark) — the only way a stream-stream join stays
+    finite on unbounded input. On batch frames the same condition is an
+    ordinary range join.
+    """
+    l = with_watermark(left, ts_col, watermark).select(  # noqa: E741
+        F.col(key).alias("l_key"), F.col(ts_col).alias("l_ts"),
+        *[c for c in left.columns if c not in (key, ts_col)])
+    r = with_watermark(right, ts_col, watermark).select(
+        F.col(key).alias("r_key"), F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (key, ts_col)])
+    cond = ((F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(
+                f"INTERVAL {within}")))
+    return (l.join(r, cond)
+            .select(F.col("l_key").alias(key), "l_ts", "r_ts",
+                    *[c for c in left.columns if c not in (key, ts_col)],
+                    *[f"r_{c}" for c in right.columns
+                      if c not in (key, ts_col)]))
+
+
 def rate_events(spark, rows_per_second: int = 100) -> DataFrame:
     """Synthetic streaming source shaped like the events table (for tests
     and demos; in production swap for kafka/files readStream)."""
