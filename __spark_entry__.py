@@ -130,6 +130,22 @@ DUAL_SQL: dict[str, str] = {
                         AND o_orderpriority = '1-URGENT'
                         AND o_orderstatus = 'O')
     """,
+    # left outer join with null-aware aggregation
+    "q_left_join_counts": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               COUNT(o.o_orderkey) AS n_orders,
+               COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,4)))
+                             AS DOUBLE), 0.0) AS total_spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    # IN-subquery (decorrelated to a semi join by both planners)
+    "q_in_subquery": """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal < 0)
+    """,
     # set operations on deterministic key sets
     "q_setop_custkeys": """
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
