@@ -252,9 +252,6 @@ class FileModel(Model, Extractable, Loadable):
         return os.path.join(base, name) if base else name
 
     # -- shared read/write plumbing ----------------------------------------
-    def reader(self):
-        return self.spark.read
-
     def extract(self) -> DataFrame:
         raise NotImplementedError
 

@@ -297,8 +297,6 @@ class Pipeline:
         df = self._enforce_error_limit(step, df)
         cache[id(extractor)] = df.persist()
 
-    _shared_cache: dict
-
     def _run_step(self, step: Step, share: bool = False) -> None:
         step.status = RUNNING
         started = time.time()
