@@ -196,7 +196,8 @@ def jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
 def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3,
                    threshold: float = 0.5,
-                   max_shingle_freq: int | None = 100) -> DataFrame:
+                   max_shingle_freq: int | None = 100,
+                   method: str = "exact") -> DataFrame:
     """Corpus scrub: keep one survivor per near-duplicate pair.
 
     Greedy keep-lowest-id policy: any document that appears as the
@@ -204,9 +205,19 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
     standard single-pass policy for training-data dedup; transitive
     clusters keep their minimum id because every member pairs with it
     or with a lower survivor chain). One anti-join against the pair set.
+
+    ``method='exact'`` generates pairs from the full inverted index
+    (exact recall, cost Σ freq² — right up to ~10^7 docs with the
+    frequency cap); ``method='minhash'`` generates candidates from
+    LSH bands then verifies exactly — the constant-signature path for
+    corpora where the inverted index itself is too hot.
     """
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
-                                max_shingle_freq)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n,
+                                  threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                    max_shingle_freq)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

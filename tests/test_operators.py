@@ -45,6 +45,18 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert lsh == exact
 
 
+def test_drop_near_dups_methods_agree(spark, docs):
+    exact = {r["doc_id"] for r in
+             dedup.drop_near_dups(docs, threshold=0.5,
+                                  max_shingle_freq=None).collect()}
+    mh = {r["doc_id"] for r in
+          dedup.drop_near_dups(docs, threshold=0.5,
+                               method="minhash").collect()}
+    assert exact == mh          # LSH verify makes precision exact;
+    assert 4 not in exact       # doc 4 is a copy of doc 1 → dropped
+    assert 1 in exact
+
+
 def test_simhash_deterministic_and_near(spark, docs):
     sig1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     sig2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
