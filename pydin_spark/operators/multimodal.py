@@ -90,6 +90,53 @@ def extract_features(assets: DataFrame, dim: int = 8,
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Image-resize plumbing: per-asset output payload of the target
+    size with updated metadata.
+
+    ``fake=True`` produces a deterministic byte-resampled payload of
+    exactly ``width*height`` bytes (index-stretched from the source
+    bytes) so batch shape, output schema, and metadata rewriting are
+    exercised without PIL; plug the real decoder at the marked call.
+    """
+
+    def resize(batches):
+        import numpy as np
+        import pandas as pd
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload or b"")
+                if not fake:
+                    _decode_image(buf)  # real path: PIL resize here
+                if not buf:
+                    payloads.append(bytes(target))
+                    continue
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                idx = (np.arange(target) * len(arr)) // target
+                payloads.append(arr[idx].tobytes())
+            meta = pd.DataFrame({
+                "mime": ["image/raw"] * len(pdf),
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "duration_ms": [None] * len(pdf),
+            })
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "meta": meta.to_dict("records"),
+            })
+
+    return assets.mapInPandas(
+        resize,
+        schema=("asset_id long, kind string, payload binary, "
+                "meta struct<mime:string,width:int,height:int,"
+                "duration_ms:bigint>"))
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video assets: one output row per

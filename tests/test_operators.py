@@ -137,3 +137,7 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert all(again[r["asset_id"]] == r["feature"] for r in rows)
     frames = multimodal.sample_frames(assets, every_ms=1000).collect()
     assert {f["frame_no"] for f in frames} == {0, 1, 2}  # 2500ms / 1000
+    resized = multimodal.resize_images(assets, width=8, height=8).collect()
+    assert all(len(r["payload"]) == 64 for r in resized)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["mime"] == "image/raw"
+               for r in resized)
