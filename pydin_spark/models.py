@@ -353,6 +353,53 @@ class Parquet(FileModel):
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._write_target())
 
+    def recycle(self, key_field_label: str, key_value) -> None:
+        """Partition-scoped recycle when the sink is partitioned: only
+        partitions containing the recycled run's rows are rewritten
+        (dynamic partition overwrite) — the difference between touching
+        one day and rewriting 100 TB. Unpartitioned sinks fall back to
+        the full read-filter-overwrite."""
+        if not self.partition_by:
+            return super().recycle(key_field_label, key_value)
+        df = self.extract()
+        if key_field_label not in df.columns:
+            return
+        affected = (df.where(F.col(key_field_label) == F.lit(key_value))
+                    .select(*self.partition_by).distinct())
+        # materialize the affected-partition list BEFORE overwriting:
+        # both it and `kept` must never re-read the rewritten files
+        affected_rows = affected.collect()
+        affected = self.spark.createDataFrame(affected_rows,
+                                              schema=affected.schema)
+        kept = (df.join(F.broadcast(affected), self.partition_by,
+                        "left_semi")
+                .where((F.col(key_field_label) != F.lit(key_value))
+                       | F.col(key_field_label).isNull())
+                .localCheckpoint())
+        spark = self.spark
+        previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                  "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (kept.write.mode("overwrite").partitionBy(*self.partition_by)
+             .parquet(self.resolved_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           previous)
+        # dynamic overwrite never touches partitions with no surviving
+        # rows — delete those directories explicitly
+        survived = {tuple(r) for r in (kept.select(*self.partition_by)
+                                       .distinct().collect())}
+        for row in affected_rows:
+            if tuple(row) in survived:
+                continue
+            part_dir = os.path.join(
+                self.resolved_path,
+                *[f"{c}={row[c]}" for c in self.partition_by])
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+        spark.catalog.refreshByPath(self.resolved_path)
+
 
 class CSV(FileModel):
     """Delimited text source/sink.
