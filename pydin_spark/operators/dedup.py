@@ -38,6 +38,11 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, id_col)
     toks = F.split(F.col(text_col), " ")
+    # docs with < n tokens have no n-grams; without the guard,
+    # sequence(1, size-(n-1)) would be a DESCENDING sequence (Spark
+    # sequences run backwards when start > stop) and element_at(toks, 0)
+    # throws. DuckDB's range() is empty there — semantics must match.
+    df = df.where(F.size(toks) >= n)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,

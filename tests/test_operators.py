@@ -35,6 +35,16 @@ def test_ngram_jaccard_finds_near_dups(spark, docs):
     assert (1, 3) not in pairs
 
 
+def test_short_docs_produce_no_shingles(spark):
+    tiny = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "a b c d")],
+        "doc_id long, text string")
+    sh = dedup.word_shingles(tiny).collect()
+    assert {r["doc_id"] for r in sh} == {3}
+    # and the full pair pipeline survives short docs
+    assert dedup.ngram_jaccard_pairs(tiny, threshold=0.1).count() == 0
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     exact = {(r["id_a"], r["id_b"])
              for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
