@@ -81,7 +81,8 @@ def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q_rows = (queries.select(query_id_col, vec_col).collect())
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat /= np.where(q_norm == 0, 1.0, q_norm)
 
     def score(batches):
         import pandas as pd
@@ -89,7 +90,8 @@ def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 5,
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if mat.size == 0:
                 continue
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mn = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat /= np.where(mn == 0, 1.0, mn)
             sims = mat @ q_mat.T  # [batch, nq]
             nbr = pdf[id_col].to_numpy(dtype=np.int64)
             take = min(k + 1, len(nbr))
@@ -174,7 +176,8 @@ def _cosine_candidates_arrow(df: DataFrame, threshold: float,
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.where(norms == 0, 1.0, norms)
     slack = threshold - 1e-6
 
     def block(batches):
@@ -183,7 +186,8 @@ def _cosine_candidates_arrow(df: DataFrame, threshold: float,
             bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if bm.size == 0:
                 continue
-            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+            bn = np.linalg.norm(bm, axis=1, keepdims=True)
+            bm /= np.where(bn == 0, 1.0, bn)
             bids = pdf[id_col].to_numpy(dtype=np.int64)
             sims = bm @ mat.T
             ai, bi = np.nonzero((sims >= slack)
