@@ -257,30 +257,40 @@ class Pipeline:
         done: set[int] = set()
         pending = list(self.steps)
         max_workers = max(len(self.steps), 1) if parallel else 1
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            while pending:
-                ready = [s for s in pending
-                         if all(u.step_id in done for u in s.upstream)]
-                if not ready:
-                    raise StepError("pipeline step graph has a cycle")
-                # materialize any shared extractor once, before its
-                # consumers run concurrently
-                for step in ready:
-                    if id(step.a) in shared:
-                        self._materialize_shared(step)
-                futures = [pool.submit(self._run_step, s,
-                                       id(s.a) in shared) for s in ready]
-                for future in futures:
-                    future.result()
-                for step in ready:
-                    if step.status == ERROR:
-                        self.status = ERROR
-                        if isinstance(step.error, StepError):
-                            raise step.error
-                        raise StepError(
-                            f"{step} failed: {step.error}") from step.error
-                    done.add(step.step_id)
-                    pending.remove(step)
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                while pending:
+                    ready = [s for s in pending
+                             if all(u.step_id in done for u in s.upstream)]
+                    if not ready:
+                        raise StepError("pipeline step graph has a cycle")
+                    # materialize any shared extractor once, before its
+                    # consumers run concurrently
+                    for step in ready:
+                        if id(step.a) in shared:
+                            self._materialize_shared(step)
+                    futures = [pool.submit(self._run_step, s,
+                                           id(s.a) in shared)
+                               for s in ready]
+                    for future in futures:
+                        future.result()
+                    for step in ready:
+                        if step.status == ERROR:
+                            self.status = ERROR
+                            if isinstance(step.error, StepError):
+                                raise step.error
+                            raise StepError(f"{step} failed: "
+                                            f"{step.error}") from step.error
+                        done.add(step.step_id)
+                        pending.remove(step)
+        finally:
+            # release fan-out caches — a long-lived scheduler process
+            # would otherwise accumulate persisted frames run after run
+            cache = getattr(self, "_shared_df_cache", None)
+            if cache:
+                for df in cache.values():
+                    df.unpersist()
+                cache.clear()
         self.status = DONE
         return self
 
