@@ -171,12 +171,20 @@ class Scheduler:
             raise RuntimeError(proc.stderr.decode(errors="replace")[:2000])
 
     def _fire_triggers(self, parent_run: dict) -> None:
-        # DAG-of-jobs (reference core.py:1765-1818)
+        # DAG-of-jobs with data inheritance (reference core.py:1765-1826:
+        # the child receives the parent's tag and its pickled data dump —
+        # JSON here)
+        import json as _json
+        parent = self.history.run(parent_run["id"]) or parent_run
+        try:
+            data = _json.loads(parent.get("data_dump") or "{}")
+        except (TypeError, ValueError):
+            data = {}
         for job in self.history.jobs(active_only=True):
             if job.get("trigger_id") == parent_run["job_id"]:
                 run_id = self.history.add_run(
                     job["id"], QUEUED, parent_run["run_tag"],
-                    rerun_id=parent_run["id"])
+                    data=data, rerun_id=parent_run["id"])
                 self.exec_queue.put(run_id)
 
     def rerun_scan(self, now: float | None = None) -> int:

@@ -44,9 +44,18 @@ def run_script(path: str, run: dict | None = None, spark=None,
 
 
 def script_job(path: str, spark=None):
-    """Adapter: a scheduler-registrable callable that runs ``path``."""
+    """Adapter: a scheduler-registrable callable that runs ``path``.
+
+    The run's ``data_dump`` (inherited from a triggering parent job)
+    is decoded and exposed as ``pydin.data``.
+    """
+    import json
 
     def runner(run: dict) -> None:
-        run_script(path, run=run, spark=spark)
+        try:
+            data = json.loads(run.get("data_dump") or "{}")
+        except (TypeError, ValueError):
+            data = {}
+        run_script(path, run=run, spark=spark, data=data)
 
     return runner

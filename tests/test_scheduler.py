@@ -72,6 +72,21 @@ def test_trigger_chain():
     assert s.history.run(child_run)["rerun_id"] == run_id
 
 
+def test_trigger_inherits_parent_data():
+    s = Scheduler(History())
+    seen = {}
+    parent = s.register("pd", func=lambda run: None)
+    s.register("cd", func=lambda run: seen.update(
+        __import__("json").loads(run["data_dump"] or "{}")),
+        trigger_id=parent)
+    run_id = s.history.add_run(parent, "Q", time.time(),
+                               data={"handoff": "v1"})
+    s._execute(run_id)
+    child_run = s.exec_queue.get_nowait()
+    s._execute(child_run)
+    assert seen == {"handoff": "v1"}
+
+
 def test_parallelism_cap_postpones():
     s = Scheduler(History())
     job_id = s.register("capped", func=lambda run: None, parallelism="N")
