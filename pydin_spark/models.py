@@ -343,6 +343,12 @@ class Parquet(FileModel):
         super().__init__(*args, **kwargs)
         self.partition_by = partition_by or []
         self.mode = mode
+        if self.single_file and self.mode == "append":
+            raise ValueError(
+                "Parquet single_file=True cannot append: parquet files "
+                "are not byte-concatenable (two footers). Use "
+                "mode='overwrite', or drop single_file and let the "
+                "directory accumulate part files")
 
     def extract(self) -> DataFrame:
         return self.spark.read.parquet(self.resolved_path)
@@ -444,8 +450,24 @@ class CSV(FileModel):
             reader = (reader
                       .option("ignoreLeadingWhiteSpace", True)
                       .option("ignoreTrailingWhiteSpace", True))
+        track_errors = (self.pipeline is not None
+                        and self.pipeline.error_limit is not None)
         if self.schema is not None:
             reader = reader.schema(self.schema)
+        elif self.infer_schema and track_errors:
+            # PERMISSIVE only materializes the corrupt-record column when
+            # it is declared in an explicit schema — infer first, then
+            # append the corrupt field so error_limit accounting works
+            from pyspark.sql import types as T
+            inferred = (self.spark.read
+                        .option("sep", self.delimiter)
+                        .option("header", self.head)
+                        .option("inferSchema", True)
+                        .csv(self.resolved_path).schema)
+            if "_corrupt_record" not in inferred.fieldNames():
+                inferred = inferred.add(
+                    T.StructField("_corrupt_record", T.StringType()))
+            reader = reader.schema(inferred)
         elif self.infer_schema:
             reader = reader.option("inferSchema", True)
         df = reader.csv(self.resolved_path)
@@ -484,8 +506,11 @@ class JSON(FileModel):
         self.mode = mode
 
     def extract(self) -> DataFrame:
+        # a directory sink is JSON-lines part files (one object per
+        # line); only a single array file needs multiLine parsing
+        multiline = self.multiline and not os.path.isdir(self.resolved_path)
         return (self.spark.read
-                .option("multiLine", self.multiline)
+                .option("multiLine", multiline)
                 .option("encoding", self.encoding)
                 .json(self.resolved_path))
 
@@ -568,6 +593,28 @@ class XML(FileModel):
         df = self.attach_key_field(df)
         self._write_driver_side(df)
         return -1
+
+    def recycle(self, key_field_label: str, key_value) -> None:
+        """XML sink recycle: filter + full driver-side rewrite (the base
+        FileModel path would call the abstract _write after deleting the
+        file)."""
+        if not os.path.isfile(self.resolved_path):
+            return
+        df = self.extract()
+        if key_field_label not in df.columns:
+            return
+        # XML loads stringify every value (models.py:1448 parity)
+        kept = df.where(
+            (F.col(key_field_label) != F.lit(str(key_value)))
+            | F.col(key_field_label).isNull())
+        rows = kept.localCheckpoint()
+        self.prepare_force()
+        previous_mode, self.mode = self.mode, "overwrite"
+        try:
+            self._write_driver_side(rows)
+        finally:
+            self.mode = previous_mode
+        self.spark.catalog.refreshByPath(self.resolved_path)
 
     def _write_driver_side(self, df: DataFrame) -> None:
         import xml.etree.ElementTree as ET
@@ -768,7 +815,9 @@ class Select(Model, Extractable):
             variables.setdefault("date_to", self.date_to)
         try:
             return text.format(**variables)
-        except (KeyError, IndexError):
+        except (KeyError, IndexError, ValueError):
+            # unknown placeholder or literal braces in the SQL — ship the
+            # text as-is (best-effort interpolation, reference parity)
             return text
 
     def describe(self):
@@ -1045,9 +1094,10 @@ class Filenames(Model, Extractable):
         return self.spark.createDataFrame(rows, schema=schema)
 
     def _extract_binaryfile(self) -> DataFrame:
+        # NOTE: mask is a regex (matching the driver-side walk); it is
+        # applied post-listing with rlike rather than as pathGlobFilter,
+        # which is a glob with different syntax
         reader = self.spark.read.format("binaryFile")
-        if self.mask:
-            reader = reader.option("pathGlobFilter", self.mask)
         lo, hi = self._window()
         if lo is not None:
             reader = reader.option("modifiedAfter", lo.strftime("%Y-%m-%dT%H:%M:%S"))
@@ -1055,7 +1105,7 @@ class Filenames(Model, Extractable):
             reader = reader.option("modifiedBefore", hi.strftime("%Y-%m-%dT%H:%M:%S"))
         host = self.source_name or "localhost"
         df = reader.load(self.walk_path)
-        return df.select(
+        out = df.select(
             F.lit(host).alias("server"),
             F.col("path"),
             F.regexp_replace("path", r"/[^/]+$", "").alias("dir"),
@@ -1063,6 +1113,9 @@ class Filenames(Model, Extractable):
             F.lit(False).alias("isdir"), F.lit(True).alias("isfile"),
             F.col("modificationTime").alias("mtime"),
             F.col("length").alias("size"))
+        if self.mask:
+            out = out.where(F.col("file").rlike(self.mask))
+        return out
 
 
 class FileManager(Model, Executable):
@@ -1148,6 +1201,11 @@ class FileManager(Model, Executable):
         return final
 
     def execute(self) -> int:
+        if self.action in ("copy", "move") and not self.destinations:
+            raise ValueError(
+                f"FileManager action={self.action!r} requires a "
+                "destination — without one, 'move' would delete the "
+                "source files with no copy made")
         moved = 0
         host = self.source_name or "localhost"
         for src in self._matches():

@@ -175,37 +175,48 @@ class Pipeline:
         def walk(node: Node, upstream_step: Step | None) -> None:
             model = node.model
             if isinstance(model, Executable):
-                step = Step(next(counter), model)
-                if upstream_step is not None:
+                # a join node (several incoming edges) is walked once per
+                # edge — reuse its step and merge upstreams, otherwise a
+                # diamond graph would execute the model once per branch
+                step = produced.get(id(node))
+                if step is None:
+                    step = Step(next(counter), model)
+                    produced[id(node)] = step
+                    self.steps.append(step)
+                    if upstream_step is not None:
+                        step.upstream.append(upstream_step)
+                    for nxt in node.next:
+                        walk(nxt, step)
+                elif (upstream_step is not None
+                      and upstream_step not in step.upstream):
                     step.upstream.append(upstream_step)
-                self.steps.append(step)
-                for nxt in node.next:
-                    walk(nxt, step)
+                return
             elif isinstance(model, Extractable):
+                def _chain_step(end_node: Node, *models: Model) -> None:
+                    step = produced.get(id(end_node))
+                    if step is None:
+                        step = Step(next(counter), *models)
+                        produced[id(end_node)] = step
+                        self.steps.append(step)
+                        if upstream_step is not None:
+                            step.upstream.append(upstream_step)
+                        for after in end_node.next:
+                            walk(after, step)
+                    elif (upstream_step is not None
+                          and upstream_step not in step.upstream):
+                        step.upstream.append(upstream_step)
+
                 for nxt in node.next:
                     nxt_model = nxt.model
                     if isinstance(nxt_model, Transformable):
                         for final in nxt.next:
-                            step = Step(next(counter), model, nxt_model,
-                                        final.model)
-                            if upstream_step is not None:
-                                step.upstream.append(upstream_step)
-                            self.steps.append(step)
-                            produced[id(final)] = step
-                            for after in final.next:
-                                walk(after, step)
+                            _chain_step(final, model, nxt_model, final.model)
                         if not nxt.next:
                             raise ValueError(
                                 f"transformer {nxt_model.model_name} has no "
                                 "downstream loader")
                     elif isinstance(nxt_model, Loadable):
-                        step = Step(next(counter), model, nxt_model)
-                        if upstream_step is not None:
-                            step.upstream.append(upstream_step)
-                        self.steps.append(step)
-                        produced[id(nxt)] = step
-                        for after in nxt.next:
-                            walk(after, step)
+                        _chain_step(nxt, model, nxt_model)
                     else:
                         raise ValueError(
                             f"cannot chain {model.model_name} into "
@@ -284,13 +295,19 @@ class Pipeline:
                         done.add(step.step_id)
                         pending.remove(step)
         finally:
-            # release fan-out caches — a long-lived scheduler process
-            # would otherwise accumulate persisted frames run after run
+            # release fan-out and error-count caches — a long-lived
+            # scheduler process would otherwise accumulate persisted
+            # frames run after run
             cache = getattr(self, "_shared_df_cache", None)
             if cache:
                 for df in cache.values():
                     df.unpersist()
                 cache.clear()
+            aux = getattr(self, "_aux_cache", None)
+            if aux:
+                for df in aux:
+                    df.unpersist()
+                aux.clear()
         self.status = DONE
         return self
 
@@ -356,6 +373,10 @@ class Pipeline:
         # Spark refuses to query only the internal corrupt column from a raw
         # file scan; cache the parsed result first (per its own guidance).
         df = df.cache()
+        aux = getattr(self, "_aux_cache", None)
+        if aux is None:
+            aux = self._aux_cache = []
+        aux.append(df)  # released in run()'s finally
         corrupt = df.where(F.col("_corrupt_record").isNotNull())
         n_bad = corrupt.count()
         step.records_error = n_bad

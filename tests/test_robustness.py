@@ -16,8 +16,9 @@ def test_pipeline_object_reruns(spark, views, tmp_path):
 def test_filenames_distributed_matches_walk(spark, tmp_path):
     for i in range(5):
         (tmp_path / f"f{i}.dat").write_text("x" * (i + 1))
+    # identical regex mask semantics in both paths
     walk = Filenames(path=str(tmp_path), mask=r"\.dat$")
-    dist = Filenames(path=str(tmp_path), mask="*.dat", distributed=True)
+    dist = Filenames(path=str(tmp_path), mask=r"\.dat$", distributed=True)
     a = {(r["file"], r["size"]) for r in walk.extract().collect()}
     b = {(r["file"], r["size"]) for r in dist.extract().collect()}
     assert a == b
