@@ -71,7 +71,14 @@ class Model:
         self.insert_key_field = insert_key_field
         self.chunk_size = chunk_size
         self.cleanup = cleanup
-        self.options = options
+        if options:
+            # nothing consumes stray kwargs — a typo like date=Day(...)
+            # (the business date belongs on Pipeline) would silently load
+            # the wrong window
+            raise TypeError(
+                f"{type(self).__name__} got unexpected keyword argument(s) "
+                f"{sorted(options)}; the business date is set on "
+                "Pipeline(date=...), not on models")
         self.pipeline = None  # attached by Pipeline.add
 
     # -- source resolution ---------------------------------------------------

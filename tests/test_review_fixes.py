@@ -77,3 +77,11 @@ def test_filemanager_move_without_destination_rejected(tmp_path):
 def test_select_format_survives_literal_braces(spark, views):
     model = Select(text="SELECT '{' AS brace, r_regionkey FROM region")
     assert model.extract().count() == 5
+
+
+def test_model_rejects_unknown_kwargs():
+    import datetime
+    from pydin_spark import Day
+    with pytest.raises(TypeError, match="Pipeline"):
+        Select(text="SELECT 1", date_field="ts",
+               date=Day(datetime.datetime(2024, 1, 2)))
