@@ -79,6 +79,7 @@ class Model:
                 f"{type(self).__name__} got unexpected keyword argument(s) "
                 f"{sorted(options)}; the business date is set on "
                 "Pipeline(date=...), not on models")
+        self.records_error = 0  # populated by error-budget load paths
         self.pipeline = None  # attached by Pipeline.add
 
     # -- source resolution ---------------------------------------------------
@@ -670,7 +671,9 @@ class Table(Model, Extractable, Loadable):
                  table_name: str | None = None, db_link: str | None = None,
                  append: bool = True, partition_column: str | None = None,
                  num_partitions: int | None = None,
-                 lower_bound=None, upper_bound=None, **kwargs):
+                 lower_bound=None, upper_bound=None,
+                 connection_factory=None, paramstyle: str = "qmark",
+                 **kwargs):
         super().__init__(source_name=source_name, **kwargs)
         self.schema_name = schema_name
         self.table_name = table_name
@@ -680,6 +683,11 @@ class Table(Model, Extractable, Loadable):
         self.num_partitions = num_partitions
         self.lower_bound = lower_bound
         self.upper_bound = upper_bound
+        #: zero-arg picklable callable returning a DB-API connection on the
+        #: executors; enables the per-chunk error-budget load path
+        #: (reference models.py:376-385 semantics, SURVEY §7 hard part 3)
+        self.connection_factory = connection_factory
+        self.paramstyle = paramstyle
 
     @property
     def qualified_name(self) -> str:
@@ -725,6 +733,8 @@ class Table(Model, Extractable, Loadable):
 
     def load(self, df: DataFrame) -> int:
         df = self.attach_key_field(df)
+        if self.connection_factory is not None:
+            return self._load_with_error_budget(df)
         source = self.source
         if isinstance(source, Database):
             mode = "append" if self.append and not self.cleanup else "overwrite"
@@ -740,6 +750,115 @@ class Table(Model, Extractable, Loadable):
         df.write.mode(mode).parquet(self.fs_path)
         return -1
 
+    _PLACEHOLDERS = {"qmark": "?", "format": "%s"}
+
+    _LIMIT_SENTINEL = "pydin-error-limit"
+
+    def _load_with_error_budget(self, df: DataFrame) -> int:
+        """Chunked DB-API inserts with the reference's per-chunk error
+        tolerance (``models.py:376-385``): each chunk is one try/except —
+        a failed chunk rolls back, counts one error, and the load aborts
+        once the pipeline's ``error_limit`` is reached.
+
+        Runs as ``mapInPandas`` + aggregate (one SQL action) so every
+        executor core holds its own connection — the distributed analogue
+        of the reference's loader threads, and the only way to get
+        sub-job error granularity that Spark's all-or-nothing JDBC writer
+        cannot express. A SQL action (not ``foreachPartition``, which is
+        an RDD action) is required so upstream ``df.observe`` metrics
+        still resolve; it also returns exact per-chunk stats without
+        accumulator retry double-counting. This is the compatibility slow
+        path — the default JVM JDBC writer stays the fast path.
+        """
+        factory = self.connection_factory
+        columns = df.columns
+        chunk_size = self.chunk_size
+        limit = self.pipeline.error_limit if self.pipeline else None
+        try:
+            placeholder = self._PLACEHOLDERS[self.paramstyle]
+        except KeyError:
+            raise ValueError(f"unsupported paramstyle {self.paramstyle!r}; "
+                             f"known: {sorted(self._PLACEHOLDERS)}")
+        insert_sql = (f"INSERT INTO {self.qualified_name} "
+                      f"({', '.join(columns)}) VALUES "
+                      f"({', '.join([placeholder] * len(columns))})")
+        sentinel = self._LIMIT_SENTINEL
+        if self.num_partitions:
+            df = df.coalesce(self.num_partitions)
+
+        def write_partition(batches):
+            import pandas as pd  # noqa: PLC0415 - executor-side import
+
+            def native(value):
+                # Arrow hands back numpy/pandas scalars; DB-API drivers
+                # want Python natives (sqlite3 rejects numpy.int64)
+                if value is None or value != value:  # NaN/NaT
+                    return None
+                item = getattr(value, "item", None)
+                if item is not None:
+                    return item()
+                to_py = getattr(value, "to_pydatetime", None)
+                return to_py() if to_py is not None else value
+
+            connection = factory()
+            inserted = chunk_errors = record_errors = 0
+            try:
+                cursor = connection.cursor()
+
+                def flush(batch):
+                    nonlocal inserted, chunk_errors, record_errors
+                    if not batch:
+                        return
+                    try:
+                        cursor.executemany(insert_sql, batch)
+                        connection.commit()
+                        inserted += len(batch)
+                    except Exception:
+                        connection.rollback()
+                        chunk_errors += 1
+                        record_errors += len(batch)
+                        # partition-local early abort; the driver maps the
+                        # sentinel to ErrorLimitExceeded
+                        if limit is not None and chunk_errors >= limit:
+                            raise RuntimeError(sentinel)
+
+                pending = []
+                for frame in batches:
+                    for row in frame.itertuples(index=False, name=None):
+                        pending.append(tuple(native(v) for v in row))
+                        if len(pending) >= chunk_size:
+                            flush(pending)
+                            pending = []
+                flush(pending)
+            finally:
+                connection.close()
+            yield pd.DataFrame({"inserted": [inserted],
+                                "chunk_errors": [chunk_errors],
+                                "record_errors": [record_errors]})
+
+        from .pipeline import ErrorLimitExceeded
+        stats = df.mapInPandas(
+            write_partition,
+            schema="inserted long, chunk_errors long, record_errors long")
+        try:
+            totals = stats.agg(
+                F.sum("inserted").alias("inserted"),
+                F.sum("chunk_errors").alias("chunk_errors"),
+                F.sum("record_errors").alias("record_errors")).first()
+        except Exception as exc:
+            if sentinel in str(exc):
+                raise ErrorLimitExceeded(
+                    f"failed chunks >= error_limit={limit} on "
+                    f"{self.qualified_name}") from exc
+            raise
+        chunk_errors = int(totals["chunk_errors"] or 0)
+        self.records_error = int(totals["record_errors"] or 0)
+        if limit is not None and chunk_errors >= limit:
+            raise ErrorLimitExceeded(
+                f"{chunk_errors} failed chunks >= error_limit={limit} "
+                f"({self.records_error} records)")
+        return int(totals["inserted"] or 0)
+
     def get_last_value(self, value_field: str):
         try:
             df = self.extract()
@@ -750,12 +869,45 @@ class Table(Model, Extractable, Loadable):
         row = df.agg(F.max(value_field).alias("wm")).first()
         return row["wm"] if row else None
 
+    def _jdbc_execute_update(self, sql: str) -> int:
+        """Driver-side DML on a Database source through the JVM's own JDBC
+        stack (no Python driver needed — the jar Spark reads with serves)."""
+        source = self.source
+        assert isinstance(source, Database)
+        jvm = self.spark._jvm
+        if source.driver:
+            jvm.java.lang.Class.forName(source.driver)
+        props = jvm.java.util.Properties()
+        for key, value in source.options().items():
+            if key not in ("url", "driver"):
+                props.setProperty(key, value)
+        connection = jvm.java.sql.DriverManager.getConnection(
+            source.url, props)
+        try:
+            statement = connection.createStatement()
+            try:
+                return statement.executeUpdate(sql)
+            finally:
+                statement.close()
+        finally:
+            connection.close()
+
     def recycle(self, key_field_label: str, key_value) -> None:
         source = self.source
         if isinstance(source, Database):
-            raise NotImplementedError(
-                "JDBC recycle requires a driver-side DELETE; configure a "
-                "lakehouse sink or issue the DELETE via the Driver API")
+            # delete-by-run-key, reference models.py:469-475; the key
+            # column was written quoted by Spark's JDBC writer, so quote
+            # it here too (ANSI double quotes)
+            if isinstance(key_value, (int, float)):
+                literal = repr(key_value)
+            else:
+                literal = "'" + str(key_value).replace("'", "''") + "'"
+            sql = (f'DELETE FROM {self.qualified_name} '
+                   f'WHERE "{key_field_label}" = {literal}')
+            deleted = self._jdbc_execute_update(sql)
+            if self.audit is not None:
+                self.audit.query(sql, "D", records=deleted)
+            return
         if not os.path.isdir(self.fs_path):
             return
         df = self.extract()

@@ -363,6 +363,10 @@ class Pipeline:
         loader.load(df)
         step.records_read = int(read_obs.get["rows"])
         step.records_written = int(write_obs.get["rows"])
+        loader_errors = getattr(loader, "records_error", 0)
+        if loader_errors:
+            step.records_error += loader_errors
+            step.records_written -= loader_errors
 
     def _enforce_error_limit(self, step: Step, df: DataFrame) -> DataFrame:
         """PERMISSIVE-read error budget (reference models.py:280-291):

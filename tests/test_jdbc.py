@@ -73,3 +73,23 @@ def test_jdbc_cleanup_truncate(spark, views, jdbc_registry):
     back = Table(source_name="warehouse", table_name="NATION_CP")
     back.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
     assert back.extract().count() == 25  # truncated, not doubled
+
+
+def test_jdbc_recycle_deletes_prior_run(spark, views, jdbc_registry):
+    def pipeline(pid):
+        return Pipeline(
+            Select(text="SELECT r_regionkey, r_name FROM region"),
+            Table(source_name="warehouse", table_name="REGION_RC",
+                  key_field="process_id"),
+            spark=spark, registry=jdbc_registry, process_id=pid)
+
+    pipeline(111).run()
+    back = Table(source_name="warehouse", table_name="REGION_RC")
+    back.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
+    assert back.extract().count() == 5
+    # idempotent re-run for the same run key: delete-then-reload
+    pipeline(111).run(recycle=111)
+    assert back.extract().count() == 5
+    # a different run appends
+    pipeline(222).run()
+    assert back.extract().count() == 10
