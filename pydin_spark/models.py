@@ -37,6 +37,21 @@ from .calendar import Day, Period
 from .sources import Database, Filesystem, Server, registry as default_registry
 
 
+def _path_bytes(path: str) -> int | None:
+    """Driver-visible size of a sink path (file or part-file directory);
+    None when the path isn't local (object stores report via their own
+    metrics)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(os.path.getsize(os.path.join(root, f))
+                       for root, _, names in os.walk(path) for f in names)
+    except OSError:
+        pass
+    return None
+
+
 # ---------------------------------------------------------------------------
 # base model + capability mixins
 # ---------------------------------------------------------------------------
@@ -277,6 +292,12 @@ class FileModel(Model, Extractable, Loadable):
         self._write(out)
         if self.single_file:
             self._finalize_single_file()
+        if self.audit is not None:
+            source = self.source
+            server = (source.name or "localhost"
+                      if isinstance(source, Filesystem) else "localhost")
+            self.audit.file(server, self.resolved_path, "W", "D",
+                            _path_bytes(self.resolved_path))
         return -1  # row count comes from pipeline Observation metrics
 
     def _write(self, df: DataFrame) -> None:  # pragma: no cover - abstract
@@ -744,7 +765,15 @@ class Table(Model, Extractable, Loadable):
                       .option("batchsize", self.chunk_size)
                       .option("truncate", bool(self.cleanup))
                       .mode(mode))
-            writer.save()
+            text = f"INSERT INTO {self.qualified_name} (JDBC {mode})"
+            try:
+                writer.save()
+            except Exception as exc:
+                if self.audit is not None:
+                    self.audit.query(text, "E", error=str(exc)[:2000])
+                raise
+            if self.audit is not None:
+                self.audit.query(text, "D")
             return -1
         mode = "append" if self.append else "overwrite"
         df.write.mode(mode).parquet(self.fs_path)
@@ -847,17 +876,26 @@ class Table(Model, Extractable, Loadable):
                 F.sum("record_errors").alias("record_errors")).first()
         except Exception as exc:
             if sentinel in str(exc):
+                if self.audit is not None:
+                    self.audit.query(insert_sql, "E",
+                                     error=f"error_limit={limit} reached")
                 raise ErrorLimitExceeded(
                     f"failed chunks >= error_limit={limit} on "
                     f"{self.qualified_name}") from exc
             raise
         chunk_errors = int(totals["chunk_errors"] or 0)
         self.records_error = int(totals["record_errors"] or 0)
+        inserted = int(totals["inserted"] or 0)
         if limit is not None and chunk_errors >= limit:
+            if self.audit is not None:
+                self.audit.query(insert_sql, "E", records=inserted,
+                                 error=f"{chunk_errors} failed chunks")
             raise ErrorLimitExceeded(
                 f"{chunk_errors} failed chunks >= error_limit={limit} "
                 f"({self.records_error} records)")
-        return int(totals["inserted"] or 0)
+        if self.audit is not None:
+            self.audit.query(insert_sql, "D", records=inserted)
+        return inserted
 
     def get_last_value(self, value_field: str):
         try:

@@ -1,7 +1,7 @@
 """Audit-log population: pd_query_log from Select/SQL, pd_file_log from
 FileManager, pd_task/step_history from Pipeline metrics."""
 
-from pydin_spark import FileManager, Parquet, Pipeline, Select, SQL
+from pydin_spark import CSV, FileManager, Parquet, Pipeline, Select, SQL, Table
 from pydin_spark.audit import AuditLog
 from pydin_spark.scheduler import History
 
@@ -46,6 +46,40 @@ def test_file_log_records_transfers(tmp_path):
     rows = audit.files()
     assert len(rows) == 1
     assert rows[0]["action"] == "copy" and rows[0]["bytes"] == 3
+
+
+def test_file_log_records_sink_writes(spark, views, tmp_path):
+    audit = AuditLog(History(), run_id=9)
+    Pipeline(Select(text="SELECT r_regionkey, r_name FROM region"),
+             CSV(file_name="out.csv", path=str(tmp_path), single_file=True),
+             spark=spark, audit=audit).run()
+    rows = audit.files()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "W" and rows[0]["status"] == "D"
+    assert rows[0]["file_path"].endswith("out.csv")
+    assert rows[0]["bytes"] and rows[0]["run_id"] == 9
+
+
+def test_query_log_records_budget_load(spark, views, tmp_path):
+    import functools
+    import sqlite3
+
+    db = str(tmp_path / "a.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE tgt (k INTEGER, name TEXT)")
+    con.commit()
+    con.close()
+    audit = AuditLog(History(), run_id=4)
+    Pipeline(Select(text="SELECT n_nationkey AS k, n_name AS name "
+                         "FROM nation"),
+             Table(table_name="tgt", paramstyle="qmark",
+                   connection_factory=functools.partial(sqlite3.connect, db),
+                   num_partitions=1),
+             spark=spark, audit=audit, error_limit=1).run()
+    rows = audit.queries()
+    inserts = [r for r in rows if r["query_text"].startswith("INSERT")]
+    assert inserts and inserts[0]["status"] == "D"
+    assert inserts[0]["records"] == 25
 
 
 def test_pipeline_metrics_into_history(spark, views, tmp_path):
