@@ -8,6 +8,8 @@ recycle, plus large-scale data-pipeline operators (dedup, similarity
 search, text analysis, multimodal plumbing) the reference never had.
 """
 
+import os
+
 from . import calendar as calendar  # noqa: PLC0414
 from .calendar import Day, Hour, Month, Today, Tomorrow, Year, Yesterday
 from .fields import KEY_FIELDS, KeyField
@@ -25,15 +27,48 @@ TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
                "lineitem", "events", "documents", "embeddings")
 
 
+def _stage_converted(spark, source_path: str, df):
+    """One-time ingest rewrite of a table whose timestamp column needed a
+    computed conversion (TIMESTAMP(NANOS) → µs). The staged copy stores
+    ``ts`` as a real timestamp column, so date-window predicates push
+    into the parquet scan (row-group min/max skipping) instead of being
+    evaluated post-scan on a derived expression — at 100 TB that is the
+    difference between pruning and a full read. Cache is fingerprinted by
+    source path+size+mtime and shared across processes; a failed/raced
+    build falls back to the in-memory converted DataFrame.
+    """
+    import hashlib
+    import shutil as _shutil
+
+    root = os.environ.get("PYDIN_STAGED_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, ".staged")
+    try:
+        st = os.stat(source_path)
+        fingerprint = f"{source_path}:{st.st_size}:{st.st_mtime_ns}"
+        key = hashlib.sha1(fingerprint.encode()).hexdigest()[:16]
+        staged = os.path.join(os.path.abspath(root), key)
+        if not os.path.isdir(staged):
+            tmp = f"{staged}.tmp-{os.getpid()}"
+            df.write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, staged)
+            except OSError:  # concurrent builder won the rename
+                _shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(staged)
+    except Exception:
+        return df
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one fixture parquet table, normalizing timestamp encodings.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as raw nanos and convert (exact:
-    generated values have microsecond precision). ``timestamp_micros``
-    renders the instant at the session timezone; the engine (and this
-    container) run UTC, which matches DuckDB's naive rendering — a
-    non-UTC session would shift events wall-clock values.
+    generated values have microsecond precision), then stage the µs copy
+    once so later scans get predicate pushdown on ``ts``.
+    ``timestamp_micros`` renders the instant at the session timezone; the
+    engine (and this container) run UTC, which matches DuckDB's naive
+    rendering — a non-UTC session would shift events wall-clock values.
     """
     from pyspark.sql import functions as F
 
@@ -50,6 +85,7 @@ def load_table(spark, sf_dir: str, name: str):
             # integer div: double division of an ~1.7e18 ns epoch loses the
             # low microsecond bit (52-bit mantissa)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = _stage_converted(spark, path, df)
     return df
 
 

@@ -21,9 +21,6 @@ def plan_of(df) -> str:
 
 def test_date_window_filter_pushed_to_scan(spark, views, sf_dir):
     # orders has native timestamps → the window must reach the scan.
-    # (events goes through the ns→µs conversion shim, whose computed ts
-    # can't push — at 100 TB the fix is rewriting the source to µs at
-    # ingest, not weakening this gate.)
     shell = Pipeline(date=Day(dt.datetime(1996, 6, 1)), spark=spark)
     model = Select(text="SELECT o_orderkey, o_orderdate FROM orders",
                    date_field="o_orderdate")
@@ -33,6 +30,18 @@ def test_date_window_filter_pushed_to_scan(spark, views, sf_dir):
     # the window bounds must appear as pushed predicates, not post-filters
     assert ("GreaterThanOrEqual(o_orderdate" in plan
             and "LessThanOrEqual(o_orderdate" in plan)
+
+
+def test_events_date_window_pushed_after_staged_ingest(spark, views, sf_dir):
+    # events is TIMESTAMP(NANOS) at rest; load_table stages a µs copy at
+    # ingest so ts is a *stored* column — the date window must reach the
+    # scan, not sit above a computed timestamp_micros projection.
+    shell = Pipeline(date=Day(dt.datetime(2024, 1, 2)), spark=spark)
+    model = Select(text="SELECT event_id, ts FROM events", date_field="ts")
+    model.pipeline = shell
+    plan = plan_of(model.extract())
+    assert ("GreaterThanOrEqual(ts" in plan
+            and "LessThanOrEqual(ts" in plan), plan
 
 
 def test_column_pruning_reaches_scan(spark, views):
