@@ -35,6 +35,31 @@ def test_sliding_counts_cover(spark, views):
     assert total == 2 * events.count()
 
 
+def test_session_window_matches_duckdb_gap_oracle(spark, views, sf_dir):
+    """F.session_window content == gap-detection sessions (DuckDB oracle).
+
+    Session *numbers* differ between the formulations, so compare the
+    invariant content set: (user, start=MIN(ts), last=MAX(ts), count,
+    value). ``session_window.end`` is last-event + gap, so subtract the
+    gap to recover MAX(ts).
+    """
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    gap = dt.timedelta(minutes=30)
+    got = {(r["user_id"], r["session_start"], r["session_end"] - gap,
+            r["n_events"], round(r["session_value"], 4))
+           for r in session_aggregate(spark.table("events")).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    exp = {(r[0], r[3], r[4], r[2], round(r[5], 4)) for r in con.execute(
+        # oracle columns: user_id, session_no, n_events, start, end, value
+        entrymod.oracle_sql()["q_sessionize"]).fetchall()}
+    assert got == exp
+
+
 def test_session_aggregate_gap(spark):
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = [(1, base, 1.0), (1, base + dt.timedelta(minutes=10), 2.0),
