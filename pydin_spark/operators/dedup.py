@@ -227,29 +227,48 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from token hashes.
+def _simhash_bits(hash_fn: str) -> int:
+    """Signature width per token-hash choice: xxhash64 gives 64 bits;
+    the cross-engine md5 variant uses the first 15 hex chars = 60 bits
+    (fits a positive BIGINT in both Spark and DuckDB)."""
+    return 64 if hash_fn == "xxhash64" else 60
 
-    bit_j(doc) = 1 iff Σ_token (±1 by bit j of xxhash64(token)) > 0.
-    Implemented as explode + one hash-aggregate with 64 conditional sums
-    — all whole-stage-codegen (the array-fold formulation runs on the
-    interpreted higher-order-function path and is ~10× slower). One
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash per document from token hashes.
+
+    bit_j(doc) = 1 iff Σ_token (±1 by bit j of hash(token)) > 0.
+    Implemented as explode + one hash-aggregate with per-bit conditional
+    sums — all whole-stage-codegen (the array-fold formulation runs on
+    the interpreted higher-order-function path and is ~10× slower). One
     shuffle on the doc id.
+
+    ``hash_fn``: 'xxhash64' (default, fastest — JVM hash) or 'md5'
+    (60-bit from the md5 hex prefix; md5 exists in DuckDB too, which
+    makes the whole operator independently reproducible by the SQL
+    oracle — the correctness-gate configuration).
     """
+    bits = _simhash_bits(hash_fn)
     exploded = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " ")))
         .alias("__tok"))
-    h = F.xxhash64(F.col("__tok"))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("__tok"))
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10) \
+            .cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     sums = [
         F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"b{j}")
-        for j in range(64)
+        for j in range(bits)
     ]
     agg = exploded.groupBy(id_col).agg(*sums)
     sim = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(bits):
         # shiftleft instead of a (1 << j) literal: 1 << 63 overflows long
         sim = sim + F.when(
             F.col(f"b{j}") > 0,
@@ -258,14 +277,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 8,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance.
 
-    Banding: split the 64-bit signature into 4×16-bit chunks; by pigeonhole
+    Banding: split the signature into 4×16-bit chunks; by pigeonhole
     any pair within hamming distance 3·k shares a chunk — join on chunk
     equality, then verify the exact hamming distance. Avoids O(n²).
     """
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col, hash_fn)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), c * 16)

@@ -116,13 +116,20 @@ def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", planes: int = 8,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, multiprobe: int = 0) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets.
 
     Bucket key = sign bits against ``planes`` pseudo-random hyperplanes
     (deterministic from ``seed``); query joins only its bucket, so cost is
     |corpus| / 2^planes per query in expectation. At 100 TB, bucket the
     corpus once (write partitioned by bucket) and reuse across queries.
+
+    ``multiprobe``: additionally probe every bucket within hamming
+    distance ``multiprobe`` of the query's bucket (standard multi-probe
+    LSH — recall rises with probe fan-out at ~C(planes, m) extra bucket
+    scans per query). At ``multiprobe == planes`` every bucket is probed
+    and the result provably equals exact brute force — the operating
+    point the correctness oracle pins.
     """
     import numpy as np
 
@@ -147,6 +154,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       bucket_expr(F.col(vec_col)).alias("bucket"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"),
                        bucket_expr(F.col(vec_col)).alias("bucket"))
+    if multiprobe:
+        # explode each query into its probe set: bucket XOR every mask
+        # with popcount <= multiprobe (masks are distinct, so each
+        # (query, bucket) pair is probed exactly once — no dup scoring)
+        masks = [m for m in range(1 << planes)
+                 if bin(m).count("1") <= multiprobe]
+        q = q.select(
+            F.col(query_id_col), F.col("qv"),
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                                for m in masks])).alias("bucket"))
     pairs = c.join(F.broadcast(q), "bucket").where(
         F.col("nbr_id") != F.col(query_id_col))
     cv = F.transform(F.col("cv"), lambda x: x.cast("double"))

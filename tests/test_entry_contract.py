@@ -23,9 +23,9 @@ def test_every_oracle_key_has_a_query():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, f"orphan oracles: {o - q}"
-    # rows-only queries are the documented approximate set
-    assert q - o == {"dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh",
-                     "sim_topk_ivf", "multimodal_features"}
+    # every query is oracled: approximate operators run at provably /
+    # deterministically exact operating points in the driver inventory
+    assert q - o == set(), f"queries without oracle: {q - o}"
 
 
 def test_entry_returns_rows(spark):
