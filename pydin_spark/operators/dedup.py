@@ -202,7 +202,8 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3,
                    threshold: float = 0.5,
                    max_shingle_freq: int | None = 100,
-                   method: str = "exact") -> DataFrame:
+                   method: str = "auto",
+                   auto_minhash_above: int = 100_000) -> DataFrame:
     """Corpus scrub: keep one survivor per near-duplicate pair.
 
     Greedy keep-lowest-id policy: any document that appears as the
@@ -212,11 +213,18 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
     or with a lower survivor chain). One anti-join against the pair set.
 
     ``method='exact'`` generates pairs from the full inverted index
-    (exact recall, cost Σ freq² — right up to ~10^7 docs with the
-    frequency cap); ``method='minhash'`` generates candidates from
-    LSH bands then verifies exactly — the constant-signature path for
-    corpora where the inverted index itself is too hot.
+    (exact recall, cost Σ freq² — fine for small corpora but the Σfreq²
+    term grows ~quadratically in the frequency cap at scale);
+    ``method='minhash'`` generates candidates from LSH bands then
+    verifies exactly — the constant-signature path that survives 10^9
+    docs. ``method='auto'`` (default) picks minhash above
+    ``auto_minhash_above`` documents (one column-pruned count) so the
+    scale-safe path engages automatically — the exact inverted index is
+    never the default on a large corpus.
     """
+    if method == "auto":
+        method = ("minhash" if df.count() > auto_minhash_above
+                  else "exact")
     if method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, n,
                                   threshold=threshold)

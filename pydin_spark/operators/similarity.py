@@ -178,41 +178,81 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id_col, "nbr_id", "cosine", "rnk"))
 
 
-def _cosine_candidates_arrow(df: DataFrame, threshold: float,
-                             id_col: str, vec_col: str) -> DataFrame:
-    """Candidate (id_a, id_b) pairs with numpy-matmul cosine >= threshold.
+def _cosine_candidates_blocks(df: DataFrame, threshold: float,
+                              id_col: str, vec_col: str,
+                              rows_per_block: int = 8192) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with numpy-matmul cosine >= threshold
+    via a distributed block-matrix self-join — NO driver-side collect.
 
-    The corpus matrix is collected once (guarded: this path is for corpora
-    whose *vectors* fit on one node — ≤ ~10^6×64; beyond that, bucket with
-    LSH first) and each Arrow batch computes a dense [batch × n] block.
-    Returned cosines are float-sum-order approximate — callers re-verify
-    exactly; the 1e-6 slack below guarantees a superset of the exact set.
+    Vectors are hashed into ``ceil(n / rows_per_block)`` blocks; every
+    unordered block pair (i, j) becomes one ``applyInPandas`` group whose
+    task multiplies the two (bounded-size) block matrices. Cost is the
+    inherent O(n²·d) flops of an exact threshold join, but distributed
+    over B(B+1)/2 tasks with per-task memory capped at two blocks
+    (~``rows_per_block``·dim·8 bytes each) — the shape that survives a
+    1000-executor scale-up. Shuffle volume is n·B vector copies.
+
+    The only driver action is a column-pruned ``count()`` to size B.
+    Returned candidates use a 1e-6 slack (numpy sum-order error is
+    ~1e-12), so they are a provable superset of the exact answer —
+    callers re-score with the deterministic sequential fold.
     """
-    import numpy as np
+    import math
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat /= np.where(norms == 0, 1.0, norms)
+    n = df.count()
+    # enough block pairs (B(B+1)/2 tasks) to fill the cluster even when
+    # the corpus is small; block size capped by rows_per_block regardless
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nblocks = max(1, math.ceil(n / rows_per_block),
+                  math.ceil((2 * par) ** 0.5))
+    nblocks = min(nblocks, max(1, n))
     slack = threshold - 1e-6
 
-    def block(batches):
-        import pandas as pd
-        for pdf in batches:
-            bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            if bm.size == 0:
-                continue
-            bn = np.linalg.norm(bm, axis=1, keepdims=True)
-            bm /= np.where(bn == 0, 1.0, bn)
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = bm @ mat.T
-            ai, bi = np.nonzero((sims >= slack)
-                                & (bids[:, None] < ids[None, :]))
-            yield pd.DataFrame({"id_a": bids[ai], "id_b": ids[bi]})
+    v = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
+        .cast("int").alias("blk"))
+    # replicate each row into every block pair it participates in:
+    # partner p == blk contributes the diagonal group once; p != blk
+    # contributes (min, max) exactly once per side — no duplicates
+    rep = (v.select(
+        id_col, vec_col, "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("p"))
+        .select(id_col, vec_col, "blk",
+                F.least("blk", "p").alias("bi"),
+                F.greatest("blk", "p").alias("bj")))
 
-    return df.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long")
+    def block_join(key, pdf):
+        import numpy as np
+        import pandas as pd
+        bi, bj = key
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0, 1.0, norms)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        blk = pdf["blk"].to_numpy()
+        if bi == bj:
+            sims = mat @ mat.T
+            ia, ib = np.nonzero((sims >= slack)
+                                & (ids[:, None] < ids[None, :]))
+            id_a, id_b = ids[ia], ids[ib]
+        else:
+            a_idx = np.nonzero(blk == bi)[0]
+            b_idx = np.nonzero(blk == bj)[0]
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            sims = mat[a_idx] @ mat[b_idx].T
+            # blocks are disjoint, so no self-pairs — but either side may
+            # hold the smaller id: order per pair, don't filter
+            ia, ib = np.nonzero(sims >= slack)
+            xa = ids[a_idx][ia]
+            xb = ids[b_idx][ib]
+            id_a = np.minimum(xa, xb)
+            id_b = np.maximum(xa, xb)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        block_join, schema="id_a long, id_b long")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -279,29 +319,69 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     prefilter: bool = True) -> DataFrame:
+                     method: str = "block", planes: int = 8,
+                     seed: int = 42,
+                     rows_per_block: int = 8192) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
-    Two-phase exact search: a vectorized numpy prefilter emits candidate
-    pairs at ``threshold - 1e-6`` (superset of the exact answer — float
-    sum-order error is ~1e-12), then the few candidates are re-scored with
-    the deterministic sequential-fold expression so final values are
-    IEEE-exact and oracle-matchable. Avoids evaluating the O(n²·d)
-    expression fold on every pair; at larger-than-driver corpora set
-    ``prefilter=False`` and pre-bucket with LSH instead.
+    Two-phase search: a candidate prefilter, then the candidates are
+    re-scored with the deterministic sequential-fold expression so final
+    values are IEEE-exact and oracle-matchable.
+
+    ``method``:
+
+    - ``'block'`` (default): distributed block-matrix prefilter at
+      ``threshold - 1e-6`` — a provable superset of the exact answer,
+      with NO driver-side collect anywhere in the plan and per-task
+      memory bounded by ``rows_per_block``. Exact result. The O(n²·d)
+      flops are inherent to an exact threshold join; right up to ~10^7
+      vectors distributed.
+    - ``'lsh'``: random-hyperplane bucketed candidates (+ exact
+      re-score). Cost ~n²/2^planes; recall < 1 by construction — the
+      100 TB path when exactness can be traded.
+    - ``'cross'``: pure expression-fold cross join (tiny corpora; the
+      self-contained oracle tier).
     """
     v = df.select(F.col(id_col),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
-    if prefilter:
-        candidates = _cosine_candidates_arrow(df, threshold, id_col, vec_col)
-        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    if method == "block":
+        candidates = _cosine_candidates_blocks(df, threshold, id_col,
+                                               vec_col, rows_per_block)
         pairs = candidates.join(a, "id_a").join(b, "id_b")
-    else:
-        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    elif method == "lsh":
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        dim = len(df.select(vec_col).first()[0])
+        hyper = rng.randn(planes, dim)
+
+        def bucket(vec):
+            bits = F.lit(0)
+            for p in range(planes):
+                proj = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(c)) for c in hyper[p]]),
+                        lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, t: acc + t)
+                bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+            return bits
+
+        ab = v.select(F.col(id_col), F.col("v"),
+                      bucket(F.col("v")).alias("bucket"))
+        pairs = (ab.select(F.col(id_col).alias("id_a"),
+                           F.col("v").alias("va"), "bucket")
+                 .join(ab.select(F.col(id_col).alias("id_b"),
+                                 F.col("v").alias("vb"), "bucket"),
+                       "bucket")
+                 .where(F.col("id_a") < F.col("id_b")))
+    elif method == "cross":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     cosine = (_dot(F.col("va"), F.col("vb"))
               / (_norm(F.col("va")) * _norm(F.col("vb"))))
     return (pairs.select("id_a", "id_b", cosine.alias("cosine"))
