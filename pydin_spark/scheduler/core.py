@@ -35,28 +35,47 @@ from .cron import Schedule, matches, parse_moment
 from .history import History
 
 QUEUED, WAITING, STARTED, RUNNING = "Q", "W", "S", "R"
-DONE, ERROR, CANCELED, TIMEOUT = "D", "E", "C", "T"
+DONE, ERROR, CANCELED, TIMEOUT, UNKNOWN = "D", "E", "C", "T", "U"
 
 
 class Scheduler:
     def __init__(self, history: History | None = None, chargers: int = 5,
-                 executors: int = 20, tick: float = 1.0):
+                 executors: int = 20, tick: float = 1.0,
+                 maintenance_interval: float = 60.0,
+                 notifier=None):
+        """``notifier``: optional callable invoked on every failed run
+        ('E'/'T'/'U') with a dict carrying job_name, email_list, run_id,
+        status and error_list — the pluggable equivalent of the
+        reference's SMTP alarming (logger.py:20-27 + ``email_list`` on
+        the schedule, api.py:160/254). Wire an SMTP sender, a pager, or
+        a test double; notifier errors never break the executor."""
         self.history = history or History()
+        self.notifier = notifier
         self.n_chargers = chargers      # reference default 5 (config.py:147)
         self.n_executors = executors    # reference default 20 (config.py:148)
         self.tick = tick
+        # wake-up/rerun scan cadence (reference runs both every 60 s,
+        # core.py:948-962 / 926-946)
+        self.maintenance_interval = maintenance_interval
         self.entry_queue: queue.Queue = queue.Queue()
         self.exec_queue: queue.Queue = queue.Queue()
         self.jobs: dict[int, callable] = {}   # job_id -> python callable
         self.running = False
         self.threads: list[threading.Thread] = []
         self.moment: float | None = None
+        self._last_maintenance: float = 0.0
 
     # -- registration --------------------------------------------------------
-    def register(self, job_name: str, func=None, command: str | None = None,
+    def register(self, job_name: str, func=None,
+                 command: str | list | None = None,
                  **schedule_fields) -> int:
         """Create a schedule row; ``func`` is an in-process callable
-        (receives the run dict), ``command`` an argv list for subprocess."""
+        (receives the run dict), ``command`` a shell string or an argv
+        list (lists are shlex-joined for storage and run without a
+        shell)."""
+        if isinstance(command, (list, tuple)):
+            import shlex
+            command = shlex.join(str(c) for c in command)
         job_id = self.history.add_job(
             job_name, status="Y",
             arguments=command, **schedule_fields)
@@ -89,6 +108,15 @@ class Scheduler:
             return False
         return matches(period, parse_moment(timestamp)["hour"])
 
+    def _is_awakening(self, job: dict, timestamp: float) -> bool:
+        """Wake-up window: minute-matched ``wake_up_period``; absent
+        means always awakenable (reference ``was_awakening``,
+        core.py:1004-1012)."""
+        period = job.get("wake_up_period")
+        if not period:
+            return True
+        return matches(period, parse_moment(timestamp)["min"])
+
     # -- thread bodies -------------------------------------------------------
     def _ticker(self) -> None:
         # drift-corrected 1 s loop (reference core.py:812-833)
@@ -101,6 +129,13 @@ class Scheduler:
             for job in self.history.jobs(active_only=True):
                 if self._is_due(job, self.moment):
                     self.entry_queue.put((job["id"], self.moment))
+            if self.moment - self._last_maintenance >= self.maintenance_interval:
+                self._last_maintenance = self.moment
+                try:
+                    self.wake_up_scan(self.moment)
+                    self.rerun_scan(self.moment)
+                except Exception:  # noqa: BLE001 - keep the tick alive
+                    pass
 
     def _charger(self) -> None:
         while self.running:
@@ -149,6 +184,37 @@ class Scheduler:
             self.history.set_run(run_id, status=TIMEOUT)
         except Exception as exc:  # noqa: BLE001 - job error boundary
             self.history.set_run(run_id, status=ERROR, error_list=str(exc))
+        finally:
+            final = self.history.run(run_id) or {}
+            # a run that somehow slipped through without reaching a
+            # terminal status ended unexpectedly → 'U' (reference
+            # core.py:2437-2441 marks non-D/E ends the same way)
+            if final.get("status") in (STARTED, RUNNING):
+                self.history.set_run(run_id, status=UNKNOWN)
+                final["status"] = UNKNOWN
+            if run.get("rerun_id"):
+                # rerun bookkeeping on the initiator (reference
+                # core.py:1669-1673): bump rerun_times, clear the
+                # in-flight flag, set rerun_done only when the rerun
+                # actually succeeded
+                self.history.set_run(
+                    run["rerun_id"],
+                    rerun_times=run.get("rerun_seqno") or 1,
+                    rerun_now=None,
+                    rerun_done="Y" if final.get("status") == DONE else None)
+            if (self.notifier is not None
+                    and final.get("status") in (ERROR, TIMEOUT, UNKNOWN)):
+                try:
+                    self.notifier({
+                        "job_id": run["job_id"],
+                        "job_name": job.get("job_name"),
+                        "email_list": job.get("email_list"),
+                        "run_id": run_id,
+                        "status": final.get("status"),
+                        "error_list": final.get("error_list"),
+                    })
+                except Exception:  # noqa: BLE001 - alarms must not kill runs
+                    pass
 
     @staticmethod
     def _run_callable(func, run: dict, timeout: float | None) -> None:
@@ -164,8 +230,12 @@ class Scheduler:
             raise TimeoutError(f"job exceeded {timeout}s")
 
     @staticmethod
-    def _run_command(command: str, timeout: float | None) -> None:
-        proc = subprocess.run(command, shell=True, capture_output=True,
+    def _run_command(command: str | list, timeout: float | None) -> None:
+        # strings run through the shell; argv lists run directly (no
+        # shell) so list arguments are never silently re-split
+        shell = not isinstance(command, (list, tuple))
+        proc = subprocess.run(command if shell else list(command),
+                              shell=shell, capture_output=True,
                               timeout=timeout)
         if proc.returncode != 0:
             raise RuntimeError(proc.stderr.decode(errors="replace")[:2000])
@@ -184,35 +254,110 @@ class Scheduler:
             if job.get("trigger_id") == parent_run["job_id"]:
                 run_id = self.history.add_run(
                     job["id"], QUEUED, parent_run["run_tag"],
-                    data=data, rerun_id=parent_run["id"])
+                    data=data, trigger_run_id=parent_run["id"])
                 self.exec_queue.put(run_id)
 
-    def rerun_scan(self, now: float | None = None) -> int:
-        """Queue eligible failed runs for retry (reference core.py:926-946).
+    @staticmethod
+    def _added_ts(run: dict) -> float:
+        """Timestamp of the run's ``added`` ISO string (falls back to
+        the run tag)."""
+        import datetime as _dt
+        added = run.get("added")
+        if added:
+            try:
+                return _dt.datetime.fromisoformat(added).timestamp()
+            except ValueError:
+                pass
+        return float(run.get("run_tag") or 0)
 
-        Called periodically (reference interval 60 s); returns the number
-        of runs queued.
+    def wake_up_scan(self, now: float | None = None) -> int:
+        """Re-queue postponed 'W' runs whose blocker cleared (reference
+        ``_wake_up`` + ``_regain_sleeping_job``, core.py:948-962 /
+        1121-1140): the job's wake-up window (minute-matched
+        ``wake_up_period``, default always) is active, the sleep window
+        has ended, and the parallelism cap has capacity. Called every
+        ``maintenance_interval`` seconds by the tick loop; returns the
+        number of runs re-queued.
         """
         now = now or time.time()
-        queued = 0
-        for run in self.history.runs(status=ERROR):
-            job = self.history.job(run["job_id"]) or {}
-            limit = job.get("rerun_limit") or 0
-            interval = job.get("rerun_interval") or 0
-            times = run.get("rerun_times") or 0
-            if times >= limit:
+        woken = 0
+        for run in self.history.runs(status=WAITING):
+            if run.get("deactivated"):
                 continue
-            if now - run["run_tag"] < interval * (times + 1):
+            job = self.history.job(run["job_id"])
+            if job is None or job.get("status") != "Y":
                 continue
-            self.history.set_run(run["id"], rerun_times=times + 1,
-                                 rerun_now="Y", status=QUEUED)
+            if not self._is_awakening(job, now):
+                continue
+            if self._is_sleeping(job, now):
+                continue
+            if (self.history.running_count(run["job_id"])
+                    >= self._parallelism_cap(job)):
+                continue
+            self.history.set_run(run["id"], status=QUEUED)
             self.exec_queue.put(run["id"])
-            queued += 1
-        return queued
+            woken += 1
+        return woken
+
+    def rerun_scan(self, now: float | None = None) -> int:
+        """Start reruns of eligible failed runs (reference core.py:926-946
+        + ``was_rerun_available`` core.py:966-986).
+
+        A failed parent run ('E'/'T', itself not a rerun, no rerun in
+        flight, never completed by a rerun) is eligible when the job has a
+        ``rerun_interval``, fewer than ``rerun_limit`` reruns were tried,
+        the run was added within the last ``rerun_days`` days (outside
+        the window the run stops retrying forever), and at least
+        ``rerun_interval`` seconds have passed per attempt. Each rerun is
+        a NEW child run carrying ``rerun_id``/``rerun_seqno`` (reference
+        ``_start_as_rerun`` core.py:1616-1638); the parent is flagged
+        ``rerun_now='Y'`` while the child is in flight and earns
+        ``rerun_done='Y'`` when a child finishes 'D'.
+
+        Called every ``maintenance_interval`` seconds by the tick loop;
+        returns the number of reruns started.
+        """
+        now = now or time.time()
+        started = 0
+        failed = (self.history.runs(status=ERROR)
+                  + self.history.runs(status=TIMEOUT))
+        for run in failed:
+            if (run.get("rerun_id") or run.get("rerun_now")
+                    or run.get("rerun_done") or run.get("deactivated")):
+                continue
+            job = self.history.job(run["job_id"]) or {}
+            interval = job.get("rerun_interval") or 0
+            limit = job.get("rerun_limit") or 0
+            days = job.get("rerun_days") or 1
+            times = run.get("rerun_times") or 0
+            if not interval or times >= limit:
+                continue
+            added = self._added_ts(run)
+            if now - added > days * 86400:       # out of the rerun window
+                continue
+            if now - added < interval * (times + 1):
+                continue
+            seqno = times + 1
+            child_id = self.history.add_run(
+                run["job_id"], QUEUED, run["run_tag"],
+                run_date=run.get("run_date"),
+                rerun_id=run["id"], rerun_seqno=seqno)
+            self.history.set_run(run["id"], rerun_now="Y")
+            self.exec_queue.put(child_id)
+            started += 1
+        return started
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> None:
+        # startup recovery: runs left 'S'/'R' by a previous scheduler
+        # life ended unexpectedly — mark them 'U' (the in-process
+        # equivalent of the reference's Job._exit 'U' marking,
+        # core.py:2437-2441)
+        for status in (STARTED, RUNNING):
+            for run in self.history.runs(status=status):
+                self.history.set_run(run["id"], status=UNKNOWN)
         self.running = True
+        self._last_maintenance = time.time()
         self.threads = [threading.Thread(target=self._ticker, daemon=True)]
         self.threads += [threading.Thread(target=self._charger, daemon=True)
                          for _ in range(self.n_chargers)]

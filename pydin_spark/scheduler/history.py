@@ -40,6 +40,7 @@ CREATE TABLE IF NOT EXISTS pd_run_history (
     error_list TEXT,
     rerun_id INTEGER, rerun_seqno INTEGER,
     rerun_times INTEGER, rerun_now TEXT, rerun_done TEXT,
+    trigger_run_id INTEGER,           -- run that fired this triggered run
     deactivated TEXT,
     data_dump TEXT                    -- JSON (reference used pickle)
 );

@@ -32,6 +32,9 @@ def test_manual_run_records_history():
 
 
 def test_error_status_and_rerun_scan():
+    """Reruns spawn a child run (rerun_id/rerun_seqno) and the parent
+    earns rerun_done='Y' when the child completes — reference
+    core.py:1616-1638, 1669-1673."""
     s = Scheduler(History())
     calls = []
 
@@ -40,15 +43,102 @@ def test_error_status_and_rerun_scan():
         if len(calls) == 1:
             raise RuntimeError("boom")
 
-    job_id = s.register("flaky", func=flaky, rerun_limit=2, rerun_interval=0)
+    job_id = s.register("flaky", func=flaky, rerun_limit=2, rerun_interval=1)
     run_id = s.run_job_now(job_id, wait=True)
     assert s.history.run(run_id)["status"] == "E"
     assert "boom" in s.history.run(run_id)["error_list"]
-    n = s.rerun_scan()
+    n = s.rerun_scan(now=time.time() + 2)
     assert n == 1
-    s._execute(run_id)
-    assert s.history.run(run_id)["status"] == "D"
+    assert s.history.run(run_id)["rerun_now"] == "Y"
+    child_id = s.exec_queue.get_nowait()
+    child = s.history.run(child_id)
+    assert child["rerun_id"] == run_id and child["rerun_seqno"] == 1
+    s._execute(child_id)
+    assert s.history.run(child_id)["status"] == "D"
+    parent = s.history.run(run_id)
+    assert parent["rerun_done"] == "Y"
+    assert parent["rerun_times"] == 1
+    assert parent["rerun_now"] is None
+    # a parent completed by a rerun never retries again
+    assert s.rerun_scan(now=time.time() + 10) == 0
+
+
+def test_rerun_stops_outside_rerun_days():
+    """rerun_days bounds the retry window — a failed run older than the
+    window stops retrying forever (reference was_rerun_available,
+    core.py:966-986)."""
+    s = Scheduler(History())
+    job_id = s.register("always_fails", func=lambda run: 1 / 0,
+                        rerun_limit=5, rerun_interval=1, rerun_days=2)
+    run_id = s.run_job_now(job_id, wait=True)
+    assert s.history.run(run_id)["status"] == "E"
+    # inside the window: one rerun starts (and fails again)
+    assert s.rerun_scan(now=time.time() + 3600) == 1
+    child_id = s.exec_queue.get_nowait()
+    s._execute(child_id)
+    assert s.history.run(child_id)["status"] == "E"
     assert s.history.run(run_id)["rerun_times"] == 1
+    # beyond rerun_days: never again, despite rerun_limit remaining
+    assert s.rerun_scan(now=time.time() + 3 * 86400) == 0
+    # child runs themselves are never rerun initiators
+    assert s.history.run(child_id)["rerun_id"] == run_id
+
+
+def test_wake_up_scan_promotes_postponed_run():
+    """A 'W' run postponed by a sleep window executes once the window
+    ends (reference _wake_up / _regain_sleeping_job core.py:948-962,
+    1121-1140)."""
+    import datetime as dt
+    s = Scheduler(History())
+    done = []
+    job_id = s.register("sleepy", func=lambda run: done.append(1),
+                        sleep_period="10-11")
+    asleep = dt.datetime(2024, 1, 1, 10, 30).timestamp()
+    awake = dt.datetime(2024, 1, 1, 12, 5).timestamp()
+    run_id = s.history.add_run(job_id, "W", asleep)
+    # still inside the sleep window: not promoted
+    assert s.wake_up_scan(now=asleep + 60) == 0
+    assert s.history.run(run_id)["status"] == "W"
+    # window over: promoted, queued, and runnable
+    assert s.wake_up_scan(now=awake) == 1
+    assert s.history.run(run_id)["status"] == "Q"
+    assert s.exec_queue.get_nowait() == run_id
+    s._execute(run_id)
+    assert done and s.history.run(run_id)["status"] == "D"
+
+
+def test_wake_up_scan_waits_for_capacity_and_window():
+    """'W' runs stay postponed while the parallelism cap is saturated,
+    and wake_up_period gates the minute of promotion."""
+    import datetime as dt
+    s = Scheduler(History())
+    job_id = s.register("capped", func=lambda run: None, parallelism="N",
+                        wake_up_period="30")
+    blocker = s.history.add_run(job_id, "R", time.time())
+    run_id = s.history.add_run(job_id, "W", time.time())
+    at_30 = dt.datetime(2024, 1, 1, 12, 30).timestamp()
+    at_05 = dt.datetime(2024, 1, 1, 12, 5).timestamp()
+    assert s.wake_up_scan(now=at_30) == 0      # capacity saturated
+    s.history.set_run(blocker, status="D")
+    assert s.wake_up_scan(now=at_05) == 0      # outside wake_up_period
+    assert s.wake_up_scan(now=at_30) == 1      # window + capacity OK
+    assert s.history.run(run_id)["status"] == "Q"
+
+
+def test_start_marks_orphaned_runs_unknown():
+    """Runs left 'S'/'R' by a dead scheduler life are marked 'U' on
+    startup (reference Job._exit core.py:2437-2441)."""
+    h = History()
+    s = Scheduler(h, chargers=1, executors=1, tick=0.05)
+    job_id = s.register("zombie", func=lambda run: None)
+    r1 = h.add_run(job_id, "R", time.time())
+    r2 = h.add_run(job_id, "S", time.time())
+    s.start()
+    try:
+        assert h.run(r1)["status"] == "U"
+        assert h.run(r2)["status"] == "U"
+    finally:
+        s.stop()
 
 
 def test_timeout_status():
@@ -69,7 +159,7 @@ def test_trigger_chain():
     child_run = s.exec_queue.get_nowait()
     s._execute(child_run)
     assert order == ["p", "c"]
-    assert s.history.run(child_run)["rerun_id"] == run_id
+    assert s.history.run(child_run)["trigger_run_id"] == run_id
 
 
 def test_trigger_inherits_parent_data():
@@ -117,3 +207,31 @@ def test_tick_loop_fires_due_job():
     finally:
         s.stop()
     assert fired, "scheduled job never fired"
+
+
+def test_notifier_fires_on_failure_with_email_list():
+    """Failed runs invoke the pluggable notifier with the job's
+    email_list (reference alarming: logger.py:20-27, email_list on the
+    schedule); successes stay silent and notifier errors never break
+    the executor."""
+    alerts = []
+    s = Scheduler(History(), notifier=alerts.append)
+    ok = s.register("fine", func=lambda run: None)
+    bad = s.register("broken", func=lambda run: 1 / 0,
+                     email_list="oncall@example.com")
+    s.run_job_now(ok, wait=True)
+    assert alerts == []
+    run_id = s.run_job_now(bad, wait=True)
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["email_list"] == "oncall@example.com"
+    assert a["run_id"] == run_id and a["status"] == "E"
+    assert "division" in a["error_list"]
+
+    # a notifier that throws must not affect run bookkeeping
+    def explode(alert):
+        raise RuntimeError("smtp down")
+    s2 = Scheduler(History(), notifier=explode)
+    bad2 = s2.register("broken2", func=lambda run: 1 / 0)
+    rid = s2.run_job_now(bad2, wait=True)
+    assert s2.history.run(rid)["status"] == "E"
