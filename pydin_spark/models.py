@@ -1316,15 +1316,19 @@ class Filenames(Model, Extractable):
 
 
 class FileManager(Model, Executable):
-    """Copy/move/delete files with optional gzip, local filesystem.
+    """Copy/move/delete files across local/SFTP/FTP endpoints with
+    optional gzip and temp-name atomic rename.
 
     Reference ``FileManager`` (``models.py:1664-2392``) covers a 12-way
-    localhost/SSH/SFTP/FTP matrix. This engine implements the localhost
-    quadrant natively (which on a cluster means any fuse/NFS-mounted or
-    Hadoop-visible path) and gates remote protocols behind lazily imported
-    paramiko/ftplib clients — the control-plane shape is identical.
-    Temp-name atomic rename parity: writes land at ``<name>.tmp`` then
-    ``os.replace`` (reference ``tempname`` handling).
+    localhost/SSH/SFTP/FTP source×target matrix with one method per
+    combination. Here both endpoints are :mod:`pydin_spark.transports`
+    objects and every combination shares ONE streamed copy path —
+    ``server_name`` resolves the source endpoint and ``target_name`` the
+    target endpoint (reference ``target_name`` property,
+    ``models.py:1684-1696``); either may be localhost, an SFTP/FTP
+    ``Server`` from the registry, or an injected transport double.
+    Temp-name parity: writes land at ``<name>.tmp`` then rename
+    (reference ``tempname`` handling).
     """
 
     def __init__(self, server_name=None, path: str = ".", mask: str = r".*",
@@ -1332,7 +1336,8 @@ class FileManager(Model, Executable):
                  destination: str | list | None = None,
                  recursive: bool = False, nodirectory: bool = False,
                  created=None, zip: bool = False, unzip: bool = False,
-                 tempname: bool = True, **kwargs):
+                 tempname: bool = True, transport=None,
+                 target_transport=None, **kwargs):
         kwargs.setdefault("source_name", server_name)
         super().__init__(**kwargs)
         self.walk_path = path
@@ -1347,14 +1352,31 @@ class FileManager(Model, Executable):
         self.zip = zip
         self.unzip = unzip
         self.tempname = tempname
-        if self.source_name and not isinstance(self.source, Filesystem):
-            source = self.source
-            if isinstance(source, Server):
-                raise NotImplementedError(
-                    "remote FileManager endpoints need paramiko/ftplib; "
-                    "install them and use RemoteFileManager")
+        self._transport = transport
+        self._target_transport = target_transport
 
-    def _matches(self) -> list[str]:
+    @property
+    def source_transport(self):
+        from .transports import transport_for
+        if self._transport is None:
+            source = self.source if self.source_name else None
+            self._transport = transport_for(
+                None if isinstance(source, Filesystem) else source)
+        return self._transport
+
+    @property
+    def target_transport(self):
+        from .transports import transport_for
+        if self._target_transport is None:
+            if self.target_name and self.target_name != "localhost":
+                target = self.registry.resolve(self.target_name)
+                self._target_transport = transport_for(
+                    None if isinstance(target, Filesystem) else target)
+            else:
+                self._target_transport = transport_for(None)
+        return self._target_transport
+
+    def _matches(self) -> list[tuple[str, int]]:
         pattern = re.compile(self.mask)
         lo = hi = None
         if self.created is not None:
@@ -1362,39 +1384,37 @@ class FileManager(Model, Executable):
                 else self.created
             lo, hi = day.start, day.end
         out = []
-        for dirpath, dirnames, filenames in os.walk(self.walk_path):
-            if not self.recursive:
-                dirnames.clear()
-            for name in filenames:
-                if not pattern.search(name):
-                    continue
-                full = os.path.join(dirpath, name)
-                if lo is not None:
-                    mtime = dt.datetime.fromtimestamp(os.stat(full).st_mtime)
-                    if not (lo <= mtime <= hi):
-                        continue
-                out.append(full)
+        for full, mtime, size in self.source_transport.walk(
+                self.walk_path, self.recursive):
+            if not pattern.search(self.source_transport.basename(full)):
+                continue
+            if lo is not None and not (lo <= mtime <= hi):
+                continue
+            out.append((full, size))
         return sorted(out)
 
     def _transfer(self, src: str, dst_dir: str) -> str:
-        os.makedirs(dst_dir, exist_ok=True)
-        name = self.target_name or os.path.basename(src)
+        src_t, tgt_t = self.source_transport, self.target_transport
+        tgt_t.makedirs(dst_dir)
+        name = src_t.basename(src)
         if self.zip and not name.endswith(".gz"):
             name += ".gz"
         if self.unzip and name.endswith(".gz"):
             name = name[: -len(".gz")]
-        final = os.path.join(dst_dir, name)
+        final = tgt_t.join(dst_dir, name)
         work = final + ".tmp" if self.tempname else final
-        if self.zip:
-            with open(src, "rb") as fin, _gzip.open(work, "wb") as fout:
+        with src_t.open_read(src) as fin, tgt_t.open_write(work) as fout:
+            if self.zip:
+                # mtime=0 pins the gzip header → byte-deterministic output
+                with _gzip.GzipFile(fileobj=fout, mode="wb", mtime=0) as gz:
+                    shutil.copyfileobj(fin, gz)
+            elif self.unzip:
+                with _gzip.GzipFile(fileobj=fin, mode="rb") as gz:
+                    shutil.copyfileobj(gz, fout)
+            else:
                 shutil.copyfileobj(fin, fout)
-        elif self.unzip:
-            with _gzip.open(src, "rb") as fin, open(work, "wb") as fout:
-                shutil.copyfileobj(fin, fout)
-        else:
-            shutil.copyfile(src, work)
         if self.tempname:
-            os.replace(work, final)
+            tgt_t.rename(work, final)
         return final
 
     def execute(self) -> int:
@@ -1405,15 +1425,14 @@ class FileManager(Model, Executable):
                 "source files with no copy made")
         moved = 0
         host = self.source_name or "localhost"
-        for src in self._matches():
-            n_bytes = os.path.getsize(src)
+        for src, n_bytes in self._matches():
             if self.action in ("copy", "move"):
                 for dst in self.destinations:
                     self._transfer(src, dst)
                 if self.action == "move":
-                    os.remove(src)
+                    self.source_transport.remove(src)
             elif self.action == "delete":
-                os.remove(src)
+                self.source_transport.remove(src)
             else:
                 raise ValueError(f"unknown action {self.action!r}")
             if self.audit is not None:
