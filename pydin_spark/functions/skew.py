@@ -42,9 +42,21 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salt: int = 8,
     equals ``big.join(small, on, how)`` row-for-row; the shuffle key is
     (key, salt) so a hot key spreads over ``salt`` reducers.
 
+    Only big-side-preserving joins are supported (inner/left/left_semi/
+    left_anti): for right/full the exploded small side would emit every
+    unmatched small row ``salt``× — use a plain join there.
+
     Use when one side is small enough to replicate ``salt``× but too big
     to broadcast outright, and AQE skew-split isn't enough.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"({sorted(allowed)}), not {how!r}: the salted small side "
+            "would duplicate unmatched rows for right/full joins")
     salt_col = "__salt"
     big_salted = big.withColumn(
         salt_col,

@@ -37,6 +37,27 @@ from .calendar import Day, Period
 from .sources import Database, Filesystem, Server, registry as default_registry
 
 
+#: characters Spark/Hive escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName)
+_PART_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _partition_path_value(value) -> str:
+    """Render a partition value the way Spark writes its directory name:
+    NULL → ``__HIVE_DEFAULT_PARTITION__``, reserved characters →
+    ``%XX`` escapes — so recycle deletes the directory Spark actually
+    created instead of a phantom ``c=None`` path."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    out = []
+    for ch in str(value):
+        if ch in _PART_ESCAPE or ord(ch) < 32:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _path_bytes(path: str) -> int | None:
     """Driver-visible size of a sink path (file or part-file directory);
     None when the path isn't local (object stores report via their own
@@ -406,8 +427,14 @@ class Parquet(FileModel):
         affected_rows = affected.collect()
         affected = self.spark.createDataFrame(affected_rows,
                                               schema=affected.schema)
-        kept = (df.join(F.broadcast(affected), self.partition_by,
-                        "left_semi")
+        # null-safe semi join: a NULL partition value must still match
+        # its own partition row, or survivors in the NULL partition are
+        # dropped from the rewrite and then deleted with the directory
+        cond = None
+        for c in self.partition_by:
+            e = df[c].eqNullSafe(affected[c])
+            cond = e if cond is None else cond & e
+        kept = (df.join(F.broadcast(affected), cond, "left_semi")
                 .where((F.col(key_field_label) != F.lit(key_value))
                        | F.col(key_field_label).isNull())
                 .localCheckpoint())
@@ -430,7 +457,8 @@ class Parquet(FileModel):
                 continue
             part_dir = os.path.join(
                 self.resolved_path,
-                *[f"{c}={row[c]}" for c in self.partition_by])
+                *[f"{c}={_partition_path_value(row[c])}"
+                  for c in self.partition_by])
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
         spark.catalog.refreshByPath(self.resolved_path)
@@ -501,9 +529,16 @@ class CSV(FileModel):
             reader = reader.option("inferSchema", True)
         df = reader.csv(self.resolved_path)
         if self.columns:
-            renames = dict(zip(df.columns, self.columns))
+            # keep _corrupt_record out of the positional rename AND in
+            # the projection — dropping it here would silently disable
+            # the PERMISSIVE error budget for explicit-column reads
+            data_cols = [c for c in df.columns if c != "_corrupt_record"]
+            renames = dict(zip(data_cols, self.columns))
             df = df.withColumnsRenamed(renames)
-            df = df.select(*self.columns)
+            keep = list(self.columns)
+            if "_corrupt_record" in df.columns:
+                keep.append("_corrupt_record")
+            df = df.select(*keep)
         return df
 
     def _write(self, df: DataFrame) -> None:
@@ -1049,8 +1084,13 @@ class Select(Model, Extractable):
             if self.audit is not None:
                 self.audit.query(self.query, "E", error=str(exc)[:2000])
             raise
-        if self.audit is not None:
-            self.audit.query(self.query, "D")
+        # DataFrames are lazy: no job has run yet, so success is NOT
+        # recorded here — the pipeline records 'D'/'E' when the step's
+        # action completes (Pipeline._run_step). Plan/analysis failures
+        # were caught above.
+        self._audit_pending = self.query
+        self._audit_started = dt.datetime.now().isoformat(
+            sep=" ", timespec="seconds")
         sink = self.pipeline.sink_for(self) if self.pipeline is not None else None
         df = self.apply_read_filters(df, sink=sink)
         if self.columns:

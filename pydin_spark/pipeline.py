@@ -267,7 +267,9 @@ class Pipeline:
         shared = {k for k, v in by_extractor.items() if len(v) > 1}
         done: set[int] = set()
         pending = list(self.steps)
-        max_workers = max(len(self.steps), 1) if parallel else 1
+        # cap the pool: a 500-step config pipeline must not spawn 500
+        # driver threads — Spark's scheduler parallelizes within actions
+        max_workers = max(min(len(self.steps), 16), 1) if parallel else 1
         try:
             with ThreadPoolExecutor(max_workers=max_workers) as pool:
                 while pending:
@@ -338,6 +340,24 @@ class Pipeline:
             step.error = exc
         finally:
             step.seconds = time.time() - started
+            self._flush_query_audit(step)
+
+    def _flush_query_audit(self, step: Step) -> None:
+        """Record deferred query-log rows at ACTION time: an extractor's
+        query is only 'D' once the step's action actually completed, 'E'
+        when it failed (lazy plans made plan-time success records lie
+        about failed actions)."""
+        extractor = getattr(step, "extractor", None)
+        pending = getattr(extractor, "_audit_pending", None)
+        if not pending or getattr(extractor, "audit", None) is None:
+            return
+        started = getattr(extractor, "_audit_started", None)
+        if step.status == DONE:
+            extractor.audit.query(pending, "D", started=started)
+        else:
+            extractor.audit.query(pending, "E", started=started,
+                                  error=str(step.error)[:2000])
+        extractor._audit_pending = None
 
     def _run_flow(self, step: Step, share: bool) -> None:
         extractor, transformer, loader = step.extractor, step.transformer, \

@@ -95,3 +95,39 @@ def test_pipeline_metrics_into_history(spark, views, tmp_path):
             "SELECT * FROM pd_step_history")]
     assert tasks[0]["records_written"] == 5
     assert steps[0]["status"] == "D" and steps[0]["records_read"] == 5
+
+
+def test_query_log_records_action_time_failure(spark, views, tmp_path):
+    """A Select whose ACTION fails must log 'E', not 'D' — lazy plans
+    pass analysis, then die in the job (e.g. a corrupt sink path). The
+    success row is written only when the step completes."""
+    from pydin_spark import Mapper
+    audit = AuditLog(History(), run_id=11)
+    # division by zero inside an expression evaluated only at action time
+    # passes analysis but fails the job under ANSI mode; use a UDF raise
+    # to be mode-independent
+    from pyspark.sql import functions as F
+    import pyspark.sql.types as T
+
+    @F.udf(T.LongType())
+    def boom(x):
+        raise RuntimeError("action-time failure")
+
+    def explode(df):
+        return df.withColumn("bad", boom(df.r_regionkey))
+
+    try:
+        Pipeline(Select(text="SELECT r_regionkey FROM region"),
+                 Mapper(func=explode),
+                 Parquet(file_name="nope.parquet", path=str(tmp_path)),
+                 spark=spark, audit=audit).run()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    rows = audit.queries()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "E"
+    assert "region" in rows[0]["query_text"]
+    # and no phantom 'D' row exists for the failed action
+    assert all(r["status"] != "D" for r in rows)

@@ -85,3 +85,63 @@ def test_model_rejects_unknown_kwargs():
     with pytest.raises(TypeError, match="Pipeline"):
         Select(text="SELECT 1", date_field="ts",
                date=Day(datetime.datetime(2024, 1, 2)))
+
+
+def test_csv_columns_keep_error_budget(spark, tmp_path):
+    """Explicit columns= must not drop _corrupt_record — the PERMISSIVE
+    error budget has to keep counting malformed rows."""
+    from pydin_spark import CSV, ErrorLimitExceeded, Parquet, Pipeline
+    import pytest
+    path = tmp_path / "dirty.csv"
+    path.write_text("k;v\n1;a\n\"broken;unclosed\nquote;2;3;4\n2;b\n")
+    src = CSV(file_name="dirty.csv", path=str(tmp_path), head=True,
+              columns=["key", "val"])
+    with pytest.raises(ErrorLimitExceeded):
+        Pipeline(src, Parquet(file_name="out.parquet",
+                              path=str(tmp_path / "out")),
+                 spark=spark, error_limit=1).run()
+    # with budget headroom the load succeeds, renamed and scrubbed
+    src2 = CSV(file_name="dirty.csv", path=str(tmp_path), head=True,
+               columns=["key", "val"])
+    p = Pipeline(src2, Parquet(file_name="ok.parquet",
+                               path=str(tmp_path / "ok")),
+                 spark=spark, error_limit=10).run()
+    assert p.records_error >= 1
+    out = spark.read.parquet(str(tmp_path / "ok" / "ok.parquet"))
+    assert set(out.columns) == {"key", "val"}
+
+
+def test_parquet_recycle_null_partition(spark, tmp_path):
+    """Recycling a run whose rows all sit in a NULL partition must
+    delete Spark's __HIVE_DEFAULT_PARTITION__ directory, not a phantom
+    'c=None' path."""
+    import os
+    from pydin_spark import Parquet
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, None, 100), (2, "web", 100), (3, None, 200)],
+        "id long, channel string, pd_process_id long")
+    sink = Parquet(file_name="nulled", path=base,
+                   partition_by=["channel"], mode="append")
+    sink.pipeline = None
+    sink._write(df)
+    null_dir = os.path.join(sink.resolved_path,
+                            "channel=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(null_dir)
+    sink.recycle("pd_process_id", 200)
+    spark.catalog.refreshByPath(sink.resolved_path)
+    left = spark.read.parquet(sink.resolved_path)
+    assert left.where("pd_process_id = 200").count() == 0
+    assert left.count() == 2           # run 100 rows survive, incl. NULL
+    sink.recycle("pd_process_id", 100)
+    # no rows left at all => both partition dirs gone, incl. the NULL one
+    assert not os.path.isdir(null_dir)
+
+
+def test_salted_join_rejects_small_side_preserving():
+    import pytest
+    from pydin_spark.functions.skew import salted_join
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(None, None, "k", how="right")
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(None, None, "k", how="full")
