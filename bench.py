@@ -60,6 +60,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # inter-query hygiene (untimed): operators persist intermediates
+        # (shingle frames, LSH buckets) that are garbage once the query
+        # materialized — leaving them cached slowed LATER queries up to
+        # 10x (measured; see PERF.md round-2 notes). Each query is
+        # measured from parquet, never from a predecessor's cache.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",

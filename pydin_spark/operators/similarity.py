@@ -222,10 +222,9 @@ def _cosine_candidates_blocks(df: DataFrame, threshold: float,
                 F.least("blk", "p").alias("bi"),
                 F.greatest("blk", "p").alias("bj")))
 
-    def block_join(key, pdf):
+    def block_join(bi, bj, pdf):
         import numpy as np
         import pandas as pd
-        bi, bj = key
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat /= np.where(norms == 0, 1.0, norms)
@@ -251,8 +250,23 @@ def _cosine_candidates_blocks(df: DataFrame, threshold: float,
             id_b = np.maximum(xa, xb)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
-    return rep.groupBy("bi", "bj").applyInPandas(
-        block_join, schema="id_a long, id_b long")
+    def partition_blocks(batches):
+        # explicit repartition + per-partition grouping instead of
+        # groupBy().applyInPandas(): the matmul work per group is far
+        # heavier than its shuffle bytes, so AQE's size-based coalescing
+        # would squash the B(B+1)/2 groups onto a handful of tasks and
+        # serialize the compute; a fixed-N repartition is never coalesced
+        import pandas as pd
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for (bi, bj), group in pdf.groupby(["bi", "bj"], sort=False):
+            yield block_join(int(bi), int(bj), group)
+
+    npairs = nblocks * (nblocks + 1) // 2
+    return (rep.repartition(npairs, "bi", "bj")
+            .mapInPandas(partition_blocks, schema="id_a long, id_b long"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
