@@ -1,22 +1,34 @@
 """Driver: programmatic admin API over the scheduler + metadata DB.
 
-Parity target: reference ``pydin/api.py:23-591`` — create/configure/
-enable/disable/delete jobs, run/cancel runs, introspect history. The
-shape is kept 1:1 so reference users can switch; the implementation sits
-on the engine's ``scheduler.History``/``Scheduler``.
+Parity target: reference ``pydin/api.py:23-611`` — create/configure/
+enable/disable/delete jobs, run/cancel runs, introspect history, plus
+the repo-sync verbs (``create_repo``/``push_repo``/``pull_repo``,
+reference ``api.py:517-611`` with the ``check_repo`` guard from
+``wrap.py:40-48``) and ``create_config`` (``api.py:464-515``). The
+shape is kept 1:1 so reference users can switch; repo sync shells out
+to the ``git`` CLI instead of depending on gitpython.
 """
 
 from __future__ import annotations
 
+import os
+import subprocess
 import time
 
 from .scheduler import History, Scheduler
 
 
+class RepoError(RuntimeError):
+    """No git repo where one is required (reference check_repo guard)."""
+
+
 class Driver:
     def __init__(self, scheduler: Scheduler | None = None,
-                 history: History | None = None):
+                 history: History | None = None,
+                 jobs_dir: str | None = None):
         self.scheduler = scheduler or Scheduler(history or History())
+        #: folder holding job scripts/configs, synced via the repo verbs
+        self.jobs_dir = jobs_dir or os.path.join(os.getcwd(), "jobs")
 
     @property
     def history(self) -> History:
@@ -70,3 +82,87 @@ class Driver:
 
     def stop_scheduler(self) -> None:
         self.scheduler.stop()
+
+    # -- config bootstrap (reference api.py:464-515 create_config) ----------
+    def create_config(self, path: str | None = None) -> str:
+        """Write a template sources/config INI; refuses to overwrite."""
+        from .sources import SourceRegistry
+        path = os.path.expanduser(path or SourceRegistry.DEFAULT_INI)
+        if os.path.exists(path):
+            raise FileExistsError(f"config {path} already exists")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        import configparser
+        parser = configparser.ConfigParser()
+        parser.read_dict({
+            "lake": {"kind": "filesystem", "base": ""},
+            "warehouse_db": {"kind": "database", "url": "", "user": "",
+                             "password": "", "driver": ""},
+            "file_server": {"kind": "server", "host": "", "port": "22",
+                            "protocol": "sftp", "user": "", "password": ""},
+        })
+        with open(path, "w") as fh:
+            fh.write("# pydin_spark sources registry — every section is a\n"
+                     "# named connection; secrets may instead come from\n"
+                     "# PYDIN_SOURCE_<NAME>_<KEY> environment variables\n")
+            parser.write(fh, space_around_delimiters=False)
+        return path
+
+    # -- repo sync (reference api.py:517-611 + wrap.py check_repo) ----------
+    def _git(self, *args: str, check: bool = True):
+        proc = subprocess.run(["git", "-C", self.jobs_dir, *args],
+                              capture_output=True, text=True)
+        if check and proc.returncode != 0:
+            raise RepoError(proc.stderr.strip() or proc.stdout.strip())
+        return proc
+
+    def _check_repo(self) -> None:
+        probe = self._git("rev-parse", "--git-dir", check=False)
+        if probe.returncode != 0:
+            raise RepoError(f"no git repo in {self.jobs_dir} found")
+
+    def create_repo(self, url: str | None = None) -> str:
+        """Init the jobs folder as a git repo with an initial commit
+        (reference api.py:517-546); refuses if one already exists."""
+        os.makedirs(self.jobs_dir, exist_ok=True)
+        probe = self._git("rev-parse", "--git-dir", check=False)
+        if probe.returncode == 0:
+            raise RepoError(f"git repo in {self.jobs_dir} already exists")
+        self._git("init")
+        gitignore = os.path.join(self.jobs_dir, ".gitignore")
+        if not os.path.exists(gitignore):
+            with open(gitignore, "w") as fh:
+                fh.write("__pycache__/\n*.pyc\n*.log\n")
+        self._git("add", "-A")
+        self._git("-c", "user.email=pydin@localhost",
+                  "-c", "user.name=pydin", "commit", "-m", "Initial commit",
+                  "--allow-empty")
+        if url:
+            self._git("remote", "add", "origin", url)
+            self._git("push", "--set-upstream", "origin", "HEAD")
+        return self.jobs_dir
+
+    def push_repo(self, job_id: int | None = None,
+                  message: str | None = None) -> str | None:
+        """Commit (all changes, or only ``jobs/<id>``'s subtree) and push
+        when a remote exists (reference api.py:548-597)."""
+        self._check_repo()
+        if job_id is None:
+            self._git("add", "-A")
+        else:
+            folder = os.path.join(self.jobs_dir, str(job_id))
+            if os.path.isdir(folder):
+                self._git("add", "-A", "--", str(job_id))
+        staged = self._git("diff", "--cached", "--name-only").stdout.strip()
+        if not staged:
+            return None
+        message = message or f"pydin[{int(time.time())}]"
+        self._git("-c", "user.email=pydin@localhost",
+                  "-c", "user.name=pydin", "commit", "-m", message)
+        if self._git("remote", check=False).stdout.strip():
+            self._git("push")
+        return message
+
+    def pull_repo(self) -> str:
+        """Pull external changes from the remote (api.py:599-611)."""
+        self._check_repo()
+        return self._git("pull").stdout

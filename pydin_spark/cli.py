@@ -55,6 +55,24 @@ def build_parser() -> argparse.ArgumentParser:
     runp.add_argument("--lake", help="base dir for a 'lake' filesystem source")
 
     sub.add_parser("start-scheduler", help="run the scheduler loop")
+
+    cfg = sub.add_parser("create-config",
+                         help="write a template sources INI")
+    cfg.add_argument("--path")
+
+    for verb in ("create-repo", "push-repo", "pull-repo"):
+        p = sub.add_parser(verb, help=f"{verb.replace('-', ' ')} "
+                           "(job-scripts folder sync)")
+        p.add_argument("--jobs-dir", default="jobs")
+        if verb == "create-repo":
+            p.add_argument("--url")
+        if verb == "push-repo":
+            p.add_argument("--job-id", type=int)
+            p.add_argument("--message")
+
+    sub.add_parser("console", help="interactive console (reference "
+                   "Manager shell): type verbs as you would on the "
+                   "command line; 'exit' quits")
     return parser
 
 
@@ -119,8 +137,53 @@ def main(argv: list[str] | None = None) -> int:
         except KeyboardInterrupt:
             driver.stop_scheduler()
             out = {"stopped": True}
+    elif args.verb == "create-config":
+        out = {"created": driver.create_config(args.path)}
+    elif args.verb == "create-repo":
+        driver.jobs_dir = args.jobs_dir
+        out = {"repo": driver.create_repo(args.url)}
+    elif args.verb == "push-repo":
+        driver.jobs_dir = args.jobs_dir
+        out = {"pushed": driver.push_repo(args.job_id, args.message)}
+    elif args.verb == "pull-repo":
+        driver.jobs_dir = args.jobs_dir
+        out = {"pulled": driver.pull_repo()}
+    elif args.verb == "console":
+        return console(args.db)
     print(json.dumps(out, indent=2, default=str))
     return 0
+
+
+def console(db: str, input_fn=input, echo=print) -> int:
+    """Interactive console: the reference Manager's shell loop
+    (``pydin/cli.py:22-662``) over the same verbs as the CLI — each line
+    is parsed exactly like an argv, so scripts and the console share one
+    surface. ``exit``/``quit``/EOF leaves."""
+    import shlex
+    echo("pydin-spark console — type a verb (e.g. 'list-jobs'), "
+         "'help' for the list, 'exit' to quit")
+    while True:
+        try:
+            line = input_fn("pydin> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            echo("")
+            return 0
+        if not line:
+            continue
+        if line in ("exit", "quit"):
+            return 0
+        if line == "help":
+            build_parser().print_help()
+            continue
+        try:
+            main(["--db", db, *shlex.split(line)])
+        except BrokenPipeError:     # stdout closed (e.g. piped to head)
+            return 0
+        except SystemExit as exc:   # argparse error for a bad verb
+            if exc.code not in (0, None):
+                echo("(error: invalid input — try 'help')")
+        except Exception as exc:  # noqa: BLE001 - console survives errors
+            echo(f"(error: {exc})")
 
 
 if __name__ == "__main__":

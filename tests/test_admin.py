@@ -58,3 +58,65 @@ def test_rest_api_routes():
     assert client.post(f"/api/runs/{run_id}/cancel",
                        headers=auth).get_json()["status"] in ("C", "Q", "D")
     assert client.get(f"/api/runs/{run_id}", headers=auth).status_code == 200
+
+
+def test_create_config_template(tmp_path):
+    from pydin_spark.api import Driver
+    d = Driver()
+    path = str(tmp_path / "conf" / "sources.ini")
+    created = d.create_config(path)
+    assert created == path
+    text = open(path).read()
+    assert "[lake]" in text and "[file_server]" in text
+    import pytest
+    with pytest.raises(FileExistsError):
+        d.create_config(path)
+    # the written template loads cleanly into a registry
+    from pydin_spark.sources import SourceRegistry, Server
+    reg = SourceRegistry(ini_path=path)
+    assert isinstance(reg.resolve("file_server"), Server)
+
+
+def test_repo_sync_verbs(tmp_path):
+    """create/push/pull_repo parity (reference api.py:517-611) against a
+    local bare remote — no network."""
+    import subprocess
+    from pydin_spark.api import Driver, RepoError
+    import pytest
+    remote = str(tmp_path / "origin.git")
+    subprocess.run(["git", "init", "--bare", remote], check=True,
+                   capture_output=True)
+    jobs = str(tmp_path / "jobs")
+    d = Driver(jobs_dir=jobs)
+    # guard: push/pull before create fail loudly
+    with pytest.raises(RepoError, match="no git repo"):
+        d.push_repo()
+    d.create_repo(url=remote)
+    with pytest.raises(RepoError, match="already exists"):
+        d.create_repo()
+    # job-scoped push stages only that job's folder
+    (tmp_path / "jobs" / "7").mkdir(parents=True)
+    (tmp_path / "jobs" / "7" / "script.py").write_text("print('hi')\n")
+    (tmp_path / "jobs" / "stray.txt").write_text("not staged\n")
+    msg = d.push_repo(job_id=7, message="job 7 script")
+    assert msg == "job 7 script"
+    log = subprocess.run(["git", "-C", remote, "log", "--name-only",
+                          "--pretty=%s"], capture_output=True, text=True)
+    assert "job 7 script" in log.stdout
+    assert "7/script.py" in log.stdout
+    assert "stray.txt" not in log.stdout
+    # nothing staged → no commit
+    assert d.push_repo(job_id=7) is None
+    # pull works against the remote
+    d.push_repo(message="rest")          # stage the stray file too
+    assert d.pull_repo() is not None
+
+
+def test_console_dispatches_verbs(tmp_path):
+    from pydin_spark.cli import console
+    lines = iter(["list-jobs", "definitely-not-a-verb", "exit"])
+    outputs = []
+    rc = console(str(tmp_path / "c.db"), input_fn=lambda _: next(lines),
+                 echo=outputs.append)
+    assert rc == 0
+    assert any("error" in str(o) for o in outputs)
