@@ -349,6 +349,34 @@ OPERATOR_ORACLES: dict[str, str] = {
                     ELSE 'es' END AS pred_lang
         FROM s
     """,
+    "text_language_id_ngram": """
+        WITH d AS (SELECT doc_id, lower(text) AS lt,
+                          length(lower(text)) AS L
+                   FROM documents),
+        t AS (SELECT doc_id,
+                     CASE WHEN L >= 3
+                          THEN list_distinct([substr(lt, CAST(i AS INT), 3)
+                                              FOR i IN range(1, L - 1)])
+                          ELSE [] END AS tris
+              FROM d),
+        s AS (SELECT doc_id,
+               CAST(len(list_intersect(tris, {en})) AS BIGINT) AS tri_en,
+               CAST(len(list_intersect(tris, {de})) AS BIGINT) AS tri_de,
+               CAST(len(list_intersect(tris, {fr})) AS BIGINT) AS tri_fr,
+               CAST(len(list_intersect(tris, {es})) AS BIGINT) AS tri_es
+              FROM t)
+        SELECT doc_id, tri_en, tri_de, tri_fr, tri_es,
+               CASE WHEN greatest(tri_en, tri_de, tri_fr, tri_es) = 0
+                         THEN 'und'
+                    WHEN tri_en = greatest(tri_en, tri_de, tri_fr, tri_es)
+                         THEN 'en'
+                    WHEN tri_de = greatest(tri_en, tri_de, tri_fr, tri_es)
+                         THEN 'de'
+                    WHEN tri_fr = greatest(tri_en, tri_de, tri_fr, tri_es)
+                         THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM s
+    """,
     "q_asof_join": """
         WITH l AS (SELECT event_id, user_id, ts, value FROM events
                    WHERE event_type = 'purchase'),
@@ -478,6 +506,21 @@ OPERATOR_ORACLES: dict[str, str] = {
         GROUP BY f.doc_id, d.L
     """,
 }
+
+
+def _sql_str_list(items) -> str:
+    return "[" + ", ".join("'" + t.replace("'", "''") + "'"
+                           for t in items) + "]"
+
+
+# interpolate the shared trigram profiles into the oracle so the Spark
+# operator and the SQL stay in lockstep by construction
+from pydin_spark.operators.text import LANG_TRIGRAMS  # noqa: E402
+
+OPERATOR_ORACLES["text_language_id_ngram"] = \
+    OPERATOR_ORACLES["text_language_id_ngram"].format(
+        **{lang: _sql_str_list(tris)
+           for lang, tris in LANG_TRIGRAMS.items()})
 
 
 def _simhash_oracle_sql(max_hamming: int = 3, bits: int = 60) -> str:
@@ -667,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_bpe_tokens"] = _docs(text.bpe_token_count)
     out["text_quality"] = _docs(text.quality_score)
     out["text_language_id"] = _docs(text.language_id)
+    out["text_language_id_ngram"] = _docs(text.language_id_ngram)
     out["text_fingerprint"] = _docs(text.fingerprint)
     out["dedup_exact"] = _docs(dedup.exact_dedup)
     out["dedup_ngram_jaccard"] = _docs(

@@ -110,6 +110,58 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+#: character-trigram profiles per language (top trigrams of each
+#: language's common function words — public linguistic knowledge,
+#: embedded as constants so the operator and its SQL oracle share one
+#: inventory). Spaces are part of the trigrams: "he " / "er " capture
+#: word-boundary signals the marker-token heuristic misses.
+LANG_TRIGRAMS = {
+    "en": ("the", "he ", "and", "nd ", "ing", "ng ", "of ", "ion",
+           " th", "to ", "ent", "is "),
+    "de": ("der", "er ", "ein", "ich", "sch", "und", "die", "ch ",
+           "en ", "cht", "das", "ung"),
+    "fr": ("les", "es ", "ent", "de ", "ion", "la ", "une", "que",
+           " de", "ait", "eur", "est"),
+    "es": ("de ", "la ", "os ", "el ", "que", "ent", "ion", "los",
+           "una", "ado", " la", "es "),
+}
+
+
+def language_id_ngram(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Char-trigram-profile language ID (ROADMAP upgrade over the
+    marker-token heuristic): the document's distinct lowercase character
+    trigrams are intersected with each language's embedded profile;
+    argmax wins, 'und' when nothing matches.
+
+    Still pure Column math — the trigram explode is a per-row array
+    transform (no shuffle, no UDF) and the profile intersection is a
+    constant-array ``array_intersect``, so the operator scans linearly
+    at any corpus size and the SQL oracle reproduces it exactly.
+    """
+    lower = F.lower(F.col(text_col))
+    n_tris = F.length(lower) - F.lit(2)
+    tris = F.when(
+        n_tris >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_tris),
+            lambda i: lower.substr(i, F.lit(3))))
+    ).otherwise(F.array().cast("array<string>"))
+    scores = {}
+    for lang, profile in LANG_TRIGRAMS.items():
+        arr = F.array(*[F.lit(t) for t in profile])
+        scores[lang] = F.size(F.array_intersect(tris, arr)).cast("long")
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_TRIGRAMS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.select(F.col(id_col),
+                     *[scores[lang].alias(f"tri_{lang}")
+                       for lang in LANG_TRIGRAMS],
+                     pred.alias("pred_lang"))
+
+
 #: BPE-ish pre-tokenization regex: letter runs, digit runs, single
 #: punctuation — the usual pre-merge segmentation shape. Kept to classes
 #: that behave identically under Java regex (Spark) and RE2 (DuckDB).

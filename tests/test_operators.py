@@ -151,3 +151,27 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert all(len(r["payload"]) == 64 for r in resized)
     assert all(r["meta"]["width"] == 8 and r["meta"]["mime"] == "image/raw"
                for r in resized)
+
+
+def test_language_id_ngram_classifies_known_text(spark):
+    from pydin_spark.operators.text import language_id_ngram
+    df = spark.createDataFrame([
+        (1, "the quick brown fox is jumping over the lazy dog and then some"),
+        (2, "der schnelle braune fuchs springt und die katze ist nicht da"),
+        (3, "les enfants mangent une baguette et la mere est de retour"),
+        (4, "los ninos comen una manzana y la madre esta de vuelta en casa"),
+        (5, "zzz qqq xxx"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in language_id_ngram(df).collect()}
+    assert out[1] == "en" and out[2] == "de"
+    assert out[3] == "fr" and out[4] == "es"
+    assert out[5] == "und"
+
+
+def test_language_id_ngram_short_docs(spark):
+    from pydin_spark.operators.text import language_id_ngram
+    df = spark.createDataFrame([(1, "ab"), (2, "")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in language_id_ngram(df).collect()}
+    assert rows[1]["pred_lang"] == "und" and rows[2]["pred_lang"] == "und"
