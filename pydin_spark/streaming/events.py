@@ -147,6 +147,52 @@ def interval_join(left: DataFrame, right: DataFrame,
                       if c not in (key, ts_col)]))
 
 
+#: events-table schema for streaming file sources
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def file_events(spark, path: str, schema: str = EVENTS_DDL,
+                fmt: str = "parquet",
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based streaming source over an events-shaped directory —
+    the landing-zone pattern (writers drop files, the stream picks them
+    up). ``max_files_per_trigger`` bounds micro-batch size; at 100 TB
+    scale prefer many medium files so triggers parallelize across the
+    cluster."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def kafka_events(spark, brokers: str, topic: str, schema: str = EVENTS_DDL,
+                 starting_offsets: str = "latest") -> DataFrame:
+    """Kafka source → parsed events columns (value is JSON).
+
+    Requires the ``spark-sql-kafka-0-10`` connector on the JVM
+    classpath (ship it via ``spark.jars.packages``); absent — as in
+    this container — the reader fails at ``load()`` and this helper
+    re-raises with the exact dependency to add, instead of Spark's
+    generic DATA_SOURCE_NOT_FOUND.
+    """
+    try:
+        raw = (spark.readStream.format("kafka")
+               .option("kafka.bootstrap.servers", brokers)
+               .option("subscribe", topic)
+               .option("startingOffsets", starting_offsets)
+               .load())
+    except Exception as exc:  # noqa: BLE001 - dependency gate
+        raise RuntimeError(
+            "kafka streaming source needs the spark-sql-kafka-0-10 "
+            "connector on the classpath (e.g. spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+        ) from exc
+    return (raw.select(F.from_json(F.col("value").cast("string"),
+                                   schema).alias("e"))
+            .select("e.*"))
+
+
 def rate_events(spark, rows_per_second: int = 100) -> DataFrame:
     """Synthetic streaming source shaped like the events table (for tests
     and demos; in production swap for kafka/files readStream)."""

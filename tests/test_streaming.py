@@ -102,3 +102,33 @@ def test_stream_foreach_batch_into_model(spark, views, sf_dir, tmp_path):
     for key, n in got.items():
         assert exp[key] == n
     shutil.rmtree(src_dir)
+
+
+def test_file_events_streams_landing_zone(spark, tmp_path):
+    """File-based streaming source: new parquet files in the landing
+    dir are picked up as micro-batches; availableNow drains everything
+    and the streamed total equals the batch read."""
+    from pydin_spark.streaming.events import file_events
+    from pydin_spark import load_table
+    land = str(tmp_path / "landing")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.limit(200).write.mode("append").parquet(land)
+    stream = file_events(spark, land, max_files_per_trigger=4)
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    q = (stream.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == spark.read.parquet(land).count()
+    assert set(got.columns) == set(ev.columns)
+
+
+def test_kafka_events_gates_on_missing_connector(spark):
+    import pytest
+    from pydin_spark.streaming.events import kafka_events
+    with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
+        kafka_events(spark, "broker:9092", "events").writeStream \
+            .format("noop").start()
