@@ -96,3 +96,28 @@ def test_exact_dedup_single_exchange(spark, views):
     # one shuffle for the fingerprint groupBy; the fingerprint is
     # computed map-side before the exchange
     assert plan.count(" Exchange (") == 1
+
+
+def test_language_id_ngram_stays_narrow(spark, views):
+    """Trigram language ID must stay a single-pass scan: pruned read
+    schema, no shuffle, no Python evaluation."""
+    from pydin_spark.operators import text
+    plan = plan_of(text.language_id_ngram(spark.table("documents")))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" in read_schema[0]
+    assert "lang" not in read_schema[0]
+    assert "Exchange" not in plan
+    assert "Python" not in plan          # no UDF in the hot path
+
+
+def test_cosine_block_stage_not_coalesced(spark, views):
+    """The block-matrix candidate stage must keep one task per block
+    pair: an explicit fixed-N repartition (REPARTITION_BY_NUM) that AQE
+    cannot coalesce, and no driver-side collect anywhere (the plan is
+    pure exchange + ArrowEvalPython/MapInPandas)."""
+    from pydin_spark.operators.similarity import _cosine_candidates_blocks
+    emb = spark.table("embeddings")
+    plan = plan_of(_cosine_candidates_blocks(emb, 0.4, "vec_id",
+                                             "embedding", 64))
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
