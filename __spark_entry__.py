@@ -255,6 +255,102 @@ DUAL_SQL: dict[str, str] = {
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
     """,
+    # TPC-H Q4 shape: date-window + correlated EXISTS semi join
+    "q4_priority_count": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q7 shape: bi-national volume by year (EXTRACT + 2x nation)
+    "q7_volume_by_year": """
+        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation n1, nation n2
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = n1.n_nationkey AND s_nationkey = n2.n_nationkey
+          AND n1.n_nationkey < 3 AND n2.n_nationkey < 3
+          AND n1.n_nationkey <> n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+    """,
+    # TPC-H Q10 shape: returned-items revenue per customer
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+    """,
+    # TPC-H Q14 shape: conditional-aggregate ratio over a part join
+    "q14_promo_share": """
+        SELECT CAST(100.0 AS DOUBLE)
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(25,4))
+                               ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(25,4))) AS DOUBLE) AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    # TPC-H Q16 shape: distinct agg + NOT IN anti subquery
+    "q16_supplier_cnt": """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part, lineitem
+        WHERE p_partkey = l_partkey AND p_size IN (1, 5, 9)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """,
+    # TPC-H Q18 shape: HAVING over a join aggregate (large orders)
+    "q18_large_orders": """
+        SELECT o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                   AS total_qty
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_totalprice
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,4))) > 200
+    """,
+    # TPC-H Q22 shape: above-average balance + NOT EXISTS window
+    "q22_idle_rich_customers": """
+        SELECT c_mktsegment, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+                   AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >=
+                                TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY c_mktsegment
+    """,
+    # analytic extras: NTILE / DENSE_RANK / FIRST_VALUE via WINDOW clause
+    "q_window_extras": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               NTILE(4) OVER w AS price_quartile,
+               DENSE_RANK() OVER w AS dr,
+               CAST(FIRST_VALUE(o_totalprice) OVER w2 AS DOUBLE)
+                   AS cheapest_of_cust
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey),
+               w2 AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey)
+    """,
 }
 
 # Engine-specific SQL pairs (same semantics, different function names).

@@ -84,8 +84,32 @@ class Scheduler:
         return job_id
 
     # -- schedule decisions --------------------------------------------------
+    @staticmethod
+    def _is_active(job: dict, timestamp: float) -> bool:
+        """Schedule activity window: start_date/end_date bound when a
+        job may fire at all (reference ``was_active``, core.py:375-384;
+        either bound may be absent)."""
+        import datetime as _dt
+
+        def _ts(value):
+            if not value:
+                return None
+            try:
+                return _dt.datetime.fromisoformat(str(value)).timestamp()
+            except ValueError:
+                return None
+
+        start, end = _ts(job.get("start_date")), _ts(job.get("end_date"))
+        if start is not None and timestamp <= start:
+            return False
+        if end is not None and timestamp >= end:
+            return False
+        return True
+
     def _is_due(self, job: dict, timestamp: float) -> bool:
         if job.get("trigger_id") is not None:
+            return False
+        if not self._is_active(job, timestamp):
             return False
         units = parse_moment(timestamp)
         return all(matches(job.get(f), units[f])

@@ -235,3 +235,23 @@ def test_notifier_fires_on_failure_with_email_list():
     bad2 = s2.register("broken2", func=lambda run: 1 / 0)
     rid = s2.run_job_now(bad2, wait=True)
     assert s2.history.run(rid)["status"] == "E"
+
+
+def test_schedule_active_window(monkeypatch):
+    """start_date/end_date bound when a job may fire (reference
+    was_active core.py:375-384); either bound may be absent."""
+    import datetime as dt
+    s = Scheduler(History())
+    job_id = s.register("windowed", func=lambda run: None, sec="*",
+                        start_date="2024-06-01 00:00:00",
+                        end_date="2024-06-30 00:00:00")
+    job = s.history.job(job_id)
+    inside = dt.datetime(2024, 6, 15, 12, 0).timestamp()
+    before = dt.datetime(2024, 5, 1).timestamp()
+    after = dt.datetime(2024, 7, 1).timestamp()
+    assert s._is_due(job, inside)
+    assert not s._is_due(job, before)
+    assert not s._is_due(job, after)
+    # open-ended job fires any time
+    open_id = s.register("open", func=lambda run: None, sec="*")
+    assert s._is_due(s.history.job(open_id), before)
