@@ -779,6 +779,46 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";").alias("feature_csv"))
 
 
+def _doc_assets(spark):
+    from pyspark.sql import functions as F
+    return spark.table("documents").select(
+        F.col("doc_id").alias("asset_id"), F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.lit("text/plain").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over Arrow batches (deterministic fake:
+    index-stretched byte resample to 8×4 = 32 bytes). Payload bytes are
+    ASCII (from text), so the output decodes to a string the DuckDB
+    oracle rebuilds with the same (i·L)//target index arithmetic."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    out = multimodal.resize_images(_doc_assets(spark), width=8, height=4,
+                                   fake=True)
+    return out.select(
+        "asset_id", "kind",
+        F.decode("payload", "UTF-8").alias("resized_str"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"))
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (deterministic fake: 16-byte payload
+    slices at (i·16) mod L every 1000 ms of the 3000 ms default
+    duration). One output row per sampled frame."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    out = multimodal.sample_frames(_doc_assets(spark), every_ms=1000,
+                                   fake=True)
+    return out.select("asset_id", "frame_no", "ts_ms",
+                      F.decode("frame", "UTF-8").alias("frame_str"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
     _views(spark, "/root/testdata/sf0.001")
@@ -835,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sim_topk_lsh"] = _q_sim_topk_lsh
     out["sim_topk_ivf"] = _q_sim_topk_ivf
     out["multimodal_features"] = _q_multimodal_features
+    out["multimodal_resize"] = _q_multimodal_resize
+    out["multimodal_frames"] = _q_multimodal_frames
     return out
 
 
@@ -875,4 +917,26 @@ def oracle_sql() -> dict[str, str]:
     # - probe-all LSH and full-probe IVF provably equal brute force
     out["sim_topk_lsh"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
     out["sim_topk_ivf"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
+    # deterministic-fake multimodal plumbing, rebuilt exactly in SQL:
+    # resize = index-stretched resample char[(i*L)//32 + 1], i in 0..31
+    out["multimodal_resize"] = """
+        WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+        pos AS (SELECT doc_id, text, L, CAST(unnest(range(0, 32)) AS INT) AS i
+                FROM d)
+        SELECT doc_id AS asset_id, 'text' AS kind,
+               string_agg(substr(text, CAST((i * L) // 32 AS INT) + 1, 1),
+                          '' ORDER BY i) AS resized_str,
+               'image/raw' AS mime, 8 AS width, 4 AS height
+        FROM pos GROUP BY doc_id
+    """
+    # frames = 16-char slices at (i*16) mod L, every 1000ms of 3000ms
+    out["multimodal_frames"] = """
+        WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+        f AS (SELECT doc_id, text, L, CAST(unnest(range(0, 3)) AS INT) AS i
+              FROM d)
+        SELECT doc_id AS asset_id, i AS frame_no,
+               CAST(i * 1000 AS BIGINT) AS ts_ms,
+               substr(text, (i * 16) % greatest(L, 1) + 1, 16) AS frame_str
+        FROM f
+    """
     return out
