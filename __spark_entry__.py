@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pydin_spark import Day, Pipeline, Select, register_tables  # noqa: E402
-from pydin_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+from pydin_spark.operators import (curation, dedup, multimodal,  # noqa: E402
+                                   similarity, text)
 
 # ---------------------------------------------------------------------------
 # Relational surface: one SQL text, two engines (Spark = system under test,
@@ -877,6 +878,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _q_multimodal_features
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
+
+    def _cur_sample(spark, sf_dir):
+        _views(spark, sf_dir)
+        return curation.sample_stratified(
+            spark.table("documents"), fraction=0.8, strata_col="lang",
+            rates={"en": 0.3}, seed=42).select("doc_id", "lang")
+
+    def _cur_pack(spark, sf_dir):
+        _views(spark, sf_dir)
+        return curation.pack_sequences(spark.table("documents"),
+                                       capacity=512)
+
+    def _cur_corpus(spark, sf_dir):
+        _views(spark, sf_dir)
+        return curation.curate_corpus(spark.table("documents"),
+                                      language="en", min_quality=0.5,
+                                      dedup_threshold=0.5)
+
+    out["curation_sample"] = _cur_sample
+    out["curation_pack_bins"] = _cur_pack
+    out["curation_survivors"] = _cur_corpus
     return out
 
 
@@ -938,5 +960,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(i * 1000 AS BIGINT) AS ts_ms,
                substr(text, (i * 16) % greatest(L, 1) + 1, 16) AS frame_str
         FROM f
+    """
+    # curation: deterministic md5 hash sampling (same 60-bit unit
+    # uniform as the Spark operator; en downsampled to 0.3, rest 0.8)
+    hex15 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}" for j in range(15))
+    out["curation_sample"] = f"""
+        WITH h AS (SELECT doc_id, lang,
+                          md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+                   FROM documents),
+        u AS (SELECT doc_id, lang,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h)
+        SELECT doc_id, lang FROM u
+        WHERE u < CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
+                       ELSE CAST(0.8 AS DOUBLE) END
+    """
+    # concat-and-chunk packing: global id-ordered running token offsets
+    out["curation_pack_bins"] = """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+              FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id
+        FROM c
+    """
+    # composed curation: english + quality >= 0.5, then exact near-dup
+    # scrub over the FILTERED corpus (freq cap recomputed on survivors'
+    # input, matching drop_near_dups semantics)
+    out["curation_survivors"] = f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+        q AS (SELECT doc_id,
+                     CAST(0.4 AS DOUBLE) * least(len(toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                     + CAST(0.4 AS DOUBLE) * (len(list_distinct(toks)) / len(toks))
+                     + CAST(0.2 AS DOUBLE) * (len(list_filter(toks, x -> x IN {_STOP})) / len(toks))
+                         AS quality
+              FROM toks),
+        l AS (SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','value','data'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('le','la','les','et','une'))) AS s_fr,
+               len(list_filter(toks, x -> x IN ('el','la','los','y','una'))) AS s_es
+              FROM toks),
+        pred AS (SELECT doc_id,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                      ELSE 'es' END AS pred_lang
+                 FROM l),
+        kept AS (SELECT d.doc_id, d.text, q.quality
+                 FROM documents d
+                 JOIN q ON q.doc_id = d.doc_id
+                 JOIN pred p ON p.doc_id = d.doc_id
+                 WHERE p.pred_lang = 'en'
+                   AND q.quality >= CAST(0.5 AS DOUBLE)),
+        ktoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM ktoks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all
+                 GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          COUNT(*) AS shared
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        losers AS (SELECT DISTINCT id_b FROM shared
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE shared / (sa.sz + sb.sz - shared)
+                         >= CAST(0.5 AS DOUBLE))
+        SELECT doc_id, text, quality FROM kept
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
     """
     return out

@@ -175,3 +175,56 @@ def test_language_id_ngram_short_docs(spark):
                                "doc_id long, text string")
     rows = {r["doc_id"]: r for r in language_id_ngram(df).collect()}
     assert rows[1]["pred_lang"] == "und" and rows[2]["pred_lang"] == "und"
+
+
+def test_sample_stratified_deterministic_and_rated(spark, views):
+    from pydin_spark.operators import curation
+    docs = spark.table("documents")
+    a = curation.sample_stratified(docs, fraction=0.5, seed=7)
+    b = curation.sample_stratified(docs, fraction=0.5, seed=7)
+    ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+    assert ids_a == sorted(r[0] for r in b.select("doc_id").collect())
+    n, total = len(ids_a), docs.count()
+    assert 0.35 * total < n < 0.65 * total     # roughly the rate
+    # per-stratum rates really differ per stratum
+    s = curation.sample_stratified(docs, fraction=0.9, strata_col="lang",
+                                   rates={"en": 0.1}, seed=7)
+    by_lang = {r["lang"]: r["n"] for r in
+               s.groupBy("lang").agg(__import__("pyspark.sql.functions",
+                                                fromlist=["count"])
+                                     .count("*").alias("n")).collect()}
+    en_total = docs.where("lang = 'en'").count()
+    de_total = docs.where("lang = 'de'").count()
+    assert by_lang.get("en", 0) < 0.35 * en_total
+    assert by_lang.get("de", 0) > 0.6 * de_total
+
+
+def test_pack_sequences_invariants(spark, views):
+    from pydin_spark.operators import curation
+    docs = spark.table("documents")
+    out = curation.pack_sequences(docs, capacity=512).collect()
+    rows = sorted((r["doc_id"], r["n_tokens"], r["start_offset"],
+                   r["bin_id"]) for r in out)
+    # offsets are the exact running concatenation in id order
+    expect = 0
+    for doc_id, n_tokens, start, bin_id in rows:
+        assert start == expect, (doc_id, start, expect)
+        assert bin_id == start // 512
+        expect += n_tokens
+    assert expect == sum(r[1] for r in rows)
+
+
+def test_curate_corpus_composition(spark, views):
+    from pydin_spark.operators import curation, text
+    docs = spark.table("documents")
+    out = curation.curate_corpus(docs, language="en", min_quality=0.5,
+                                 dedup_threshold=0.5)
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()
+    kept_ids = {r["doc_id"] for r in rows}
+    # every survivor is english and above the quality bar
+    lang = {r["doc_id"]: r["pred_lang"]
+            for r in text.language_id(docs).collect()}
+    qual = {r["doc_id"]: r["quality"]
+            for r in text.quality_score(docs).collect()}
+    assert all(lang[i] == "en" and qual[i] >= 0.5 for i in kept_ids)
