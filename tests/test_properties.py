@@ -69,3 +69,36 @@ def test_day_window_is_86399_seconds(now):
     d = Day(now)
     assert (d.end - d.start) == dt.timedelta(hours=23, minutes=59,
                                              seconds=59)
+
+
+def test_sample_monotone_in_fraction(spark, views):
+    """Hash sampling is monotone: the 30% sample is a subset of the 60%
+    sample at the same seed (the hash unit is fixed per id), so growing
+    a corpus sample never resamples — the resumability property."""
+    from pydin_spark.operators import curation
+    docs = spark.table("documents")
+    small = {r[0] for r in curation.sample_stratified(
+        docs, fraction=0.3, seed=11).select("doc_id").collect()}
+    large = {r[0] for r in curation.sample_stratified(
+        docs, fraction=0.6, seed=11).select("doc_id").collect()}
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_pack_sequences_random_token_counts(spark):
+    """Packing invariants hold for arbitrary token-count tables: offsets
+    are the exact running sum in id order regardless of partitioning."""
+    import random
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 300)) for i in range(257)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long") \
+        .repartition(13)   # scramble physical layout on purpose
+    from pydin_spark.operators import curation
+    out = curation.pack_sequences(df, capacity=128, token_col="n_tokens")
+    got = sorted((r["doc_id"], r["n_tokens"], r["start_offset"],
+                  r["bin_id"]) for r in out.collect())
+    run = 0
+    for doc_id, n, start, bin_id in got:
+        assert start == run and bin_id == start // 128
+        run += n
+    assert len(got) == 257
