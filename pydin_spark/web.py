@@ -83,4 +83,35 @@ def create_app(driver: Driver | None = None, token: str | None = None):
         run = driver.get_run(run_id)
         return (jsonify(run), 200) if run else (jsonify({}), 404)
 
+    @app.post("/api/runs/<int:run_id>/deactivate")
+    def deactivate_run(run_id: int):
+        # reference /api/deactivate-run (web.py:293-308): exclude a
+        # failed/waiting run from future rerun/wake-up scans
+        driver.deactivate_run(run_id)
+        return jsonify(driver.get_run(run_id))
+
+    @app.get("/api/test")
+    def ping():
+        # reference /api/test (web.py:154-159): auth + liveness probe
+        return jsonify({"ok": True})
+
+    @app.get("/api/help")
+    def help_routes():
+        # reference /api/help (web.py:161-169): discoverable surface
+        rules = sorted(
+            f"{','.join(sorted(r.methods - {'HEAD', 'OPTIONS'}))} {r.rule}"
+            for r in app.url_map.iter_rules() if r.rule.startswith("/api"))
+        return jsonify(rules)
+
+    @app.post("/api/repo/sync")
+    def sync_repo():
+        # reference /api/sync-repo (web.py:310-322): pull then push
+        body = request.get_json(silent=True) or {}
+        if body.get("jobs_dir"):
+            driver.jobs_dir = body["jobs_dir"]
+        driver.pull_repo()
+        pushed = driver.push_repo(job_id=body.get("job_id"),
+                                  message=body.get("message"))
+        return jsonify({"pushed": pushed})
+
     return app

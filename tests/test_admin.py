@@ -120,3 +120,38 @@ def test_console_dispatches_verbs(tmp_path):
                  echo=outputs.append)
     assert rc == 0
     assert any("error" in str(o) for o in outputs)
+
+
+def test_rest_test_help_deactivate_sync(tmp_path):
+    """Reference web.py route parity: /api/test, /api/help,
+    deactivate-run, sync-repo."""
+    import subprocess
+    import pytest
+    flask = pytest.importorskip("flask")  # noqa: F841
+    from pydin_spark.api import Driver
+    from pydin_spark.web import create_app
+    import time as _t
+    d = Driver(jobs_dir=str(tmp_path / "jobs"))
+    app = create_app(d, token="t0k")
+    client = app.test_client()
+    hdr = {"Authorization": "Bearer t0k"}
+    assert client.get("/api/test").status_code == 401   # auth gates all
+    assert client.get("/api/test", headers=hdr).get_json() == {"ok": True}
+    routes = client.get("/api/help", headers=hdr).get_json()
+    assert any("/api/repo/sync" in r for r in routes)
+    # deactivate a failed run -> excluded from rerun scans
+    job = d.create_job("f", func=lambda run: 1 / 0, rerun_limit=3,
+                       rerun_interval=1)
+    run_id = d.run_job(job, wait=True)
+    r = client.post(f"/api/runs/{run_id}/deactivate", headers=hdr)
+    assert r.get_json()["deactivated"] == "Y"
+    assert d.scheduler.rerun_scan(now=_t.time() + 10) == 0
+    # repo sync over a local bare remote
+    remote = str(tmp_path / "o.git")
+    subprocess.run(["git", "init", "--bare", remote], check=True,
+                   capture_output=True)
+    d.create_repo(url=remote)
+    (tmp_path / "jobs" / "x.py").write_text("pass\n")
+    r = client.post("/api/repo/sync", headers=hdr,
+                    json={"message": "sync it"})
+    assert r.get_json()["pushed"] == "sync it"
