@@ -31,3 +31,37 @@ def test_mapper_func_on_empty_input(spark, views, tmp_path):
     Pipeline(src, mapper, dst, spark=spark).run()
     out = spark.read.parquet(str(tmp_path / "empty.parquet"))
     assert out.count() == 0
+
+
+def test_operators_on_empty_corpus(spark):
+    """Every corpus operator must return an empty (not crashing) result
+    on an empty input table — the first run of a new pipeline is always
+    against nothing."""
+    from pydin_spark.operators import curation, dedup, similarity, text
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert text.token_stats(docs).count() == 0
+    assert text.language_id_ngram(docs).count() == 0
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    assert dedup.simhash_pairs(docs, max_hamming=3).count() == 0
+    assert dedup.drop_near_dups(docs).count() == 0
+    assert curation.sample_stratified(docs, 0.5).count() == 0
+    assert curation.pack_sequences(docs, capacity=64).count() == 0
+    assert similarity.cosine_dup_pairs(emb, 0.5).count() == 0
+
+
+def test_read_assets_binary_ingest(spark, tmp_path):
+    """binaryFile ingest: raw files become asset rows with payload bytes
+    and stable hashed ids."""
+    from pydin_spark.operators import multimodal
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake")
+    (tmp_path / "b.wav").write_bytes(b"RIFF-fake-audio")
+    assets = multimodal.read_assets(spark, str(tmp_path))
+    rows = {r["kind"]: r for r in assets.collect()}
+    assert set(rows) == {"png", "wav"}
+    assert bytes(rows["png"]["payload"]) == b"\x89PNG-fake"
+    assert rows["wav"]["asset_id"] >= 0
+    feats = multimodal.extract_features(assets, dim=4, fake=True)
+    got = {r["kind"]: r["feature"] for r in feats.collect()}
+    assert len(got["png"]) == 4
