@@ -11,7 +11,8 @@ search, text analysis, multimodal plumbing) the reference never had.
 import os
 
 from . import calendar as calendar  # noqa: PLC0414
-from .calendar import Day, Hour, Month, Today, Tomorrow, Year, Yesterday
+from .calendar import (Day, Hour, Month, Today, Tomorrow, Week, Year,
+                       Yesterday)
 from .fields import KEY_FIELDS, KeyField
 from .models import (CSV, JSON, SQL, XML, Executable, Extractable,
                      FileManager, Filenames, Insert, Loadable, Mapper, Model,
@@ -116,7 +117,7 @@ __all__ = [
     "Mapper", "Filenames", "FileManager", "Model", "Extractable",
     "Transformable", "Loadable", "Executable",
     "Pipeline", "Node", "Step", "StepError", "ErrorLimitExceeded",
-    "Day", "Hour", "Month", "Year", "Today", "Yesterday", "Tomorrow",
+    "Day", "Hour", "Month", "Week", "Year", "Today", "Yesterday", "Tomorrow",
     "KeyField", "KEY_FIELDS",
     "Database", "Filesystem", "Server", "SourceRegistry", "registry",
     "get_session", "register_tables", "load_table", "TPCH_TABLES",

@@ -109,6 +109,10 @@ class Period:
         return Hour(self.now, self.timezone)
 
     @property
+    def week(self) -> "Week":
+        return Week(self.now, self.timezone)
+
+    @property
     def month(self) -> "Month":
         return Month(self.now, self.timezone)
 
@@ -159,6 +163,28 @@ class Month(Period):
     def prev(self):
         return Month(self.now.replace(day=1) - dt.timedelta(days=1),
                      self.timezone)
+
+
+class Week(Period):
+    """One ISO week: Monday 00:00:00 through Sunday 23:59:59 (reference
+    declares ``Calendar.Week`` (utils.py:1169-1170) without bounds; the
+    ISO convention makes it usable for weekly date-window loads)."""
+
+    def _start(self):
+        monday = self.now - dt.timedelta(days=self.now.weekday())
+        return monday.replace(hour=0, minute=0, second=0)
+
+    def _end(self):
+        sunday = self.now + dt.timedelta(days=6 - self.now.weekday())
+        return sunday.replace(hour=23, minute=59, second=59)
+
+    @property
+    def prev(self):
+        return Week(self.now - dt.timedelta(days=7), self.timezone)
+
+    @property
+    def next(self):
+        return Week(self.now + dt.timedelta(days=7), self.timezone)
 
 
 class Year(Period):

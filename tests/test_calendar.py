@@ -44,3 +44,24 @@ def test_timezone_shift():
     d = Day(dt.datetime(2024, 3, 15, 12, 0, 0, tzinfo=dt.timezone.utc),
             timezone=3)
     assert d.start.utcoffset() == dt.timedelta(hours=3)
+
+
+def test_week_boundaries_and_navigation():
+    import datetime as dt
+    from pydin_spark import Week
+    # 2024-06-12 is a Wednesday
+    w = Week(dt.datetime(2024, 6, 12, 15, 30))
+    assert w.start.date() == dt.date(2024, 6, 10)       # Monday
+    assert w.start.hour == 0 and w.start.minute == 0
+    assert w.end.date() == dt.date(2024, 6, 16)         # Sunday
+    assert w.end.hour == 23 and w.end.second == 59
+    assert w.prev.start.date() == dt.date(2024, 6, 3)
+    assert w.next.start.date() == dt.date(2024, 6, 17)
+    # year-boundary week spans the new year
+    ny = Week(dt.datetime(2024, 12, 31))
+    assert ny.start.date() == dt.date(2024, 12, 30)
+    assert ny.end.date() == dt.date(2025, 1, 5)
+    # accessor from any period
+    from pydin_spark import Day
+    assert Day(dt.datetime(2024, 6, 12)).week.start.date() == \
+        dt.date(2024, 6, 10)
