@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pydin_spark import Day, Pipeline, Select, register_tables  # noqa: E402
+from pydin_spark import (Day, Pipeline, Select, Week,  # noqa: E402
+                         register_tables)
 from pydin_spark.operators import (curation, dedup, multimodal,  # noqa: E402
                                    similarity, text)
 
@@ -687,6 +688,18 @@ def _q_date_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.extract()
 
 
+def _q_week_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly business-date window load through the Select model: the
+    pipeline calendar is an ISO Week, so the injected BETWEEN covers
+    Monday 00:00:00 through Sunday 23:59:59 of the run's week."""
+    _views(spark, sf_dir)
+    shell = Pipeline(date=Week(dt.datetime(2024, 1, 10)), spark=spark)
+    model = Select(text="SELECT event_id, ts, user_id, event_type, value "
+                        "FROM events", date_field="ts")
+    model.pipeline = shell
+    return model.extract()
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH at threshold 0.9 (32 hashes, 8 bands of 4): every
     near-dup cluster in the fixture corpus has jaccard >= 0.9, banded
@@ -834,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_query(sql)
     out["q_json_extract"] = _sql_query(SPARK_JSON_SQL)
     out["q_date_window_events"] = _q_date_window_events
+    out["q_week_window_events"] = _q_week_window_events
 
     # operator-module queries (Spark implementations under pydin_spark)
     def _docs(fn):
@@ -910,6 +924,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, ts, user_id, event_type, value FROM events
         WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
                      AND TIMESTAMP '2024-01-02 23:59:59'
+    """
+    out["q_week_window_events"] = """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                     AND TIMESTAMP '2024-01-14 23:59:59'
     """
     out.update(OPERATOR_ORACLES)
     # approximate operators, oracled at provably/deterministically exact
