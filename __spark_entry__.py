@@ -341,6 +341,23 @@ DUAL_SQL: dict[str, str] = {
                                 TIMESTAMP '1998-01-01 00:00:00')
         GROUP BY c_mktsegment
     """,
+    # explicit GROUPING SETS (CUBE/ROLLUP covered elsewhere)
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+                   AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    # calendar extraction + min/max over timestamps
+    "q_quarterly_orders": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+               COUNT(*) AS n,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY 1, 2
+    """,
     # analytic extras: NTILE / DENSE_RANK / FIRST_VALUE via WINDOW clause
     "q_window_extras": """
         SELECT o_orderkey, o_custkey, o_totalprice,
