@@ -121,3 +121,16 @@ def test_cosine_block_stage_not_coalesced(spark, views):
                                              "embedding", 64))
     assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_no_cartesian_product_in_any_sql_query(spark, views, sf_dir):
+    """Blanket gate: every dual-engine SQL query plans without a
+    CartesianProduct — comma-join syntax with equality predicates must
+    always resolve to hash/broadcast/sort-merge joins."""
+    import __spark_entry__ as entrymod
+    offenders = []
+    for name, sql in entrymod.DUAL_SQL.items():
+        plan = plan_of(spark.sql(sql))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
