@@ -502,6 +502,16 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
+    "q_asof_forward": """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, MIN(event_id) AS error_id FROM events
+              WHERE event_type = 'error' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.ts AS r_ts, r.error_id AS r_error_id
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
     "text_bpe_tokens": """
         SELECT doc_id,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
@@ -787,6 +797,23 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      right_cols=("signup_id",))
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each purchase, the user's NEXT error event
+    at-or-after it (time-to-failure analysis shape)."""
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.relational import asof_join
+    _views(spark, sf_dir)
+    events = spark.table("events")
+    purchases = events.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value")
+    errors = (events.where("event_type = 'error'")
+              .groupBy("user_id", "ts")
+              .agg(F.min("event_id").alias("error_id")))
+    return asof_join(purchases, errors, on="ts", by=("user_id",),
+                     right_cols=("error_id",), direction="forward")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: documents' text bytes as opaque payloads
     → Arrow-batched feature extraction (deterministic fake decoder).
@@ -874,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     out["q_asof_join"] = _q_asof_join
+    out["q_asof_forward"] = _q_asof_forward
     out["text_token_stats"] = _docs(text.token_stats)
     out["text_bpe_tokens"] = _docs(text.bpe_token_count)
     out["text_quality"] = _docs(text.quality_score)

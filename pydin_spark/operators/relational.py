@@ -26,17 +26,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: tuple[str, ...] = ("user_id",),
               right_cols: tuple[str, ...] = (),
               tolerance: str | None = None,
-              suffix: str = "r_") -> DataFrame:
-    """Backward inclusive as-of join (latest right.ts <= left.ts per key).
+              suffix: str = "r_",
+              direction: str = "backward") -> DataFrame:
+    """Inclusive as-of join per key: ``direction='backward'`` matches
+    the latest right.ts <= left.ts (point-in-time, no future leakage);
+    ``direction='forward'`` the earliest right.ts >= left.ts (next
+    event after). Same single-shuffle union+window plan either way —
+    forward just runs the window in descending time order.
 
     ``right_cols`` are the right-side payload columns carried to the
     output as ``{suffix}{col}``; right's ``on`` column is always carried
     as ``{suffix}{on}``. ``tolerance`` (e.g. ``'1 hour'``) drops matches
-    older than the interval, like pandas ``merge_asof``.
+    farther than the interval, like pandas ``merge_asof``.
 
     Rows of right that tie on (key, ts) must be unique — pre-aggregate
     if needed (ties would make any engine's answer arbitrary).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"not {direction!r}")
     by = list(by)
     payload = [on, *right_cols]
     r = right.select(
@@ -53,17 +61,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     r = r.withColumn("__lp", F.lit(None).cast(l.schema["__lp"].dataType))
     unioned = r.select(*by, "__ts", "__tag", "__rp", "__lp").unionByName(
         l.select(*by, "__ts", "__tag", "__rp", "__lp"))
-    w = (Window.partitionBy(*by).orderBy("__ts", "__tag")
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
+    w = (Window.partitionBy(*by).orderBy(ts_order, F.col("__tag").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.withColumn(
         "__asof", F.last("__rp", ignorenulls=True).over(w))
     out = carried.where(F.col("__tag") == 1)
     if tolerance is not None:
-        out = out.withColumn(
-            "__asof",
-            F.when(F.col(f"__asof.{on}")
-                   >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
-                   F.col("__asof")))
+        bound = F.expr(f"INTERVAL {tolerance}")
+        cond = (F.col(f"__asof.{on}") >= F.col("__ts") - bound
+                if direction == "backward"
+                else F.col(f"__asof.{on}") <= F.col("__ts") + bound)
+        out = out.withColumn("__asof", F.when(cond, F.col("__asof")))
     cols = [F.col(f"__lp.{c}").alias(c) for c in left.columns]
     cols.append(F.col(f"__asof.{on}").alias(f"{suffix}{on}"))
     cols += [F.col(f"__asof.{c}").alias(f"{suffix}{c}") for c in right_cols]

@@ -228,3 +228,29 @@ def test_curate_corpus_composition(spark, views):
     qual = {r["doc_id"]: r["quality"]
             for r in text.quality_score(docs).collect()}
     assert all(lang[i] == "en" and qual[i] >= 0.5 for i in kept_ids)
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of picks the EARLIEST right at-or-after each left ts;
+    tolerance bounds the look-ahead."""
+    import datetime as dt
+    from pydin_spark.operators.relational import asof_join
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(40)), (3, 2, t(0))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(30), 101), (2, t(50), 200)],
+        "user_id long, ts timestamp, rid long")
+    out = {r["event_id"]: r["r_rid"] for r in
+           asof_join(left, right, right_cols=("rid",),
+                     direction="forward").collect()}
+    assert out == {1: 100,   # inclusive: same-ts match
+                   2: None,  # nothing after 12:40 for user 1
+                   3: 200}   # next event after 12:00 for user 2
+    # tolerance: user 2's match at +50min dropped with 30min bound
+    out2 = {r["event_id"]: r["r_rid"] for r in
+            asof_join(left, right, right_cols=("rid",),
+                      direction="forward", tolerance="30 minutes")
+            .collect()}
+    assert out2[3] is None and out2[1] == 100
