@@ -502,6 +502,16 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
+    "q_range_join": """
+        WITH p AS (SELECT event_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        i AS (SELECT MIN(event_id) AS incident_id, ts AS w_start,
+                     ts + INTERVAL '30' MINUTE AS w_end
+              FROM events WHERE event_type = 'error' GROUP BY ts)
+        SELECT p.event_id, p.ts, p.value,
+               i.incident_id, i.w_start, i.w_end
+        FROM p JOIN i ON p.ts BETWEEN i.w_start AND i.w_end
+    """,
     "q_asof_forward": """
         WITH l AS (SELECT event_id, user_id, ts, value FROM events
                    WHERE event_type = 'purchase'),
@@ -814,6 +824,27 @@ def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                      right_cols=("error_id",), direction="forward")
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: purchases falling inside ANY 30-minute
+    incident window opened by an error event (no equi-key — the shape
+    that nested-loops without the binned plan).
+    Custom operator: pydin_spark.operators.relational.range_join."""
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.relational import range_join
+    _views(spark, sf_dir)
+    events = spark.table("events")
+    purchases = events.where("event_type = 'purchase'").select(
+        "event_id", "ts", "value")
+    incidents = (events.where("event_type = 'error'")
+                 .groupBy(F.col("ts").alias("w_start"))
+                 .agg(F.min("event_id").alias("incident_id"))
+                 .withColumn("w_end",
+                             F.col("w_start") + F.expr("INTERVAL 30 MINUTES"))
+                 .select("incident_id", "w_start", "w_end"))
+    return range_join(purchases, incidents)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: documents' text bytes as opaque payloads
     → Arrow-batched feature extraction (deterministic fake decoder).
@@ -902,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["q_asof_join"] = _q_asof_join
     out["q_asof_forward"] = _q_asof_forward
+    out["q_range_join"] = _q_range_join
     out["text_token_stats"] = _docs(text.token_stats)
     out["text_bpe_tokens"] = _docs(text.bpe_token_count)
     out["text_quality"] = _docs(text.quality_score)

@@ -78,3 +78,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     cols.append(F.col(f"__asof.{on}").alias(f"{suffix}{on}"))
     cols += [F.col(f"__asof.{c}").alias(f"{suffix}{c}") for c in right_cols]
     return out.select(*cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str = "ts", start_col: str = "w_start",
+               end_col: str = "w_end",
+               bin_width: int = 900) -> DataFrame:
+    """Keyless point-in-interval join (``start <= point <= end``) as an
+    equi-join: timestamps are binned to ``bin_width`` seconds, each
+    interval explodes into the bins it covers, the sides hash-join on
+    the bin, and an exact containment filter finishes.
+
+    Without this, a keyless range predicate plans as
+    BroadcastNestedLoopJoin — O(|points|·|intervals|) compared row
+    pairs. Binned, the cost is |points| + Σ interval_span/bin_width
+    with an ordinary shuffle/broadcast hash join — the plan that
+    survives 100 TB of points. Pick ``bin_width`` near the typical
+    interval length (fan-out stays ~1-2 bins per interval).
+
+    Output: every points column plus the interval's columns.
+    """
+    p_bin = F.floor(F.unix_timestamp(F.col(point_col)) / bin_width)
+    i_bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / bin_width),
+        F.floor(F.unix_timestamp(F.col(end_col)) / bin_width))
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn("__bin", F.explode(i_bins))
+    joined = (p.join(i, "__bin")
+              .where(F.col(point_col).between(F.col(start_col),
+                                              F.col(end_col))))
+    return joined.select(*points.columns, *intervals.columns)

@@ -254,3 +254,29 @@ def test_asof_join_forward_direction(spark):
                       direction="forward", tolerance="30 minutes")
             .collect()}
     assert out2[3] is None and out2[1] == 100
+
+
+def test_range_join_matches_naive(spark):
+    """Binned range join equals the naive BETWEEN cross filter for
+    arbitrary bin widths (interval spans multiple bins)."""
+    import datetime as dt
+    from pydin_spark.operators.relational import range_join
+    base = dt.datetime(2024, 3, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(50)],
+        "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(100, base + dt.timedelta(minutes=10),
+          base + dt.timedelta(minutes=65)),
+         (200, base + dt.timedelta(minutes=60),
+          base + dt.timedelta(minutes=62)),
+         (300, base + dt.timedelta(minutes=300),
+          base + dt.timedelta(minutes=301))],
+        "incident_id long, w_start timestamp, w_end timestamp")
+    for width in (60, 900, 7200):
+        got = sorted((r["event_id"], r["incident_id"]) for r in
+                     range_join(pts, iv, bin_width=width).collect())
+        naive = sorted((r["event_id"], r["incident_id"]) for r in
+                       pts.crossJoin(iv)
+                       .where("ts BETWEEN w_start AND w_end").collect())
+        assert got == naive and len(got) > 0

@@ -134,3 +134,13 @@ def test_no_cartesian_product_in_any_sql_query(spark, views, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, views, sf_dir):
+    """The binned range join must plan as an equi (hash/SMJ) join — a
+    keyless BETWEEN predicate alone nested-loops."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["q_range_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
