@@ -370,6 +370,187 @@ DUAL_SQL: dict[str, str] = {
                w2 AS (PARTITION BY o_custkey
                       ORDER BY o_totalprice, o_orderkey)
     """,
+    # ------------------------------------------------------------------
+    # Remaining TPC-H query shapes, adapted to the fixture schema (no
+    # partsupp table; lineitem supplies the part↔supplier association).
+    # Each exercises a distinct Catalyst feature noted inline.
+    # ------------------------------------------------------------------
+    # TPC-H Q2 shape: correlated scalar subquery (max per part within a
+    # region) decorrelated by Catalyst into an aggregate + equi-join.
+    "q2_best_supplier": """
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_type = 'LARGE'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_acctbal = (
+              SELECT MAX(s2.s_acctbal)
+              FROM supplier s2, lineitem l2, nation n2, region r2
+              WHERE l2.l_partkey = p_partkey
+                AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')
+        GROUP BY p_partkey, p_name, s_name, s_acctbal, n_name
+    """,
+    # TPC-H Q8 shape: national market share (two nation roles in one
+    # join tree; CASE-gated share of a decimal-exact volume sum).
+    "q8_market_share": """
+        WITH all_nations AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,4)) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey
+              AND r_name = 'AMERICA'
+              AND s_nationkey = n2.n_nationkey
+              AND p_type = 'ECONOMY')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_rows
+        FROM all_nations GROUP BY o_year
+    """,
+    # TPC-H Q9 shape: profit by nation and year (LIKE filter + 5-way
+    # join; retailprice stands in for ps_supplycost).
+    "q9_product_profit": """
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                         AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount)
+                          - p_retailprice * l_quantity * 0.1
+                          AS DECIMAL(25,6)) AS amount
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%red%') profit
+        GROUP BY nation, o_year
+    """,
+    # TPC-H Q11 shape: value concentration — groups passing a global
+    # scalar-subquery threshold (HAVING vs SUM over the same CTE).
+    "q11_value_concentration": """
+        WITH supp_value AS (
+            SELECT l_partkey AS partkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(25,4))) AS value
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name IN ('NATION_1', 'NATION_2')
+            GROUP BY l_partkey)
+        SELECT partkey, CAST(value AS DOUBLE) AS value
+        FROM supp_value
+        WHERE CAST(value AS DOUBLE) >
+              (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM supp_value)
+    """,
+    # TPC-H Q12 shape: CASE-bucketed counts per line status over a
+    # shipdate window (priority classes stand in for ship modes).
+    "q12_priority_counts": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    # TPC-H Q13 shape: distribution of orders per customer (outer join
+    # with an ON-clause filter, then a histogram of the counts).
+    "q13_order_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+                   AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+    """,
+    # TPC-H Q15 shape: top supplier by windowed revenue; the revenue CTE
+    # feeds both the join and the MAX scalar subquery.
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(25,4))) AS DOUBLE)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # TPC-H Q17 shape: small-quantity revenue with a correlated AVG
+    # subquery per part (decorrelates to an aggregate + join).
+    "q17_small_quantity": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+               COUNT(*) AS n_rows
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    # TPC-H Q19 shape: disjunction of conjunctive predicates over an
+    # equi-join (the OR must not break the broadcast hash join).
+    "q19_disjunctive_filter": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30))
+    """,
+    # TPC-H Q20 shape: suppliers with large shipped volume of a part
+    # family (IN over a grouped HAVING subquery → semi join).
+    "q20_volume_suppliers": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 300)
+    """,
+    # TPC-H Q21 shape: the supplier who shipped last in multi-supplier
+    # finished orders (correlated EXISTS + NOT EXISTS anti join).
+    "q21_last_shipper": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+    """,
 }
 
 # Engine-specific SQL pairs (same semantics, different function names).
