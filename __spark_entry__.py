@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pydin_spark import (Day, Pipeline, Select, Week,  # noqa: E402
                          register_tables)
 from pydin_spark.operators import (curation, dedup, multimodal,  # noqa: E402
-                                   similarity, text)
+                                   redact, similarity, text)
 
 # ---------------------------------------------------------------------------
 # Relational surface: one SQL text, two engines (Spark = system under test,
@@ -715,6 +715,52 @@ OPERATOR_ORACLES: dict[str, str] = {
                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         FROM documents
     """,
+    "text_repetition": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        b AS (SELECT doc_id, toks,
+                     [toks[i] || ' ' || toks[i+1]
+                      FOR i IN range(1, len(toks))] AS bg
+              FROM t)
+        SELECT doc_id, len(toks) AS n_tokens,
+               CASE WHEN len(bg) > 0
+                    THEN (len(bg) - len(list_distinct(bg))) / len(bg)
+                    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+               list_max(list_transform(list_distinct(toks),
+                        tok -> len(list_filter(toks, x -> x = tok))))
+                   / len(toks) AS top_token_frac
+        FROM b
+    """,
+    "text_gopher_filter": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        b AS (SELECT doc_id, text, toks,
+                     [toks[i] || ' ' || toks[i+1]
+                      FOR i IN range(1, len(toks))] AS bg
+              FROM t),
+        m AS (SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     length(replace(text, ' ', '')) / len(toks)
+                         AS mean_word_len,
+                     len(list_filter(toks, x -> x IN ('#', '...', '…')))
+                         / len(toks) AS symbol_ratio,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','a','of','and','in','to','is']))
+                         AS n_stop_types,
+                     CASE WHEN len(bg) > 0
+                          THEN (len(bg) - len(list_distinct(bg))) / len(bg)
+                          ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+              FROM b)
+        SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, n_stop_types,
+               dup_2gram_frac,
+               (n_tokens >= 30 AND n_tokens <= 100000
+                AND mean_word_len >= CAST(2.0 AS DOUBLE)
+                AND mean_word_len <= CAST(10.0 AS DOUBLE)
+                AND symbol_ratio <= CAST(0.1 AS DOUBLE)
+                AND n_stop_types >= 2
+                AND dup_2gram_frac <= CAST(0.25 AS DOUBLE)) AS keep
+        FROM m
+    """,
     "dedup_exact": r"""
         WITH fp AS (SELECT doc_id,
                            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -1089,6 +1135,58 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.decode("frame", "UTF-8").alias("frame_str"))
 
 
+#: deterministic synthetic PII injected into every document so the
+#: redaction operator has real matches to find (the fixture corpus has
+#: none); both engines append the identical printf-built suffix.
+_PII_SUFFIX_FMT = ("contact u%d@example.com or call +1 555 010 99%02d "
+                   "from 10.0.%d.%d")
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counting + masking (operators/redact.py) over documents with
+    deterministic injected emails/phones/IPs."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    docs = spark.table("documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), F.format_string(
+            _PII_SUFFIX_FMT, F.col("doc_id"), F.col("doc_id") % 100,
+            (F.col("doc_id") / 256).cast("long") % 256,
+            F.col("doc_id") % 256)).alias("text"))
+    return redact.redact_pii(injected)
+
+
+def _q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (similarity.with_unit_norm) with the unit vector
+    serialized %.6f for the hash compare."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.similarity import _norm
+    emb = spark.table("embeddings")
+    out = similarity.with_unit_norm(emb)
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    return out.select(
+        "vec_id",
+        _norm(vec).alias("norm"),
+        F.array_join(F.transform("unit",
+                                 lambda x: F.format_string("%.6f", x)),
+                     ";").alias("unit_csv"))
+
+
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (similarity.quantize_int8), integers
+    serialized as CSV."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    out = similarity.quantize_int8(spark.table("embeddings"))
+    return out.select(
+        "vec_id", "scale",
+        F.array_join(F.transform("q", lambda x: x.cast("string")),
+                     ",").alias("q_csv"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
     _views(spark, "/root/testdata/sf0.001")
@@ -1150,6 +1248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _q_multimodal_features
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
+    out["text_repetition"] = _docs(text.repetition_stats)
+    out["text_gopher_filter"] = _docs(text.gopher_quality_filter)
+    out["text_pii_redact"] = _q_pii_redact
+    out["emb_normalize"] = _q_emb_normalize
+    out["emb_quantize_int8"] = _q_emb_quantize
 
     def _cur_sample(spark, sf_dir):
         _views(spark, sf_dir)
@@ -1189,6 +1292,56 @@ def oracle_sql() -> dict[str, str]:
                      AND TIMESTAMP '2024-01-14 23:59:59'
     """
     out.update(OPERATOR_ORACLES)
+    # PII redaction over the same deterministically injected suffix; the
+    # regex patterns are interpolated from the operator module so the
+    # oracle and the engine share one inventory by construction.
+    _pii = {k: p.replace("'", "''")
+            for k, p in redact.PII_PATTERNS.items()}
+    out["text_pii_redact"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' ' ||
+                   printf('{_PII_SUFFIX_FMT}', doc_id, doc_id % 100,
+                          (doc_id // 256) % 256, doc_id % 256) AS text
+            FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_pii["email"]}'))
+                   AS n_email,
+               len(regexp_extract_all(text, '{_pii["phone"]}'))
+                   AS n_phone,
+               len(regexp_extract_all(text, '{_pii["ip"]}')) AS n_ip,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_pii["email"]}', '<EMAIL>', 'g'),
+                   '{_pii["phone"]}', '<PHONE>', 'g'),
+                   '{_pii["ip"]}', '<IP>', 'g') AS redacted
+        FROM inj
+    """
+    # embedding L2 normalization / int8 quantization, recomputed with
+    # the same double-precision fold order
+    out["emb_normalize"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings)
+        SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm,
+               array_to_string(list_transform(e,
+                   x -> format('{:.6f}', x / sqrt(list_dot_product(e, e)))),
+                   ';') AS unit_csv
+        FROM v
+    """
+    out["emb_quantize_int8"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                          THEN CAST(127.0 AS DOUBLE)
+                               / list_max(list_transform(e, x -> abs(x)))
+                          ELSE CAST(1.0 AS DOUBLE) END AS scale
+              FROM v)
+        SELECT vec_id, scale,
+               array_to_string(list_transform(e,
+                   x -> CAST(CAST(floor(x * scale + 0.5) AS INT)
+                             AS VARCHAR)), ',') AS q_csv
+        FROM s
+    """
     # approximate operators, oracled at provably/deterministically exact
     # operating points (pruned configurations stay pytest-covered):
     # - minhash-LSH at threshold 0.9 == exact uncapped n-gram Jaccard

@@ -36,6 +36,27 @@ def with_unit_norm(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(out_col, F.transform(vec, lambda v: v / _norm(vec)))
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization (the usual ANN-index
+    compression step): ``scale = 127 / max|x|``, ``q_i = floor(x_i *
+    scale + 0.5)``, so every component lands in [-127, 127] and the
+    vector dequantizes as ``q / scale``.
+
+    ``floor(x + 0.5)`` instead of ``round`` keeps the rounding rule
+    engine-independent (Java HALF_UP vs banker's rounding), so the
+    DuckDB oracle reproduces the integers exactly. Pure Column math —
+    a 100 TB embedding table quantizes in one shuffle-free scan.
+    """
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(vec, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    q = F.transform(vec, lambda x: F.floor(x * scale + F.lit(0.5))
+                    .cast("int"))
+    return df.select(F.col(id_col), scale.alias("scale"),
+                     q.alias("q"))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:

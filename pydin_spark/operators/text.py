@@ -184,6 +184,92 @@ def bpe_token_count(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _bigrams(toks: Column) -> Column:
+    """Word 2-grams as 'a b' strings (empty array for 1-token docs).
+    zip_with over two shifted slices — per-row array math, no explode."""
+    n = F.size(toks)
+    return F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                      lambda a, b: F.concat_ws(" ", a, b))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher-style dedup
+    pre-filters): fraction of duplicate word 2-grams and the mass of the
+    single most frequent token.
+
+    Both are per-row array transforms — nested higher-order functions,
+    zero shuffle, zero Python — so the operator scans linearly at any
+    corpus size.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    bg = _bigrams(toks)
+    n_bg = F.size(bg)
+    dup_frac = F.when(
+        n_bg > 0,
+        (n_bg - F.size(F.array_distinct(bg))) / n_bg).otherwise(F.lit(0.0))
+    top_count = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        dup_frac.alias("dup_2gram_frac"),
+        (top_count / n).alias("top_token_frac"),
+    )
+
+
+#: symbol tokens counted by the Gopher symbol-ratio rule
+SYMBOL_TOKENS = ("#", "...", "…")
+
+
+def gopher_quality_filter(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          min_tokens: int = 30, max_tokens: int = 100000,
+                          min_word_len: float = 2.0,
+                          max_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          min_stop_types: int = 2,
+                          max_dup_2gram: float = 0.25) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    shape): token-count window, mean-word-length window, symbol-to-word
+    ratio, stopword presence, and duplicate-2-gram mass — emitted as per
+    -rule columns plus the conjunctive ``keep`` verdict so downstream
+    pipelines can re-weight instead of hard-filter.
+
+    Pure Column math end-to-end; the thresholds are plain literals so
+    Catalyst folds them and the scan stays one pass with pushdown intact.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    mean_wl = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n
+    sym_arr = F.array(*[F.lit(s) for s in SYMBOL_TOKENS])
+    sym_ratio = F.size(F.filter(
+        toks, lambda t: F.array_contains(sym_arr, t))) / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_types = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    bg = _bigrams(toks)
+    n_bg = F.size(bg)
+    dup_frac = F.when(
+        n_bg > 0,
+        (n_bg - F.size(F.array_distinct(bg))) / n_bg).otherwise(F.lit(0.0))
+    keep = ((n >= min_tokens) & (n <= max_tokens)
+            & (mean_wl >= min_word_len) & (mean_wl <= max_word_len)
+            & (sym_ratio <= max_symbol_ratio)
+            & (stop_types >= min_stop_types)
+            & (dup_frac <= max_dup_2gram))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_types.alias("n_stop_types"),
+        dup_frac.alias("dup_2gram_frac"),
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,

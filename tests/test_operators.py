@@ -280,3 +280,67 @@ def test_range_join_matches_naive(spark):
                        pts.crossJoin(iv)
                        .where("ts BETWEEN w_start AND w_end").collect())
         assert got == naive and len(got) > 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 3 dups of 5
+         (2, "x y z"),             # all bigrams distinct
+         (3, "solo")],             # no bigrams at all
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["dup_2gram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["top_token_frac"] == pytest.approx(3 / 6)
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_token_frac"] == 1.0
+
+
+def test_gopher_filter_rules(spark):
+    long_good = "the and " + " ".join(f"word{i:02d}" for i in range(40))
+    repeated = " ".join(["the and"] * 30)                       # dup bigrams
+    symbols = " ".join(["the and of"] * 12 + ["#"] * 9)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, "too short"), (3, repeated), (4, symbols)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_quality_filter(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False          # below min_tokens
+    assert out[3]["keep"] is False          # dup_2gram_frac ~ 1
+    assert out[3]["dup_2gram_frac"] > 0.9
+    assert out[4]["keep"] is False          # symbol ratio 9/45 = 0.2
+    assert out[4]["symbol_ratio"] == pytest.approx(0.2)
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from pydin_spark.operators import redact
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@sub.example.co.uk and jo@a.io now"),
+         (2, "call +44 20 7946 0958 or +1 555 010 9999 ok"),
+         (3, "hosts 192.168.0.1 and 10.0.255.255 up"),
+         (4, "clean text with no pii at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and "<EMAIL>" in out[1]["redacted"]
+    assert "@" not in out[1]["redacted"]
+    assert out[2]["n_phone"] == 2
+    assert "0958" not in out[2]["redacted"]
+    assert out[3]["n_ip"] == 2
+    assert out[3]["redacted"] == "hosts <IP> and <IP> up"
+    assert out[4]["redacted"] == "clean text with no pii at all"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ip"]) == (0, 0, 0)
+
+
+def test_quantize_int8_roundtrip(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 4.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    q1, s1 = out[1]["q"], out[1]["scale"]
+    assert s1 == pytest.approx(127.0 / 4.0)
+    assert q1 == [32, -63, 16, 127]         # floor(x*scale + 0.5)
+    assert max(abs(v) for v in q1) == 127
+    # dequantized error bounded by half a quantization step
+    for orig, q in zip([1.0, -2.0, 0.5, 4.0], q1):
+        assert abs(q / s1 - orig) <= 0.5 / s1 + 1e-12
+    assert out[2]["scale"] == 1.0 and out[2]["q"] == [0, 0, 0, 0]
