@@ -464,6 +464,63 @@ class Parquet(FileModel):
         spark.catalog.refreshByPath(self.resolved_path)
 
 
+def _delta_available() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("delta") is not None
+
+
+class Delta(Parquet):
+    """Delta Lake source/sink (engine extension), gated on the
+    delta-spark package being installed and configured.
+
+    Why it matters at 100 TB: ``recycle`` and watermark reloads become
+    metadata-level ``DELETE``/``MERGE`` operations (transaction-log
+    rewrite of only the affected files) instead of the raw-parquet
+    read-filter-overwrite, and concurrent writers get ACID isolation.
+    Absent the package — as in this container — construction raises
+    with the exact dependency to add instead of Spark's generic
+    DATA_SOURCE_NOT_FOUND at action time.
+    """
+
+    format_name = "delta"
+
+    def __init__(self, *args, **kwargs):
+        if not _delta_available():
+            raise ImportError(
+                "Delta sink needs the delta-spark package (pip install "
+                "delta-spark, plus spark.sql.extensions="
+                "io.delta.sql.DeltaSparkSessionExtension and "
+                "spark.sql.catalog.spark_catalog=org.apache.spark.sql."
+                "delta.catalog.DeltaCatalog on the session); fall back "
+                "to the Parquet model otherwise")
+        super().__init__(*args, **kwargs)
+
+    def extract(self) -> DataFrame:
+        return self.spark.read.format("delta").load(self.resolved_path)
+
+    def _write(self, df: DataFrame) -> None:
+        writer = df.write.format("delta").mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.save(self._write_target())
+
+    def recycle(self, key_field_label: str, key_value) -> None:
+        """Transactional delete-by-run-key (reference models.py:469-475
+        semantics) — no file rewrite, no partition bookkeeping."""
+        self.spark.sql(
+            f"DELETE FROM delta.`{self.resolved_path}` "
+            f"WHERE {key_field_label} = {_sql_literal(key_value)}")
+
+
+def _sql_literal(value) -> str:
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(value, dt.datetime):
+        return f"TIMESTAMP '{value}'"
+    return str(value)
+
+
 class CSV(FileModel):
     """Delimited text source/sink.
 

@@ -137,3 +137,17 @@ def test_asof_tolerance(spark):
     miss = asof_join(left, right, right_cols=("rid",),
                      tolerance="1 HOUR").collect()[0]
     assert miss["r_rid"] is None
+
+
+def test_delta_model_gated_on_package(tmp_path):
+    """Without delta-spark installed, the Delta model must fail fast at
+    construction with the dependency to add (not at action time)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from pydin_spark import Delta
+    if importlib.util.find_spec("delta") is not None:
+        _pytest.skip("delta-spark installed; gating not applicable")
+    with _pytest.raises(ImportError, match="delta-spark"):
+        Delta(file_name="t", path=str(tmp_path))
