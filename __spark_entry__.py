@@ -1142,6 +1142,17 @@ _PII_SUFFIX_FMT = ("contact u%d@example.com or call +1 555 010 99%02d "
                    "from 10.0.%d.%d")
 
 
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (streaming module's sliding_counts run in
+    batch mode — same F.window(duration, slide) expression the stream
+    uses): 1 h windows every 30 min, so each event lands in exactly 2
+    windows, epoch-aligned like DuckDB's time_bucket."""
+    _views(spark, sf_dir)
+    from pydin_spark.streaming import sliding_counts
+    return sliding_counts(spark.table("events"),
+                          duration="1 hour", slide="30 minutes")
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII counting + masking (operators/redact.py) over documents with
     deterministic injected emails/phones/IPs."""
@@ -1248,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _q_multimodal_features
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
+    out["q_sliding_window"] = _q_sliding_window
     out["text_repetition"] = _docs(text.repetition_stats)
     out["text_gopher_filter"] = _docs(text.gopher_quality_filter)
     out["text_pii_redact"] = _q_pii_redact
@@ -1292,6 +1304,19 @@ def oracle_sql() -> dict[str, str]:
                      AND TIMESTAMP '2024-01-14 23:59:59'
     """
     out.update(OPERATOR_ORACLES)
+    # sliding windows: every event belongs to the 2 epoch-aligned 1 h
+    # windows whose 30 min-gridded starts cover its timestamp
+    out["q_sliding_window"] = """
+        WITH shift AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '30 minutes', ts)
+                   - k * INTERVAL '30 minutes' AS bucket_start
+            FROM events, unnest([0, 1]) AS u(k))
+        SELECT bucket_start,
+               bucket_start + INTERVAL '1 hour' AS bucket_end,
+               event_type, COUNT(*) AS n_events
+        FROM shift GROUP BY 1, 2, 3
+    """
     # PII redaction over the same deterministically injected suffix; the
     # regex patterns are interpolated from the operator module so the
     # oracle and the engine share one inventory by construction.
