@@ -1142,6 +1142,23 @@ _PII_SUFFIX_FMT = ("contact u%d@example.com or call +1 555 010 99%02d "
                    "from 10.0.%d.%d")
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary (curation.vocab_counts): occurrences +
+    document frequency with a total-order rank."""
+    _views(spark, sf_dir)
+    return curation.vocab_counts(spark.table("documents"), k=100)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (curation.decontaminate): even doc_ids
+    are 'train', odd are 'test'; near threshold 0.5."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    return curation.decontaminate(train, test, threshold=0.5)
+
+
 def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window counts (streaming module's sliding_counts run in
     batch mode — same F.window(duration, slide) expression the stream
@@ -1260,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
     out["q_sliding_window"] = _q_sliding_window
+    out["curation_vocab_topk"] = _q_vocab_topk
+    out["curation_decontaminate"] = _q_decontaminate
     out["text_repetition"] = _docs(text.repetition_stats)
     out["text_gopher_filter"] = _docs(text.gopher_quality_filter)
     out["text_pii_redact"] = _q_pii_redact
@@ -1316,6 +1335,56 @@ def oracle_sql() -> dict[str, str]:
                bucket_start + INTERVAL '1 hour' AS bucket_end,
                event_type, COUNT(*) AS n_events
         FROM shift GROUP BY 1, 2, 3
+    """
+    # vocabulary top-k: same (occurrences DESC, token) total order
+    out["curation_vocab_topk"] = """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        c AS (SELECT token, COUNT(*) AS n_occurrences,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM tok GROUP BY token)
+        SELECT token, n_occurrences, n_docs, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                           token) AS rank
+              FROM c) t
+        WHERE rank <= 100
+    """
+    # decontamination: even ids = train, odd ids = test; drop train docs
+    # with an exact fingerprint match or n-gram jaccard >= 0.5 vs test
+    out["curation_decontaminate"] = r"""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        fp_tr AS (SELECT doc_id,
+                         md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                       'g')))) AS f
+                  FROM train),
+        fp_te AS (SELECT DISTINCT
+                         md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                       'g')))) AS f
+                  FROM test),
+        exact_bad AS (SELECT doc_id FROM fp_tr JOIN fp_te USING (f)),
+        ttr AS (SELECT doc_id, string_split(text, ' ') AS t FROM train),
+        tte AS (SELECT doc_id, string_split(text, ' ') AS t FROM test),
+        sh_tr AS (SELECT DISTINCT doc_id,
+                         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                  FROM ttr, unnest(range(1, len(t) - 1)) AS u(i)),
+        sh_te AS (SELECT DISTINCT doc_id,
+                         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                  FROM tte, unnest(range(1, len(t) - 1)) AS u(i)),
+        sz_tr AS (SELECT doc_id, COUNT(*) AS sz FROM sh_tr GROUP BY doc_id),
+        sz_te AS (SELECT doc_id, COUNT(*) AS sz FROM sh_te GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+                          COUNT(*) AS shared
+                   FROM sh_tr a JOIN sh_te b ON a.shingle = b.shingle
+                   GROUP BY a.doc_id, b.doc_id),
+        near_bad AS (SELECT DISTINCT train_id AS doc_id FROM shared
+                     JOIN sz_tr sa ON sa.doc_id = train_id
+                     JOIN sz_te sb ON sb.doc_id = test_id
+                     WHERE shared / (sa.sz + sb.sz - shared)
+                           >= CAST(0.5 AS DOUBLE))
+        SELECT * FROM train
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact_bad)
+          AND doc_id NOT IN (SELECT doc_id FROM near_bad)
     """
     # PII redaction over the same deterministically injected suffix; the
     # regex patterns are interpolated from the operator module so the

@@ -116,6 +116,78 @@ def pack_sequences(df: DataFrame, capacity: int = 512,
     return out
 
 
+def vocab_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int | None = None) -> DataFrame:
+    """Corpus vocabulary scan: per-token total occurrences and document
+    frequency — the vocab-building / tokenizer-training first pass.
+
+    One explode feeding a hash aggregate (map-side partial combine, one
+    shuffle on the token; COUNT(DISTINCT doc) adds the standard expand).
+    With ``k``, returns the global top-k by (occurrences DESC, token) —
+    fetched via orderBy+limit (distributed TakeOrdered, no global sort
+    shuffle) before the rank window touches only k rows.
+    """
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    counts = (tok.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.countDistinct(id_col).alias("n_docs")))
+    if k is None:
+        return counts
+    from pyspark.sql import Window
+    top = counts.orderBy(F.desc("n_occurrences"), "token").limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), "token")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def decontaminate(train: DataFrame, test: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, threshold: float = 0.8,
+                  max_shingle_freq: int | None = None) -> DataFrame:
+    """Benchmark decontamination: drop training documents that overlap
+    the evaluation corpus — exact duplicates (normalized fingerprint
+    match) or near duplicates (n-gram Jaccard vs any test document
+    >= ``threshold``).
+
+    The near pass is a cross-corpus inverted-index join: candidates are
+    bounded by shared shingles (cost Σ_shingle freq_train·freq_test),
+    never the |train|×|test| cross product; the test side is typically
+    tiny and its posting lists can additionally be truncated with
+    ``max_shingle_freq``. Shingles are hashed to int64 so the shuffle
+    moves 8-byte keys. Returns surviving training rows unchanged.
+    """
+    fp_tr = text.fingerprint(train, id_col, text_col)
+    fp_te = (text.fingerprint(test, id_col, text_col)
+             .select("fingerprint").distinct())
+    exact_bad = fp_tr.join(fp_te, "fingerprint").select(id_col)
+
+    sh_tr = dedup.word_shingles(train, id_col, text_col, n, hashed=True)
+    sh_te = dedup.word_shingles(test, id_col, text_col, n, hashed=True)
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("shingle")
+        sh_te = (sh_te.withColumn("df", F.count(F.lit(1)).over(w))
+                 .where(F.col("df") <= max_shingle_freq).drop("df"))
+    sz_tr = sh_tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_a"))
+    sz_te = sh_te.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_b"))
+    a = sh_tr.select(F.col(id_col).alias("train_id"), "shingle")
+    b = sh_te.select(F.col(id_col).alias("contaminant_id"), "shingle")
+    shared = (a.join(b, "shingle")
+              .groupBy("train_id", "contaminant_id")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    near_bad = (shared
+                .join(sz_tr.select(F.col(id_col).alias("train_id"), "sz_a"),
+                      "train_id")
+                .join(sz_te.select(F.col(id_col).alias("contaminant_id"),
+                                   "sz_b"), "contaminant_id")
+                .where(F.col("shared")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+                       >= threshold)
+                .select(F.col("train_id").alias(id_col)))
+    bad = exact_bad.union(near_bad).distinct()
+    return train.join(bad, id_col, "left_anti")
+
+
 def curate_corpus(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", language: str = "en",
                   min_quality: float = 0.5,

@@ -344,3 +344,38 @@ def test_quantize_int8_roundtrip(spark):
     for orig, q in zip([1.0, -2.0, 0.5, 4.0], q1):
         assert abs(q / s1 - orig) <= 0.5 / s1 + 1e-12
     assert out[2]["scale"] == 1.0 and out[2]["q"] == [0, 0, 0, 0]
+
+
+def test_vocab_counts_and_topk(spark):
+    from pydin_spark.operators import curation
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")],
+        "doc_id long, text string")
+    out = {r["token"]: r for r in curation.vocab_counts(df).collect()}
+    assert out["a"]["n_occurrences"] == 3 and out["a"]["n_docs"] == 2
+    assert out["b"]["n_occurrences"] == 2 and out["b"]["n_docs"] == 2
+    assert out["c"]["n_occurrences"] == 1 and out["c"]["n_docs"] == 1
+    top = curation.vocab_counts(df, k=2).collect()
+    assert [(r["token"], r["rank"]) for r in top] == [("a", 1), ("b", 2)]
+
+
+def test_decontaminate_drops_exact_and_near(spark):
+    from pydin_spark.operators import curation
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    near = "the quick brown fox jumps over the lazy dog near the ocean"
+    train = spark.createDataFrame(
+        [(2, base),                       # exact dup of test doc 1
+         (4, near),                       # near dup (1 word differs)
+         (6, "completely unrelated words about engines and shuffles ok")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  curation.decontaminate(train, test,
+                                         threshold=0.5).collect())
+    assert kept == [6]
+    # higher threshold keeps the near-dup, still drops the exact one
+    kept2 = sorted(r["doc_id"] for r in
+                   curation.decontaminate(train, test,
+                                          threshold=0.99).collect())
+    assert kept2 == [4, 6]
