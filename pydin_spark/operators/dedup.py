@@ -91,17 +91,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     # persist the raw explode FIRST: the frequency cap reads it twice,
     # and the capped set feeds three consumers. Shingles are hashed to
-    # int64 so every shuffle below moves 8-byte keys; the cap is a
-    # window count (ONE shuffle on the shingle key, which the
-    # inverted-index self-join then reuses) instead of agg+join (two).
+    # int64 so every shuffle below moves 8-byte keys; the cap is a hash
+    # aggregate producing the (small) HOT-shingle list, broadcast into
+    # an anti join — measured ~20% faster than the window-count
+    # formulation at sf0.1 because it never sorts the posting table,
+    # and the sort is exactly what would dominate at 100x. The hot list
+    # stays broadcastable by construction: |shingles with freq > cap|
+    # ≤ |postings| / cap, 8 bytes each.
     shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
     if max_shingle_freq is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("shingle")
+        hot = (shingles.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_shingle_freq)
+               .select("shingle"))
         shingles = (shingles
-                    .withColumn("df", F.count(F.lit(1)).over(w))
-                    .where(F.col("df") <= max_shingle_freq)
-                    .drop("df")
+                    .join(F.broadcast(hot), "shingle", "left_anti")
                     .persist())
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"),
