@@ -370,6 +370,46 @@ DUAL_SQL: dict[str, str] = {
                w2 AS (PARTITION BY o_custkey
                       ORDER BY o_totalprice, o_orderkey)
     """,
+    # set ops: EXCEPT (customers with no urgent order, set-wise)
+    "q_setop_except": """
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """,
+    # set ops: UNION ALL of two grouped scans with a source tag
+    "q_union_all_years": """
+        SELECT 'orders' AS src,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               COUNT(*) AS n
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'lineitem' AS src,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 2
+    """,
+    # analytic offsets: LAG/LEAD deltas along each customer's history
+    "q_window_lag_lead": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+               CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+               CAST(o_totalprice - LAG(o_totalprice) OVER w AS DOUBLE)
+                   AS delta_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+    # RANGE frame with a calendar-interval bound: trailing-7-day order
+    # count per status (value-based frame, not row-based)
+    "q_window_range_frame": """
+        SELECT o_orderkey, o_orderstatus, o_orderdate,
+               COUNT(*) OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL '7' DAY PRECEDING
+                                        AND CURRENT ROW) AS n_7d
+        FROM orders
+    """,
     # ------------------------------------------------------------------
     # Remaining TPC-H query shapes, adapted to the fixture schema (no
     # partsupp table; lineitem supplies the part↔supplier association).
