@@ -91,21 +91,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     # persist the raw explode FIRST: the frequency cap reads it twice,
     # and the capped set feeds three consumers. Shingles are hashed to
-    # int64 so every shuffle below moves 8-byte keys; the cap is a hash
-    # aggregate producing the (small) HOT-shingle list, broadcast into
-    # an anti join — measured ~20% faster than the window-count
-    # formulation at sf0.1 because it never sorts the posting table,
-    # and the sort is exactly what would dominate at 100x. The hot list
-    # stays broadcastable by construction: |shingles with freq > cap|
-    # ≤ |postings| / cap, 8 bytes each.
+    # int64 so every shuffle below moves 8-byte keys; the cap is a
+    # window count (ONE shuffle on the shingle key, reused by the
+    # inverted-index self-join). A broadcast-anti-join alternative
+    # (hash-agg the hot list, anti-join it) was A/B'd: ~20% faster on
+    # the sparse fixture corpus but 1.4-2.8× SLOWER and unstable on a
+    # dense 50k-doc near-dup stress — it scans the posting table twice
+    # and adds a broadcast build, which dominates exactly when postings
+    # are big. The single-pass window stays the default (PERF.md).
     shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
     if max_shingle_freq is not None:
-        hot = (shingles.groupBy("shingle")
-               .agg(F.count(F.lit(1)).alias("df"))
-               .where(F.col("df") > max_shingle_freq)
-               .select("shingle"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("shingle")
         shingles = (shingles
-                    .join(F.broadcast(hot), "shingle", "left_anti")
+                    .withColumn("df", F.count(F.lit(1)).over(w))
+                    .where(F.col("df") <= max_shingle_freq)
+                    .drop("df")
                     .persist())
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"),
