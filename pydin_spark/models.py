@@ -444,7 +444,7 @@ class Parquet(FileModel):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (kept.write.mode("overwrite").partitionBy(*self.partition_by)
-             .parquet(self.resolved_path))
+             .format(self.format_name).save(self.resolved_path))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            previous)
@@ -462,6 +462,54 @@ class Parquet(FileModel):
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
         spark.catalog.refreshByPath(self.resolved_path)
+
+
+class ORC(Parquet):
+    """ORC source/sink (engine extension). Same columnar properties as
+    Parquet — predicate pushdown, column pruning, partitioned layout,
+    partition-scoped recycle (inherited; the recycle writer saves via
+    ``format_name``); the format choice is usually dictated by the
+    surrounding warehouse (Hive-era lakes are ORC)."""
+
+    format_name = "orc"
+
+    def extract(self) -> DataFrame:
+        return self.spark.read.orc(self.resolved_path)
+
+    def _write(self, df: DataFrame) -> None:
+        writer = df.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.orc(self._write_target())
+
+
+class Avro(FileModel):
+    """Avro source/sink (engine extension), gated on the spark-avro
+    connector being on the JVM classpath (external module; ship via
+    ``spark.jars.packages org.apache.spark:spark-avro_2.13:<ver>``).
+    Row-oriented — the right sink when downstream consumers are
+    Kafka-ecosystem readers rather than columnar scans. Fails at first
+    use with the dependency to add instead of Spark's generic
+    DATA_SOURCE_NOT_FOUND."""
+
+    format_name = "avro"
+
+    _GATE_MSG = ("Avro needs the spark-avro connector on the classpath "
+                 "(spark.jars.packages=org.apache.spark:spark-avro_2.13:"
+                 "<spark-version>); use Parquet/ORC otherwise")
+
+    def extract(self) -> DataFrame:
+        try:
+            return self.spark.read.format("avro").load(self.resolved_path)
+        except Exception as exc:  # noqa: BLE001 - dependency gate
+            raise RuntimeError(self._GATE_MSG) from exc
+
+    def _write(self, df: DataFrame) -> None:
+        try:
+            df.write.format("avro").mode(
+                getattr(self, "mode", "append")).save(self._write_target())
+        except Exception as exc:  # noqa: BLE001 - dependency gate
+            raise RuntimeError(self._GATE_MSG) from exc
 
 
 def _delta_available() -> bool:

@@ -151,3 +151,56 @@ def test_delta_model_gated_on_package(tmp_path):
         _pytest.skip("delta-spark installed; gating not applicable")
     with _pytest.raises(ImportError, match="delta-spark"):
         Delta(file_name="t", path=str(tmp_path))
+
+
+def test_orc_roundtrip_and_partitioned_recycle(spark, tmp_path):
+    """ORC inherits the Parquet model surface: roundtrip, lineage key,
+    partition-scoped recycle through the format-generic writer."""
+    from pyspark.sql import functions as F
+
+    from pydin_spark import ORC, Pipeline, Select
+
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "k long, part string, v long")
+    src.createOrReplaceTempView("orc_src")
+    sink = ORC(file_name="t", path=str(tmp_path), partition_by=["part"],
+               key_field="process_id")
+    Pipeline(Select(text="SELECT * FROM orc_src"), sink).run()
+    spark.catalog.refreshByPath(str(tmp_path / "t"))
+    df = spark.read.orc(str(tmp_path / "t"))
+    assert df.count() == 3 and "pd_process_id" in df.columns
+    pid = df.select(F.max("pd_process_id")).first()[0]
+
+    # second run for the same key then recycle -> no duplicates
+    sink2 = ORC(file_name="t", path=str(tmp_path), partition_by=["part"],
+                key_field="process_id")
+    Pipeline(Select(text="SELECT * FROM orc_src"), sink2).run(recycle=pid)
+    spark.catalog.refreshByPath(str(tmp_path / "t"))
+    out = spark.read.orc(str(tmp_path / "t"))
+    assert out.count() == 3
+    assert out.select("k").distinct().count() == 3
+
+
+def test_avro_gated_on_connector(spark, tmp_path):
+    """Without spark-avro on the classpath, Avro fails with the exact
+    dependency to add."""
+    import pytest as _pytest
+
+    from pydin_spark import Avro
+
+    model = Avro(file_name="t.avro", path=str(tmp_path))
+    probe = spark.createDataFrame([(1,)], "k long")
+    try:
+        spark.range(1).write.format("avro").mode("overwrite").save(
+            str(tmp_path / "probe"))
+        has_avro = True
+    except Exception:
+        has_avro = False
+    if has_avro:
+        model.spark = spark
+        model._write(probe)
+        assert model.extract().count() == 1
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            model._write(probe)
