@@ -1182,6 +1182,17 @@ _PII_SUFFIX_FMT = ("contact u%d@example.com or call +1 555 010 99%02d "
                    "from 10.0.%d.%d")
 
 
+def _q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-rollup aggregate shape (operators/rollup.py): one row
+    per (hour bucket, event_type) with count + exact-decimal value sum.
+    The incremental refresh machinery (bucket-bounded recompute,
+    dynamic partition overwrite) is pytest-verified in test_rollup.py;
+    this query verifies the served aggregate itself."""
+    _views(spark, sf_dir)
+    from pydin_spark.operators.rollup import rollup_aggregate
+    return rollup_aggregate(spark.table("events"))
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary (curation.vocab_counts): occurrences +
     document frequency with a total-order rank."""
@@ -1317,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
     out["q_sliding_window"] = _q_sliding_window
+    out["rollup_hourly"] = _q_rollup_hourly
     out["curation_vocab_topk"] = _q_vocab_topk
     out["curation_decontaminate"] = _q_decontaminate
     out["text_repetition"] = _docs(text.repetition_stats)
@@ -1375,6 +1387,14 @@ def oracle_sql() -> dict[str, str]:
                bucket_start + INTERVAL '1 hour' AS bucket_end,
                event_type, COUNT(*) AS n_events
         FROM shift GROUP BY 1, 2, 3
+    """
+    # rollup aggregate: epoch-aligned hourly buckets, decimal-exact sum
+    out["rollup_hourly"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 1, 2
     """
     # vocabulary top-k: same (occurrences DESC, token) total order
     out["curation_vocab_topk"] = """
