@@ -595,6 +595,16 @@ DUAL_SQL: dict[str, str] = {
 
 # Engine-specific SQL pairs (same semantics, different function names).
 SPARK_ONLY_SQL = {
+    # date arithmetic: day deltas, year extraction, month truncation
+    "q_date_math": """
+        SELECT o_orderkey,
+               CAST(datediff(TIMESTAMP '1998-01-01 00:00:00', o_orderdate)
+                    AS BIGINT) AS days_to_98,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               date_trunc('month', o_orderdate) AS month_start,
+               date_add(CAST(o_orderdate AS DATE), 30) AS due_date
+        FROM orders
+    """,
     # ordered array aggregation (collect_list is unordered; sort_array
     # canonicalizes — the deterministic form of array_agg). Serialized
     # with array_join because the driver's canonicalizer can't hash
@@ -615,6 +625,16 @@ SPARK_ONLY_SQL = {
     """,
 }
 DUCK_ONLY_SQL = {
+    "q_date_math": """
+        SELECT o_orderkey,
+               date_diff('day', o_orderdate,
+                         TIMESTAMP '1998-01-01 00:00:00') AS days_to_98,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS month_start,
+               CAST(o_orderdate AS DATE) + 30 AS due_date
+        FROM orders
+    """,
     "q_sorted_nations": """
         SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
                COUNT(*) AS n_nations
