@@ -401,13 +401,16 @@ class Parquet(FileModel):
                 "directory accumulate part files")
 
     def extract(self) -> DataFrame:
-        return self.spark.read.parquet(self.resolved_path)
+        return (self.spark.read.format(self.format_name)
+                .load(self.resolved_path))
 
     def _write(self, df: DataFrame) -> None:
-        writer = df.write.mode(self.mode)
+        # format-generic so ORC/Delta inherit the exact writer (options
+        # added here apply to every columnar sink)
+        writer = df.write.format(self.format_name).mode(self.mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self._write_target())
+        writer.save(self._write_target())
 
     def recycle(self, key_field_label: str, key_value) -> None:
         """Partition-scoped recycle when the sink is partitioned: only
@@ -465,22 +468,13 @@ class Parquet(FileModel):
 
 
 class ORC(Parquet):
-    """ORC source/sink (engine extension). Same columnar properties as
-    Parquet — predicate pushdown, column pruning, partitioned layout,
-    partition-scoped recycle (inherited; the recycle writer saves via
-    ``format_name``); the format choice is usually dictated by the
+    """ORC source/sink (engine extension). The entire Parquet surface —
+    predicate pushdown, column pruning, partitioned layout,
+    partition-scoped recycle — is inherited through the format-generic
+    reader/writer; the format choice is usually dictated by the
     surrounding warehouse (Hive-era lakes are ORC)."""
 
     format_name = "orc"
-
-    def extract(self) -> DataFrame:
-        return self.spark.read.orc(self.resolved_path)
-
-    def _write(self, df: DataFrame) -> None:
-        writer = df.write.mode(self.mode)
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.orc(self._write_target())
 
 
 class Avro(FileModel):
@@ -498,18 +492,42 @@ class Avro(FileModel):
                  "(spark.jars.packages=org.apache.spark:spark-avro_2.13:"
                  "<spark-version>); use Parquet/ORC otherwise")
 
+    def __init__(self, *args, mode: str = "append", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mode = mode
+        if self.single_file:
+            # byte-appending two complete Avro containers (each with its
+            # own header/schema block) corrupts the file — same guard
+            # class as Parquet's
+            raise ValueError(
+                "Avro single_file=True is not supported: Avro container "
+                "files are not byte-concatenable. Let the directory "
+                "accumulate part files")
+
+    @classmethod
+    def _reraise_if_gate(cls, exc: Exception) -> None:
+        """Substitute the dependency hint ONLY for the missing-connector
+        failure; every other error (missing path, schema, disk) passes
+        through untouched."""
+        text = f"{type(exc).__name__}: {exc}"
+        markers = ("DATA_SOURCE_NOT_FOUND", "Failed to find data source",
+                   "ClassNotFoundException", "avro.AvroFileFormat")
+        if any(m in text for m in markers):
+            raise RuntimeError(cls._GATE_MSG) from exc
+        raise exc
+
     def extract(self) -> DataFrame:
         try:
             return self.spark.read.format("avro").load(self.resolved_path)
         except Exception as exc:  # noqa: BLE001 - dependency gate
-            raise RuntimeError(self._GATE_MSG) from exc
+            self._reraise_if_gate(exc)
 
     def _write(self, df: DataFrame) -> None:
         try:
-            df.write.format("avro").mode(
-                getattr(self, "mode", "append")).save(self._write_target())
+            df.write.format("avro").mode(self.mode) \
+                .save(self._write_target())
         except Exception as exc:  # noqa: BLE001 - dependency gate
-            raise RuntimeError(self._GATE_MSG) from exc
+            self._reraise_if_gate(exc)
 
 
 def _delta_available() -> bool:
@@ -543,29 +561,31 @@ class Delta(Parquet):
                 "to the Parquet model otherwise")
         super().__init__(*args, **kwargs)
 
-    def extract(self) -> DataFrame:
-        return self.spark.read.format("delta").load(self.resolved_path)
-
-    def _write(self, df: DataFrame) -> None:
-        writer = df.write.format("delta").mode(self.mode)
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.save(self._write_target())
-
     def recycle(self, key_field_label: str, key_value) -> None:
         """Transactional delete-by-run-key (reference models.py:469-475
-        semantics) — no file rewrite, no partition bookkeeping."""
+        semantics) — no file rewrite, no partition bookkeeping. No-op
+        when the sink never carried the lineage column (parity with the
+        other recycle implementations)."""
+        if key_field_label not in self.extract().columns:
+            return
         self.spark.sql(
             f"DELETE FROM delta.`{self.resolved_path}` "
             f"WHERE {key_field_label} = {_sql_literal(key_value)}")
 
 
 def _sql_literal(value) -> str:
+    """SQL literal for a lineage-key value (int/str/bool/date/datetime).
+    Dates and datetimes MUST be typed literals: a bare 2024-01-01 parses
+    as integer subtraction and silently matches nothing."""
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
     if isinstance(value, str):
         escaped = value.replace("'", "''")
         return f"'{escaped}'"
     if isinstance(value, dt.datetime):
         return f"TIMESTAMP '{value}'"
+    if isinstance(value, dt.date):
+        return f"DATE '{value}'"
     return str(value)
 
 

@@ -151,10 +151,13 @@ def decontaminate(train: DataFrame, test: DataFrame,
 
     The near pass is a cross-corpus inverted-index join: candidates are
     bounded by shared shingles (cost Σ_shingle freq_train·freq_test),
-    never the |train|×|test| cross product; the test side is typically
-    tiny and its posting lists can additionally be truncated with
-    ``max_shingle_freq``. Shingles are hashed to int64 so the shuffle
-    moves 8-byte keys. Returns surviving training rows unchanged.
+    never the |train|×|test| cross product; ``max_shingle_freq`` drops
+    shingles whose *test-side* document frequency exceeds the cap from
+    BOTH sides (symmetric removal — sizes and intersections shrink
+    together, so the Jaccard ratio keeps its meaning; a one-sided drop
+    would bias the ratio low and let contaminated docs through).
+    Shingles are hashed to int64 so the shuffle moves 8-byte keys.
+    Returns surviving training rows unchanged.
     """
     fp_tr = text.fingerprint(train, id_col, text_col)
     fp_te = (text.fingerprint(test, id_col, text_col)
@@ -164,10 +167,12 @@ def decontaminate(train: DataFrame, test: DataFrame,
     sh_tr = dedup.word_shingles(train, id_col, text_col, n, hashed=True)
     sh_te = dedup.word_shingles(test, id_col, text_col, n, hashed=True)
     if max_shingle_freq is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("shingle")
-        sh_te = (sh_te.withColumn("df", F.count(F.lit(1)).over(w))
-                 .where(F.col("df") <= max_shingle_freq).drop("df"))
+        hot = (sh_te.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_shingle_freq)
+               .select("shingle"))
+        sh_te = sh_te.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_tr = sh_tr.join(F.broadcast(hot), "shingle", "left_anti")
     sz_tr = sh_tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_a"))
     sz_te = sh_te.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_b"))
     a = sh_tr.select(F.col(id_col).alias("train_id"), "shingle")

@@ -75,8 +75,17 @@ class ContinuousRollup:
         try:
             spark.read.parquet(self.path).schema
             return True
-        except Exception:  # noqa: BLE001 - first build
-            return False
+        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
+            # only a genuinely absent/empty sink means "first build";
+            # any other read failure (e.g. a corrupt footer from a
+            # killed writer) must surface, NOT silently reroute refresh
+            # into a full overwrite that erases history
+            text = f"{type(exc).__name__}: {exc}"
+            if ("PATH_NOT_FOUND" in text or "Path does not exist" in text
+                    or "UNABLE_TO_INFER_SCHEMA" in text
+                    or "Unable to infer schema" in text):
+                return False
+            raise
 
     def read(self, spark) -> DataFrame:
         # partitioned parquet reads append the partition column last;
@@ -99,12 +108,23 @@ class ContinuousRollup:
 
     # -- the refresh -------------------------------------------------------
     def refresh(self, events: DataFrame) -> DataFrame:
-        """Fold new events into the rollup; returns the refreshed frame.
+        """Refresh the rollup from the append-only event source;
+        returns the refreshed frame.
+
+        CONTRACT: ``events`` must be the full event source (or at
+        minimum contain EVERY event of every bucket in the recompute
+        window) — recomputed buckets are rebuilt from this frame alone
+        and dynamically overwritten, so passing only the new tail would
+        replace the open bucket's aggregate with a partial one. The
+        source is only ever *scanned* from the recompute floor (the
+        Column predicate prunes partitions/row groups), so passing the
+        full table costs the tail, not the history.
 
         Recompute window: all buckets >= (sink max bucket − lateness
-        buckets); those partitions are rebuilt from the matching event
-        slice and dynamically overwritten. Everything older is immutable
-        and untouched.
+        buckets). Everything older is immutable and untouched. Bucket
+        arithmetic assumes fixed-width buckets (epoch-aligned, as the
+        session pins UTC — with a DST-shifting session timezone,
+        calendar-width buckets like '1 day' would misalign).
         """
         spark = self._spark(events)
         if not self._exists(spark):

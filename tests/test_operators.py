@@ -379,3 +379,24 @@ def test_decontaminate_drops_exact_and_near(spark):
                    curation.decontaminate(train, test,
                                           threshold=0.99).collect())
     assert kept2 == [4, 6]
+
+
+def test_decontaminate_cap_is_symmetric(spark):
+    """Hot-shingle truncation must shrink sizes and intersections
+    together: an exact near-dup whose shared shingles are partly hot
+    still scores jaccard 1.0 on the surviving shingles."""
+    from pydin_spark.operators import curation
+    unique = " ".join(f"u{i}" for i in range(12))
+    hot = " ".join(f"h{i}" for i in range(12))
+    fillers = [(100 + i, f"pad{i}a pad{i}b {hot}") for i in range(150)]
+    test = spark.createDataFrame(
+        fillers + [(1, f"{unique} {hot}")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(2, f"{unique} {hot}"),                      # same doc as test 1
+         (4, "totally different text about other things entirely here")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  curation.decontaminate(train, test, threshold=0.9,
+                                         max_shingle_freq=100).collect())
+    assert kept == [4]
