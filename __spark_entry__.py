@@ -1202,6 +1202,24 @@ _PII_SUFFIX_FMT = ("contact u%d@example.com or call +1 555 010 99%02d "
                    "from 10.0.%d.%d")
 
 
+def _q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality report: quality_score composed with a
+    groupBy over the documents' source column — the 'which crawls are
+    worth keeping' aggregation (decimal-exact mean)."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    docs = spark.table("documents")
+    q = text.quality_score(docs).join(docs.select("doc_id", "source"),
+                                      "doc_id")
+    return (q.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum(F.col("quality").cast("decimal(25,10)"))
+                  .cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+                 (F.sum(F.col("diversity").cast("decimal(25,10)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("avg_diversity")))
+
+
 def _q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-rollup aggregate shape (operators/rollup.py): one row
     per (hour bucket, event_type) with count + exact-decimal value sum.
@@ -1349,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_frames"] = _q_multimodal_frames
     out["q_sliding_window"] = _q_sliding_window
     out["rollup_hourly"] = _q_rollup_hourly
+    out["text_quality_by_source"] = _q_quality_by_source
     out["curation_vocab_topk"] = _q_vocab_topk
     out["curation_decontaminate"] = _q_decontaminate
     out["text_repetition"] = _docs(text.repetition_stats)
@@ -1407,6 +1426,25 @@ def oracle_sql() -> dict[str, str]:
                bucket_start + INTERVAL '1 hour' AS bucket_end,
                event_type, COUNT(*) AS n_events
         FROM shift GROUP BY 1, 2, 3
+    """
+    # per-source quality report: same quality formula as text_quality,
+    # averaged with decimal-exact sums
+    out["text_quality_by_source"] = f"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                   FROM documents),
+        q AS (SELECT doc_id, source,
+                     CAST(0.4 AS DOUBLE) * least(len(toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                     + CAST(0.4 AS DOUBLE) * (len(list_distinct(toks)) / len(toks))
+                     + CAST(0.2 AS DOUBLE) * (len(list_filter(toks, x -> x IN {_STOP})) / len(toks))
+                         AS quality,
+                     len(list_distinct(toks)) / len(toks) AS diversity
+              FROM t)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(quality AS DECIMAL(25,10))) AS DOUBLE)
+                   / COUNT(*) AS avg_quality,
+               CAST(SUM(CAST(diversity AS DECIMAL(25,10))) AS DOUBLE)
+                   / COUNT(*) AS avg_diversity
+        FROM q GROUP BY source
     """
     # rollup aggregate: epoch-aligned hourly buckets, decimal-exact sum
     out["rollup_hourly"] = """
