@@ -19,9 +19,8 @@ def _canon(df):
 def test_incremental_refresh_equals_full_recompute(spark, events,
                                                    tmp_path_factory):
     path = str(tmp_path_factory.mktemp("rollup") / "hourly")
-    cut = events.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5) AS c") \
-        .first()["c"]
-    first_half = events.where(F.col("ts").cast("double") <= cut)
+    cut = events.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
+    first_half = events.where(F.col("event_id") <= cut)
 
     r = ContinuousRollup(path, bucket="1 hour")
     r.refresh(first_half)           # initial build from the first half
