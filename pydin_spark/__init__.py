@@ -63,13 +63,16 @@ def _stage_converted(spark, source_path: str, df):
 def load_table(spark, sf_dir: str, name: str):
     """Read one fixture parquet table, normalizing timestamp encodings.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos and convert (exact:
-    generated values have microsecond precision), then stage the µs copy
-    once so later scans get predicate pushdown on ``ts``.
-    ``timestamp_micros`` renders the instant at the session timezone; the
-    engine (and this container) run UTC, which matches DuckDB's naive
-    rendering — a non-UTC session would shift events wall-clock values.
+    Two generator encodings need normalization to plain TIMESTAMP:
+    parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized reader;
+    read as raw nanos and convert — exact, the generated values have
+    microsecond precision) and TIMESTAMP_NTZ (valid for batch but
+    rejected by Structured Streaming event-time watermarks). The engine
+    (and this container) run UTC, so the TIMESTAMP rendering matches
+    DuckDB's naive rendering instant-for-instant; a non-UTC session
+    would shift wall-clock values. Converted tables are staged once
+    (fingerprint-cached) so later scans keep predicate pushdown on the
+    stored timestamp column instead of filtering a computed expression.
     """
     from pyspark.sql import functions as F
 
@@ -81,12 +84,19 @@ def load_table(spark, sf_dir: str, name: str):
         df = spark.read.parquet(path)
     finally:
         spark.conf.set(key, previous)
+    converted = False
     for field_name, dtype in df.dtypes:
         if field_name == "ts" and dtype == "bigint":
             # integer div: double division of an ~1.7e18 ns epoch loses the
             # low microsecond bit (52-bit mantissa)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            df = _stage_converted(spark, path, df)
+            converted = True
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(field_name,
+                               F.col(field_name).cast("timestamp"))
+            converted = True
+    if converted:
+        df = _stage_converted(spark, path, df)
     return df
 
 
