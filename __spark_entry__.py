@@ -1396,6 +1396,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_sample"] = _cur_sample
     out["curation_pack_bins"] = _cur_pack
     out["curation_survivors"] = _cur_corpus
+
+    def _dedup_clusters(spark, sf_dir):
+        _views(spark, sf_dir)
+        return dedup.dup_clusters(spark.table("documents"), threshold=0.2,
+                                  max_shingle_freq=100)
+
+    def _text_tfidf(spark, sf_dir):
+        _views(spark, sf_dir)
+        from pyspark.sql import functions as F
+        out = text.tfidf_top_terms(spark.table("documents"), k=5)
+        return out.select(
+            "doc_id", "term", "tf", "df", "rnk",
+            F.format_string("%.6f", F.col("tfidf")).alias("tfidf_6"))
+
+    def _cur_split(spark, sf_dir):
+        _views(spark, sf_dir)
+        return curation.hash_split(spark.table("documents")) \
+            .select("doc_id", "split")
+
+    out["dedup_clusters"] = _dedup_clusters
+    out["text_tfidf"] = _text_tfidf
+    out["curation_split"] = _cur_split
     return out
 
 
@@ -1687,5 +1709,78 @@ def oracle_sql() -> dict[str, str]:
                          >= CAST(0.5 AS DOUBLE))
         SELECT doc_id, text, quality FROM kept
         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+    # transitive near-dup clusters: the same exact-Jaccard pair CTE,
+    # closed under transitivity with a recursive reachability CTE (min
+    # reachable id == the component label the Spark star-contraction
+    # loop converges to)
+    out["dedup_clusters"] = """
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM shared
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE shared / (sa.sz + sb.sz - shared)
+                        >= CAST(0.2 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component
+                 FROM reach GROUP BY id)
+        SELECT doc_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp
+    """
+    # TF-IDF top terms: smoothed idf, ties by term; score serialized
+    # %.6f (same convention as the embedding queries)
+    out["text_tfidf"] = """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+               WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                          tf.tf * (ln((n.n_docs + CAST(1.0 AS DOUBLE))
+                                      / (dfreq.df + CAST(1.0 AS DOUBLE)))
+                                   + CAST(1.0 AS DOUBLE)) AS tfidf
+                   FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n)
+        SELECT doc_id, term, tf, df, rnk, format('{:.6f}', tfidf) AS tfidf_6
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rnk
+              FROM scored) t
+        WHERE rnk <= 5
+    """
+    # deterministic hash split: same md5 60-bit unit uniform as
+    # curation_sample, cumulative weight intervals 0.9/0.05/0.05
+    out["curation_split"] = f"""
+        WITH h AS (SELECT doc_id,
+                          md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+                   FROM documents),
+        u AS (SELECT doc_id,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h)
+        SELECT doc_id,
+               CASE WHEN u < CAST(0.9 AS DOUBLE) THEN 'train'
+                    -- Python accumulates 0.9 + 0.05 in doubles
+                    -- (= 0.9500000000000001); reproduce that sum
+                    WHEN u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
     """
     return out

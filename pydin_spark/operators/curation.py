@@ -214,3 +214,33 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
         kept, id_col, text_col, threshold=dedup_threshold,
         max_shingle_freq=max_shingle_freq, method="exact")
     return survivors.select(id_col, text_col, "quality")
+
+
+def hash_split(df: DataFrame, weights: dict[str, float] | None = None,
+               id_col: str = "doc_id", seed: int = 42,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Each row gets a ``split_col`` label chosen by where its md5-derived
+    unit uniform (same engine-portable hash as
+    :func:`sample_stratified`) falls in the cumulative weight intervals.
+    Properties that matter for a training corpus: the split is a pure
+    per-row projection (no shuffle, no state, streams at any scale),
+    stable across runs and engines, and *append-consistent* — new
+    documents never move existing ones between splits, so a growing
+    corpus keeps its eval set frozen.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

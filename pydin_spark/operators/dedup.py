@@ -257,6 +257,90 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", id_col: str = "doc_id",
+                         component_col: str = "component",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected pair list: every node that
+    appears in ``pairs`` is labeled with the minimum id reachable from it
+    (the canonical cluster representative).
+
+    This is the missing transitive step between *pair generation*
+    (ngram/minhash/simhash/cosine) and *cluster-level* dedup decisions:
+    the greedy pair policy in :func:`drop_near_dups` can keep two
+    survivors from one chain-shaped component (pairs (1,3),(2,3) keep
+    both 1 and 2), while components give exactly one representative.
+
+    Scale shape — min-label star contraction (the MapReduce-era
+    alternating algorithm, e.g. Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each round every node adopts
+    ``min(self, neighbors)`` (one groupBy on the symmetric edge list),
+    edges are rewritten through the labels and intra-component edges
+    dropped, so the graph *contracts* geometrically — path distances
+    roughly halve per round, giving O(log diameter) rounds instead of
+    the O(diameter) of naive label propagation. Near-dup graphs are
+    unions of near-cliques, so 2-3 rounds is typical. Lineage is
+    truncated with ``localCheckpoint`` so the plan stays constant-size
+    (the standard guard for iterative DataFrame algorithms — without it
+    round k replays rounds 1..k-1). Convergence is an explicit
+    empty-edge check, one tiny action per round. Each round costs two
+    hash joins plus a distinct, all on the shrinking contracted graph.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+             .where(F.col("a") != F.col("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    mapping = (edges.select(F.col("a").alias(id_col)).distinct()
+               .select(F.col(id_col), F.col(id_col).alias(component_col)))
+    for _ in range(max_iter):
+        if edges.isEmpty():
+            break
+        lab = (edges.groupBy("a").agg(F.min("b").alias("m"))
+               .select(F.col("a").alias("node"),
+                       F.least(F.col("a"), F.col("m")).alias("lab")))
+        la = lab.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+        lb = lab.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
+        contracted = (edges.join(la, "a").join(lb, "b")
+                      .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+                      .where(F.col("a") != F.col("b")))
+        edges = (contracted
+                 .union(contracted.select(F.col("b").alias("a"),
+                                          F.col("a").alias("b")))
+                 .distinct().localCheckpoint(eager=True))
+        relabel = lab.select(F.col("node").alias(component_col),
+                             F.col("lab"))
+        mapping = (mapping.join(relabel, component_col, "left")
+                   .select(F.col(id_col),
+                           F.coalesce("lab", component_col)
+                           .alias(component_col))
+                   .localCheckpoint(eager=True))
+    return mapping
+
+
+def dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 threshold: float = 0.5,
+                 max_shingle_freq: int | None = 100,
+                 method: str = "exact") -> DataFrame:
+    """Transitive near-duplicate clusters: (id, component, cluster_size).
+
+    Pairs from the chosen method (see :func:`drop_near_dups`) are closed
+    under transitivity via :func:`connected_components`; the component
+    label is the minimum doc id of the cluster. Only clustered documents
+    appear (singletons are trivially their own cluster).
+    """
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n,
+                                  threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                    max_shingle_freq)
+    comp = connected_components(pairs, "id_a", "id_b", id_col)
+    from pyspark.sql import Window
+    w = Window.partitionBy("component")
+    return comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 def _simhash_bits(hash_fn: str) -> int:
     """Signature width per token-hash choice: xxhash64 gives 64 bits;
     the cross-engine md5 variant uses the first 15 hex chars = 60 bits

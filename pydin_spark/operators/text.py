@@ -279,3 +279,43 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col),
                                                  r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    min_df: int = 1) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    tf(term, doc) = raw count in the doc; idf(term) = ln((N + 1) /
+    (df + 1)) + 1 (the smoothed form — never zero, never divides by
+    zero); score = tf · idf. Ties break by term ascending so the result
+    is total-ordered and reproducible across engines.
+
+    Scale shape: one token explode, a (doc, term) count aggregate, a
+    document-frequency aggregate over the distinct (doc, term) set (no
+    second scan of the raw corpus), one broadcast-sized join on the term
+    dictionary, and a per-document top-k window. All built-ins, no
+    Python; the only wide exchanges key on (doc, term) and term — both
+    well-distributed in natural text once ``min_df``/stop terms are
+    handled by the idf weighting itself.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("term")).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .where(F.col("df") >= min_df))
+    scored = (tf.join(dfreq, "term")
+              .withColumn(
+                  "tfidf",
+                  F.col("tf")
+                  * (F.log((F.lit(float(n_docs)) + 1.0)
+                           / (F.col("df") + 1.0)) + 1.0)))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("tfidf").desc(), F.col("term").asc()))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select(id_col, "term", "tf", "df", "tfidf", "rnk"))

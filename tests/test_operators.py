@@ -400,3 +400,81 @@ def test_decontaminate_cap_is_symmetric(spark):
                   curation.decontaminate(train, test, threshold=0.9,
                                          max_shingle_freq=100).collect())
     assert kept == [4]
+
+
+def test_connected_components_shapes(spark):
+    """Chain, star, two components, isolated pair — the label must be the
+    component minimum for every member, closed under transitivity."""
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3),            # chain-through-3: {1,2,3}
+         (10, 11), (10, 12), (10, 13),   # star: {10,11,12,13}
+         (20, 21),                  # isolated pair
+         (30, 31), (31, 32), (32, 33), (33, 34)],  # long path
+        "id_a long, id_b long")
+    out = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20,
+                   30: 30, 31: 30, 32: 30, 33: 30, 34: 30}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_dup_clusters_transitive_vs_greedy(spark):
+    """A chain component (1,3),(2,3) where greedy pair-dedup keeps two
+    survivors but the transitive cluster has exactly one representative."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma delta epsilon zeta eta"),
+        (4, "totally different text about something else entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = dedup.dup_clusters(docs, threshold=0.3,
+                                  max_shingle_freq=None).collect()
+    comp = {r["doc_id"]: r["component"] for r in clusters}
+    size = {r["doc_id"]: r["cluster_size"] for r in clusters}
+    assert 4 not in comp                       # singleton never appears
+    assert set(comp.values()) == {1}           # one transitive cluster
+    assert all(size[d] == len(comp) for d in comp)
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple shared"),
+         (2, "banana banana shared shared"),
+         (3, "cherry shared")],
+        "doc_id long, text string")
+    out = text.tfidf_top_terms(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rnk"] == 1}
+    # each doc's most characteristic term is its unique word, never the
+    # corpus-wide 'shared'
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    by_doc = {(r["doc_id"], r["term"]): r for r in out}
+    assert by_doc[(1, "apple")]["tf"] == 3
+    assert by_doc[(1, "apple")]["df"] == 1
+
+
+def test_hash_split_deterministic_partition(spark):
+    from pydin_spark.operators import curation
+    docs = spark.createDataFrame([(i,) for i in range(1000)],
+                                 "doc_id long")
+    a = curation.hash_split(docs).collect()
+    b = curation.hash_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {}
+    for r in a:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 800          # ~90%
+    # append-consistency: adding docs never moves existing assignments
+    more = spark.createDataFrame([(i,) for i in range(2000)],
+                                 "doc_id long")
+    bigger = {r["doc_id"]: r["split"]
+              for r in curation.hash_split(more).collect()}
+    for r in a:
+        assert bigger[r["doc_id"]] == r["split"]
