@@ -1418,6 +1418,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters"] = _dedup_clusters
     out["text_tfidf"] = _text_tfidf
     out["curation_split"] = _cur_split
+
+    def _cur_mixture(spark, sf_dir):
+        _views(spark, sf_dir)
+        return curation.mixture_sample(
+            spark.table("documents"),
+            {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            strata_col="source").select("doc_id", "source")
+
+    def _text_oov(spark, sf_dir):
+        _views(spark, sf_dir)
+        return curation.oov_rate(spark.table("documents"), vocab_size=100)
+
+    out["curation_mixture"] = _cur_mixture
+    out["text_oov"] = _text_oov
     return out
 
 
@@ -1782,5 +1796,54 @@ def oracle_sql() -> dict[str, str]:
                          THEN 'val'
                     ELSE 'test' END AS split
         FROM u
+    """
+    # mixture resampling: T = min_s(c_s / w_s), rate_s = (T·w_s)/c_s,
+    # identical double-op order to the Python driver computation
+    share_case = """CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+                         WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                         WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                         ELSE CAST(0.1 AS DOUBLE) END"""
+    out["curation_mixture"] = f"""
+        WITH d AS (SELECT doc_id, source FROM documents
+                   WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+        t AS (SELECT MIN(n / {share_case}) * CAST(1.0 AS DOUBLE) AS total
+              FROM c),
+        r AS (SELECT c.source, t.total * {share_case} / c.n AS rate
+              FROM c CROSS JOIN t),
+        h AS (SELECT doc_id, source,
+                     md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+              FROM d),
+        u AS (SELECT doc_id, source,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h)
+        SELECT u.doc_id, u.source FROM u
+        JOIN r ON r.source = u.source
+        WHERE u.u < r.rate
+    """
+    # OOV rate vs the corpus top-100 vocabulary (deterministic ties)
+    out["text_oov"] = """
+        WITH tok_all AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+        c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok_all
+              GROUP BY token),
+        vocab AS (SELECT token
+                  FROM (SELECT token,
+                               ROW_NUMBER() OVER (ORDER BY n_occurrences
+                                                  DESC, token) AS rank
+                        FROM c) t
+                  WHERE rank <= 100),
+        tok AS (SELECT doc_id, token FROM tok_all WHERE token <> ''),
+        tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok
+                GROUP BY doc_id),
+        known AS (SELECT doc_id, COUNT(*) AS n_known FROM tok
+                  WHERE token IN (SELECT token FROM vocab)
+                  GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_tokens,
+               tot.n_tokens - COALESCE(known.n_known, 0) AS n_oov,
+               (tot.n_tokens - COALESCE(known.n_known, 0)) / tot.n_tokens
+                   AS oov_rate
+        FROM tot LEFT JOIN known ON known.doc_id = tot.doc_id
     """
     return out

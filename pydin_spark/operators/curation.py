@@ -244,3 +244,69 @@ def hash_split(df: DataFrame, weights: dict[str, float] | None = None,
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mixture_sample(df: DataFrame, target_shares: dict[str, float],
+                   strata_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 42, scale: float = 1.0) -> DataFrame:
+    """Resample a corpus to a target mixture of strata (the data-mixing
+    stage of LLM training: hit prescribed per-source/per-language
+    shares without replacement).
+
+    Given observed stratum counts c_s and target shares w_s, the
+    largest achievable total is T = min_s(c_s / w_s) (the binding
+    stratum keeps everything; the rest downsample). Each stratum keeps
+    rate_s = T·w_s / c_s of its rows via the deterministic md5 unit
+    uniform — expected output mixture == target, no shuffle, stable
+    under reruns. ``scale`` < 1 shrinks the total below the feasible
+    maximum. Strata absent from ``target_shares`` are dropped.
+
+    Scale shape: one K-row aggregate to the driver (K = number of
+    strata — bounded, not data-sized), then a pure filter; the
+    decision depends only on (id, stratum, seed).
+    """
+    shares = {s: float(w) for s, w in target_shares.items() if w > 0}
+    counts = {r[strata_col]: r["n"]
+              for r in (df.where(F.col(strata_col).isin(list(shares)))
+                        .groupBy(strata_col)
+                        .agg(F.count(F.lit(1)).alias("n")).collect())}
+    if not counts:
+        return df.where(F.lit(False))
+    total = min(counts[s] / shares[s] for s in counts) * float(scale)
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    rate = F.lit(None).cast("double")
+    for s in counts:
+        rate = F.when(F.col(strata_col) == s,
+                      F.lit(total * shares[s] / counts[s])).otherwise(rate)
+    return df.where(u < rate)
+
+
+def oov_rate(df: DataFrame, vocab_size: int = 1000,
+             id_col: str = "doc_id", text_col: str = "text",
+             vocab: DataFrame | None = None) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-k
+    vocabulary (or a supplied ``vocab`` frame with a ``token`` column)
+    — a cheap fluency/noise signal for corpus filtering.
+
+    The vocabulary is the ``vocab_size`` most frequent tokens (ties by
+    token ascending — deterministic across engines); it is
+    broadcast-sized by construction, so the membership check is a
+    broadcast left-semi join, never a shuffle of the corpus. Output:
+    (id, n_tokens, n_oov, oov_rate).
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("token")).where(F.col("token") != "")
+    if vocab is None:
+        vocab = vocab_counts(df, id_col, text_col, k=vocab_size) \
+            .select("token")
+    from pyspark.sql.functions import broadcast
+    in_vocab = (toks.join(broadcast(vocab), "token", "left_semi")
+                .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_known")))
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (totals.join(in_vocab, id_col, "left")
+            .select(F.col(id_col), F.col("n_tokens"),
+                    (F.col("n_tokens") - F.coalesce("n_known", F.lit(0)))
+                    .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.col("n_oov") / F.col("n_tokens")))

@@ -478,3 +478,32 @@ def test_hash_split_deterministic_partition(spark):
               for r in curation.hash_split(more).collect()}
     for r in a:
         assert bigger[r["doc_id"]] == r["split"]
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from pydin_spark.operators import curation
+    rows = [(i, "s%d" % (i % 2)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # equal counts, 3:1 target — binding stratum s0 keeps all 1000,
+    # s1 keeps ~333
+    out = curation.mixture_sample(df, {"s0": 0.75, "s1": 0.25})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["s0"] == 1000                  # binding stratum: all
+    assert abs(counts["s1"] - 333) < 60          # hash-rate ~1/3
+    # strata without a share are dropped entirely
+    df2 = df.union(spark.createDataFrame([(9999, "other")],
+                                         "doc_id long, source string"))
+    out2 = curation.mixture_sample(df2, {"s0": 0.75, "s1": 0.25})
+    assert out2.where("source = 'other'").count() == 0
+
+
+def test_oov_rate_against_explicit_vocab(spark):
+    from pydin_spark.operators import curation
+    docs = spark.createDataFrame(
+        [(1, "a a b zz"), (2, "a b"), (3, "zz qq")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"])
+           for r in curation.oov_rate(docs, vocab=vocab).collect()}
+    assert out == {1: (4, 1), 2: (2, 0), 3: (2, 2)}
