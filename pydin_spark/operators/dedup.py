@@ -271,50 +271,53 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     survivors from one chain-shaped component (pairs (1,3),(2,3) keep
     both 1 and 2), while components give exactly one representative.
 
-    Scale shape — min-label star contraction (the MapReduce-era
-    alternating algorithm, e.g. Kiveris et al., "Connected Components in
-    MapReduce and Beyond"): each round every node adopts
-    ``min(self, neighbors)`` (one groupBy on the symmetric edge list),
-    edges are rewritten through the labels and intra-component edges
-    dropped, so the graph *contracts* geometrically — path distances
-    roughly halve per round, giving O(log diameter) rounds instead of
-    the O(diameter) of naive label propagation. Near-dup graphs are
-    unions of near-cliques, so 2-3 rounds is typical. Lineage is
-    truncated with ``localCheckpoint`` so the plan stays constant-size
-    (the standard guard for iterative DataFrame algorithms — without it
-    round k replays rounds 1..k-1). Convergence is an explicit
-    empty-edge check, one tiny action per round. Each round costs two
-    hash joins plus a distinct, all on the shrinking contracted graph.
+    Scale shape — min-label propagation accelerated with pointer
+    jumping (the PRAM-era trick behind every O(log n) MapReduce/BSP
+    connected-components variant): each round every node first adopts
+    ``min(self, neighbor labels)`` (one join on the static symmetric
+    edge list + one groupBy), then labels are chased one level through
+    the label table itself (``label := label(label)``), so label
+    distances compound geometrically — O(log diameter) rounds where
+    naive propagation needs O(diameter). A 10⁵-node path converges in
+    ~17 rounds; near-dup graphs are unions of near-cliques and finish
+    in 2-3. Lineage is truncated per round with ``localCheckpoint``
+    (the standard guard for iterative DataFrame algorithms — without
+    it round k replays rounds 1..k-1); the edge list is checkpointed
+    once and reused. Convergence is an any-label-changed check, one
+    small action per round.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
              .where(F.col("a") != F.col("b"))
     edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
              .distinct().localCheckpoint(eager=True))
-    mapping = (edges.select(F.col("a").alias(id_col)).distinct()
-               .select(F.col(id_col), F.col(id_col).alias(component_col)))
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("lab"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        if edges.isEmpty():
+        # one-hop: min label over the neighborhood
+        nbr = (edges.join(labels.select(F.col("node").alias("b"),
+                                        F.col("lab").alias("nlab")), "b")
+               .groupBy("a").agg(F.min("nlab").alias("m"))
+               .select(F.col("a").alias("node"), "m"))
+        hop = (labels.join(nbr, "node", "left")
+               .select("node",
+                       F.least("lab", F.coalesce("m", "lab")).alias("lab")))
+        # pointer jump: follow the label's own label one level
+        thru = hop.select(F.col("node").alias("lab"),
+                          F.col("lab").alias("lab2"))
+        new_labels = (hop.join(thru, "lab", "left")
+                      .select("node",
+                              F.coalesce("lab2", "lab").alias("lab"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.lab") != F.col("o.lab"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
             break
-        lab = (edges.groupBy("a").agg(F.min("b").alias("m"))
-               .select(F.col("a").alias("node"),
-                       F.least(F.col("a"), F.col("m")).alias("lab")))
-        la = lab.select(F.col("node").alias("a"), F.col("lab").alias("la"))
-        lb = lab.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
-        contracted = (edges.join(la, "a").join(lb, "b")
-                      .select(F.col("la").alias("a"), F.col("lb").alias("b"))
-                      .where(F.col("a") != F.col("b")))
-        edges = (contracted
-                 .union(contracted.select(F.col("b").alias("a"),
-                                          F.col("a").alias("b")))
-                 .distinct().localCheckpoint(eager=True))
-        relabel = lab.select(F.col("node").alias(component_col),
-                             F.col("lab"))
-        mapping = (mapping.join(relabel, component_col, "left")
-                   .select(F.col(id_col),
-                           F.coalesce("lab", component_col)
-                           .alias(component_col))
-                   .localCheckpoint(eager=True))
-    return mapping
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lab").alias(component_col))
 
 
 def dup_clusters(df: DataFrame, id_col: str = "doc_id",
