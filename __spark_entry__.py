@@ -1432,6 +1432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_mixture"] = _cur_mixture
     out["text_oov"] = _text_oov
+
+    def _text_dup_spans(spark, sf_dir):
+        _views(spark, sf_dir)
+        return text.duplicate_spans(spark.table("documents"), k=20,
+                                    min_count=2)
+
+    out["text_dup_spans"] = _text_dup_spans
     return out
 
 
@@ -1845,5 +1852,37 @@ def oracle_sql() -> dict[str, str]:
                (tot.n_tokens - COALESCE(known.n_known, 0)) / tot.n_tokens
                    AS oov_rate
         FROM tot LEFT JOIN known ON known.doc_id = tot.doc_id
+    """
+    # duplicate-substring spans: k-gram inventory grouped by the raw
+    # gram string (the Spark side groups by xxhash64 of the same string
+    # — identical result up to ~2^-64 collisions), then the same
+    # gaps-and-islands merge
+    out["text_dup_spans"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 20),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(t[i:i+19], ' ') AS gram
+              FROM b, unnest(range(1, len(t) - 18)) AS u(i)),
+        hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        p AS (SELECT doc_id, pos, pos + 20 AS e FROM g
+              WHERE gram IN (SELECT gram FROM hot)),
+        m AS (SELECT doc_id, pos, e,
+                     MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+              FROM p),
+        i AS (SELECT doc_id, pos, e,
+                     CASE WHEN prev_max IS NULL OR pos > prev_max
+                          THEN 1 ELSE 0 END AS ni
+              FROM m),
+        s AS (SELECT doc_id, pos, e,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+              FROM i)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+               COUNT(*) AS n_dup_grams
+        FROM s GROUP BY doc_id, island
     """
     return out

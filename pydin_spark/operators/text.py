@@ -319,3 +319,62 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select(id_col, "term", "tf", "df", "tfidf", "rnk"))
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 20,
+                    min_count: int = 2) -> DataFrame:
+    """Exact duplicate-substring spans: maximal runs of tokens covered by
+    a ``k``-token window that occurs at least ``min_count`` times
+    corpus-wide (including within-document repeats) — the
+    substring-level exact dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", re-expressed relationally
+    (k-gram inventory instead of a suffix array: same detected spans for
+    fixed k, and every stage is a Spark built-in).
+
+    Output: (id, span_start, span_end, n_dup_grams) with 1-based token
+    indices, ``span_end`` exclusive, overlapping windows merged
+    (gaps-and-islands). Downstream, the spans drive cut-or-drop
+    decisions just like the suffix-array pipeline's.
+
+    Scale shape: one explode of k-gram *hashes* (xxhash64 — the 8-byte
+    shuffle key; grouping by the hash equals grouping by the string up
+    to ~2⁻⁶⁴ collisions), a corpus-wide count on that key, one hash
+    join back (no broadcast assumption: hot-gram sets can be huge on
+    crawl data), then a per-document window merge — keyed by doc id,
+    skew-bounded by document length.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("t")) \
+             .where(F.size("t") >= k)
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - (k - 1))
+    grams = (base.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))
+                .alias("h")))).alias("g"))
+        .select(F.col(id_col), F.col("g.pos"), F.col("g.h")))
+    hot = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= min_count).select("h"))
+    pos = (grams.join(hot, "h")
+           .select(F.col(id_col), "pos",
+                   (F.col("pos") + k).alias("end")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (pos
+             .withColumn("prev_max", F.max("end").over(prev))
+             .withColumn("ni",
+                         F.when(F.col("prev_max").isNull()
+                                | (F.col("pos") > F.col("prev_max")),
+                                1).otherwise(0))
+             .withColumn("island", F.sum("ni").over(run)))
+    return (spans.groupBy(id_col, "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_dup_grams"))
+            .select(id_col, "span_start", "span_end", "n_dup_grams"))

@@ -507,3 +507,28 @@ def test_oov_rate_against_explicit_vocab(spark):
     out = {r["doc_id"]: (r["n_tokens"], r["n_oov"])
            for r in curation.oov_rate(docs, vocab=vocab).collect()}
     assert out == {1: (4, 1), 2: (2, 0), 3: (2, 2)}
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    # doc 1 and 2 share tokens 3..9 ('c d e f g h i'): three overlapping
+    # hot 5-grams at starts 3,4,5 must merge into one span [3, 10)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"),
+         (2, "x y c d e f g h i z w v"),
+         (3, "p q r s t u m n o p2 q2 r2")],
+        "doc_id long, text string")
+    out = {(r["doc_id"]): (r["span_start"], r["span_end"],
+                           r["n_dup_grams"])
+           for r in text.duplicate_spans(docs, k=5).collect()}
+    assert out == {1: (3, 10, 3), 2: (3, 10, 3)}
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    # a 4-gram repeated twice inside ONE document counts toward
+    # min_count (corpus-wide occurrences, not distinct docs)
+    docs = spark.createDataFrame(
+        [(1, "u v w x 1 2 3 u v w x 9 8 7")],
+        "doc_id long, text string")
+    spans = text.duplicate_spans(docs, k=4).collect()
+    assert {(r["span_start"], r["span_end"]) for r in spans} \
+        == {(1, 5), (8, 12)}
