@@ -225,14 +225,19 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
                    threshold: float = 0.5,
                    max_shingle_freq: int | None = 100,
                    method: str = "auto",
-                   auto_minhash_above: int = 100_000) -> DataFrame:
+                   auto_minhash_above: int = 100_000,
+                   transitive: bool = False) -> DataFrame:
     """Corpus scrub: keep one survivor per near-duplicate pair.
 
     Greedy keep-lowest-id policy: any document that appears as the
     higher id of a pair with jaccard >= threshold is dropped (the
-    standard single-pass policy for training-data dedup; transitive
-    clusters keep their minimum id because every member pairs with it
-    or with a lower survivor chain). One anti-join against the pair set.
+    standard single-pass policy for training-data dedup). On
+    chain-shaped components the greedy policy can keep more than one
+    member (pairs (1,3),(2,3) keep both 1 and 2); ``transitive=True``
+    instead closes the pair graph with
+    :func:`connected_components` and keeps exactly the minimum id of
+    every cluster — O(log diameter) extra rounds, strictly fewer
+    survivors. One anti-join against the loser set either way.
 
     ``method='exact'`` generates pairs from the full inverted index
     (exact recall, cost Σ freq² — fine for small corpora but the Σfreq²
@@ -253,7 +258,12 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
     else:
         pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
                                     max_shingle_freq)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(pairs, "id_a", "id_b", id_col)
+        losers = comp.where(F.col(id_col) != F.col("component")) \
+                     .select(id_col)
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

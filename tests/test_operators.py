@@ -532,3 +532,21 @@ def test_duplicate_spans_within_doc_repeat(spark):
     spans = text.duplicate_spans(docs, k=4).collect()
     assert {(r["span_start"], r["span_end"]) for r in spans} \
         == {(1, 5), (8, 12)}
+
+
+def test_drop_near_dups_transitive_fewer_survivors(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma delta epsilon zeta eta"),
+        (4, "totally different text about something else entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    greedy = {r["doc_id"] for r in dedup.drop_near_dups(
+        docs, threshold=0.3, max_shingle_freq=None,
+        method="exact").collect()}
+    trans = {r["doc_id"] for r in dedup.drop_near_dups(
+        docs, threshold=0.3, max_shingle_freq=None, method="exact",
+        transitive=True).collect()}
+    assert trans <= greedy
+    assert trans == {1, 4}         # one survivor per component + singleton

@@ -49,6 +49,13 @@ def test_operators_on_empty_corpus(spark):
     assert curation.sample_stratified(docs, 0.5).count() == 0
     assert curation.pack_sequences(docs, capacity=64).count() == 0
     assert similarity.cosine_dup_pairs(emb, 0.5).count() == 0
+    assert dedup.dup_clusters(docs).count() == 0
+    assert text.tfidf_top_terms(docs).count() == 0
+    assert text.duplicate_spans(docs).count() == 0
+    assert curation.hash_split(docs).count() == 0
+    assert curation.oov_rate(docs).count() == 0
+    assert curation.mixture_sample(docs, {"x": 1.0},
+                                   strata_col="lang").count() == 0
 
 
 def test_read_assets_binary_ingest(spark, tmp_path):
