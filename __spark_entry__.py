@@ -1439,6 +1439,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     min_count=2)
 
     out["text_dup_spans"] = _text_dup_spans
+
+    def _text_dedup_spans(spark, sf_dir):
+        _views(spark, sf_dir)
+        return text.remove_duplicate_spans(spark.table("documents"),
+                                           k=20, min_count=2)
+
+    out["text_dedup_spans"] = _text_dedup_spans
     return out
 
 
@@ -1884,5 +1891,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
                COUNT(*) AS n_dup_grams
         FROM s GROUP BY doc_id, island
+    """
+    # span-cut rewrite: keep the corpus-first occurrence of every hot
+    # k-gram ((doc,pos) total order), cut the rest, rebuild the text
+    out["text_dedup_spans"] = """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                   FROM documents),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string((SELECT t FROM t x
+                                      WHERE x.doc_id = g0.doc_id)[i:i+19],
+                                     ' ') AS gram
+              FROM t g0, unnest(range(1, len(t) - 18)) AS u(i)
+              WHERE len(t) >= 20),
+        r AS (SELECT doc_id, pos,
+                     ROW_NUMBER() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM g),
+        red AS (SELECT doc_id, pos, pos + 20 AS e FROM r WHERE rn > 1),
+        m AS (SELECT doc_id, pos, e,
+                     MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+              FROM red),
+        i AS (SELECT doc_id, pos, e,
+                     CASE WHEN prev_max IS NULL OR pos > prev_max
+                          THEN 1 ELSE 0 END AS ni
+              FROM m),
+        s AS (SELECT doc_id, pos, e,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+              FROM i),
+        isl AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+                FROM s GROUP BY doc_id, island),
+        cuts AS (SELECT doc_id, list({'s': s, 'e': e}) AS cuts
+                 FROM isl GROUP BY doc_id)
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) >= 20 THEN
+                    -- a fully-cut doc gives an empty token list; Spark's
+                    -- array_join renders '' where DuckDB gives NULL
+                    COALESCE(array_to_string(
+                        [t.t[i] FOR i IN range(1, len(t.t) + 1)
+                         IF len(list_filter(COALESCE(c.cuts, []),
+                                            x -> i >= x.s AND i < x.e)) = 0],
+                        ' '), '')
+                    ELSE t.text END AS text,
+               CAST(COALESCE(list_sum(list_transform(
+                        COALESCE(c.cuts, []), x -> x.e - x.s)), 0)
+                    AS BIGINT) AS n_tokens_cut
+        FROM t LEFT JOIN cuts c ON c.doc_id = t.doc_id
     """
     return out

@@ -378,3 +378,91 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                  F.max("end").alias("span_end"),
                  F.count(F.lit(1)).alias("n_dup_grams"))
             .select(id_col, "span_start", "span_end", "n_dup_grams"))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 20,
+                           min_count: int = 2) -> DataFrame:
+    """Cut duplicate substrings out of the corpus, keeping the globally
+    first occurrence of each duplicated ``k``-gram (the rewrite stage
+    downstream of :func:`duplicate_spans`).
+
+    A window occurrence is *redundant* when the same k-gram has an
+    earlier occurrence corpus-wide (ordered by (doc id, position) — a
+    total order, so exactly one occurrence per gram survives and the
+    result is deterministic). Redundant windows merge into cut spans
+    per document; tokens inside a cut span are dropped and the text is
+    rebuilt from the survivors. Output: (id, text, n_tokens_cut).
+
+    Scale shape: the same k-gram-hash inventory as
+    :func:`duplicate_spans` plus one min-occurrence window keyed by the
+    8-byte gram hash (skew-capped by gram frequency), a per-document
+    interval merge, and a JVM-side higher-order filter to rebuild the
+    text — the document row carries its own cut-span array, so the
+    rewrite is a map, not a join explosion.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("t"))
+    short = base.where(F.size("t") < k)
+    long_ = base.where(F.size("t") >= k)
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - (k - 1))
+    grams = (long_.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))
+                .alias("h")))).alias("g"))
+        .select(F.col(id_col), F.col("g.pos"), F.col("g.h")))
+    from pyspark.sql import Window
+    wg = Window.partitionBy("h")
+    # the gram's first occurrence corpus-wide, as a (doc, pos) pair
+    first = (grams
+             .withColumn("first_id", F.min(F.struct(F.col(id_col),
+                                                    F.col("pos"))).over(wg))
+             .withColumn("n_occ", F.count(F.lit(1)).over(wg)))
+    redundant = (first
+                 .where((F.col("n_occ") >= min_count)
+                        & ~((F.col(f"first_id.{id_col}") == F.col(id_col))
+                            & (F.col("first_id.pos") == F.col("pos"))))
+                 .select(F.col(id_col), "pos",
+                         (F.col("pos") + k).alias("end")))
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev = wd.rowsBetween(Window.unboundedPreceding, -1)
+    run = wd.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (redundant
+             .withColumn("prev_max", F.max("end").over(prev))
+             .withColumn("ni",
+                         F.when(F.col("prev_max").isNull()
+                                | (F.col("pos") > F.col("prev_max")),
+                                1).otherwise(0))
+             .withColumn("island", F.sum("ni").over(run))
+             .groupBy(id_col, "island")
+             .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("s", "e")).alias("cuts")))
+    rebuilt = (long_.join(spans, id_col, "left")
+               .withColumn("cuts", F.coalesce(
+                   "cuts", F.array().cast("array<struct<s:long,e:long>>")))
+               .select(
+                   F.col(id_col),
+                   F.array_join(
+                       F.filter(
+                           F.transform(
+                               F.sequence(F.lit(1), F.size("t")),
+                               lambda i: F.when(
+                                   ~F.exists(
+                                       F.col("cuts"),
+                                       lambda c: (i >= c["s"])
+                                       & (i < c["e"])),
+                                   F.element_at(F.col("t"), i))),
+                           lambda x: x.isNotNull()),
+                       " ").alias(text_col),
+                   F.aggregate(
+                       "cuts", F.lit(0).cast("long"),
+                       lambda acc, c: acc + (c["e"] - c["s"]))
+                   .alias("n_tokens_cut")))
+    return rebuilt.unionByName(
+        short.select(F.col(id_col), F.col(text_col),
+                     F.lit(0).cast("long").alias("n_tokens_cut")))

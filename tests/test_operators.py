@@ -550,3 +550,33 @@ def test_drop_near_dups_transitive_fewer_survivors(spark):
         transitive=True).collect()}
     assert trans <= greedy
     assert trans == {1, 4}         # one survivor per component + singleton
+
+
+def test_remove_duplicate_spans_keeps_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),
+         (2, "x y c d e f g z w v"),
+         (3, "c d e f g m n o p q")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_tokens_cut"])
+           for r in text.remove_duplicate_spans(docs, k=5).collect()}
+    # doc 1 owns the first (doc, pos) occurrence — untouched; later
+    # occurrences are cut wherever they sit in the doc
+    assert out[1] == ("a b c d e f g h i j", 0)
+    assert out[2] == ("x y z w v", 5)
+    assert out[3] == ("m n o p q", 5)
+    # a doc shorter than k passes through verbatim
+    short = spark.createDataFrame([(9, "tiny doc")],
+                                  "doc_id long, text string")
+    r = text.remove_duplicate_spans(short, k=5).first()
+    assert (r["text"], r["n_tokens_cut"]) == ("tiny doc", 0)
+
+
+def test_remove_duplicate_spans_total_cut(spark):
+    # two identical k-length docs: the second one is cut to nothing
+    docs = spark.createDataFrame(
+        [(1, "q w e r t"), (2, "q w e r t")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_tokens_cut"])
+           for r in text.remove_duplicate_spans(docs, k=5).collect()}
+    assert out == {1: ("q w e r t", 0), 2: ("", 5)}
