@@ -1446,6 +1446,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                            k=20, min_count=2)
 
     out["text_dedup_spans"] = _text_dedup_spans
+
+    def _dedup_incremental(spark, sf_dir):
+        # build state from the even docs, then check the odd batch
+        # against it — at threshold 0.9 the banding recall is FULL on
+        # the fixtures (same argument as dedup_minhash_lsh), so the
+        # result equals the exact cross-batch Jaccard the oracle runs
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        state_dir = tempfile.mkdtemp(prefix="pydin_incdedup_")
+        try:
+            d = dedup.IncrementalDeduper(state_dir + "/state",
+                                         threshold=0.9)
+            d.ingest(docs.where("doc_id % 2 = 0"))
+            out = d.check(docs.where("doc_id % 2 = 1"))
+            out = out.localCheckpoint(eager=True)  # outlive the rmtree
+        finally:
+            shutil.rmtree(state_dir, ignore_errors=True)
+        return out
+
+    out["dedup_incremental"] = _dedup_incremental
     return out
 
 
@@ -1940,5 +1962,40 @@ def oracle_sql() -> dict[str, str]:
                         COALESCE(c.cuts, []), x -> x.e - x.s)), 0)
                     AS BIGINT) AS n_tokens_cut
         FROM t LEFT JOIN cuts c ON c.doc_id = t.doc_id
+    """
+    # incremental dedup: state = even docs after within-batch 0.9 dedup
+    # (min-id policy); result = exact cross-batch Jaccard >= 0.9 of the
+    # odd batch vs that state — banding recall is FULL at 0.9 on the
+    # fixtures (same operating-point argument as dedup_minhash_lsh)
+    out["dedup_incremental"] = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        ee AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS shared
+               FROM sh a JOIN sh b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+               GROUP BY a.doc_id, b.doc_id),
+        even_losers AS (SELECT DISTINCT id_b FROM ee
+                        JOIN sizes sa ON sa.doc_id = id_a
+                        JOIN sizes sb ON sb.doc_id = id_b
+                        WHERE shared / (sa.sz + sb.sz - shared)
+                              >= CAST(0.9 AS DOUBLE)),
+        oe AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+                      COUNT(*) AS shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle
+               WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                 AND b.doc_id NOT IN (SELECT id_b FROM even_losers)
+               GROUP BY a.doc_id, b.doc_id)
+        SELECT id_new, id_old,
+               shared / (sn.sz + so.sz - shared) AS jaccard
+        FROM oe
+        JOIN sizes sn ON sn.doc_id = id_new
+        JOIN sizes so ON so.doc_id = id_old
+        WHERE shared / (sn.sz + so.sz - shared) >= CAST(0.9 AS DOUBLE)
     """
     return out

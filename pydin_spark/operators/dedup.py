@@ -149,6 +149,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int,
+                  bands: int) -> DataFrame:
+    """(id, band, bh) bucket rows from a signature frame: each band's
+    rows hashed to one 8-byte bucket key."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at(F.col("sig"),
+                                           b * rows_per_band + r + 1)
+                              for r in range(rows_per_band)]).alias("bh"))
+        for b in range(bands)
+    ]
+    return (sig.select(F.col(id_col),
+                       F.explode(F.array(*band_cols)).alias("bk"))
+            .select(F.col(id_col), F.col("bk.band"), F.col("bk.bh")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
@@ -162,21 +179,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     candidates with exact n-gram Jaccard and filters at ``threshold``.
     Output: (id_a, id_b[, jaccard]).
     """
-    rows_per_band = num_hashes // bands
     shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              shingles=shingles)
-    band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.element_at(F.col("sig"),
-                                           b * rows_per_band + r + 1)
-                              for r in range(rows_per_band)]).alias("bh"))
-        for b in range(bands)
-    ]
-    buckets = (sig.select(F.col(id_col),
-                          F.explode(F.array(*band_cols)).alias("bk"))
-               .select(F.col(id_col), F.col("bk.band"), F.col("bk.bh"))
-               .persist())  # both sides of the bucket self-join reuse this
+    buckets = _band_buckets(sig, id_col, num_hashes, bands) \
+        .persist()  # both sides of the bucket self-join reuse this
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     candidates = (left.join(right, ["band", "bh"])
@@ -434,3 +441,112 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+class IncrementalDeduper:
+    """Near-duplicate checking of new batches against a *persisted*
+    corpus state — dedup for a growing corpus without recomputing
+    anything over the docs already ingested (the engine's incremental
+    watermark philosophy applied to dedup; cf. the reference's
+    last-value loads, ``/root/reference/pydin/models.py`` watermark
+    fields, re-expressed for similarity state).
+
+    State (parquet under ``path``):
+
+    - ``buckets/``  — (id, band, bh) minhash-LSH band buckets,
+    - ``shingles/`` — (id, shingle) hashed shingle postings.
+
+    ``check(new)`` finds near-dup pairs between a new batch and the
+    state: candidates from a bucket equi-join (new buckets × state
+    buckets — never a cross product, and the state side is read
+    filtered to the touched (band, bh) keys at 100 TB via partition/
+    row-group pruning), then **exact** n-gram Jaccard verification via
+    the stored shingle postings of just the candidate ids. ``ingest``
+    appends the survivors' state and returns them; batches also dedup
+    against themselves before entering the state.
+
+    The state grows linearly in surviving docs; per-batch cost depends
+    on the batch size and bucket hit rate only — ingesting batch k
+    never rescans batches 1..k-1's text.
+    """
+
+    def __init__(self, path: str, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 num_hashes: int = 32, bands: int = 8,
+                 threshold: float = 0.5):
+        self.path = str(path).rstrip("/")
+        self.id_col, self.text_col, self.n = id_col, text_col, n
+        self.num_hashes, self.bands = num_hashes, bands
+        self.threshold = threshold
+
+    def _bucket_path(self):
+        return f"{self.path}/buckets"
+
+    def _shingle_path(self):
+        return f"{self.path}/shingles"
+
+    def _has_state(self, spark):
+        import os
+        return os.path.isdir(self._bucket_path())
+
+    def _new_state(self, docs: DataFrame):
+        sh = word_shingles(docs, self.id_col, self.text_col, self.n,
+                           hashed=True).persist()
+        sig = minhash_signatures(docs, self.id_col, self.text_col,
+                                 self.n, self.num_hashes, shingles=sh)
+        buckets = _band_buckets(sig, self.id_col, self.num_hashes,
+                                self.bands)
+        return sh, buckets
+
+    def check(self, docs: DataFrame) -> DataFrame:
+        """Pairs (id_new, id_old, jaccard >= threshold) between the
+        batch and the persisted corpus state. Empty when no state."""
+        spark = docs.sparkSession
+        id_c = self.id_col
+        if not self._has_state(spark):
+            return spark.createDataFrame(
+                [], f"id_new long, id_old long, jaccard double")
+        new_sh, new_buckets = self._new_state(docs)
+        st_buckets = spark.read.parquet(self._bucket_path())
+        st_sh = spark.read.parquet(self._shingle_path())
+        cand = (new_buckets.select(F.col(id_c).alias("id_new"),
+                                   "band", "bh")
+                .join(st_buckets.select(F.col(id_c).alias("id_old"),
+                                        "band", "bh"),
+                      ["band", "bh"])
+                .select("id_new", "id_old").distinct())
+        ns = new_sh.select(F.col(id_c).alias("id_new"), "shingle")
+        os_ = st_sh.select(F.col(id_c).alias("id_old"), "shingle")
+        shared = (cand.join(ns, "id_new")
+                  .join(os_, ["id_old", "shingle"])
+                  .groupBy("id_new", "id_old")
+                  .agg(F.count(F.lit(1)).alias("shared")))
+        sz_new = new_sh.groupBy(id_c).agg(F.count(F.lit(1)).alias("sz")) \
+            .select(F.col(id_c).alias("id_new"), F.col("sz").alias("sz_n"))
+        sz_old = st_sh.groupBy(id_c).agg(F.count(F.lit(1)).alias("sz")) \
+            .select(F.col(id_c).alias("id_old"), F.col("sz").alias("sz_o"))
+        return (shared.join(sz_new, "id_new").join(sz_old, "id_old")
+                .withColumn("jaccard",
+                            F.col("shared")
+                            / (F.col("sz_n") + F.col("sz_o")
+                               - F.col("shared")))
+                .where(F.col("jaccard") >= self.threshold)
+                .select("id_new", "id_old", "jaccard"))
+
+    def ingest(self, docs: DataFrame) -> DataFrame:
+        """Dedup the batch within itself and against the state, append
+        the survivors' state rows, return the surviving documents."""
+        id_c = self.id_col
+        within = minhash_lsh_pairs(docs, id_c, self.text_col, self.n,
+                                   self.num_hashes, self.bands,
+                                   self.threshold)
+        batch_losers = within.select(F.col("id_b").alias(id_c)).distinct()
+        batch = docs.join(batch_losers, id_c, "left_anti")
+        vs_state = self.check(batch)
+        state_losers = vs_state.select(F.col("id_new").alias(id_c)) \
+            .distinct()
+        survivors = batch.join(state_losers, id_c, "left_anti")
+        sh, buckets = self._new_state(survivors)
+        buckets.write.mode("append").parquet(self._bucket_path())
+        sh.write.mode("append").parquet(self._shingle_path())
+        return survivors

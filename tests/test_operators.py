@@ -580,3 +580,45 @@ def test_remove_duplicate_spans_total_cut(spark):
     out = {r["doc_id"]: (r["text"], r["n_tokens_cut"])
            for r in text.remove_duplicate_spans(docs, k=5).collect()}
     assert out == {1: ("q w e r t", 0), 2: ("", 5)}
+
+
+def test_incremental_deduper_batches(spark, tmp_path):
+    d = dedup.IncrementalDeduper(str(tmp_path / "state"), threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(i, f"unique doc number {i} alpha beta gamma delta epsilon {i}")
+         for i in range(10)], "doc_id long, text string")
+    assert d.check(b1).count() == 0            # no state yet
+    assert d.ingest(b1).count() == 10
+    b2 = spark.createDataFrame(
+        [(100, f"unique doc number 3 alpha beta gamma delta epsilon 3"),
+         (101, "completely novel content matching nothing else at all"),
+         (102, "completely novel content matching nothing else at all")],
+        "doc_id long, text string")
+    pairs = d.check(b2).collect()
+    assert {(r["id_new"], r["id_old"]) for r in pairs} == {(100, 3)}
+    assert pairs[0]["jaccard"] == 1.0
+    # ingest dedups within the batch (101/102) AND against state (100)
+    assert sorted(r["doc_id"] for r in d.ingest(b2).collect()) == [101]
+    # state now contains 101: a third batch duplicate of it is caught
+    b3 = spark.createDataFrame(
+        [(200, "completely novel content matching nothing else at all")],
+        "doc_id long, text string")
+    assert {(r["id_new"], r["id_old"])
+            for r in d.check(b3).collect()} == {(200, 101)}
+
+
+def test_incremental_matches_one_shot(spark, tmp_path):
+    """Splitting the corpus into two batches must keep the same
+    survivor set as one-shot minhash dedup (min-id policy holds because
+    batches ingest in id order)."""
+    rows = [(i, f"doc {i} with body tokens alpha beta gamma {i % 4}")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one_shot = {r["doc_id"] for r in dedup.drop_near_dups(
+        docs, threshold=0.9, method="minhash").collect()}
+    d = dedup.IncrementalDeduper(str(tmp_path / "st2"), threshold=0.9)
+    got = set()
+    for lo, hi in ((0, 10), (10, 20)):
+        batch = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        got |= {r["doc_id"] for r in d.ingest(batch).collect()}
+    assert got == one_shot
