@@ -1489,6 +1489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              F.col("approx_distinct").alias("n_users"))
 
     out["rollup_daily_distinct"] = _rollup_daily_distinct
+
+    def _dedup_cluster_stats(spark, sf_dir):
+        _views(spark, sf_dir)
+        pairs = dedup.ngram_jaccard_pairs(spark.table("documents"),
+                                          threshold=0.2,
+                                          max_shingle_freq=100)
+        return dedup.cluster_stats(pairs)
+
+    out["dedup_cluster_stats"] = _dedup_cluster_stats
     return out
 
 
@@ -2028,5 +2037,47 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
+    """
+    # cluster stats: same pair CTE + recursive closure as
+    # dedup_clusters, aggregated per component (min/max of identical
+    # double sets are order-independent — exact across engines)
+    out["dedup_cluster_stats"] = """
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b,
+                         shared / (sa.sz + sb.sz - shared) AS jaccard
+                  FROM shared
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE shared / (sa.sz + sb.sz - shared)
+                        >= CAST(0.2 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        csz AS (SELECT component, COUNT(*) AS cluster_size
+                FROM comp GROUP BY component),
+        pe AS (SELECT c.component, COUNT(*) AS n_pairs,
+                      MIN(p.jaccard) AS min_weight,
+                      MAX(p.jaccard) AS max_weight
+               FROM pairs p JOIN comp c ON c.id = p.id_a
+               GROUP BY c.component)
+        SELECT csz.component, csz.cluster_size, pe.n_pairs,
+               pe.min_weight, pe.max_weight
+        FROM csz JOIN pe ON pe.component = csz.component
     """
     return out

@@ -550,3 +550,53 @@ class IncrementalDeduper:
         buckets.write.mode("append").parquet(self._bucket_path())
         sh.write.mode("append").parquet(self._shingle_path())
         return survivors
+
+
+def cluster_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+                  weight_col: str | None = "jaccard") -> DataFrame:
+    """Per-cluster diagnostics over a near-dup pair list: component
+    label (min id), member count, in-cluster pair count, and the
+    min/max pair weight (similarity spread — a tight cluster has
+    min≈max; a chained one has a long tail).
+
+    One components run plus two aggregates keyed on the component id;
+    no quadratic work beyond the pairs already in hand.
+    """
+    comp = connected_components(pairs, src, dst, "node")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    edge_comp = pairs.join(
+        comp.select(F.col("node").alias(src), "component"), src)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if weight_col is not None:
+        aggs += [F.min(weight_col).alias("min_weight"),
+                 F.max(weight_col).alias("max_weight")]
+    per_edge = edge_comp.groupBy("component").agg(*aggs)
+    return sizes.join(per_edge, "component")
+
+
+def pick_cluster_survivors(df: DataFrame, pairs: DataFrame,
+                           id_col: str = "doc_id",
+                           order_col: str | None = None,
+                           descending: bool = True) -> DataFrame:
+    """One survivor per near-dup cluster, everything else dropped.
+
+    Default policy keeps the minimum id; with ``order_col`` the member
+    with the best value wins (e.g. ``quality`` or ``n_tokens``,
+    ``descending=True`` = highest wins), ties broken by id — total
+    order, so the result is deterministic. Documents in no cluster pass
+    through untouched. Cost: the components run + one ranking window
+    keyed by component + one anti-join.
+    """
+    comp = connected_components(pairs, "id_a", "id_b", id_col)
+    members = df.join(comp, id_col)
+    from pyspark.sql import Window
+    if order_col is None:
+        order = [F.col(id_col).asc()]
+    else:
+        order = [F.col(order_col).desc() if descending
+                 else F.col(order_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy("component").orderBy(*order)
+    losers = (members.withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") > 1).select(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -622,3 +622,23 @@ def test_incremental_matches_one_shot(spark, tmp_path):
         batch = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
         got |= {r["doc_id"] for r in d.ingest(batch).collect()}
     assert got == one_shot
+
+
+def test_cluster_stats_and_survivor_policy(spark):
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (2, 3, 0.5), (10, 11, 0.7)],
+        "id_a long, id_b long, jaccard double")
+    stats = {r["component"]: (r["cluster_size"], r["n_pairs"],
+                              r["min_weight"], r["max_weight"])
+             for r in dedup.cluster_stats(pairs).collect()}
+    assert stats == {1: (3, 2, 0.5, 0.9), 10: (2, 1, 0.7, 0.7)}
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (10, 5), (11, 7), (42, 1)],
+        "doc_id long, quality long")
+    edges = pairs.select("id_a", "id_b")
+    best = {r["doc_id"] for r in dedup.pick_cluster_survivors(
+        docs, edges, order_col="quality").collect()}
+    assert best == {2, 11, 42}      # best-quality member per cluster
+    by_id = {r["doc_id"] for r in dedup.pick_cluster_survivors(
+        docs, edges).collect()}
+    assert by_id == {1, 10, 42}     # min-id policy
