@@ -1498,6 +1498,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.cluster_stats(pairs)
 
     out["dedup_cluster_stats"] = _dedup_cluster_stats
+
+    def _sim_clusters(spark, sf_dir):
+        # semantic near-dup clusters: embedding-cosine pairs closed
+        # under transitivity — cosine_dup_pairs' block-matrix prefilter
+        # + the pointer-jumping components, both separately verified
+        from pyspark.sql import Window, functions as F
+        _views(spark, sf_dir)
+        pairs = similarity.cosine_dup_pairs(spark.table("embeddings"),
+                                            threshold=0.4)
+        comp = dedup.connected_components(pairs, "id_a", "id_b", "vec_id")
+        w = Window.partitionBy("component")
+        return comp.withColumn("cluster_size",
+                               F.count(F.lit(1)).over(w))
+
+    out["sim_clusters"] = _sim_clusters
     return out
 
 
@@ -2079,5 +2094,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT csz.component, csz.cluster_size, pe.n_pairs,
                pe.min_weight, pe.max_weight
         FROM csz JOIN pe ON pe.component = csz.component
+    """
+    # semantic clusters: transitive closure over the exact cosine pairs
+    out["sim_clusters"] = """
+        WITH RECURSIVE
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM v a, v b
+                  WHERE a.vec_id < b.vec_id
+                    AND list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e)))
+                        >= CAST(0.4 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b)
+        SELECT id AS vec_id, MIN(r) AS component,
+               COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size
+        FROM reach GROUP BY id
     """
     return out
