@@ -1513,6 +1513,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                F.count(F.lit(1)).over(w))
 
     out["sim_clusters"] = _sim_clusters
+
+    def _text_bigram_lm(spark, sf_dir):
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        out = text.bigram_logprob(spark.table("documents"))
+        return out.select(
+            "doc_id", "n_bigrams",
+            F.format_string("%.6f", F.col("avg_logprob")).alias("avg_lp6"))
+
+    out["text_bigram_lm"] = _text_bigram_lm
     return out
 
 
@@ -2116,5 +2126,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS vec_id, MIN(r) AS component,
                COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size
         FROM reach GROUP BY id
+    """
+    # bigram LM fluency: Lidstone-smoothed conditional log-prob, the
+    # counts recomputed in SQL; the per-doc mean serialized %.6f (the
+    # one reassociation-sensitive double in the inventory)
+    out["text_bigram_lm"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 2),
+        big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM b, unnest(range(1, len(t))) AS u(i)),
+        v AS (SELECT COUNT(DISTINCT w) AS vs
+              FROM (SELECT unnest(t) AS w FROM b)),
+        hist AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2)
+        SELECT big.doc_id, COUNT(*) AS n_bigrams,
+               format('{:.6f}',
+                      AVG(ln((pair.c2 + CAST(0.5 AS DOUBLE))
+                             / (hist.c1 + CAST(0.5 AS DOUBLE) * v.vs))))
+                   AS avg_lp6
+        FROM big
+        JOIN pair ON pair.w1 = big.w1 AND pair.w2 = big.w2
+        JOIN hist ON hist.w1 = big.w1
+        CROSS JOIN v
+        GROUP BY big.doc_id
     """
     return out

@@ -466,3 +466,48 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     return rebuilt.unionByName(
         short.select(F.col(id_col), F.col(text_col),
                      F.lit(0).cast("long").alias("n_tokens_cut")))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   alpha: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document
+    — the KenLM-style quality signal expressed relationally (no model
+    artifact: the corpus itself is the training set, the "model" is two
+    count aggregates).
+
+    score(doc) = mean over its bigrams (w1,w2) of
+    ln((c(w1,w2) + α) / (c(w1·) + α·V)) — Lidstone-smoothed conditional
+    log-probability, V = corpus vocabulary size, c(w1·) = bigram-history
+    count. Low scores mark token salad / boilerplate built from rare
+    transitions. Output: (id, n_bigrams, avg_logprob).
+
+    Scale shape: one bigram explode feeding two count aggregates (the
+    LM), then two hash joins keyed on the bigram/history and one
+    per-doc aggregate — the classic count-join-score pipeline; no
+    Python, no model broadcast, every key is natural-text-distributed.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("t")) \
+             .where(F.size("t") >= 2)
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+    big = (base.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2")))).alias("b"))
+        .select(F.col(id_col), F.col("b.w1"), F.col("b.w2"))
+        .persist())
+    vocab_size = (base.select(F.explode("t").alias("w"))
+                  .select("w").distinct().count())
+    hist = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lp = (F.log((F.col("c2") + F.lit(float(alpha)))
+                / (F.col("c1") + F.lit(float(alpha) * vocab_size))))
+    return (big.join(pair, ["w1", "w2"]).join(hist, "w1")
+            .withColumn("lp", lp)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg("lp").alias("avg_logprob")))

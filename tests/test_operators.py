@@ -642,3 +642,18 @@ def test_cluster_stats_and_survivor_policy(spark):
     by_id = {r["doc_id"] for r in dedup.pick_cluster_survivors(
         docs, edges).collect()}
     assert by_id == {1, 10, 42}     # min-id policy
+
+
+def test_bigram_logprob_ranks_fluency(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat"),
+         (3, "mat the on sat cat the")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"]
+           for r in text.bigram_logprob(docs).collect()}
+    assert out[1] == out[2]            # identical docs, identical score
+    assert out[3] < out[1]             # scrambled order is less fluent
+    # a one-token doc has no bigrams and is excluded, not crashed
+    tiny = spark.createDataFrame([(9, "word")], "doc_id long, text string")
+    assert text.bigram_logprob(tiny).count() == 0

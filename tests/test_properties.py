@@ -102,3 +102,35 @@ def test_pack_sequences_random_token_counts(spark):
         assert start == run and bin_id == start // 128
         run += n
     assert len(got) == 257
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping components must agree with a driver-side
+    union-find on arbitrary random graphs (self-loops dropped)."""
+    from pydin_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or None,
+        "id_a long, id_b long") if edges else None
+    if pairs is None:
+        return
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for a, b in edges if a != b for n in (a, b)}
+    want = {n: find(n) for n in nodes}
+    assert got == want
