@@ -1523,6 +1523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.format_string("%.6f", F.col("avg_logprob")).alias("avg_lp6"))
 
     out["text_bigram_lm"] = _text_bigram_lm
+
+    def _text_winnow(spark, sf_dir):
+        _views(spark, sf_dir)
+        return text.winnow_fingerprints(spark.table("documents"),
+                                        k=5, w=4)
+
+    out["text_winnow"] = _text_winnow
     return out
 
 
@@ -2150,5 +2157,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN hist ON hist.w1 = big.w1
         CROSS JOIN v
         GROUP BY big.doc_id
+    """
+    # winnowing fingerprints (k=5, w=4): min over the fixed-width
+    # hex(hash)+pos key per sliding window — md5 60-bit hash family, so
+    # DuckDB recomputes the identical fingerprint set
+    out["text_winnow"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 8),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     upper(substr(md5(array_to_string(t[i:i+4], ' ')),
+                                  1, 15))
+                     || lpad(CAST(i AS VARCHAR), 8, '0') AS key
+              FROM b, unnest(range(1, len(t) - 3)) AS u(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        sel AS (SELECT g.doc_id, g.pos, n.n,
+                       MIN(key) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND 3 FOLLOWING) AS mn
+                FROM g JOIN n ON n.doc_id = g.doc_id)
+        SELECT DISTINCT doc_id, substr(mn, 1, 15) AS fp,
+               CAST(substr(mn, 16, 8) AS BIGINT) AS pos
+        FROM sel WHERE pos <= n - 3
     """
     return out

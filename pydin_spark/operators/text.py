@@ -511,3 +511,52 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.avg("lp").alias("avg_logprob")))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): from the sequence of ``k``-gram hashes, every
+    window of ``w`` consecutive hashes contributes its minimum — the
+    guarantee is that any shared run of ``w + k - 1`` tokens between
+    two documents yields at least one shared fingerprint, while only
+    ~2/(w+1) of positions are kept. The selected (hash, position) set
+    is the standard copy-detection index: join fingerprints across
+    docs to find shared runs without comparing full texts.
+
+    Hashes use the md5 60-bit prefix (cross-engine reproducible, same
+    family as the SimHash oracle variant); window minima are taken
+    over the fixed-width hex(hash)·zero-padded(position) string, so
+    "min by (hash, position)" is one totally-ordered comparison in any
+    engine. Output: (id, fp, pos) distinct — fp the 15-hex-char hash.
+
+    Scale shape: one explode + one count-per-doc window + one sliding
+    min window, both keyed by doc id; the fingerprint set is ~2/(w+1)
+    of gram positions, constant-factor smaller than the input.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("t")) \
+             .where(F.size("t") >= k + w - 1)
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - (k - 1))
+    gram = F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), k))
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    grams = (base.select(F.col(id_col), F.explode(idx).alias("i"))
+             .join(base, id_col)
+             .select(F.col(id_col), F.col("i").alias("pos"),
+                     F.concat(F.lpad(F.conv(F.substring(
+                         F.md5(gram), 1, 15), 16, 16), 15, "0"),
+                         F.lpad(F.col("i").cast("string"), 8, "0"))
+                     .alias("key")))
+    from pyspark.sql import Window
+    wd = Window.partitionBy(id_col)
+    ws = (Window.partitionBy(id_col).orderBy("pos")
+          .rowsBetween(Window.currentRow, w - 1))
+    sel = (grams
+           .withColumn("n", F.count(F.lit(1)).over(wd))
+           .withColumn("mn", F.min("key").over(ws))
+           .where(F.col("pos") <= F.col("n") - (w - 1)))
+    return (sel.select(F.col(id_col),
+                       F.substring("mn", 1, 15).alias("fp"),
+                       F.substring("mn", 16, 8).cast("long").alias("pos"))
+            .distinct())

@@ -657,3 +657,32 @@ def test_bigram_logprob_ranks_fluency(spark):
     # a one-token doc has no bigrams and is excluded, not crashed
     tiny = spark.createDataFrame([(9, "word")], "doc_id long, text string")
     assert text.bigram_logprob(tiny).count() == 0
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Any shared run of w+k-1 tokens must yield >= 1 shared
+    fingerprint (the winnowing guarantee), and fingerprint density is
+    far below one per position."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n"),
+         (2, "z y a b c d e f g h w v u t")],   # shared 8-token run
+        "doc_id long, text string")
+    fp = text.winnow_fingerprints(docs, k=5, w=4)
+    rows = fp.collect()
+    shared = ({r["fp"] for r in rows if r["doc_id"] == 1}
+              & {r["fp"] for r in rows if r["doc_id"] == 2})
+    assert len(shared) >= 1
+    # density: docs have 10 grams each; w=4 keeps well under all of them
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert all(n < 10 for n in per_doc.values())
+
+
+def test_winnow_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j % 7}x{j % 3}" for j in range(i, i + 20)))
+         for i in range(5)], "doc_id long, text string")
+    a = sorted(map(tuple, text.winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple, text.winnow_fingerprints(docs).collect()))
+    assert a == b
