@@ -1,9 +1,12 @@
-"""Training-data preparation — the round-2 curation operators composed.
+"""Training-data preparation — the curation operator kit composed.
 
 Run:  python examples/training_data_prep.py [out_dir]
 
-documents → Gopher quality rules → PII redaction → decontamination
-against a held-out eval split → deterministic sampling → sequence
+documents → Gopher quality rules → bigram-LM fluency floor → PII
+redaction → duplicate-substring span cutting → transitive near-dup
+clustering (best-quality survivor per cluster) → deterministic
+train/val/test hash split → decontamination of train against the held
+-out split → mixture resampling to target source shares → sequence
 packing; embeddings → L2 normalize → int8 quantize. Every stage is a
 lazy DataFrame transform (no driver-side data), so the same script is
 the 100 TB plan.
@@ -17,21 +20,25 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from pyspark.sql import functions as F
 
 from pydin_spark import get_session, load_table
-from pydin_spark.operators import curation, redact, similarity, text
+from pydin_spark.operators import curation, dedup, redact, similarity, text
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
-    spark = get_session("training-data-prep", master="local[8]")
+    spark = get_session("training-data-prep", master="local[8]",
+                        extra_conf={"spark.driver.memory": "6g"})
     docs = load_table(spark, SF_DIR, "documents")
     n0 = docs.count()
 
-    # 1. quality gate: Gopher-style rules, keep verdict only
+    # 1. quality gates: Gopher-style rules + a bigram-LM fluency floor
     keep = (text.gopher_quality_filter(docs)
             .where("keep").select("doc_id"))
     docs = docs.join(keep, "doc_id", "left_semi")
+    fluent = (text.bigram_logprob(docs)
+              .where("avg_logprob > -9").select("doc_id"))
+    docs = docs.join(fluent, "doc_id", "left_semi")
 
     # 2. PII masking (counts kept for the audit report)
     red = redact.redact_pii(docs)
@@ -39,19 +46,42 @@ def main() -> None:
             .join(red.select("doc_id", F.col("redacted").alias("text")),
                   "doc_id"))
 
-    # 3. decontaminate vs a held-out eval split (odd ids here)
-    train = docs.where("doc_id % 2 = 0")
-    evalset = docs.where("doc_id % 2 = 1")
-    train = curation.decontaminate(train, evalset, threshold=0.5)
+    # 3. cut exact duplicate substrings (keep the corpus-first copy)
+    docs = (docs.drop("text")
+            .join(text.remove_duplicate_spans(docs, k=20)
+                  .select("doc_id", "text"), "doc_id"))
 
-    # 4. deterministic stratified sample (downweight English)
-    sampled = curation.sample_stratified(
-        train, fraction=0.9, strata_col="lang", rates={"en": 0.5})
+    # plan hygiene: the dedup stages below branch over `docs` several
+    # times — truncate the lineage so each branch starts from the
+    # materialized redacted/cut frame instead of replaying stages 1-3
+    docs = docs.localCheckpoint(eager=True)
 
-    # 5. pack into fixed-capacity training sequences
-    packed = curation.pack_sequences(sampled, capacity=512)
+    # 4. transitive near-dup clusters; keep the best-quality member
+    quality = text.quality_score(docs).select("doc_id", "quality")
+    scored = docs.join(quality, "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    docs = dedup.pick_cluster_survivors(scored, pairs,
+                                        order_col="quality")
 
-    # 6. embeddings: normalize + int8 quantize for the ANN index
+    docs = docs.localCheckpoint(eager=True)
+
+    # 5. deterministic split — append-consistent, eval set stays frozen
+    split = curation.hash_split(docs)
+    train = split.where("split = 'train'").drop("split")
+    heldout = split.where("split != 'train'").drop("split")
+
+    # 6. decontaminate train against the held-out split
+    train = curation.decontaminate(train, heldout, threshold=0.5)
+
+    # 7. resample to target source mixture (first 4 sources 4:3:2:1)
+    train = curation.mixture_sample(
+        train, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        strata_col="source")
+
+    # 8. pack into fixed-capacity training sequences
+    packed = curation.pack_sequences(train, capacity=512)
+
+    # 9. embeddings: normalize + int8 quantize for the ANN index
     emb = load_table(spark, SF_DIR, "embeddings")
     q = similarity.quantize_int8(similarity.with_unit_norm(emb),
                                  vec_col="unit")
