@@ -16,7 +16,7 @@ from .calendar import (Day, Hour, Month, Today, Tomorrow, Week, Year,
 from .fields import KEY_FIELDS, KeyField
 from .models import (CSV, JSON, ORC, SQL, XML, Avro, Delta, Executable, Extractable,
                      FileManager, Filenames, Insert, Loadable, Mapper, Model,
-                     Parquet, Select, Table, Transformable)
+                     Parquet, Select, Table, Transform, Transformable)
 from .config import pipeline_from_config
 from .pipeline import ErrorLimitExceeded, Node, Pipeline, Step, StepError
 from .session import get_session
@@ -124,7 +124,7 @@ def register_tables(spark, sf_dir: str, tables=TPCH_TABLES,
 
 __all__ = [
     "CSV", "JSON", "SQL", "XML", "Parquet", "ORC", "Avro", "Delta", "Table", "Select", "Insert",
-    "Mapper", "Filenames", "FileManager", "Model", "Extractable",
+    "Mapper", "Transform", "Filenames", "FileManager", "Model", "Extractable",
     "Transformable", "Loadable", "Executable",
     "Pipeline", "Node", "Step", "StepError", "ErrorLimitExceeded",
     "Day", "Hour", "Month", "Week", "Year", "Today", "Yesterday", "Tomorrow",

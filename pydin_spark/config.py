@@ -33,7 +33,8 @@ from .pipeline import Pipeline
 NODE_TYPES = {
     name: getattr(_models, name)
     for name in ("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
-                 "Parquet", "Mapper", "Filenames", "FileManager")
+                 "Parquet", "Mapper", "Transform", "Filenames",
+                 "FileManager")
 }
 
 DDL = """

@@ -1389,6 +1389,89 @@ class Mapper(Model, Transformable):
         return probe.schema
 
 
+#: operators reachable from declarative config by name — the curation /
+#: dedup / text kit exposed as pipeline transform nodes. Values are
+#: "module.function" under pydin_spark.operators, resolved lazily so a
+#: config row never imports more than it uses.
+TRANSFORM_OPERATORS = {
+    "token_stats": "text.token_stats",
+    "quality_score": "text.quality_score",
+    "gopher_quality_filter": "text.gopher_quality_filter",
+    "language_id": "text.language_id",
+    "language_id_ngram": "text.language_id_ngram",
+    "repetition_stats": "text.repetition_stats",
+    "fingerprint": "text.fingerprint",
+    "tfidf_top_terms": "text.tfidf_top_terms",
+    "duplicate_spans": "text.duplicate_spans",
+    "remove_duplicate_spans": "text.remove_duplicate_spans",
+    "bigram_logprob": "text.bigram_logprob",
+    "winnow_fingerprints": "text.winnow_fingerprints",
+    "redact_pii": "redact.redact_pii",
+    "exact_dedup": "dedup.exact_dedup",
+    "drop_near_dups": "dedup.drop_near_dups",
+    "dup_clusters": "dedup.dup_clusters",
+    "sample_stratified": "curation.sample_stratified",
+    "hash_split": "curation.hash_split",
+    "mixture_sample": "curation.mixture_sample",
+    "oov_rate": "curation.oov_rate",
+    "pack_sequences": "curation.pack_sequences",
+    "curate_corpus": "curation.curate_corpus",
+    "with_unit_norm": "similarity.with_unit_norm",
+    "quantize_int8": "similarity.quantize_int8",
+}
+
+
+class Transform(Model, Transformable):
+    """Named-operator transform node: the corpus-operator kit as a
+    declarative pipeline step, so config-driven (JSON / pd_node_config)
+    jobs can schedule curation stages the same way they schedule ETL —
+    e.g. ``{"node_type": "Transform", "operator":
+    "gopher_quality_filter"}`` or ``{"node_type": "Transform",
+    "operator": "drop_near_dups", "options": {"threshold": 0.8}}``.
+
+    Everything stays JSON-serializable: the operator is referenced by
+    registry name (``TRANSFORM_OPERATORS``), keyword options are plain
+    values. Arbitrary callables stay the job of :class:`Mapper`.
+    """
+
+    def __init__(self, operator: str, options: dict | None = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        if operator not in TRANSFORM_OPERATORS:
+            raise ValueError(
+                f"unknown operator {operator!r}; known: "
+                f"{sorted(TRANSFORM_OPERATORS)}")
+        self.operator = operator
+        self.options = dict(options or {})
+
+    def _resolve(self):
+        import importlib
+        mod_name, fn_name = TRANSFORM_OPERATORS[self.operator].split(".")
+        mod = importlib.import_module(f"pydin_spark.operators.{mod_name}")
+        return getattr(mod, fn_name)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self._resolve()(df, **self.options)
+
+
+class TransformChain(Model, Transformable):
+    """Composition of consecutive transform nodes into one step-level
+    transformer — built by the pipeline walker when a graph chains
+    ``Mapper``/:class:`Transform` nodes back-to-back (the reference
+    binds arbitrary node sequences; Spark composes them lazily, so a
+    chain is still a single Catalyst plan, not N materializations)."""
+
+    def __init__(self, models, **kwargs):
+        super().__init__(**kwargs)
+        self.models = list(models)
+        self.model_name = "+".join(m.model_name for m in self.models)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for model in self.models:
+            df = model.transform(df)
+        return df
+
+
 # ---------------------------------------------------------------------------
 # filesystem metadata models
 # ---------------------------------------------------------------------------

@@ -206,15 +206,33 @@ class Pipeline:
                           and upstream_step not in step.upstream):
                         step.upstream.append(upstream_step)
 
+                def _descend(tnode: Node, collected: list) -> None:
+                    # follow consecutive transformables down to the
+                    # loader(s); a multi-node chain composes into ONE
+                    # step-level transformer (still a single lazy plan)
+                    chain = collected + [tnode.model]
+                    if not tnode.next:
+                        raise ValueError(
+                            f"transformer {tnode.model.model_name} has no "
+                            "downstream loader")
+                    for after in tnode.next:
+                        am = after.model
+                        if isinstance(am, Transformable):
+                            _descend(after, chain)
+                        elif isinstance(am, Loadable):
+                            from .models import TransformChain
+                            tr = (chain[0] if len(chain) == 1
+                                  else TransformChain(chain))
+                            _chain_step(after, model, tr, am)
+                        else:
+                            raise ValueError(
+                                f"cannot chain {chain[-1].model_name} "
+                                f"into {am.model_name}")
+
                 for nxt in node.next:
                     nxt_model = nxt.model
                     if isinstance(nxt_model, Transformable):
-                        for final in nxt.next:
-                            _chain_step(final, model, nxt_model, final.model)
-                        if not nxt.next:
-                            raise ValueError(
-                                f"transformer {nxt_model.model_name} has no "
-                                "downstream loader")
+                        _descend(nxt, [])
                     elif isinstance(nxt_model, Loadable):
                         _chain_step(nxt, model, nxt_model)
                     else:

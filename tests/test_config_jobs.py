@@ -86,3 +86,29 @@ def test_script_error_marks_run_e(tmp_path):
     run = s.history.run(run_id)
     assert run["status"] == "E"
     assert "script exploded" in run["error_list"]
+
+
+def test_transform_node_in_config_pipeline(spark, views, tmp_path):
+    """The operator kit as declarative config nodes: a JSON-shaped
+    pipeline runs quality scoring + near-dup scrub between a Select
+    source and a Parquet sink."""
+    from pydin_spark import pipeline_from_config
+    nodes = [
+        {"node_type": "Select", "text": "SELECT * FROM documents"},
+        {"node_type": "Transform", "operator": "drop_near_dups",
+         "options": {"threshold": 0.5}},
+        {"node_type": "Transform", "operator": "quality_score"},
+        {"node_type": "Parquet", "file_name": "scored.parquet",
+         "path": str(tmp_path)},
+    ]
+    pipeline_from_config(nodes, spark=spark).run()
+    out = spark.read.parquet(str(tmp_path / "scored.parquet"))
+    assert out.count() > 0
+    assert "quality" in out.columns
+
+
+def test_transform_node_rejects_unknown_operator():
+    import pytest as _pytest
+    from pydin_spark import Transform
+    with _pytest.raises(ValueError, match="unknown operator"):
+        Transform(operator="not_a_real_op")
