@@ -486,8 +486,18 @@ class IncrementalDeduper:
         return f"{self.path}/shingles"
 
     def _has_state(self, spark):
-        import os
-        return os.path.isdir(self._bucket_path())
+        # probe through the Spark reader, not os.path — the state can
+        # live on any Hadoop-compatible filesystem (hdfs://, s3a://...)
+        try:
+            spark.read.parquet(self._bucket_path()).schema
+            return True
+        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
+            text = f"{type(exc).__name__}: {exc}"
+            if ("PATH_NOT_FOUND" in text or "Path does not exist" in text
+                    or "UNABLE_TO_INFER_SCHEMA" in text
+                    or "Unable to infer schema" in text):
+                return False
+            raise
 
     def _new_state(self, docs: DataFrame):
         sh = word_shingles(docs, self.id_col, self.text_col, self.n,
