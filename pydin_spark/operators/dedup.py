@@ -170,7 +170,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True,
+                      shingles: DataFrame | None = None,
+                      owned_frames: list | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
     Signatures are banded (``bands`` bands of ``num_hashes/bands`` rows);
@@ -178,12 +180,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     the band hash — no cross product). ``verify=True`` re-checks
     candidates with exact n-gram Jaccard and filters at ``threshold``.
     Output: (id_a, id_b[, jaccard]).
+
+    Pass a pre-persisted ``shingles`` frame to share the explode with
+    other operators. ``owned_frames`` (a list) collects the frames this
+    call persists so a long-lived caller (e.g. the incremental deduper)
+    can unpersist them once the result is materialized — otherwise
+    repeated calls accumulate cached intermediates for the session's
+    lifetime.
     """
-    shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
+    if shingles is None:
+        shingles = word_shingles(df, id_col, text_col, n,
+                                 hashed=True).persist()
+        if owned_frames is not None:
+            owned_frames.append(shingles)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              shingles=shingles)
     buckets = _band_buckets(sig, id_col, num_hashes, bands) \
         .persist()  # both sides of the bucket self-join reuse this
+    if owned_frames is not None:
+        owned_frames.append(buckets)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     candidates = (left.join(right, ["band", "bh"])
@@ -499,9 +514,11 @@ class IncrementalDeduper:
                 return False
             raise
 
-    def _new_state(self, docs: DataFrame):
+    def _new_state(self, docs: DataFrame, owned: list | None = None):
         sh = word_shingles(docs, self.id_col, self.text_col, self.n,
                            hashed=True).persist()
+        if owned is not None:
+            owned.append(sh)
         sig = minhash_signatures(docs, self.id_col, self.text_col,
                                  self.n, self.num_hashes, shingles=sh)
         buckets = _band_buckets(sig, self.id_col, self.num_hashes,
@@ -510,13 +527,27 @@ class IncrementalDeduper:
 
     def check(self, docs: DataFrame) -> DataFrame:
         """Pairs (id_new, id_old, jaccard >= threshold) between the
-        batch and the persisted corpus state. Empty when no state."""
+        batch and the persisted corpus state. Empty when no state.
+
+        The result is materialized (``localCheckpoint``) and the call's
+        cached intermediates released, so repeated checks/ingests keep a
+        bounded cache footprint however long the deduper lives.
+        """
+        owned: list = []
+        out = self._check_lazy(docs, owned)
+        if owned:
+            out = out.localCheckpoint(eager=True)
+            for frame in owned:
+                frame.unpersist()
+        return out
+
+    def _check_lazy(self, docs: DataFrame, owned: list) -> DataFrame:
         spark = docs.sparkSession
         id_c = self.id_col
         if not self._has_state(spark):
             return spark.createDataFrame(
                 [], f"id_new long, id_old long, jaccard double")
-        new_sh, new_buckets = self._new_state(docs)
+        new_sh, new_buckets = self._new_state(docs, owned)
         st_buckets = spark.read.parquet(self._bucket_path())
         st_sh = spark.read.parquet(self._shingle_path())
         cand = (new_buckets.select(F.col(id_c).alias("id_new"),
@@ -545,20 +576,26 @@ class IncrementalDeduper:
 
     def ingest(self, docs: DataFrame) -> DataFrame:
         """Dedup the batch within itself and against the state, append
-        the survivors' state rows, return the surviving documents."""
+        the survivors' state rows, return the surviving documents.
+        Survivors are materialized and every frame this call persisted
+        is released before returning (bounded cache across batches)."""
         id_c = self.id_col
+        owned: list = []
         within = minhash_lsh_pairs(docs, id_c, self.text_col, self.n,
                                    self.num_hashes, self.bands,
-                                   self.threshold)
+                                   self.threshold, owned_frames=owned)
         batch_losers = within.select(F.col("id_b").alias(id_c)).distinct()
         batch = docs.join(batch_losers, id_c, "left_anti")
-        vs_state = self.check(batch)
+        vs_state = self._check_lazy(batch, owned)
         state_losers = vs_state.select(F.col("id_new").alias(id_c)) \
             .distinct()
-        survivors = batch.join(state_losers, id_c, "left_anti")
-        sh, buckets = self._new_state(survivors)
+        survivors = batch.join(state_losers, id_c, "left_anti") \
+            .localCheckpoint(eager=True)
+        sh, buckets = self._new_state(survivors, owned)
         buckets.write.mode("append").parquet(self._bucket_path())
         sh.write.mode("append").parquet(self._shingle_path())
+        for frame in owned:
+            frame.unpersist()
         return survivors
 
 

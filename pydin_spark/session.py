@@ -30,6 +30,11 @@ ENGINE_CONF: dict[str, str] = {
     # Broadcast joins for dimension tables (region/nation/… at any SF).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # local-mode driver heap: Spark's 1g default is undersized for a
+    # 32-thread local master (the driver JVM IS the executor). Applied
+    # at session build, so spark-submit's --driver-memory (cluster ops)
+    # and extra_conf both override it.
+    "spark.driver.memory": os.environ.get("PYDIN_DRIVER_MEMORY", "8g"),
     "spark.ui.enabled": "false",
 }
 
