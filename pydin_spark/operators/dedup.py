@@ -598,6 +598,54 @@ class IncrementalDeduper:
             frame.unpersist()
         return survivors
 
+    def maintain(self, spark, max_files: int = 64) -> dict:
+        """Compact the append-only state once either table fragments
+        past ``max_files`` small files (each ingest appends one file
+        set; at high batch cadence the read side degrades without
+        this). Uses the engine's atomic staged-rewrite compaction.
+        Returns per-table before/after stats for tables it touched."""
+        from ..functions.maintenance import compact, dataset_stats
+        out = {}
+        for name, path in (("buckets", self._bucket_path()),
+                           ("shingles", self._shingle_path())):
+            try:
+                stats = dataset_stats(spark, path)
+            except Exception:  # noqa: BLE001 - no state yet
+                continue
+            if stats["files"] > max_files:
+                out[name] = compact(spark, path)
+        return out
+
+    def ingest_stream(self, stream_df: DataFrame, checkpoint: str,
+                      survivors_path: str | None = None,
+                      trigger_once: bool = True,
+                      compact_every: int | None = 20):
+        """Streaming front door: every micro-batch from the landing
+        zone is ingested (within-batch dedup + vs-state check + state
+        append); survivors optionally appended to ``survivors_path``.
+        State compaction runs every ``compact_every`` batches. Returns
+        the started StreamingQuery — exactly-once per batch comes from
+        the checkpointed foreachBatch contract (a replayed batch re-runs
+        ingest; replayed docs are then dups-vs-state, so the state stays
+        correct, and the survivors append is the at-least-once side to
+        dedup downstream by id if the sink needs exactness).
+        """
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            survivors = self.ingest(batch_df)
+            if survivors_path is not None:
+                survivors.write.mode("append").parquet(survivors_path)
+            if compact_every and batch_id > 0 \
+                    and batch_id % compact_every == 0:
+                self.maintain(batch_df.sparkSession)
+
+        writer = (stream_df.writeStream
+                  .foreachBatch(_sink)
+                  .outputMode("update")
+                  .option("checkpointLocation", checkpoint))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
 
 def cluster_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
                   weight_col: str | None = "jaccard") -> DataFrame:

@@ -686,3 +686,21 @@ def test_winnow_deterministic(spark):
     a = sorted(map(tuple, text.winnow_fingerprints(docs).collect()))
     b = sorted(map(tuple, text.winnow_fingerprints(docs).collect()))
     assert a == b
+
+
+def test_incremental_deduper_maintain_compacts(spark, tmp_path):
+    d = dedup.IncrementalDeduper(str(tmp_path / "st"), threshold=0.9)
+    for b in range(3):
+        d.ingest(spark.createDataFrame(
+            [(b * 10 + i, f"doc {b * 10 + i} body alpha beta gamma {i}")
+             for i in range(5)], "doc_id long, text string"))
+    before = len(list((tmp_path / "st" / "buckets").glob("*.parquet")))
+    out = d.maintain(spark, max_files=1)
+    assert set(out) == {"buckets", "shingles"}
+    after = len(list((tmp_path / "st" / "buckets").glob("*.parquet")))
+    assert after < before
+    # state still answers correctly post-compaction
+    hits = d.check(spark.createDataFrame(
+        [(999, "doc 11 body alpha beta gamma 1")],
+        "doc_id long, text string"))
+    assert {r["id_old"] for r in hits.collect()} == {11}

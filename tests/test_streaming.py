@@ -132,3 +132,33 @@ def test_kafka_events_gates_on_missing_connector(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
         kafka_events(spark, "broker:9092", "events").writeStream \
             .format("noop").start()
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Landing-zone stream -> IncrementalDeduper.ingest per micro-batch:
+    a duplicate arriving in a later file is dropped against the state
+    built from the earlier one."""
+    import json
+
+    from pydin_spark.operators.dedup import IncrementalDeduper
+
+    land = tmp_path / "land"
+    land.mkdir()
+    docs1 = [{"doc_id": i,
+              "text": f"stream doc {i} alpha beta gamma delta {i}"}
+             for i in range(5)]
+    (land / "a.json").write_text("\n".join(json.dumps(d) for d in docs1))
+    docs2 = [{"doc_id": 100, "text": docs1[2]["text"]},     # dup of 2
+             {"doc_id": 101,
+              "text": "completely new content nothing like the rest"}]
+    (land / "b.json").write_text("\n".join(json.dumps(d) for d in docs2))
+
+    d = IncrementalDeduper(str(tmp_path / "state"), threshold=0.9)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(land)))
+    q = d.ingest_stream(stream, str(tmp_path / "ckpt"),
+                        survivors_path=str(tmp_path / "survivors"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "survivors"))
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [0, 1, 2, 3, 4, 101]      # 100 dropped vs state
