@@ -1530,6 +1530,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         k=5, w=4)
 
     out["text_winnow"] = _text_winnow
+
+    def _text_winnow_matches(spark, sf_dir):
+        _views(spark, sf_dir)
+        return text.winnow_matches(spark.table("documents"),
+                                   k=5, w=4, min_shared=2)
+
+    out["text_winnow_matches"] = _text_winnow_matches
     return out
 
 
@@ -2179,5 +2186,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT doc_id, substr(mn, 1, 15) AS fp,
                CAST(substr(mn, 16, 8) AS BIGINT) AS pos
         FROM sel WHERE pos <= n - 3
+    """
+    # the pair matcher over the same fingerprint index
+    out["text_winnow_matches"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 8),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     upper(substr(md5(array_to_string(t[i:i+4], ' ')),
+                                  1, 15))
+                     || lpad(CAST(i AS VARCHAR), 8, '0') AS key
+              FROM b, unnest(range(1, len(t) - 3)) AS u(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        sel AS (SELECT g.doc_id, g.pos, n.n,
+                       MIN(key) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND 3 FOLLOWING) AS mn
+                FROM g JOIN n ON n.doc_id = g.doc_id),
+        fp AS (SELECT DISTINCT doc_id, substr(mn, 1, 15) AS fp,
+                      CAST(substr(mn, 16, 8) AS BIGINT) AS pos
+               FROM sel WHERE pos <= n - 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_shared,
+               MIN(a.pos) AS a_min_pos, MAX(a.pos) AS a_max_pos,
+               MIN(b.pos) AS b_min_pos, MAX(b.pos) AS b_max_pos
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
     """
     return out

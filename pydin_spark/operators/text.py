@@ -560,3 +560,32 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                        F.substring("mn", 1, 15).alias("fp"),
                        F.substring("mn", 16, 8).cast("long").alias("pos"))
             .distinct())
+
+
+def winnow_matches(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5, w: int = 4,
+                   min_shared: int = 2) -> DataFrame:
+    """Copy-detection reports from the winnowing index: document pairs
+    sharing at least ``min_shared`` fingerprints, with the match count
+    and the position extent of the overlap on each side — the MOSS-style
+    output, produced by one self-join on the fingerprint hash (the
+    index is ~2/(w+1) of positions, so the join is a fraction of an
+    all-grams join, and no document text is ever compared).
+
+    Output: (id_a, id_b, n_shared, a_min_pos, a_max_pos, b_min_pos,
+    b_max_pos) with id_a < id_b.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("fp"),
+                  F.col("pos").alias("pos_a"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("fp"),
+                  F.col("pos").alias("pos_b"))
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"),
+                 F.min("pos_a").alias("a_min_pos"),
+                 F.max("pos_a").alias("a_max_pos"),
+                 F.min("pos_b").alias("b_min_pos"),
+                 F.max("pos_b").alias("b_max_pos"))
+            .where(F.col("n_shared") >= min_shared))

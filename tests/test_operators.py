@@ -704,3 +704,19 @@ def test_incremental_deduper_maintain_compacts(spark, tmp_path):
         [(999, "doc 11 body alpha beta gamma 1")],
         "doc_id long, text string"))
     assert {r["id_old"] for r in hits.collect()} == {11}
+
+
+def test_winnow_matches_reports_pair(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n"),
+         (2, "z y a b c d e f g h w v u t"),
+         (3, "p q r s t0 u0 v0 w0 x0 y0 z0 a0 b0 c0")],
+        "doc_id long, text string")
+    out = text.winnow_matches(docs, k=5, w=3, min_shared=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # the shared run 'a b c d e f g h' starts at pos 1 in doc 1 and
+    # pos 3 in doc 2 — the extents must sit inside it
+    assert r["a_min_pos"] >= 1 and r["b_min_pos"] >= 3
+    assert r["n_shared"] >= 1
