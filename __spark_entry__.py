@@ -1537,6 +1537,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    k=5, w=4, min_shared=2)
 
     out["text_winnow_matches"] = _text_winnow_matches
+
+    def _sim_topk_ivf_stored(spark, sf_dir):
+        # persisted IVF index built in a scratch dir, then served by a
+        # FRESH index object (the stored-state path); nprobe=nlist is
+        # provably exhaustive, so the result equals brute force and the
+        # brute-force SQL oracle applies (pruned probes stay covered by
+        # tests/test_ivf.py recall properties)
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        q = emb.where("vec_id < 10").selectExpr("vec_id AS query_id",
+                                                "embedding")
+        scratch = tempfile.mkdtemp(prefix="pydin_ivf_")
+        try:
+            similarity.IVFIndex(scratch + "/ivf", nlist=8).build(emb)
+            served = similarity.IVFIndex(scratch + "/ivf", nlist=8)
+            return served.query(q, k=5, nprobe=8)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["sim_topk_ivf_stored"] = _sim_topk_ivf_stored
     return out
 
 
@@ -1722,6 +1744,8 @@ def oracle_sql() -> dict[str, str]:
     # - probe-all LSH and full-probe IVF provably equal brute force
     out["sim_topk_lsh"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
     out["sim_topk_ivf"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
+    # the persisted index at nprobe=nlist is the same exhaustive scan
+    out["sim_topk_ivf_stored"] = OPERATOR_ORACLES["sim_topk_bruteforce"]
     # deterministic-fake multimodal plumbing, rebuilt exactly in SQL:
     # resize = index-stretched resample char[(i*L)//32 + 1], i in 0..31
     out["multimodal_resize"] = """

@@ -316,29 +316,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
 
-    def nearest_lists(vec_col_expr, n):
-        """Column: array of the n nearest centroid ids for a vector."""
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(vec_col_expr,
-                           F.array(*[F.lit(float(x)) for x in centers[c]]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, v: acc + v).alias(f"d{c}")
-            for c in range(nlist)
-        ])
-        indexed = F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-        return F.slice(F.transform(F.array_sort(indexed),
-                                   lambda s: s.getItem("i")), 1, n)
-
     cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     c_assigned = corpus.select(
         F.col(id_col).alias("nbr_id"), cv.alias("cv"),
-        F.element_at(nearest_lists(cv, 1), 1).alias("list_id"))
+        F.element_at(_nearest_lists(cv, 1, centers), 1).alias("list_id"))
     qv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     q_assigned = queries.select(
         F.col(query_id_col), qv.alias("qv"),
-        F.explode(nearest_lists(qv, nprobe)).alias("list_id"))
+        F.explode(_nearest_lists(qv, nprobe, centers)).alias("list_id"))
     pairs = c_assigned.join(F2.broadcast(q_assigned), "list_id").where(
         F.col("nbr_id") != F.col(query_id_col))
     scored = pairs.select(
@@ -421,3 +406,120 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
               / (_norm(F.col("va")) * _norm(F.col("vb"))))
     return (pairs.select("id_a", "id_b", cosine.alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+class IVFIndex:
+    """Persisted IVF (inverted-file) ANN index: the centroids and the
+    list-partitioned corpus live as parquet under ``path``, so serving
+    sessions query a *stored* index instead of retraining k-means and
+    re-assigning the corpus per session (the state pattern of
+    :class:`~pydin_spark.operators.dedup.IncrementalDeduper` applied to
+    similarity serving).
+
+    ``build(corpus)`` trains ``nlist`` k-means centroids (deterministic
+    seed), assigns every vector to its nearest list, and writes the
+    corpus **partitioned by list_id**. ``query(queries, k, nprobe)``
+    loads the centroid table (nlist rows — driver-tiny), computes each
+    query's ``nprobe`` nearest lists, and reads ONLY those partitions —
+    at 100 TB the scan cost is ~nprobe/nlist of the corpus via
+    partition pruning, visible as ``PartitionFilters`` in the plan.
+    ``nprobe=nlist`` is provably exhaustive (== brute force), the
+    correctness-gate operating point.
+    """
+
+    def __init__(self, path: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding", nlist: int = 16,
+                 seed: int = 42):
+        self.path = str(path).rstrip("/")
+        self.id_col, self.vec_col = id_col, vec_col
+        self.nlist, self.seed = int(nlist), int(seed)
+
+    def _centers_path(self):
+        return f"{self.path}/centers"
+
+    def _lists_path(self):
+        return f"{self.path}/lists"
+
+    def build(self, corpus: DataFrame) -> None:
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = corpus.sparkSession
+        train = corpus.select(
+            array_to_vector(F.transform(F.col(self.vec_col),
+                                        lambda v: v.cast("double")))
+            .alias("features"))
+        model = KMeans(k=self.nlist, seed=self.seed, maxIter=20).fit(train)
+        centers = [np.asarray(c).tolist() for c in model.clusterCenters()]
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "list_id int, center array<double>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(self._centers_path())
+        cv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
+        assigned = corpus.select(
+            F.col(self.id_col), cv.alias("cv"),
+            F.element_at(
+                _nearest_lists(cv, 1, np.array(centers)), 1)
+            .alias("list_id"))
+        assigned.write.mode("overwrite").partitionBy("list_id") \
+            .parquet(self._lists_path())
+        spark.catalog.refreshByPath(self._lists_path())
+
+    def _centers(self, spark):
+        import numpy as np
+        rows = spark.read.parquet(self._centers_path()) \
+            .orderBy("list_id").collect()
+        return np.array([r["center"] for r in rows])
+
+    def query(self, queries: DataFrame, k: int = 5,
+              nprobe: int = 4,
+              query_id_col: str = "query_id") -> DataFrame:
+        from pyspark.sql import functions as F2
+
+        spark = queries.sparkSession
+        centers = self._centers(spark)
+        qv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
+        q_assigned = queries.select(
+            F.col(query_id_col), qv.alias("qv"),
+            F.explode(_nearest_lists(qv, nprobe, centers))
+            .alias("list_id")).persist()
+        # which partitions this batch touches (≤ nlist values — tiny)
+        needed = sorted(r["list_id"] for r in
+                        q_assigned.select("list_id").distinct().collect())
+        corpus = (spark.read.parquet(self._lists_path())
+                  .where(F.col("list_id").isin(needed)))
+        pairs = (corpus.join(F2.broadcast(q_assigned), "list_id")
+                 .where(F.col(self.id_col) != F.col(query_id_col)))
+        scored = pairs.select(
+            F.col(query_id_col),
+            F.col(self.id_col).alias("nbr_id"),
+            (_dot(F.col("cv"), F.col("qv"))
+             / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+        w = (Window.partitionBy(query_id_col)
+             .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
+        out = (scored.withColumn("rnk", F.row_number().over(w))
+               .where(F.col("rnk") <= k)
+               .select(query_id_col, "nbr_id", "cosine", "rnk")
+               .localCheckpoint(eager=True))
+        q_assigned.unpersist()
+        return out
+
+
+def _nearest_lists(vec_col_expr, n: int, centers):
+    """Column: the ``n`` nearest centroid ids for a vector (squared
+    L2 over a literal centroid matrix — nlist is small by design)."""
+    nlist = len(centers)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(vec_col_expr,
+                       F.array(*[F.lit(float(x)) for x in centers[c]]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v).alias(f"d{c}")
+        for c in range(nlist)
+    ])
+    indexed = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.slice(F.transform(F.array_sort(indexed),
+                               lambda s: s.getItem("i")), 1, n)
