@@ -114,3 +114,25 @@ def test_continuous_rollup_with_sketch_roundtrip(spark, events,
         (str(r["bucket_start"]), r["event_type"], r["n_events"],
          r["approx_distinct"]) for r in rows)
     assert key(out.collect()) == key(full.collect())
+
+
+def test_kll_quantile_rollup_merges(spark):
+    """Daily median served from hourly KLL sketches: in the sketch's
+    exact regime (bucket item counts < k=200) the merged estimate
+    equals a discrete median of the raw values."""
+    from pydin_spark.operators.rollup import (coarsen, rollup_aggregate,
+                                              with_quantile_estimate)
+    rows = [(i, "2024-01-01 %02d:%d0:00" % (i % 24, i % 6), "click",
+             float(i % 97)) for i in range(1000)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = rollup_aggregate(ev, bucket="1 hour",
+                              quantile_col="value")
+    daily = with_quantile_estimate(coarsen(hourly, "1 day"), q=0.5)
+    got = daily.first()["approx_quantile"]
+    vals = sorted(r["value"] for r in ev.collect())
+    # discrete quantile: the estimate must be an actual observed value
+    # within one rank position of the true median
+    lo, hi = vals[len(vals) // 2 - 2], vals[len(vals) // 2 + 2]
+    assert lo <= got <= hi
