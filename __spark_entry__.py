@@ -1559,6 +1559,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(scratch, ignore_errors=True)
 
     out["sim_topk_ivf_stored"] = _sim_topk_ivf_stored
+
+    def _text_winnow_contamination(spark, sf_dir):
+        # cross-corpus contamination tracing: odd docs (train) vs even
+        # docs (reference)
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        return text.winnow_matches(docs.where("doc_id % 2 = 1"),
+                                   k=5, w=4, min_shared=2,
+                                   other=docs.where("doc_id % 2 = 0"))
+
+    out["text_winnow_contamination"] = _text_winnow_contamination
     return out
 
 
@@ -2235,6 +2246,34 @@ def oracle_sql() -> dict[str, str]:
                MIN(a.pos) AS a_min_pos, MAX(a.pos) AS a_max_pos,
                MIN(b.pos) AS b_min_pos, MAX(b.pos) AS b_max_pos
         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
+    """
+    # cross-corpus variant: odd (train) fingerprints × even (reference)
+    out["text_winnow_contamination"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 8),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     upper(substr(md5(array_to_string(t[i:i+4], ' ')),
+                                  1, 15))
+                     || lpad(CAST(i AS VARCHAR), 8, '0') AS key
+              FROM b, unnest(range(1, len(t) - 3)) AS u(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        sel AS (SELECT g.doc_id, g.pos, n.n,
+                       MIN(key) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND 3 FOLLOWING) AS mn
+                FROM g JOIN n ON n.doc_id = g.doc_id),
+        fp AS (SELECT DISTINCT doc_id, substr(mn, 1, 15) AS fp,
+                      CAST(substr(mn, 16, 8) AS BIGINT) AS pos
+               FROM sel WHERE pos <= n - 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_shared,
+               MIN(a.pos) AS a_min_pos, MAX(a.pos) AS a_max_pos,
+               MIN(b.pos) AS b_min_pos, MAX(b.pos) AS b_max_pos
+        FROM fp a JOIN fp b ON a.fp = b.fp
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         GROUP BY a.doc_id, b.doc_id
         HAVING COUNT(*) >= 2
     """

@@ -564,24 +564,37 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def winnow_matches(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 5, w: int = 4,
-                   min_shared: int = 2) -> DataFrame:
+                   min_shared: int = 2,
+                   other: DataFrame | None = None) -> DataFrame:
     """Copy-detection reports from the winnowing index: document pairs
     sharing at least ``min_shared`` fingerprints, with the match count
     and the position extent of the overlap on each side — the MOSS-style
-    output, produced by one self-join on the fingerprint hash (the
-    index is ~2/(w+1) of positions, so the join is a fraction of an
-    all-grams join, and no document text is ever compared).
+    output, produced by one join on the fingerprint hash (the index is
+    ~2/(w+1) of positions, so the join is a fraction of an all-grams
+    join, and no document text is ever compared).
+
+    With ``other`` given, matches run *across two corpora* (``df``
+    pairs only against ``other``) — contamination tracing that says
+    WHERE a training document overlaps the reference/eval corpus, where
+    :func:`~pydin_spark.operators.curation.decontaminate` only says
+    whether. Both corpora are fingerprinted once; ids must be disjoint
+    for unambiguous reports.
 
     Output: (id_a, id_b, n_shared, a_min_pos, a_max_pos, b_min_pos,
-    b_max_pos) with id_a < id_b.
+    b_max_pos); id_a < id_b in the single-corpus case, id_a from
+    ``df`` / id_b from ``other`` in the two-corpus case.
     """
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    fp_b = (fp if other is None
+            else winnow_fingerprints(other, id_col, text_col, k, w))
     a = fp.select(F.col(id_col).alias("id_a"), F.col("fp"),
                   F.col("pos").alias("pos_a"))
-    b = fp.select(F.col(id_col).alias("id_b"), F.col("fp"),
-                  F.col("pos").alias("pos_b"))
-    return (a.join(b, "fp")
-            .where(F.col("id_a") < F.col("id_b"))
+    b = fp_b.select(F.col(id_col).alias("id_b"), F.col("fp"),
+                    F.col("pos").alias("pos_b"))
+    joined = a.join(b, "fp")
+    if other is None:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    return (joined
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"),
                  F.min("pos_a").alias("a_min_pos"),

@@ -720,3 +720,16 @@ def test_winnow_matches_reports_pair(spark):
     # pos 3 in doc 2 — the extents must sit inside it
     assert r["a_min_pos"] >= 1 and r["b_min_pos"] >= 3
     assert r["n_shared"] >= 1
+
+
+def test_winnow_matches_cross_corpus(spark):
+    train = spark.createDataFrame(
+        [(11, "a b c d e f g h i j k l m n")],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(2, "z y a b c d e f g h w v u t"),
+         (4, "totally unrelated reference corpus content here x y z q")],
+        "doc_id long, text string")
+    out = text.winnow_matches(train, k=5, w=3, min_shared=1,
+                              other=ref).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(11, 2)}
