@@ -30,17 +30,22 @@ def dataset_stats(spark: SparkSession, path: str) -> dict:
 
 def compact(spark: SparkSession, path: str,
             target_file_bytes: int = 128 * 1024 * 1024,
-            partition_by: list[str] | None = None) -> dict:
+            partition_by: list[str] | None = None,
+            row_filter=None) -> dict:
     """Rewrite a parquet dataset with size-targeted files.
 
     File count = ceil(total_bytes / target_file_bytes); data is
     round-robin repartitioned (or hash-partitioned by ``partition_by``
     for partitioned layouts) and rewritten atomically via a staging
-    directory + rename.
+    directory + rename. ``row_filter`` (a Column predicate) drops rows
+    during the rewrite — used to sweep tombstoned/uncommitted rows in
+    the same pass that fixes the file layout.
     """
     stats = dataset_stats(spark, path)
     n_out = max(1, -(-stats["bytes"] // target_file_bytes))
     df = spark.read.parquet(path)
+    if row_filter is not None:
+        df = df.where(row_filter)
     staging = path.rstrip("/") + ".__compact__"
     writer = df.repartition(n_out)
     if partition_by:

@@ -356,14 +356,23 @@ def dup_clusters(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3,
                  threshold: float = 0.5,
                  max_shingle_freq: int | None = 100,
-                 method: str = "exact") -> DataFrame:
+                 method: str = "auto",
+                 auto_minhash_above: int = 100_000) -> DataFrame:
     """Transitive near-duplicate clusters: (id, component, cluster_size).
 
     Pairs from the chosen method (see :func:`drop_near_dups`) are closed
     under transitivity via :func:`connected_components`; the component
     label is the minimum doc id of the cluster. Only clustered documents
     appear (singletons are trivially their own cluster).
+
+    ``method='auto'`` (default) matches :func:`drop_near_dups`: LSH-band
+    candidates above ``auto_minhash_above`` documents, so clustering a
+    large corpus with defaults never takes the Σfreq² inverted-index
+    path.
     """
+    if method == "auto":
+        method = ("minhash" if df.count() > auto_minhash_above
+                  else "exact")
     if method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, n,
                                   threshold=threshold)
@@ -466,45 +475,67 @@ class IncrementalDeduper:
     last-value loads, ``/root/reference/pydin/models.py`` watermark
     fields, re-expressed for similarity state).
 
-    State (parquet under ``path``):
+    State (parquet under ``path``), every table carrying a ``batch``
+    commit id:
 
     - ``buckets/``  — (id, band, bh) minhash-LSH band buckets,
-    - ``shingles/`` — (id, shingle) hashed shingle postings.
+    - ``shingles/`` — (id, shingle) hashed shingle postings, files
+      sorted by id so candidate-id pushdown prunes row groups,
+    - ``sizes/``    — (id, sz) per-doc distinct-shingle counts,
+      written once at ingest so ``check`` never re-aggregates the
+      postings table,
+    - ``commits/``  — one row per committed batch id. Readers filter
+      every state table to committed batches (broadcast semi-join), so
+      the three appends above commit **atomically**: a crash mid-append
+      leaves orphan rows that are invisible forever (and swept by
+      ``maintain``), never a bucket row without its postings.
 
     ``check(new)`` finds near-dup pairs between a new batch and the
     state: candidates from a bucket equi-join (new buckets × state
-    buckets — never a cross product, and the state side is read
-    filtered to the touched (band, bh) keys at 100 TB via partition/
-    row-group pruning), then **exact** n-gram Jaccard verification via
-    the stored shingle postings of just the candidate ids. ``ingest``
-    appends the survivors' state and returns them; batches also dedup
-    against themselves before entering the state.
+    buckets — never a cross product), then **exact** n-gram Jaccard
+    verification via the stored shingle postings of just the candidate
+    ids. When the candidate-id set is small enough
+    (``max_pushdown_ids``, the overwhelmingly common case — it is
+    bounded by batch size × bucket hit rate, not corpus size) the ids
+    are pushed into the parquet reads of ``shingles/`` and ``sizes/``
+    as an ``In`` filter, so state scan bytes track the *batch*, not the
+    corpus. ``ingest`` appends the survivors' state and returns them;
+    batches also dedup against themselves before entering the state.
 
     The state grows linearly in surviving docs; per-batch cost depends
     on the batch size and bucket hit rate only — ingesting batch k
-    never rescans batches 1..k-1's text.
+    never rescans batches 1..k-1's text, and no per-batch plan
+    aggregates an entire state table (sizes are persisted, not
+    recomputed).
     """
 
     def __init__(self, path: str, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3,
                  num_hashes: int = 32, bands: int = 8,
-                 threshold: float = 0.5):
+                 threshold: float = 0.5,
+                 max_pushdown_ids: int = 20000):
         self.path = str(path).rstrip("/")
         self.id_col, self.text_col, self.n = id_col, text_col, n
         self.num_hashes, self.bands = num_hashes, bands
         self.threshold = threshold
+        self.max_pushdown_ids = max_pushdown_ids
+
+    _TABLES = ("buckets", "shingles", "sizes")
+
+    def _table_path(self, name: str):
+        return f"{self.path}/{name}"
 
     def _bucket_path(self):
-        return f"{self.path}/buckets"
+        return self._table_path("buckets")
 
     def _shingle_path(self):
-        return f"{self.path}/shingles"
+        return self._table_path("shingles")
 
     def _has_state(self, spark):
         # probe through the Spark reader, not os.path — the state can
         # live on any Hadoop-compatible filesystem (hdfs://, s3a://...)
         try:
-            spark.read.parquet(self._bucket_path()).schema
+            spark.read.parquet(self._table_path("commits")).schema
             return True
         except Exception as exc:  # noqa: BLE001 - classify, don't blanket
             text = f"{type(exc).__name__}: {exc}"
@@ -513,6 +544,15 @@ class IncrementalDeduper:
                     or "Unable to infer schema" in text):
                 return False
             raise
+
+    def _read_committed(self, spark, name: str) -> DataFrame:
+        """A state table restricted to committed batches — the
+        broadcast semi-join on the (tiny) commits table is a map-side
+        filter, no shuffle."""
+        df = spark.read.parquet(self._table_path(name))
+        commits = spark.read.parquet(self._table_path("commits"))
+        return (df.join(F.broadcast(commits), "batch", "left_semi")
+                .drop("batch"))
 
     def _new_state(self, docs: DataFrame, owned: list | None = None):
         sh = word_shingles(docs, self.id_col, self.text_col, self.n,
@@ -541,21 +581,44 @@ class IncrementalDeduper:
                 frame.unpersist()
         return out
 
+    def _empty_pairs(self, docs: DataFrame) -> DataFrame:
+        # the pair schema follows the configured id column's type —
+        # string doc ids get string id_new/id_old, not a hardcoded long
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        id_type = docs.schema[self.id_col].dataType
+        return docs.sparkSession.createDataFrame(
+            [], StructType([StructField("id_new", id_type),
+                            StructField("id_old", id_type),
+                            StructField("jaccard", DoubleType())]))
+
     def _check_lazy(self, docs: DataFrame, owned: list) -> DataFrame:
         spark = docs.sparkSession
         id_c = self.id_col
         if not self._has_state(spark):
-            return spark.createDataFrame(
-                [], f"id_new long, id_old long, jaccard double")
+            return self._empty_pairs(docs)
         new_sh, new_buckets = self._new_state(docs, owned)
-        st_buckets = spark.read.parquet(self._bucket_path())
-        st_sh = spark.read.parquet(self._shingle_path())
+        st_buckets = self._read_committed(spark, "buckets")
         cand = (new_buckets.select(F.col(id_c).alias("id_new"),
                                    "band", "bh")
                 .join(st_buckets.select(F.col(id_c).alias("id_old"),
                                         "band", "bh"),
                       ["band", "bh"])
-                .select("id_new", "id_old").distinct())
+                .select("id_new", "id_old").distinct()
+                .persist())
+        owned.append(cand)
+        st_sh = self._read_committed(spark, "shingles")
+        st_sizes = self._read_committed(spark, "sizes")
+        # candidate-id pushdown: the candidate set is batch-bounded by
+        # construction (batch size × bucket hit rate); when it fits the
+        # cap, push it into the parquet scans so row groups outside the
+        # touched ids never leave disk. The collect is bounded by
+        # max_pushdown_ids + 1 rows.
+        old_ids = [r["id_old"] for r in
+                   cand.select("id_old").distinct()
+                       .limit(self.max_pushdown_ids + 1).collect()]
+        if len(old_ids) <= self.max_pushdown_ids:
+            st_sh = st_sh.where(F.col(id_c).isin(old_ids))
+            st_sizes = st_sizes.where(F.col(id_c).isin(old_ids))
         ns = new_sh.select(F.col(id_c).alias("id_new"), "shingle")
         os_ = st_sh.select(F.col(id_c).alias("id_old"), "shingle")
         shared = (cand.join(ns, "id_new")
@@ -564,8 +627,11 @@ class IncrementalDeduper:
                   .agg(F.count(F.lit(1)).alias("shared")))
         sz_new = new_sh.groupBy(id_c).agg(F.count(F.lit(1)).alias("sz")) \
             .select(F.col(id_c).alias("id_new"), F.col("sz").alias("sz_n"))
-        sz_old = st_sh.groupBy(id_c).agg(F.count(F.lit(1)).alias("sz")) \
-            .select(F.col(id_c).alias("id_old"), F.col("sz").alias("sz_o"))
+        # old sizes come from the persisted sizes/ table — never a
+        # groupBy over the postings state (that aggregate would scan
+        # the full corpus every batch)
+        sz_old = st_sizes.select(F.col(id_c).alias("id_old"),
+                                 F.col("sz").alias("sz_o"))
         return (shared.join(sz_new, "id_new").join(sz_old, "id_old")
                 .withColumn("jaccard",
                             F.col("shared")
@@ -574,11 +640,42 @@ class IncrementalDeduper:
                 .where(F.col("jaccard") >= self.threshold)
                 .select("id_new", "id_old", "jaccard"))
 
-    def ingest(self, docs: DataFrame) -> DataFrame:
+    def _append_state(self, survivors: DataFrame, owned: list) -> None:
+        """Append the survivors' state rows under a fresh batch id and
+        commit it. The commit row goes last: readers ignore every state
+        row whose batch id has no commit row, so a crash anywhere in
+        this sequence is invisible (atomic multi-table append)."""
+        import uuid
+        spark = survivors.sparkSession
+        batch_id = uuid.uuid4().hex
+        tag = F.lit(batch_id).alias("batch")
+        sh, buckets = self._new_state(survivors, owned)
+        buckets.select("*", tag).write.mode("append") \
+            .parquet(self._table_path("buckets"))
+        # sort postings by id inside each file: candidate-id In filters
+        # then prune row groups via min/max stats
+        sh.select("*", tag).sortWithinPartitions(self.id_col) \
+            .write.mode("append").parquet(self._table_path("shingles"))
+        sizes = sh.groupBy(self.id_col).agg(
+            F.count(F.lit(1)).alias("sz"))
+        sizes.select("*", tag).write.mode("append") \
+            .parquet(self._table_path("sizes"))
+        spark.createDataFrame([(batch_id,)], "batch string") \
+            .write.mode("append").parquet(self._table_path("commits"))
+
+    def ingest(self, docs: DataFrame,
+               survivors_path: str | None = None) -> DataFrame:
         """Dedup the batch within itself and against the state, append
         the survivors' state rows, return the surviving documents.
-        Survivors are materialized and every frame this call persisted
-        is released before returning (bounded cache across batches)."""
+
+        With ``survivors_path`` the survivors are written to the sink
+        **before** the state append: if the job dies between the two,
+        the replayed batch re-runs against a state that does not yet
+        contain it, recomputes the same survivors, and re-appends them
+        — at-least-once to the sink (dedup downstream by id for
+        exactness), never silent loss. Survivors are materialized and
+        every frame this call persisted is released before returning
+        (bounded cache across batches)."""
         id_c = self.id_col
         owned: list = []
         within = minhash_lsh_pairs(docs, id_c, self.text_col, self.n,
@@ -591,29 +688,36 @@ class IncrementalDeduper:
             .distinct()
         survivors = batch.join(state_losers, id_c, "left_anti") \
             .localCheckpoint(eager=True)
-        sh, buckets = self._new_state(survivors, owned)
-        buckets.write.mode("append").parquet(self._bucket_path())
-        sh.write.mode("append").parquet(self._shingle_path())
+        if survivors_path is not None:
+            survivors.write.mode("append").parquet(survivors_path)
+        self._append_state(survivors, owned)
         for frame in owned:
             frame.unpersist()
         return survivors
 
     def maintain(self, spark, max_files: int = 64) -> dict:
-        """Compact the append-only state once either table fragments
-        past ``max_files`` small files (each ingest appends one file
-        set; at high batch cadence the read side degrades without
-        this). Uses the engine's atomic staged-rewrite compaction.
-        Returns per-table before/after stats for tables it touched."""
+        """Compact any state table fragmented past ``max_files`` small
+        files (each ingest appends one file set; at high batch cadence
+        the read side degrades without this), sweeping uncommitted
+        orphan rows from crashed appends in the same rewrite. Uses the
+        engine's atomic staged-rewrite compaction. Returns per-table
+        before/after stats for tables it touched."""
         from ..functions.maintenance import compact, dataset_stats
         out = {}
-        for name, path in (("buckets", self._bucket_path()),
-                           ("shingles", self._shingle_path())):
+        for name in self._TABLES + ("commits",):
+            path = self._table_path(name)
             try:
                 stats = dataset_stats(spark, path)
             except Exception:  # noqa: BLE001 - no state yet
                 continue
             if stats["files"] > max_files:
-                out[name] = compact(spark, path)
+                keep = None
+                if name != "commits":
+                    commits = spark.read.parquet(
+                        self._table_path("commits"))
+                    keep = F.col("batch").isin(
+                        [r["batch"] for r in commits.collect()])
+                out[name] = compact(spark, path, row_filter=keep)
         return out
 
     def ingest_stream(self, stream_df: DataFrame, checkpoint: str,
@@ -624,16 +728,15 @@ class IncrementalDeduper:
         zone is ingested (within-batch dedup + vs-state check + state
         append); survivors optionally appended to ``survivors_path``.
         State compaction runs every ``compact_every`` batches. Returns
-        the started StreamingQuery — exactly-once per batch comes from
-        the checkpointed foreachBatch contract (a replayed batch re-runs
-        ingest; replayed docs are then dups-vs-state, so the state stays
-        correct, and the survivors append is the at-least-once side to
-        dedup downstream by id if the sink needs exactness).
+        the started StreamingQuery. Correctness under replay: the
+        survivors sink is written before the state commit (see
+        ``ingest``), so a crash replays the batch against pre-batch
+        state and re-derives the same survivors — at-least-once to the
+        sink, exactly-once to the state (uncommitted appends are
+        invisible and swept by ``maintain``).
         """
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            survivors = self.ingest(batch_df)
-            if survivors_path is not None:
-                survivors.write.mode("append").parquet(survivors_path)
+            self.ingest(batch_df, survivors_path=survivors_path)
             if compact_every and batch_id > 0 \
                     and batch_id % compact_every == 0:
                 self.maintain(batch_df.sparkSession)

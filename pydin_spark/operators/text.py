@@ -470,7 +470,8 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   alpha: float = 0.5) -> DataFrame:
+                   alpha: float = 0.5,
+                   owned_frames: list | None = None) -> DataFrame:
     """Corpus-trained bigram language-model fluency score per document
     — the KenLM-style quality signal expressed relationally (no model
     artifact: the corpus itself is the training set, the "model" is two
@@ -506,11 +507,21 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     lp = (F.log((F.col("c2") + F.lit(float(alpha)))
                 / (F.col("c1") + F.lit(float(alpha) * vocab_size))))
-    return (big.join(pair, ["w1", "w2"]).join(hist, "w1")
-            .withColumn("lp", lp)
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.avg("lp").alias("avg_logprob")))
+    out = (big.join(pair, ["w1", "w2"]).join(hist, "w1")
+           .withColumn("lp", lp)
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.avg("lp").alias("avg_logprob")))
+    # bounded-cache discipline: the caller either takes ownership of
+    # the persisted bigram frame (owned_frames) or gets a materialized
+    # result with the cache already released — never a session-lifetime
+    # leak per call.
+    if owned_frames is not None:
+        owned_frames.append(big)
+        return out
+    out = out.localCheckpoint(eager=True)
+    big.unpersist()
+    return out
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",

@@ -30,13 +30,30 @@ ENGINE_CONF: dict[str, str] = {
     # Broadcast joins for dimension tables (region/nation/… at any SF).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    # local-mode driver heap: Spark's 1g default is undersized for a
-    # 32-thread local master (the driver JVM IS the executor). Applied
-    # at session build, so spark-submit's --driver-memory (cluster ops)
-    # and extra_conf both override it.
-    "spark.driver.memory": os.environ.get("PYDIN_DRIVER_MEMORY", "8g"),
     "spark.ui.enabled": "false",
 }
+
+
+def _local_driver_memory() -> str | None:
+    """Driver-heap default for LOCAL masters only: Spark's 1g default
+    is undersized for a many-thread local master (the driver JVM IS
+    the executor), but the setting only takes effect when this process
+    launches the JVM — under spark-submit or a pre-existing gateway it
+    is silently ignored, and on small hosts a fixed 8g can fail JVM
+    startup. So: honor ``PYDIN_DRIVER_MEMORY`` verbatim, else size to
+    half of physical RAM capped at 8g, and never set it at all when
+    the amount can't be determined."""
+    env = os.environ.get("PYDIN_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return None
+    half_mb = total // (2 * 1024 * 1024)
+    if half_mb < 512:
+        return None  # tiny host: leave Spark's default alone
+    return f"{min(half_mb, 8192)}m"
 
 
 def get_session(app_name: str = "pydin-spark", master: str | None = None,
@@ -49,8 +66,15 @@ def get_session(app_name: str = "pydin-spark", master: str | None = None,
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
-    for key, value in {**ENGINE_CONF, **(extra_conf or {})}.items():
+    resolved_master = master or f"local[{cpus}]"
+    builder = builder.master(resolved_master)
+    conf = dict(ENGINE_CONF)
+    if resolved_master.startswith("local"):
+        mem = _local_driver_memory()
+        if mem is not None:
+            conf["spark.driver.memory"] = mem
+    conf.update(extra_conf or {})
+    for key, value in conf.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

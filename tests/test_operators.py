@@ -67,6 +67,26 @@ def test_drop_near_dups_methods_agree(spark, docs):
     assert 1 in exact
 
 
+def test_dup_clusters_auto_flips_to_minhash(spark, docs):
+    """Default method='auto' must take the LSH-band path above the
+    document threshold (proved with auto_minhash_above=1 instead of a
+    100k-doc fixture) and agree with the explicit methods either way —
+    a user clustering a big corpus with defaults never gets the Σfreq²
+    inverted-index path."""
+    as_tuples = lambda frame: {(r["doc_id"], r["component"])
+                               for r in frame.collect()}
+    auto_small = as_tuples(dedup.dup_clusters(docs, threshold=0.5))
+    exact = as_tuples(dedup.dup_clusters(docs, threshold=0.5,
+                                         method="exact",
+                                         max_shingle_freq=None))
+    assert auto_small == exact
+    auto_large = as_tuples(dedup.dup_clusters(docs, threshold=0.5,
+                                              auto_minhash_above=1))
+    mh = as_tuples(dedup.dup_clusters(docs, threshold=0.5,
+                                      method="minhash"))
+    assert auto_large == mh == exact
+
+
 def test_simhash_deterministic_and_near(spark, docs):
     sig1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     sig2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
@@ -696,7 +716,7 @@ def test_incremental_deduper_maintain_compacts(spark, tmp_path):
              for i in range(5)], "doc_id long, text string"))
     before = len(list((tmp_path / "st" / "buckets").glob("*.parquet")))
     out = d.maintain(spark, max_files=1)
-    assert set(out) == {"buckets", "shingles"}
+    assert set(out) == {"buckets", "shingles", "sizes", "commits"}
     after = len(list((tmp_path / "st" / "buckets").glob("*.parquet")))
     assert after < before
     # state still answers correctly post-compaction
@@ -704,6 +724,119 @@ def test_incremental_deduper_maintain_compacts(spark, tmp_path):
         [(999, "doc 11 body alpha beta gamma 1")],
         "doc_id long, text string"))
     assert {r["id_old"] for r in hits.collect()} == {11}
+
+
+def test_incremental_check_plan_stays_batch_bounded(spark, tmp_path):
+    """The 100 TB contract of check(): per-batch work must not scan or
+    aggregate the whole persisted state. Asserted at the plan level:
+    (a) old sizes come from the persisted sizes/ table, never a
+    groupBy over shingles/; (b) the candidate-id In filter is pushed
+    into the parquet scans of shingles/ and sizes/."""
+    d = dedup.IncrementalDeduper(str(tmp_path / "st"), threshold=0.5)
+    for b in range(3):
+        d.ingest(spark.createDataFrame(
+            [(b * 10 + i, f"doc {b * 10 + i} text alpha beta gamma {i}")
+             for i in range(5)], "doc_id long, text string"))
+    batch = spark.createDataFrame(
+        [(999, "doc 11 text alpha beta gamma 1")],
+        "doc_id long, text string")
+    owned = []
+    lazy = d._check_lazy(batch, owned)
+    plan = lazy._sc._jvm.PythonSQLUtils.explainString(
+        lazy._jdf.queryExecution(), "formatted")
+    for frame in owned:
+        frame.unpersist()
+    # every scan of the postings/sizes state carries the pushed In
+    # filter on doc_id — state bytes read track the candidate set.
+    # formatted explain lists each scan as a numbered node block with
+    # Location / PushedFilters lines.
+    blocks = plan.split("\n\n")
+    state_blocks = [b for b in blocks
+                    if "Location" in b and ("/shingles" in b
+                                            or "/sizes" in b)]
+    assert state_blocks, plan
+    for blk in state_blocks:
+        # a 1-element candidate set folds In(...) to EqualTo(...)
+        assert "In(doc_id" in blk or "EqualTo(doc_id" in blk, blk
+    # and the correct answer still comes out
+    assert {r["id_old"] for r in d.check(batch).collect()} == {11}
+
+
+def test_incremental_string_ids(spark, tmp_path):
+    """Configurable id column with string type: the empty-state result
+    and the stateful path agree on schema (no long/string cast)."""
+    d = dedup.IncrementalDeduper(str(tmp_path / "st"), id_col="name",
+                                 threshold=0.9)
+    b1 = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "completely different content about spark engines")],
+        "name string, text string")
+    empty = d.check(b1)
+    assert [f.dataType.simpleString() for f in empty.schema.fields] \
+        == ["string", "string", "double"]
+    assert d.ingest(b1).count() == 2
+    b2 = spark.createDataFrame(
+        [("c", "the quick brown fox jumps over the lazy dog")],
+        "name string, text string")
+    pairs = d.check(b2)
+    assert pairs.schema == empty.schema
+    assert {(r["id_new"], r["id_old"]) for r in pairs.collect()} \
+        == {("c", "a")}
+
+
+def test_incremental_uncommitted_state_invisible(spark, tmp_path):
+    """Atomic multi-table append: state rows whose batch id has no
+    commit row are ignored by readers (crash between table writes
+    can't corrupt answers) and swept by maintain()."""
+    d = dedup.IncrementalDeduper(str(tmp_path / "st"), threshold=0.9)
+    d.ingest(spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string"))
+    # simulate a crashed append: bucket rows written, no commit row
+    orphan = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    sh, buckets = d._new_state(orphan)
+    buckets.select("*", F.lit("deadbeef").alias("batch")) \
+        .write.mode("append").parquet(str(tmp_path / "st" / "buckets"))
+    sh.unpersist()
+    probe = spark.createDataFrame(
+        [(500, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    # 99's orphaned buckets must not surface as a candidate; committed
+    # doc 1 still matches
+    assert {r["id_old"] for r in d.check(probe).collect()} == {1}
+    out = d.maintain(spark, max_files=0)
+    committed = spark.read.parquet(str(tmp_path / "st" / "buckets"))
+    assert committed.where("batch = 'deadbeef'").count() == 0
+
+
+def test_incremental_survivors_written_before_state(spark, tmp_path):
+    """ingest(survivors_path=...) sinks survivors BEFORE the state
+    commit, so a crash between the two replays to the same survivors
+    (at-least-once, never silent loss)."""
+    d = dedup.IncrementalDeduper(str(tmp_path / "st"), threshold=0.9)
+    sink = str(tmp_path / "survivors")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    # crash injection: fail the state append after the sink write
+    boom = RuntimeError("crash between sink and state commit")
+    orig = d._append_state
+    def exploding(survivors, owned):
+        raise boom
+    d._append_state = exploding
+    with pytest.raises(RuntimeError):
+        d.ingest(docs, survivors_path=sink)
+    # survivors reached the sink even though the state append died...
+    assert spark.read.parquet(sink).count() == 1
+    # ...and the replayed batch still yields (and re-sinks) the doc,
+    # because nothing entered the state
+    d._append_state = orig
+    replay = d.ingest(docs, survivors_path=sink)
+    assert replay.count() == 1
+    by_id = spark.read.parquet(sink).groupBy("doc_id").count().collect()
+    assert by_id[0]["count"] == 2  # at-least-once: dedup by id downstream
 
 
 def test_winnow_matches_reports_pair(spark):
