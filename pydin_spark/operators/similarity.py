@@ -425,27 +425,73 @@ class IVFIndex:
     partition pruning, visible as ``PartitionFilters`` in the plan.
     ``nprobe=nlist`` is provably exhaustive (== brute force), the
     correctness-gate operating point.
+
+    Index lifecycle (an ANN index that can never retrain silently loses
+    recall as the corpus drifts): the on-disk layout is **versioned** —
+    each build/rebuild writes a complete ``versions/<vid>/`` tree, then
+    registers it with an append to the tiny ``manifest/`` table; readers
+    resolve the highest committed version at query time. The flip is a
+    single atomic append, in-flight queries keep reading the version
+    they resolved (its files are never mutated), and ``rebuild`` keeps
+    the last ``keep_versions`` trees for exactly that reader grace
+    before GC. ``drift(corpus)`` quantifies centroid staleness — the
+    mean squared residual of current vectors against the *stored*
+    centroids vs the residual recorded at build time — as the scheduler
+    trigger for retrains.
     """
 
     def __init__(self, path: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", nlist: int = 16,
-                 seed: int = 42):
+                 seed: int = 42, keep_versions: int = 2):
         self.path = str(path).rstrip("/")
         self.id_col, self.vec_col = id_col, vec_col
         self.nlist, self.seed = int(nlist), int(seed)
+        self.keep_versions = max(1, int(keep_versions))
 
-    def _centers_path(self):
-        return f"{self.path}/centers"
+    def _manifest_path(self):
+        return f"{self.path}/manifest"
 
-    def _lists_path(self):
-        return f"{self.path}/lists"
+    def _version_path(self, vid: str):
+        return f"{self.path}/versions/{vid}"
 
-    def build(self, corpus: DataFrame) -> None:
+    def _current_vid(self, spark) -> str:
+        """Highest committed manifest entry — the serving version."""
+        try:
+            rows = spark.read.parquet(self._manifest_path()) \
+                .orderBy(F.col("seq").desc()).limit(1).collect()
+        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
+            text = f"{type(exc).__name__}: {exc}"
+            if ("PATH_NOT_FOUND" in text or "Path does not exist" in text
+                    or "UNABLE_TO_INFER_SCHEMA" in text
+                    or "Unable to infer schema" in text):
+                raise FileNotFoundError(
+                    f"no IVF index at {self.path!r} — call build() first"
+                ) from exc
+            raise
+        return rows[0]["vid"]
+
+    def build(self, corpus: DataFrame) -> dict:
+        """Train and publish the first index version (same staged-write
+        + manifest-append path as ``rebuild`` — build IS version 1)."""
+        return self.rebuild(corpus)
+
+    def rebuild(self, corpus: DataFrame) -> dict:
+        """Retrain centroids on the current corpus, write a complete
+        new version tree, atomically flip the manifest to it, and GC
+        versions older than ``keep_versions``. Concurrent queries are
+        safe throughout: they serve whichever version they resolved,
+        whose files stay on disk until GC'd ``keep_versions`` flips
+        later. Returns the new version's stats (vid, n_vectors,
+        mean_residual)."""
+        import uuid
+
         import numpy as np
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         spark = corpus.sparkSession
+        vid = uuid.uuid4().hex
+        vdir = self._version_path(vid)
         train = corpus.select(
             array_to_vector(F.transform(F.col(self.vec_col),
                                         lambda v: v.cast("double")))
@@ -456,22 +502,105 @@ class IVFIndex:
             [(i, c) for i, c in enumerate(centers)],
             "list_id int, center array<double>") \
             .coalesce(1).write.mode("overwrite") \
-            .parquet(self._centers_path())
+            .parquet(f"{vdir}/centers")
         cv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
+        arr = np.array(centers)
         assigned = corpus.select(
             F.col(self.id_col), cv.alias("cv"),
-            F.element_at(
-                _nearest_lists(cv, 1, np.array(centers)), 1)
-            .alias("list_id"))
+            F.element_at(_nearest_lists(cv, 1, arr), 1).alias("list_id"))
         assigned.write.mode("overwrite").partitionBy("list_id") \
-            .parquet(self._lists_path())
-        spark.catalog.refreshByPath(self._lists_path())
+            .parquet(f"{vdir}/lists")
+        spark.catalog.refreshByPath(f"{vdir}/lists")
+        stats_row = (spark.read.parquet(f"{vdir}/lists")
+                     .select(_residual_sq(F.col("cv"), arr).alias("r"))
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("r").alias("mr")).collect()[0])
+        n_vec = stats_row["n"] or 0
+        mean_res = float(stats_row["mr"]) if stats_row["mr"] is not None \
+            else 0.0
+        spark.createDataFrame(
+            [(vid, int(n_vec), mean_res)],
+            "vid string, n_vectors long, mean_residual double") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+        # publish: one appended manifest row makes the version visible —
+        # the atomic flip (monotonic seq, readers take the max)
+        try:
+            prev_seq = spark.read.parquet(self._manifest_path()) \
+                .agg(F.max("seq")).collect()[0][0] or 0
+        except Exception:  # noqa: BLE001 - first build, no manifest yet
+            prev_seq = 0
+        spark.createDataFrame(
+            [(int(prev_seq) + 1, vid)], "seq long, vid string") \
+            .coalesce(1).write.mode("append") \
+            .parquet(self._manifest_path())
+        self._gc(spark)
+        return {"vid": vid, "n_vectors": int(n_vec),
+                "mean_residual": mean_res}
 
-    def _centers(self, spark):
+    def _gc(self, spark) -> None:
+        """Drop version trees older than the newest ``keep_versions``
+        (reader grace: an in-flight query resolved at most that many
+        flips ago). Local-FS implementation; on HDFS/S3 the same walk
+        goes through the FileSystem API."""
+        import shutil
+
+        import os
+        rows = spark.read.parquet(self._manifest_path()) \
+            .orderBy(F.col("seq").desc()).collect()
+        keep = {r["vid"] for r in rows[:self.keep_versions]}
+        vroot = f"{self.path}/versions"
+        if not os.path.isdir(vroot):
+            return
+        for name in os.listdir(vroot):
+            if name not in keep:
+                shutil.rmtree(os.path.join(vroot, name),
+                              ignore_errors=True)
+
+    def _centers(self, spark, vdir: str):
         import numpy as np
-        rows = spark.read.parquet(self._centers_path()) \
+        rows = spark.read.parquet(f"{vdir}/centers") \
             .orderBy("list_id").collect()
         return np.array([r["center"] for r in rows])
+
+    def meta(self, spark) -> dict:
+        """Stats of the serving version (vid, n_vectors,
+        mean_residual) — the build-time baseline ``drift`` compares
+        against."""
+        vid = self._current_vid(spark)
+        row = spark.read.parquet(f"{self._version_path(vid)}/meta") \
+            .collect()[0]
+        return {"vid": row["vid"], "n_vectors": row["n_vectors"],
+                "mean_residual": row["mean_residual"]}
+
+    def drift(self, corpus: DataFrame,
+              sample_fraction: float | None = None,
+              seed: int = 7) -> dict:
+        """Centroid-staleness metric for scheduling retrains: assign
+        (a sample of) the CURRENT corpus to the STORED centroids and
+        compare the mean squared residual against the residual the
+        serving version recorded at build time. ``drift_ratio`` ≈ 1
+        means the stored centroids still describe the corpus;
+        sustained growth (new domains, distribution shift) silently
+        degrades pruned-probe recall — schedule ``rebuild`` when it
+        crosses a threshold (e.g. 1.2). One scan of the sample, no
+        shuffle."""
+        spark = corpus.sparkSession
+        vid = self._current_vid(spark)
+        vdir = self._version_path(vid)
+        centers = self._centers(spark, vdir)
+        base = self.meta(spark)
+        sample = corpus if sample_fraction is None \
+            else corpus.sample(fraction=sample_fraction, seed=seed)
+        cv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
+        row = (sample.select(_residual_sq(cv, centers).alias("r"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("r").alias("mr")).collect()[0])
+        cur = float(row["mr"]) if row["mr"] is not None else 0.0
+        built = base["mean_residual"]
+        ratio = cur / built if built else float("inf") if cur else 1.0
+        return {"vid": vid, "built_residual": built,
+                "current_residual": cur, "drift_ratio": ratio,
+                "n_sampled": row["n"], "rebuild_recommended": ratio > 1.2}
 
     def query(self, queries: DataFrame, k: int = 5,
               nprobe: int = 4,
@@ -479,7 +608,11 @@ class IVFIndex:
         from pyspark.sql import functions as F2
 
         spark = queries.sparkSession
-        centers = self._centers(spark)
+        # resolve the serving version ONCE; everything below reads that
+        # version's immutable files — a concurrent rebuild can flip the
+        # manifest mid-query without affecting this result
+        vdir = self._version_path(self._current_vid(spark))
+        centers = self._centers(spark, vdir)
         qv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
         q_assigned = queries.select(
             F.col(query_id_col), qv.alias("qv"),
@@ -488,7 +621,7 @@ class IVFIndex:
         # which partitions this batch touches (≤ nlist values — tiny)
         needed = sorted(r["list_id"] for r in
                         q_assigned.select("list_id").distinct().collect())
-        corpus = (spark.read.parquet(self._lists_path())
+        corpus = (spark.read.parquet(f"{vdir}/lists")
                   .where(F.col("list_id").isin(needed)))
         pairs = (corpus.join(F2.broadcast(q_assigned), "list_id")
                  .where(F.col(self.id_col) != F.col(query_id_col)))
@@ -505,6 +638,21 @@ class IVFIndex:
                .localCheckpoint(eager=True))
         q_assigned.unpersist()
         return out
+
+
+def _residual_sq(vec_col_expr, centers):
+    """Column: squared L2 distance from a vector to its NEAREST stored
+    centroid (the k-means assignment residual)."""
+    nlist = len(centers)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(vec_col_expr,
+                       F.array(*[F.lit(float(x)) for x in centers[c]]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        for c in range(nlist)
+    ])
+    return F.array_min(dists)
 
 
 def _nearest_lists(vec_col_expr, n: int, centers):

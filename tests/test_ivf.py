@@ -52,7 +52,75 @@ def test_ivf_index_persisted_roundtrip(spark, tmp_path):
     # the stored layout reaches the scan as a PartitionFilter, and the
     # files actually read are confined to those list directories
     import pyspark.sql.functions as F
-    scan = (spark.read.parquet(f"{path}/lists")
+    vdir = served._version_path(served._current_vid(spark))
+    scan = (spark.read.parquet(f"{vdir}/lists")
             .where(F.col("list_id").isin([0, 1])))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivf_rebuild_atomic_swap_and_drift(spark, tmp_path):
+    """Index lifecycle: rebuild retrains on the grown corpus, flips the
+    manifest atomically, serves the new version from a FRESH object,
+    keeps the previous version's files for in-flight readers, and the
+    drift metric actually falls after retraining on the drifted
+    corpus."""
+    import os
+
+    from pydin_spark import load_table
+    from pydin_spark.operators.similarity import IVFIndex, cosine_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.where("vec_id < 60")
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex(path, nlist=4)
+    stats1 = idx.build(old)
+    assert stats1["n_vectors"] == 60
+
+    # corpus grows/drifts beyond the trained region
+    grown = emb.where("vec_id < 140")
+    before = idx.drift(grown)
+    assert before["n_sampled"] == 140
+
+    # a reader that resolved the serving version BEFORE the flip keeps
+    # its files available after rebuild (keep_versions=2 grace)
+    pre_vdir = idx._version_path(idx._current_vid(spark))
+
+    stats2 = idx.rebuild(grown)
+    assert stats2["vid"] != stats1["vid"]
+    assert stats2["n_vectors"] == 140
+    assert os.path.isdir(pre_vdir)          # old version still on disk
+
+    # retraining on the drifted corpus reduces the residual: the new
+    # baseline is below the drifted residual measured pre-rebuild
+    after = idx.drift(grown)
+    assert after["vid"] == stats2["vid"]
+    assert after["current_residual"] <= before["current_residual"] + 1e-9
+    assert after["drift_ratio"] <= 1.0 + 1e-9
+
+    # a FRESH object over the same path serves the NEW version, and the
+    # exhaustive operating point still equals brute force (the oracle
+    # anchor sim_topk_ivf_stored relies on exactly this)
+    served = IVFIndex(path, nlist=4)
+    q = grown.where("vec_id < 5").selectExpr("vec_id AS query_id",
+                                             "embedding")
+    key = lambda df: sorted((r["query_id"], r["nbr_id"], r["rnk"])
+                            for r in df.collect())
+    assert key(served.query(q, k=3, nprobe=4)) \
+        == key(cosine_topk(grown, q, k=3))
+
+    # third flip GCs the first version (keep_versions=2)
+    idx.rebuild(grown)
+    assert not os.path.isdir(idx._version_path(stats1["vid"]))
+    assert os.path.isdir(idx._version_path(stats2["vid"]))
+
+
+def test_ivf_query_before_build_raises(spark, tmp_path):
+    from pydin_spark.operators.similarity import IVFIndex
+    import pytest
+
+    idx = IVFIndex(str(tmp_path / "missing"))
+    q = spark.createDataFrame([(1, [0.1, 0.2])],
+                              "query_id long, embedding array<double>")
+    with pytest.raises(FileNotFoundError, match="call build"):
+        idx.query(q, k=1)
