@@ -1,0 +1,84 @@
+"""Recall floors for the PRUNED ANN operating points.
+
+The oracle gate pins the exhaustive anchors (multiprobe=planes,
+nprobe=nlist ≡ brute force) — zero pruning exercised. These tests pin
+the pruned paths: recall@k against brute force must stay above a floor
+at the documented defaults, and must be monotone in the probe fan-out.
+Floors sit ~25% under the measured values on this fixture (synthetic
+near-uniform embeddings — the ANN worst case, so real corpora with
+cluster structure only do better); a bucketing/probing regression
+(wrong band math, broken multi-probe mask set, mis-assigned IVF lists)
+craters recall far below them. Curves: tools/ann_recall.py, PERF.md.
+"""
+
+import tempfile
+
+import pytest
+
+from pydin_spark import load_table
+from pydin_spark.operators import similarity
+
+K = 5
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001",
+                     "embeddings").persist()
+    emb.count()
+    yield emb
+    emb.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    q = corpus.where(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS query_id", "embedding").persist()
+    q.count()
+    yield q
+    q.unpersist()
+
+
+@pytest.fixture(scope="module")
+def truth(corpus, queries):
+    out = {}
+    for r in similarity.cosine_topk(corpus, queries, k=K).collect():
+        out.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    return out
+
+
+def _recall(rows, truth):
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_lsh_multiprobe_recall_floor_and_monotone(corpus, queries, truth):
+    by_mp = {
+        mp: _recall(similarity.lsh_topk(corpus, queries, k=K, planes=8,
+                                        multiprobe=mp).collect(), truth)
+        for mp in (1, 2, 3)
+    }
+    # measured on this fixture: 0.09 / 0.27 / 0.66
+    assert by_mp[2] >= 0.15, by_mp
+    assert by_mp[3] >= 0.45, by_mp
+    # probing strictly more buckets never loses neighbors on average
+    assert by_mp[1] <= by_mp[2] + 1e-9 <= by_mp[3] + 2e-9, by_mp
+
+
+def test_ivf_pruned_recall_floor_and_monotone(corpus, queries, truth):
+    scratch = tempfile.mkdtemp(prefix="ann_floor_ivf_")
+    idx = similarity.IVFIndex(f"{scratch}/ivf", nlist=16)
+    idx.build(corpus)
+    by_np = {
+        nprobe: _recall(idx.query(queries, k=K, nprobe=nprobe).collect(),
+                        truth)
+        for nprobe in (2, 4, 8)
+    }
+    # measured on this fixture: 0.41 / 0.64 / 0.86
+    assert by_np[4] >= 0.45, by_np     # the documented default nprobe
+    assert by_np[8] >= 0.65, by_np
+    assert by_np[2] <= by_np[4] + 1e-9 <= by_np[8] + 2e-9, by_np
