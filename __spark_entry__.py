@@ -1570,6 +1570,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    other=docs.where("doc_id % 2 = 0"))
 
     out["text_winnow_contamination"] = _text_winnow_contamination
+
+    def _rollup_quantile(spark, sf_dir):
+        # daily median value SERVED FROM hourly KLL sketches merged to
+        # day grain — the event table is aggregated once at hourly
+        # grain, the daily order statistic never rescans it. kll_k=2048
+        # keeps every bucket (and the day-level merge) in the sketch's
+        # exact regime through sf0.1, where the returned quantile is
+        # precisely the item at 1-based rank ceil(q*n) (DataSketches
+        # inclusive convention — the oracle recomputes that order
+        # statistic with a window rank); at true 100 TB bucket counts
+        # it degrades to bounded rank error while staying mergeable.
+        from pyspark.sql import functions as F
+        from pydin_spark.operators.rollup import (coarsen,
+                                                  rollup_aggregate,
+                                                  with_quantile_estimate)
+        _views(spark, sf_dir)
+        hourly = rollup_aggregate(spark.table("events"), bucket="1 hour",
+                                  quantile_col="value", kll_k=2048)
+        served = with_quantile_estimate(coarsen(hourly, "1 day"), q=0.5)
+        return served.select(
+            "bucket_start", "event_type", "n_events",
+            F.col("approx_quantile").alias("median_value"))
+
+    out["rollup_quantile"] = _rollup_quantile
+
+    def _theta_overlap_users(spark, sf_dir):
+        # cross-slice distinct set algebra from K stored Theta sketches
+        # (union/intersection/difference — beyond HLL's union-only);
+        # fixture cardinalities (≤1500 distinct users/slice) sit in the
+        # sketches' exact regime, so the oracle's exact COUNT(DISTINCT)
+        # overlap matrix must match to the row.
+        from pydin_spark.operators.rollup import theta_overlap
+        _views(spark, sf_dir)
+        return theta_overlap(spark.table("events"), "event_type",
+                             "user_id")
+
+    out["theta_overlap_users"] = _theta_overlap_users
     return _driver_priority_order(out)
 
 
@@ -2138,6 +2175,47 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
+    """
+    # daily median served from merged hourly KLL sketches (exact regime
+    # at fixture scale): the oracle recomputes the inclusive-rank order
+    # statistic — item at 1-based rank ceil(q*n) — that DataSketches
+    # KLL returns while every bucket holds <= k items
+    out["rollup_quantile"] = """
+        WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                              AS bucket_start,
+                          event_type, CAST(value AS DOUBLE) AS v
+                   FROM events),
+        r AS (SELECT bucket_start, event_type, v,
+                     ROW_NUMBER() OVER (PARTITION BY bucket_start,
+                                        event_type ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY bucket_start,
+                                    event_type) AS n
+              FROM e)
+        SELECT bucket_start, event_type, MAX(n) AS n_events,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN v END) AS median_value
+        FROM r GROUP BY bucket_start, event_type
+    """
+    # theta-sketch overlap matrix vs the true COUNT(DISTINCT) algebra
+    # (exact regime: every slice holds far fewer than the 4096 nominal
+    # entries at gate scale)
+    out["theta_overlap_users"] = """
+        WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type),
+        i AS (SELECT x.event_type AS slice_a, y.event_type AS slice_b,
+                     COUNT(*) AS ni
+              FROM s x JOIN s y ON x.user_id = y.user_id
+                               AND x.event_type < y.event_type
+              GROUP BY 1, 2),
+        p AS (SELECT ca.event_type AS slice_a, cb.event_type AS slice_b,
+                     ca.n AS n_a, cb.n AS n_b
+              FROM c ca JOIN c cb ON ca.event_type < cb.event_type)
+        SELECT p.slice_a, p.slice_b, p.n_a, p.n_b,
+               p.n_a + p.n_b - COALESCE(i.ni, 0) AS n_union,
+               COALESCE(i.ni, 0) AS n_intersection,
+               p.n_a - COALESCE(i.ni, 0) AS n_only_a
+        FROM p LEFT JOIN i ON i.slice_a = p.slice_a
+                          AND i.slice_b = p.slice_b
     """
     # cluster stats: same pair CTE + recursive closure as
     # dedup_clusters, aggregated per component (min/max of identical

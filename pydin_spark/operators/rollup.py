@@ -35,7 +35,8 @@ def rollup_aggregate(df: DataFrame, ts_col: str = "ts",
                      value_col: str = "value",
                      distinct_col: str | None = None,
                      lg_config_k: int | None = None,
-                     quantile_col: str | None = None) -> DataFrame:
+                     quantile_col: str | None = None,
+                     kll_k: int | None = None) -> DataFrame:
     """One tumbling-bucket aggregate row per (bucket, group): count and
     an exact decimal sum (re-castable to double for consumers). The
     canonical shape served by the rollup sink.
@@ -55,7 +56,10 @@ def rollup_aggregate(df: DataFrame, ts_col: str = "ts",
     (``kll_sketch_agg_double``) per row — mergeable, so
     :func:`coarsen` serves daily/weekly percentiles from the hourly
     pre-aggregate; exact while a bucket's item count stays below the
-    sketch's k (200 default), bounded-rank-error beyond.
+    sketch's k (``kll_k``, library default 200), bounded-rank-error
+    beyond. In the exact regime the returned quantile is the item at
+    1-based rank ``ceil(q*n)`` (DataSketches inclusive convention —
+    pinned empirically and by the rollup_quantile oracle).
     """
     aggs = [F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col(value_col).cast("decimal(25,4)"))
@@ -68,8 +72,11 @@ def rollup_aggregate(df: DataFrame, ts_col: str = "ts",
         aggs.append(sk.alias("distinct_sketch"))
         cols.append("distinct_sketch")
     if quantile_col is not None:
-        aggs.append(F.kll_sketch_agg_double(
-            F.col(quantile_col).cast("double")).alias("quantile_sketch"))
+        qc = F.col(quantile_col).cast("double")
+        sk = (F.kll_sketch_agg_double(qc)
+              if kll_k is None
+              else F.kll_sketch_agg_double(qc, F.lit(int(kll_k))))
+        aggs.append(sk.alias("quantile_sketch"))
         cols.append("quantile_sketch")
     return (df.groupBy(F.window(ts_col, bucket).alias("w"), *group_cols)
             .agg(*aggs)
@@ -241,3 +248,55 @@ class ContinuousRollup:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.catalog.refreshByPath(self.path)
         return self.read(spark)
+
+
+def theta_slice_sketches(df: DataFrame, slice_col: str,
+                         id_col: str) -> DataFrame:
+    """One mergeable Theta sketch of ``id_col``'s distinct values per
+    ``slice_col`` slice — the pre-aggregate for cross-source set
+    algebra. Unlike HLL (union-only), Theta sketches support
+    intersection and difference, so slice-vs-slice overlap questions
+    ("how many users does source A share with source B?") are answered
+    from K stored sketches instead of re-joining the raw history per
+    pair. Exact below the sketch's nominal entry count (4096 default),
+    ~1-2% beyond — at 100 TB the K sketches are the only state that
+    moves. One shuffle on the slice key.
+    """
+    return (df.groupBy(slice_col)
+            .agg(F.theta_sketch_agg(id_col).alias("sketch"),
+                 F.count_distinct(F.col(id_col)).alias("n_exact")))
+
+
+def theta_overlap(df: DataFrame, slice_col: str, id_col: str,
+                  sketches: DataFrame | None = None) -> DataFrame:
+    """Pairwise distinct-overlap matrix between slices:
+    (slice_a, slice_b, n_a, n_b, n_union, n_intersection, n_only_a)
+    for every slice_a < slice_b, via Theta sketch set algebra on the
+    per-slice pre-aggregates (pass ``sketches`` to reuse stored ones).
+
+    The pairwise stage works on K sketches (K = #slices — driver-tiny
+    by construction), never on the raw ids: a K² matrix over 100 TB of
+    history costs K² sketch ops after one linear sketching pass.
+    Estimates are exact in the sketches' exact regime — the
+    correctness-gate operating point (fixture cardinalities sit well
+    below the 4096-entry nominal).
+    """
+    sk = sketches if sketches is not None \
+        else theta_slice_sketches(df, slice_col, id_col)
+    a = sk.select(F.col(slice_col).alias("slice_a"),
+                  F.col("sketch").alias("sk_a"),
+                  F.col("n_exact").alias("n_a"))
+    b = sk.select(F.col(slice_col).alias("slice_b"),
+                  F.col("sketch").alias("sk_b"),
+                  F.col("n_exact").alias("n_b"))
+    pairs = a.join(b, F.col("slice_a") < F.col("slice_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_a", "sk_b")).cast("long")
+    union = F.theta_sketch_estimate(
+        F.theta_union("sk_a", "sk_b")).cast("long")
+    only_a = F.theta_sketch_estimate(
+        F.theta_difference("sk_a", "sk_b")).cast("long")
+    return pairs.select(
+        "slice_a", "slice_b", "n_a", "n_b",
+        union.alias("n_union"), inter.alias("n_intersection"),
+        only_a.alias("n_only_a"))

@@ -136,3 +136,57 @@ def test_kll_quantile_rollup_merges(spark):
     # within one rank position of the true median
     lo, hi = vals[len(vals) // 2 - 2], vals[len(vals) // 2 + 2]
     assert lo <= got <= hi
+
+
+def test_kll_exact_regime_inclusive_rank(spark):
+    """With kll_k above the bucket count the sketch is EXACT: the
+    quantile is the item at 1-based rank ceil(q*n) (DataSketches
+    inclusive convention) — the contract the rollup_quantile oracle
+    recomputes in SQL."""
+    import math
+
+    from pydin_spark.operators.rollup import (coarsen, rollup_aggregate,
+                                              with_quantile_estimate)
+    vals = [float(v) for v in (5, 1, 9, 3, 7, 2, 11)]
+    rows = [(i, "2024-01-01 %02d:00:00" % (i % 3), "click", v)
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = rollup_aggregate(ev, bucket="1 hour", quantile_col="value",
+                              kll_k=2048)
+    for q in (0.25, 0.5, 0.75, 0.9):
+        daily = with_quantile_estimate(coarsen(hourly, "1 day"), q=q)
+        got = daily.first()["approx_quantile"]
+        want = sorted(vals)[math.ceil(q * len(vals)) - 1]
+        assert got == want, (q, got, want)
+
+
+def test_theta_overlap_exact_algebra(spark):
+    """Theta union/intersection/difference between slices equals the
+    true distinct set algebra in the exact regime."""
+    from pydin_spark.operators.rollup import theta_overlap
+    rows = ([("a", u) for u in range(100)]
+            + [("b", u) for u in range(50, 150)]
+            + [("c", u) for u in range(200, 210)])
+    df = spark.createDataFrame(rows, "src string, user_id long")
+    out = {(r["slice_a"], r["slice_b"]):
+           (r["n_a"], r["n_b"], r["n_union"], r["n_intersection"],
+            r["n_only_a"]) for r in
+           theta_overlap(df, "src", "user_id").collect()}
+    assert out[("a", "b")] == (100, 100, 150, 50, 50)
+    assert out[("a", "c")] == (100, 10, 110, 0, 100)
+    assert out[("b", "c")] == (100, 10, 110, 0, 100)
+
+
+def test_theta_sketches_reusable_pre_aggregate(spark):
+    """The stored per-slice sketches answer overlap queries without
+    the raw table (the mergeable pre-aggregate contract)."""
+    from pydin_spark.operators.rollup import (theta_overlap,
+                                              theta_slice_sketches)
+    rows = [("a", u) for u in range(40)] + [("b", u) for u in range(20, 60)]
+    df = spark.createDataFrame(rows, "src string, user_id long")
+    stored = theta_slice_sketches(df, "src", "user_id")
+    empty = df.limit(0)
+    out = theta_overlap(empty, "src", "user_id", sketches=stored).first()
+    assert (out["n_union"], out["n_intersection"]) == (60, 20)
