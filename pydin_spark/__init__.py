@@ -14,7 +14,7 @@ from . import calendar as calendar  # noqa: PLC0414
 from .calendar import (Day, Hour, Month, Today, Tomorrow, Week, Year,
                        Yesterday)
 from .fields import KEY_FIELDS, KeyField
-from .models import (CSV, JSON, ORC, SQL, XML, Avro, Delta, Executable, Extractable,
+from .models import (CSV, JSON, ORC, SQL, XML, Avro, Command, Delta, Executable, Extractable,
                      FileManager, Filenames, Insert, Loadable, Mapper, Model,
                      Parquet, Select, Table, Transform, Transformable)
 from .config import pipeline_from_config
@@ -123,7 +123,7 @@ def register_tables(spark, sf_dir: str, tables=TPCH_TABLES,
 
 
 __all__ = [
-    "CSV", "JSON", "SQL", "XML", "Parquet", "ORC", "Avro", "Delta", "Table", "Select", "Insert",
+    "CSV", "JSON", "SQL", "XML", "Parquet", "ORC", "Avro", "Command", "Delta", "Table", "Select", "Insert",
     "Mapper", "Transform", "Filenames", "FileManager", "Model", "Extractable",
     "Transformable", "Loadable", "Executable",
     "Pipeline", "Node", "Step", "StepError", "ErrorLimitExceeded",

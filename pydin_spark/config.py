@@ -34,7 +34,7 @@ NODE_TYPES = {
     name: getattr(_models, name)
     for name in ("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
                  "Parquet", "Mapper", "Transform", "Filenames",
-                 "FileManager")
+                 "FileManager", "Command")
 }
 
 DDL = """

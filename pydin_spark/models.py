@@ -1268,6 +1268,59 @@ class SQL(Model, Executable):
         return count
 
 
+class Command(Model, Executable):
+    """Execute a shell command on a server — local host or remote over
+    the SSH channel of an ``ssh``/``sftp`` source (reference
+    ``conn.execute`` via ``ssh.exec_command``, ``pydin/sources.py:79-81``;
+    the hook pydin users drive remote cleanup/trigger scripts with).
+
+    ``source_name=None`` runs on the driver host; a registered
+    ``Server`` with protocol ``ssh``/``sftp`` runs remotely over the
+    same connection FileManager uses (``Server.transport`` doubles are
+    honored, so the remote matrix is testable without a live host).
+    The command text and its exit status land in the query log
+    (``records`` column = exit status, stderr tail as the error text);
+    a non-zero exit raises unless ``check=False``.
+    """
+
+    def __init__(self, source_name=None, text: str | None = None,
+                 check: bool = True, timeout: float | None = None,
+                 **kwargs):
+        super().__init__(source_name=source_name, **kwargs)
+        self.text = text
+        self.check = check
+        self.timeout = timeout
+        self.stdout: str | None = None
+        self.stderr: str | None = None
+
+    def execute(self) -> int | None:
+        from .sources import Filesystem as _Fs
+        from .transports import transport_for
+        if not self.text:
+            raise ValueError("Command needs `text`")
+        source = None if isinstance(self.source, _Fs) else self.source
+        transport = transport_for(source)
+        try:
+            status, out, err = transport.execute(self.text,
+                                                 timeout=self.timeout)
+        except Exception as exc:
+            if self.audit is not None:
+                self.audit.query(self.text, "E", error=str(exc)[:2000])
+            raise
+        finally:
+            if source is not None:
+                transport.close()
+        self.stdout, self.stderr = out, err
+        if self.audit is not None:
+            self.audit.query(self.text, "D" if status == 0 else "E",
+                             records=status,
+                             error=err[:2000] if status != 0 else None)
+        if status != 0 and self.check:
+            raise RuntimeError(
+                f"command exited {status}: {self.text!r}\n{err[:500]}")
+        return status
+
+
 class Insert(Model, Executable):
     """Set-based ``INSERT INTO target SELECT ...`` — ELT with no data
     movement through the driver.

@@ -53,6 +53,17 @@ class Transport:
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
 
+    def execute(self, command: str,
+                timeout: float | None = None) -> tuple[int, str, str]:
+        """Run a shell command on the endpoint's host; return
+        ``(exit_status, stdout, stderr)``. Reference parity:
+        ``conn.execute`` over ``ssh.exec_command``
+        (``pydin/sources.py:79-81``) — the remote cleanup/trigger hook
+        an Executable drives. Endpoints without a command channel
+        (plain FTP) raise."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no remote-command channel")
+
     def close(self) -> None:
         pass
 
@@ -85,6 +96,13 @@ class LocalTransport(Transport):
     def remove(self, path: str) -> None:
         os.remove(path)
 
+    def execute(self, command: str,
+                timeout: float | None = None) -> tuple[int, str, str]:
+        import subprocess
+        proc = subprocess.run(command, shell=True, capture_output=True,
+                              text=True, timeout=timeout)
+        return proc.returncode, proc.stdout, proc.stderr
+
     def rename(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 
@@ -103,6 +121,10 @@ class MemoryTransport(Transport):
     def __init__(self):
         self.files: dict[str, bytes] = {}
         self.mtimes: dict[str, dt.datetime] = {}
+        # remote-exec double: commands run are recorded; handlers map a
+        # command string to its scripted (exit, stdout, stderr)
+        self.commands: list[str] = []
+        self.handlers: dict[str, tuple[int, str, str]] = {}
 
     def put(self, path: str, data: bytes,
             mtime: dt.datetime | None = None) -> None:
@@ -146,6 +168,11 @@ class MemoryTransport(Transport):
 
     def makedirs(self, path: str) -> None:
         pass  # directories are implicit
+
+    def execute(self, command: str,
+                timeout: float | None = None) -> tuple[int, str, str]:
+        self.commands.append(command)
+        return self.handlers.get(command, (0, "", ""))
 
 
 class SFTPTransport(Transport):
@@ -203,6 +230,17 @@ class SFTPTransport(Transport):
                 self.sftp.stat(cur)
             except FileNotFoundError:
                 self.sftp.mkdir(cur)
+
+    def execute(self, command: str,
+                timeout: float | None = None) -> tuple[int, str, str]:
+        # same SSHClient the SFTP channel rides on — one connection,
+        # both file ops and remote commands (reference sources.py:79-81)
+        _stdin, stdout, stderr = self._client.exec_command(
+            command, timeout=timeout)
+        out = stdout.read().decode()
+        err = stderr.read().decode()
+        status = stdout.channel.recv_exit_status()
+        return status, out, err
 
     def close(self) -> None:
         self.sftp.close()

@@ -135,3 +135,66 @@ def test_fan_out_to_multiple_destinations(tmp_path):
                 destination=["/a", "/b"],
                 target_transport=remote).execute()
     assert set(remote.files) == {"/a/x.txt", "/b/x.txt"}
+
+
+def test_remote_exec_matrix_local_and_fake_ssh(spark):
+    """Command executable (reference conn.execute over ssh.exec_command,
+    sources.py:79-81): local host + injected-transport 'remote' matrix,
+    exit status and stderr recorded in the query log."""
+    from pydin_spark import Command, Pipeline
+    from pydin_spark.audit import AuditLog
+    from pydin_spark.scheduler import History
+
+    # local quadrant: a real subprocess on the driver host
+    audit = AuditLog(History(), run_id=11)
+    cmd = Command(text="echo out-$((40+2)); echo err-side 1>&2")
+    Pipeline(cmd, spark=spark, audit=audit).run()
+    assert cmd.stdout.strip() == "out-42"
+    assert cmd.stderr.strip() == "err-side"
+
+    # fake-SSH quadrant: Server with an injected transport double
+    remote = MemoryTransport()
+    remote.handlers["/opt/app/cleanup.sh --day 2024-01-02"] = (0, "done", "")
+    remote.handlers["/opt/app/broken.sh"] = (3, "", "boom")
+    registry.register(Server("opsbox", host="fake", protocol="ssh"))
+    registry.resolve("opsbox").transport = remote
+    try:
+        ok = Command(source_name="opsbox",
+                     text="/opt/app/cleanup.sh --day 2024-01-02")
+        Pipeline(ok, spark=spark, audit=audit).run()
+        assert ok.stdout == "done"
+
+        import pytest as _pytest
+        bad = Command(source_name="opsbox", text="/opt/app/broken.sh")
+        with _pytest.raises(Exception, match="exited 3"):
+            Pipeline(bad, spark=spark, audit=audit).run()
+
+        tolerated = Command(source_name="opsbox",
+                            text="/opt/app/broken.sh", check=False)
+        assert tolerated.execute() == 3     # surfaced, not raised
+        assert remote.commands == [
+            "/opt/app/cleanup.sh --day 2024-01-02",
+            "/opt/app/broken.sh", "/opt/app/broken.sh"]
+    finally:
+        del registry["opsbox"]
+
+    logged = [r for r in audit.queries()]
+    by_text = {}
+    for r in logged:
+        by_text.setdefault(r["query_text"], []).append(r)
+    assert by_text["echo out-$((40+2)); echo err-side 1>&2"][0]["records"] == 0
+    ok_rows = by_text["/opt/app/cleanup.sh --day 2024-01-02"]
+    assert ok_rows[0]["status"] == "D" and ok_rows[0]["records"] == 0
+    bad_rows = by_text["/opt/app/broken.sh"]
+    assert all(r["status"] == "E" and r["records"] == 3
+               and "boom" in r["error_text"] for r in bad_rows)
+
+
+def test_base_transport_has_no_exec_channel():
+    import pytest as _pytest
+
+    class _Stub(MemoryTransport.__mro__[1]):  # the Transport base
+        pass
+
+    with _pytest.raises(NotImplementedError, match="no remote-command"):
+        _Stub().execute("ls")
