@@ -1,0 +1,124 @@
+"""Build a ~sf1 replica: every sf0.1 table replicated 10x into /tmp.
+
+Replication semantics (what "10x more data" should mean per table):
+
+- facts (lineitem/orders/events): keys shifted per replica so joins and
+  group-bys see real cardinality growth, not 10 copies of one key space.
+  Event timestamps are kept — 10x events per bucket is exactly the
+  density a bigger deployment produces.
+- documents: replica r rewrites the TEXT deterministically (vowel
+  permutation per replica) so replicas are near-dup-disjoint from each
+  other — corpus growth adds new content; 10 verbatim copies of every
+  doc would quadratically inflate pair counts and measure a different
+  (adversarial) workload. Within-replica near-dup structure is
+  preserved exactly.
+- embeddings: vectors circular-shifted per replica (norm-preserving,
+  direction-changing) — new points, same distribution shape.
+- dimensions (region/nation/customer/supplier/part): NOT scaled.
+  Dimensions grow much slower than facts in any real warehouse, and
+  keeping them broadcast-sized is the scenario the engine's plans are
+  designed for.
+
+Usage: python tools/build_sf1.py [src_dir] [out_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pydin_spark import TPCH_TABLES, get_session, load_table  # noqa: E402
+
+VOWELS = "aeiou"
+#: distinct vowel permutations per replica (r=0 is identity)
+PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+         "eauoi", "ieuoa", "oeuai", "ueoia", "aiueo"]
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_session("build-sf1")
+    os.makedirs(out, exist_ok=True)
+
+    copy_only = ("region", "nation", "customer", "supplier", "part")
+    for t in copy_only:
+        load_table(spark, src, t).write.mode("overwrite") \
+            .parquet(f"{out}/{t}.parquet")
+        print(f"copied dim {t}")
+
+    def shifted(df, col, shift):
+        return df.withColumn(col, F.col(col) + F.lit(shift))
+
+    orders = load_table(spark, src, "orders")
+    li = load_table(spark, src, "lineitem")
+    okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    parts_o, parts_l = [], []
+    for r in range(factor):
+        parts_o.append(shifted(orders, "o_orderkey", r * okey_span))
+        parts_l.append(shifted(li, "l_orderkey", r * okey_span))
+    big_o = parts_o[0]
+    for p in parts_o[1:]:
+        big_o = big_o.unionByName(p)
+    big_l = parts_l[0]
+    for p in parts_l[1:]:
+        big_l = big_l.unionByName(p)
+    big_o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    big_l.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    print(f"orders x{factor}: {big_o.count()}, lineitem: {big_l.count()}")
+
+    ev = load_table(spark, src, "events")
+    ekey_span = ev.agg(F.max("event_id")).first()[0] + 1
+    ukey_span = ev.agg(F.max("user_id")).first()[0] + 1
+    parts = []
+    for r in range(factor):
+        parts.append(ev.withColumn("event_id",
+                                   F.col("event_id") + F.lit(r * ekey_span))
+                       .withColumn("user_id",
+                                   F.col("user_id") + F.lit(r * ukey_span)))
+    big_e = parts[0]
+    for p in parts[1:]:
+        big_e = big_e.unionByName(p)
+    big_e.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    print(f"events x{factor}: {big_e.count()}")
+
+    docs = load_table(spark, src, "documents")
+    dkey_span = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = []
+    for r in range(factor):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * dkey_span))
+        if r:
+            p = p.withColumn("text", F.translate("text", VOWELS, PERMS[r]))
+        parts.append(p)
+    big_d = parts[0]
+    for p in parts[1:]:
+        big_d = big_d.unionByName(p)
+    big_d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(f"documents x{factor}: {big_d.count()}")
+
+    emb = load_table(spark, src, "embeddings")
+    vkey_span = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for r in range(factor):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * vkey_span))
+        if r:
+            rot = F.concat(F.slice("embedding", r + 1, dim - r),
+                           F.slice("embedding", 1, r))
+            p = p.withColumn("embedding", rot)
+        parts.append(p)
+    big_v = parts[0]
+    for p in parts[1:]:
+        big_v = big_v.unionByName(p)
+    big_v.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    print(f"embeddings x{factor}: {big_v.count()}")
+    print(f"done: {out}")
+
+
+if __name__ == "__main__":
+    main()
