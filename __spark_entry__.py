@@ -1552,7 +1552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                 "embedding")
         scratch = tempfile.mkdtemp(prefix="pydin_ivf_")
         try:
-            similarity.IVFIndex(scratch + "/ivf", nlist=8).build(emb)
+            # max_iter=2: the oracle point (nprobe=nlist) is exhaustive
+            # for ANY centroid set, so the training budget only moves
+            # build time, not the verified result
+            similarity.IVFIndex(scratch + "/ivf", nlist=8,
+                                max_iter=2).build(emb)
             served = similarity.IVFIndex(scratch + "/ivf", nlist=8)
             return served.query(q, k=5, nprobe=8)
         finally:

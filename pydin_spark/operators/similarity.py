@@ -442,11 +442,17 @@ class IVFIndex:
 
     def __init__(self, path: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", nlist: int = 16,
-                 seed: int = 42, keep_versions: int = 2):
+                 seed: int = 42, keep_versions: int = 2,
+                 max_iter: int = 20):
         self.path = str(path).rstrip("/")
         self.id_col, self.vec_col = id_col, vec_col
         self.nlist, self.seed = int(nlist), int(seed)
         self.keep_versions = max(1, int(keep_versions))
+        # k-means refinement budget: recall quality only — ANY centroid
+        # set yields correct results (nprobe=nlist is provably
+        # exhaustive regardless); fewer iterations trade pruned-probe
+        # recall for build time
+        self.max_iter = int(max_iter)
 
     def _manifest_path(self):
         return f"{self.path}/manifest"
@@ -496,12 +502,13 @@ class IVFIndex:
             array_to_vector(F.transform(F.col(self.vec_col),
                                         lambda v: v.cast("double")))
             .alias("features"))
-        model = KMeans(k=self.nlist, seed=self.seed, maxIter=20).fit(train)
+        model = KMeans(k=self.nlist, seed=self.seed,
+                       maxIter=self.max_iter).fit(train)
         centers = [np.asarray(c).tolist() for c in model.clusterCenters()]
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(centers)],
             "list_id int, center array<double>") \
-            .coalesce(1).write.mode("overwrite") \
+            .repartition(1).write.mode("overwrite") \
             .parquet(f"{vdir}/centers")
         cv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
         arr = np.array(centers)
@@ -521,7 +528,7 @@ class IVFIndex:
         spark.createDataFrame(
             [(vid, int(n_vec), mean_res)],
             "vid string, n_vectors long, mean_residual double") \
-            .coalesce(1).write.mode("overwrite").parquet(f"{vdir}/meta")
+            .repartition(1).write.mode("overwrite").parquet(f"{vdir}/meta")
         # publish: one appended manifest row makes the version visible —
         # the atomic flip (monotonic seq, readers take the max)
         try:
@@ -531,7 +538,7 @@ class IVFIndex:
             prev_seq = 0
         spark.createDataFrame(
             [(int(prev_seq) + 1, vid)], "seq long, vid string") \
-            .coalesce(1).write.mode("append") \
+            .repartition(1).write.mode("append") \
             .parquet(self._manifest_path())
         self._gc(spark)
         return {"vid": vid, "n_vectors": int(n_vec),
