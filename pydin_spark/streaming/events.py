@@ -20,7 +20,7 @@ the deterministic tests and DuckDB oracles exercise the same code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def with_watermark(df: DataFrame, ts_col: str = "ts",
@@ -166,6 +166,27 @@ def file_events(spark, path: str, schema: str = EVENTS_DDL,
     return reader.load(path)
 
 
+#: the Kafka source's wire schema (what the spark-sql-kafka connector
+#: emits); the fake landing-zone source reproduces it exactly so every
+#: operator downstream of the connector is exercised without a broker
+KAFKA_WIRE_DDL = ("key binary, value binary, topic string, "
+                  "partition int, offset long, timestamp timestamp, "
+                  "timestampType int")
+
+
+def parse_kafka_records(raw: DataFrame,
+                        schema: str = EVENTS_DDL) -> DataFrame:
+    """Kafka-shaped records (binary key/value + topic/partition/offset)
+    → parsed event rows (value is JSON). This is the ENTIRE post-
+    connector pipeline of :func:`kafka_events` — shared with the
+    directory-backed fake so the parsing, casting and downstream
+    windowing logic carries real execution evidence even where no
+    broker (or connector jar) exists."""
+    return (raw.select(F.from_json(F.col("value").cast("string"),
+                                   schema).alias("e"))
+            .select("e.*"))
+
+
 def kafka_events(spark, brokers: str, topic: str, schema: str = EVENTS_DDL,
                  starting_offsets: str = "latest") -> DataFrame:
     """Kafka source → parsed events columns (value is JSON).
@@ -174,7 +195,9 @@ def kafka_events(spark, brokers: str, topic: str, schema: str = EVENTS_DDL,
     classpath (ship it via ``spark.jars.packages``); absent — as in
     this container — the reader fails at ``load()`` and this helper
     re-raises with the exact dependency to add, instead of Spark's
-    generic DATA_SOURCE_NOT_FOUND.
+    generic DATA_SOURCE_NOT_FOUND. The post-connector pipeline is
+    :func:`parse_kafka_records`, exercised end-to-end by the
+    :func:`kafka_shaped_file_source` fake.
     """
     try:
         raw = (spark.readStream.format("kafka")
@@ -188,9 +211,56 @@ def kafka_events(spark, brokers: str, topic: str, schema: str = EVENTS_DDL,
             "connector on the classpath (e.g. spark.jars.packages="
             "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
         ) from exc
-    return (raw.select(F.from_json(F.col("value").cast("string"),
-                                   schema).alias("e"))
-            .select("e.*"))
+    return parse_kafka_records(raw, schema)
+
+
+def kafka_shaped_file_source(spark, path: str,
+                             max_files_per_trigger: int | None = None
+                             ) -> DataFrame:
+    """Protocol-level Kafka fake: a landing-zone directory of JSON-lines
+    files whose rows carry the connector's exact wire schema
+    (:data:`KAFKA_WIRE_DDL`). Producers write with
+    :func:`write_kafka_shaped`; the stream returns records
+    bit-compatible with the real source (binary key/value included), so
+    ``parse_kafka_records`` and everything after it — watermarks,
+    windows, foreachBatch sinks — runs identically with or without a
+    broker. Swap this for :func:`kafka_events` in production; nothing
+    downstream changes."""
+    file_ddl = ("key string, value string, topic string, partition int, "
+                "offset long, timestamp timestamp, timestampType int")
+    reader = spark.readStream.schema(file_ddl).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        "topic", "partition", "offset", "timestamp", "timestampType")
+
+
+def write_kafka_shaped(events: DataFrame, path: str, topic: str,
+                       key_col: str = "event_id", ts_col: str = "ts",
+                       n_partitions: int = 4) -> None:
+    """Producer side of the fake: serialize an events-shaped frame into
+    Kafka wire records (value = JSON payload, key = the key column,
+    partition = hash(key) mod n — the default partitioner's shape,
+    offset = per-partition sequence) appended as JSON-lines files under
+    ``path`` for :func:`kafka_shaped_file_source` to pick up."""
+    payload = F.to_json(F.struct(*events.columns))
+    part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)) \
+        .cast("int")
+    w = Window.partitionBy("partition").orderBy(ts_col, key_col)
+    shaped = (events
+              .withColumn("partition", part)
+              .withColumn("key", F.col(key_col).cast("string"))
+              .withColumn("value", payload)
+              .withColumn("offset", F.row_number().over(w).cast("long") - 1)
+              .withColumn("topic", F.lit(topic))
+              .withColumn("timestamp", F.col(ts_col))
+              .withColumn("timestampType", F.lit(0))
+              .select("key", "value", "topic", "partition", "offset",
+                      "timestamp", "timestampType"))
+    shaped.write.mode("append").json(path)
 
 
 def rate_events(spark, rows_per_second: int = 100) -> DataFrame:

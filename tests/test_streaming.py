@@ -134,6 +134,52 @@ def test_kafka_events_gates_on_missing_connector(spark):
             .format("noop").start()
 
 
+def test_kafka_shaped_pipeline_end_to_end(spark, tmp_path):
+    """The ENTIRE post-connector Kafka pipeline with real execution:
+    producer serializes events into wire records (binary key/value,
+    topic/partition/offset), the directory-backed source streams them,
+    parse_kafka_records — the same function the real connector output
+    goes through — reconstructs the rows, and a windowed aggregate over
+    the stream equals the batch aggregate over the original events."""
+    from pydin_spark.streaming.events import (kafka_shaped_file_source,
+                                              parse_kafka_records,
+                                              write_kafka_shaped)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(300)
+    ev = ev.localCheckpoint(eager=True)
+    land = str(tmp_path / "wire")
+    write_kafka_shaped(ev, land, topic="events")
+
+    # wire-schema fidelity: what the fake emits IS the connector schema
+    raw_batch = spark.read.json(land)
+    assert {r["topic"] for r in raw_batch.select("topic").collect()} \
+        == {"events"}
+    parts = raw_batch.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("offset") + 1).alias("expect")).collect()
+    assert len(parts) > 1                      # partitioner spread
+    assert all(r["n"] == r["expect"] for r in parts)  # dense offsets
+
+    stream = kafka_shaped_file_source(spark, land, max_files_per_trigger=2)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["key"] == "binary"
+    assert dict(stream.dtypes)["value"] == "binary"
+    parsed = parse_kafka_records(stream)
+    agg = tumbling_counts(parsed)
+    out = str(tmp_path / "agg")
+    q = (agg.writeStream.format("memory").queryName("kafka_agg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["bucket"], r["event_type"]): (r["n_events"],
+                                            r["total_value"])
+           for r in spark.table("kafka_agg").collect()}
+    want = {(r["bucket"], r["event_type"]): (r["n_events"],
+                                             r["total_value"])
+            for r in tumbling_counts(ev).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_incremental_dedup(spark, tmp_path):
     """Landing-zone stream -> IncrementalDeduper.ingest per micro-batch:
     a duplicate arriving in a later file is dropped against the state
