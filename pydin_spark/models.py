@@ -1471,6 +1471,14 @@ TRANSFORM_OPERATORS = {
     "curate_corpus": "curation.curate_corpus",
     "with_unit_norm": "similarity.with_unit_norm",
     "quantize_int8": "similarity.quantize_int8",
+    "winnow_matches": "text.winnow_matches",
+    "ngram_jaccard_pairs": "dedup.ngram_jaccard_pairs",
+    "cluster_stats": "dedup.cluster_stats",
+    "decontaminate": "curation.decontaminate",
+    "vocab_counts": "curation.vocab_counts",
+    "rollup_aggregate": "rollup.rollup_aggregate",
+    "theta_slice_sketches": "rollup.theta_slice_sketches",
+    "theta_overlap": "rollup.theta_overlap",
 }
 
 

@@ -112,3 +112,31 @@ def test_transform_node_rejects_unknown_operator():
     from pydin_spark import Transform
     with _pytest.raises(ValueError, match="unknown operator"):
         Transform(operator="not_a_real_op")
+
+
+def test_transform_registry_fully_resolves():
+    """Every declarative operator name must resolve to a real function —
+    a renamed operator breaks config-driven jobs at schedule time, not
+    import time, unless this gate exists."""
+    import importlib
+
+    from pydin_spark.models import TRANSFORM_OPERATORS
+    for name, target in TRANSFORM_OPERATORS.items():
+        mod_name, fn_name = target.split(".")
+        mod = importlib.import_module(f"pydin_spark.operators.{mod_name}")
+        assert callable(getattr(mod, fn_name)), (name, target)
+
+
+def test_declarative_theta_overlap(spark, views, tmp_path):
+    from pydin_spark import pipeline_from_config
+    out = str(tmp_path / "overlap")
+    pipeline_from_config([
+        {"node_type": "Select",
+         "text": "SELECT event_type, user_id FROM events"},
+        {"node_type": "Transform", "operator": "theta_overlap",
+         "options": {"slice_col": "event_type", "id_col": "user_id"}},
+        {"node_type": "Parquet", "file_name": "o.parquet", "path": out},
+    ], spark=spark).run()
+    got = spark.read.parquet(out + "/o.parquet")
+    assert got.count() == 10        # C(5,2) event-type pairs
+    assert "n_intersection" in got.columns
