@@ -498,9 +498,12 @@ class IncrementalDeduper:
     (``max_pushdown_ids``, the overwhelmingly common case — it is
     bounded by batch size × bucket hit rate, not corpus size) the ids
     are pushed into the parquet reads of ``shingles/`` and ``sizes/``
-    as an ``In`` filter, so state scan bytes track the *batch*, not the
-    corpus. ``ingest`` appends the survivors' state and returns them;
-    batches also dedup against themselves before entering the state.
+    as an ``In`` filter, and the batch's bucket hashes (≤ batch×bands)
+    into the ``buckets/`` read the same way — all four state tables are
+    written sorted on their probe key, so row-group pruning makes state
+    scan bytes track the *batch*, not the corpus. ``ingest`` appends
+    the survivors' state and returns them; batches also dedup against
+    themselves before entering the state.
 
     The state grows linearly in surviving docs; per-batch cost depends
     on the batch size and bucket hit rate only — ingesting batch k
@@ -597,7 +600,19 @@ class IncrementalDeduper:
         if not self._has_state(spark):
             return self._empty_pairs(docs)
         new_sh, new_buckets = self._new_state(docs, owned)
+        new_buckets = new_buckets.persist()
+        owned.append(new_buckets)
         st_buckets = self._read_committed(spark, "buckets")
+        # bucket-key pushdown, same contract as the id pushdown below:
+        # the batch touches ≤ batch×bands bucket hashes; within the cap,
+        # push them into the bucket-state scan (files sorted by bh →
+        # row-group pruning), so even the bucket table read tracks the
+        # batch rather than the corpus
+        batch_bhs = [r["bh"] for r in
+                     new_buckets.select("bh").distinct()
+                     .limit(self.max_pushdown_ids + 1).collect()]
+        if len(batch_bhs) <= self.max_pushdown_ids:
+            st_buckets = st_buckets.where(F.col("bh").isin(batch_bhs))
         cand = (new_buckets.select(F.col(id_c).alias("id_new"),
                                    "band", "bh")
                 .join(st_buckets.select(F.col(id_c).alias("id_old"),
@@ -650,8 +665,10 @@ class IncrementalDeduper:
         batch_id = uuid.uuid4().hex
         tag = F.lit(batch_id).alias("batch")
         sh, buckets = self._new_state(survivors, owned)
-        buckets.select("*", tag).write.mode("append") \
-            .parquet(self._table_path("buckets"))
+        # sort buckets by bh inside each file: the batch bucket-key In
+        # filter then prunes row groups via min/max stats
+        buckets.select("*", tag).sortWithinPartitions("bh") \
+            .write.mode("append").parquet(self._table_path("buckets"))
         # sort postings by id inside each file: candidate-id In filters
         # then prune row groups via min/max stats
         sh.select("*", tag).sortWithinPartitions(self.id_col) \

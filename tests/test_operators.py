@@ -758,6 +758,12 @@ def test_incremental_check_plan_stays_batch_bounded(spark, tmp_path):
     for blk in state_blocks:
         # a 1-element candidate set folds In(...) to EqualTo(...)
         assert "In(doc_id" in blk or "EqualTo(doc_id" in blk, blk
+    # the bucket-state scan carries the batch's bucket-hash pushdown too
+    bucket_blocks = [b for b in blocks
+                     if "Location" in b and "/buckets" in b]
+    assert bucket_blocks, plan
+    for blk in bucket_blocks:
+        assert "In(bh" in blk or "EqualTo(bh" in blk, blk
     # and the correct answer still comes out
     assert {r["id_old"] for r in d.check(batch).collect()} == {11}
 
