@@ -712,15 +712,26 @@ class IncrementalDeduper:
             frame.unpersist()
         return survivors
 
-    def maintain(self, spark, max_files: int = 64) -> dict:
+    def maintain(self, spark, max_files: int = 64,
+                 checkpoint_above: int = 1000) -> dict:
         """Compact any state table fragmented past ``max_files`` small
         files (each ingest appends one file set; at high batch cadence
         the read side degrades without this), sweeping uncommitted
-        orphan rows from crashed appends in the same rewrite. Uses the
-        engine's atomic staged-rewrite compaction. Returns per-table
-        before/after stats for tables it touched."""
+        orphan rows from crashed appends in the same rewrite. When the
+        commit log exceeds ``checkpoint_above`` batches,
+        :meth:`checkpoint_state` collapses them first — the commit
+        table is broadcast on every read and must stay bounded. Uses
+        the engine's atomic staged-rewrite compaction. Returns
+        per-table before/after stats for tables it touched."""
         from ..functions.maintenance import compact, dataset_stats
         out = {}
+        try:
+            n_commits = spark.read.parquet(
+                self._table_path("commits")).count()
+        except Exception:  # noqa: BLE001 - no state yet
+            return out
+        if n_commits > checkpoint_above:
+            out["checkpoint"] = self.checkpoint_state(spark)
         for name in self._TABLES + ("commits",):
             path = self._table_path(name)
             try:
@@ -736,6 +747,45 @@ class IncrementalDeduper:
                         [r["batch"] for r in commits.collect()])
                 out[name] = compact(spark, path, row_filter=keep)
         return out
+
+    def checkpoint_state(self, spark) -> dict:
+        """Collapse every committed batch into ONE batch id, bounding
+        the commit log however many ingests the deduper has absorbed
+        (1 row/batch otherwise — broadcast per read and collected in
+        ``maintain``, so it must not grow forever).
+
+        Crash-safe by the same visibility rule as ingest: (1) the
+        merged rows are APPENDED under a fresh batch id — invisible
+        until committed, so a crash here changes nothing; (2) the
+        commit log is atomically replaced (staged dir + rename) with
+        the single merged id — before the swap readers see exactly the
+        old batches, after it exactly the merged copy, never both and
+        never neither; (3) the now-dead per-batch rows are swept by the
+        compaction pass that follows (they are uncommitted from step 2
+        on, so correctness never depends on the sweep)."""
+        import os
+        import shutil
+        import uuid
+
+        merged = uuid.uuid4().hex
+        tag = F.lit(merged).alias("batch")
+        sort_key = {"buckets": "bh", "shingles": self.id_col,
+                    "sizes": self.id_col}
+        n_before = spark.read.parquet(self._table_path("commits")).count()
+        for name in self._TABLES:
+            df = self._read_committed(spark, name)
+            df.select("*", tag).sortWithinPartitions(sort_key[name]) \
+                .write.mode("append").parquet(self._table_path(name))
+        commits_path = self._table_path("commits")
+        staging = commits_path + ".__checkpoint__"
+        spark.createDataFrame([(merged,)], "batch string") \
+            .write.mode("overwrite").parquet(staging)
+        backup = commits_path + ".__old__"
+        os.rename(commits_path, backup)
+        os.rename(staging, commits_path)
+        shutil.rmtree(backup)
+        spark.catalog.refreshByPath(commits_path)
+        return {"batches_before": n_before, "merged_batch": merged}
 
     def ingest_stream(self, stream_df: DataFrame, checkpoint: str,
                       survivors_path: str | None = None,

@@ -872,3 +872,39 @@ def test_winnow_matches_cross_corpus(spark):
     out = text.winnow_matches(train, k=5, w=3, min_shared=1,
                               other=ref).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(11, 2)}
+
+
+def test_incremental_checkpoint_collapses_commit_log(spark, tmp_path):
+    """checkpoint_state: N committed batches become one, answers are
+    unchanged, and the dead per-batch rows are swept by compaction."""
+    d = dedup.IncrementalDeduper(str(tmp_path / "st"), threshold=0.9)
+    for b in range(4):
+        d.ingest(spark.createDataFrame(
+            [(b * 10 + i, f"doc {b * 10 + i} body alpha beta gamma {i}")
+             for i in range(3)], "doc_id long, text string"))
+    commits = str(tmp_path / "st" / "commits")
+    assert spark.read.parquet(commits).count() == 4
+    probe = spark.createDataFrame(
+        [(999, "doc 21 body alpha beta gamma 1")],
+        "doc_id long, text string")
+    before = {(r["id_new"], r["id_old"]) for r in d.check(probe).collect()}
+
+    out = d.checkpoint_state(spark)
+    assert out["batches_before"] == 4
+    spark.catalog.refreshByPath(commits)
+    assert spark.read.parquet(commits).count() == 1
+    after = {(r["id_new"], r["id_old"]) for r in d.check(probe).collect()}
+    assert after == before == {(999, 21)}
+
+    # the sweep drops the now-uncommitted per-batch rows
+    d.maintain(spark, max_files=0)
+    buckets = spark.read.parquet(str(tmp_path / "st" / "buckets"))
+    assert buckets.select("batch").distinct().count() == 1
+    assert {(r["id_new"], r["id_old"])
+            for r in d.check(probe).collect()} == {(999, 21)}
+    # and maintain() auto-checkpoints past the threshold
+    d.ingest(spark.createDataFrame(
+        [(500, "wholly new content zeta eta theta iota kappa")],
+        "doc_id long, text string"))
+    out = d.maintain(spark, max_files=10_000, checkpoint_above=1)
+    assert "checkpoint" in out and out["checkpoint"]["batches_before"] == 2
