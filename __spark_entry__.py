@@ -1611,6 +1611,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              "user_id")
 
     out["theta_overlap_users"] = _theta_overlap_users
+
+    def _leakage_safe_split(spark, sf_dir):
+        # contamination-safe split: near-dup clusters move between
+        # train/val/test as a unit (group_id = cluster representative)
+        _views(spark, sf_dir)
+        return curation.leakage_safe_split(
+            spark.table("documents"), threshold=0.2,
+            max_shingle_freq=100).select("doc_id", "group_id", "split")
+
+    out["curation_leakage_split"] = _leakage_safe_split
     return _driver_priority_order(out)
 
 
@@ -2199,6 +2209,53 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
                         THEN v END) AS median_value
         FROM r GROUP BY bucket_start, event_type
+    """
+    # leakage-safe split: recursive closure over exact-Jaccard pairs
+    # (same CTE as dedup_clusters), singletons keep their own id, then
+    # the identical md5 interval split applied to the GROUP id
+    out["curation_leakage_split"] = f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM shared
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE shared / (sa.sz + sb.sz - shared)
+                        >= CAST(0.2 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component
+                 FROM reach GROUP BY id),
+        grouped AS (SELECT d.doc_id,
+                           COALESCE(c.component, d.doc_id) AS group_id
+                    FROM documents d LEFT JOIN comp c
+                      ON c.doc_id = d.doc_id),
+        h AS (SELECT doc_id, group_id,
+                     md5(CAST(group_id AS VARCHAR) || '#42') AS m
+              FROM grouped),
+        u AS (SELECT doc_id, group_id,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h)
+        SELECT doc_id, group_id,
+               CASE WHEN u < CAST(0.9 AS DOUBLE) THEN 'train'
+                    WHEN u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
     """
     # theta-sketch overlap matrix vs the true COUNT(DISTINCT) algebra
     # (exact regime: every slice holds far fewer than the 4096 nominal

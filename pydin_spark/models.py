@@ -1479,6 +1479,7 @@ TRANSFORM_OPERATORS = {
     "rollup_aggregate": "rollup.rollup_aggregate",
     "theta_slice_sketches": "rollup.theta_slice_sketches",
     "theta_overlap": "rollup.theta_overlap",
+    "leakage_safe_split": "curation.leakage_safe_split",
 }
 
 

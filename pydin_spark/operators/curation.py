@@ -310,3 +310,53 @@ def oov_rate(df: DataFrame, vocab_size: int = 1000,
                     .alias("n_oov"))
             .withColumn("oov_rate",
                         F.col("n_oov") / F.col("n_tokens")))
+
+
+def leakage_safe_split(df: DataFrame,
+                       weights: dict[str, float] | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, threshold: float = 0.5,
+                       max_shingle_freq: int | None = 100,
+                       method: str = "auto",
+                       auto_minhash_above: int = 100_000,
+                       seed: int = 42,
+                       split_col: str = "split") -> DataFrame:
+    """Train/val/test split that never separates near-duplicates.
+
+    :func:`hash_split` assigns per document; if two near-identical
+    documents land in train and test, the eval set silently leaks
+    training data — the classic contamination bug a large corpus WILL
+    hit (near-dup rates of web corpora are double-digit percent). Here
+    the unit of assignment is the near-duplicate CLUSTER: pairs from
+    the configured dedup method are closed under transitivity
+    (:func:`~pydin_spark.operators.dedup.connected_components`), every
+    document takes its cluster representative (min id; singletons are
+    their own) as ``group_id``, and the deterministic md5 interval
+    split is applied to ``group_id`` — same hash, same
+    append-consistency, but whole clusters move together. Output adds
+    ``group_id`` next to ``split_col`` so the grouping is auditable.
+
+    Scale shape: the dedup pair generation dominates (same
+    candidate-bounded paths as :func:`~pydin_spark.operators.dedup.
+    drop_near_dups`, LSH above ``auto_minhash_above`` docs); the split
+    itself stays a pure projection.
+    """
+    from .dedup import (connected_components, minhash_lsh_pairs,
+                        ngram_jaccard_pairs)
+    if method == "auto":
+        method = ("minhash" if df.count() > auto_minhash_above
+                  else "exact")
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n,
+                                  threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                    max_shingle_freq)
+    comp = connected_components(pairs, "id_a", "id_b", id_col)
+    labeled = (df.join(comp.select(F.col(id_col),
+                                   F.col("component")), id_col, "left")
+               .withColumn("group_id",
+                           F.coalesce("component", F.col(id_col)))
+               .drop("component"))
+    return hash_split(labeled, weights, id_col="group_id", seed=seed,
+                      split_col=split_col)

@@ -908,3 +908,42 @@ def test_incremental_checkpoint_collapses_commit_log(spark, tmp_path):
         "doc_id long, text string"))
     out = d.maintain(spark, max_files=10_000, checkpoint_above=1)
     assert "checkpoint" in out and out["checkpoint"]["batches_before"] == 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The contamination guard: near-dup documents always share a
+    split; the naive per-doc hash split provably leaks on the same
+    fixture (that's WHY the operator exists)."""
+    from pydin_spark.operators import curation
+    rows = []
+    for g in range(40):                    # 40 clusters of 3 near-dups
+        base = " ".join(f"tok{g}w{j}" for j in range(9))  # group-unique
+        for v in range(3):
+            rows.append((g * 10 + v, f"{base} tail{v}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.leakage_safe_split(docs, threshold=0.5,
+                                      max_shingle_freq=None).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())   # never split up
+    assert len(by_group) == 40
+    splits = {r["split"] for r in out}
+    assert "train" in splits and len(splits) >= 2
+    # the naive split DOES separate near-dups here — the leak is real
+    naive = curation.hash_split(docs).collect()
+    naive_groups = {}
+    for r in naive:
+        naive_groups.setdefault(r["doc_id"] // 10, set()).add(r["split"])
+    assert any(len(s) > 1 for s in naive_groups.values())
+    # append-consistency carries over: re-running on a superset never
+    # moves an existing cluster
+    more = spark.createDataFrame(
+        [(9000 + i, f"wholly new content alpha beta gamma {i} delta")
+         for i in range(5)], "doc_id long, text string")
+    out2 = curation.leakage_safe_split(docs.unionByName(more),
+                                       threshold=0.5,
+                                       max_shingle_freq=None).collect()
+    before = {r["doc_id"]: r["split"] for r in out}
+    after = {r["doc_id"]: r["split"] for r in out2}
+    assert all(after[d] == s for d, s in before.items())
