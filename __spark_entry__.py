@@ -1621,6 +1621,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_shingle_freq=100).select("doc_id", "group_id", "split")
 
     out["curation_leakage_split"] = _leakage_safe_split
+
+    def _text_span_provenance(spark, sf_dir):
+        _views(spark, sf_dir)
+        return text.span_provenance(spark.table("documents"), k=20,
+                                    min_count=2)
+
+    out["text_span_provenance"] = _text_span_provenance
     return _driver_priority_order(out)
 
 
@@ -2094,6 +2101,48 @@ def oracle_sql() -> dict[str, str]:
               FROM i)
         SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
                COUNT(*) AS n_dup_grams
+        FROM s GROUP BY doc_id, island
+    """
+    # span provenance: the cut spans of text_dedup_spans annotated with
+    # the keeper (corpus-first occurrence by the (doc,pos) total order)
+    # of the span's first gram + distinct source-doc count
+    out["text_span_provenance"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 20),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(t[i:i+19], ' ') AS gram
+              FROM b, unnest(range(1, len(t) - 18)) AS u(i)),
+        k AS (SELECT doc_id, pos, gram,
+                     FIRST_VALUE(doc_id) OVER w AS kdoc,
+                     FIRST_VALUE(pos) OVER w AS kpos,
+                     COUNT(*) OVER (PARTITION BY gram) AS c
+              FROM g
+              WINDOW w AS (PARTITION BY gram ORDER BY doc_id, pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)),
+        p AS (SELECT doc_id, pos, pos + 20 AS e, kdoc, kpos FROM k
+              WHERE c >= 2 AND (doc_id > kdoc
+                                OR (doc_id = kdoc AND pos > kpos))),
+        m AS (SELECT doc_id, pos, e, kdoc, kpos,
+                     MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+              FROM p),
+        i AS (SELECT doc_id, pos, e, kdoc, kpos,
+                     CASE WHEN prev_max IS NULL OR pos > prev_max
+                          THEN 1 ELSE 0 END AS ni
+              FROM m),
+        s AS (SELECT doc_id, pos, e, kdoc, kpos,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+              FROM i)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+               COUNT(*) AS n_dup_grams,
+               MIN_BY(kdoc, pos) AS src_doc_id,
+               MIN_BY(kpos, pos) AS src_pos,
+               COUNT(DISTINCT kdoc) AS n_src_docs
         FROM s GROUP BY doc_id, island
     """
     # span-cut rewrite: keep the corpus-first occurrence of every hot

@@ -1480,6 +1480,7 @@ TRANSFORM_OPERATORS = {
     "theta_slice_sketches": "rollup.theta_slice_sketches",
     "theta_overlap": "rollup.theta_overlap",
     "leakage_safe_split": "curation.leakage_safe_split",
+    "span_provenance": "text.span_provenance",
 }
 
 

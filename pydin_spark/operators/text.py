@@ -613,3 +613,72 @@ def winnow_matches(df: DataFrame, id_col: str = "doc_id",
                  F.min("pos_b").alias("b_min_pos"),
                  F.max("pos_b").alias("b_max_pos"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def span_provenance(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 20,
+                    min_count: int = 2) -> DataFrame:
+    """Provenance for duplicate-span cuts: for every span that
+    :func:`remove_duplicate_spans` would cut (all occurrences after the
+    corpus-first one, by the same (doc, pos) total order), report WHERE
+    the kept original lives — the audit trail that turns "this text was
+    cut" into "this text in doc X first appeared in doc Y at token P"
+    (contamination tracing at substring grain, complementing
+    :func:`winnow_matches`' document grain).
+
+    Output per cut span: (id, span_start, span_end, n_dup_grams,
+    src_doc_id, src_pos, n_src_docs) — src_* is the keeper of the
+    span's first k-gram, n_src_docs counts distinct documents the
+    span's grams originate from (a stitched span can splice several
+    sources).
+
+    Scale shape: the :func:`duplicate_spans` inventory plus one
+    min-aggregate keyed on the 8-byte gram hash (the keeper table) and
+    the same per-document island merge — no new shuffle class.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("t")) \
+             .where(F.size("t") >= k)
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - (k - 1))
+    grams = (base.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))
+                .alias("h")))).alias("g"))
+        .select(F.col(id_col), F.col("g.pos"), F.col("g.h")))
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    occ_struct = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    keeper = (grams.groupBy("h")
+              .agg(F.min(occ_struct).alias("first_occ")))
+    redundant = (grams
+                 .join(counts.where(F.col("c") >= min_count)
+                       .select("h"), "h")
+                 .join(keeper, "h")
+                 .where(occ_struct > F.col("first_occ"))
+                 .select(F.col(id_col), "pos",
+                         (F.col("pos") + k).alias("end"),
+                         F.col("first_occ.d").alias("src_d"),
+                         F.col("first_occ.p").alias("src_p")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (redundant
+             .withColumn("prev_max", F.max("end").over(prev))
+             .withColumn("ni",
+                         F.when(F.col("prev_max").isNull()
+                                | (F.col("pos") > F.col("prev_max")),
+                                1).otherwise(0))
+             .withColumn("island", F.sum("ni").over(run)))
+    return (spans.groupBy(id_col, "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_dup_grams"),
+                 F.min_by("src_d", "pos").alias("src_doc_id"),
+                 F.min_by("src_p", "pos").alias("src_pos"),
+                 F.count_distinct("src_d").alias("n_src_docs"))
+            .select(id_col, "span_start", "span_end", "n_dup_grams",
+                    "src_doc_id", "src_pos", "n_src_docs"))

@@ -947,3 +947,28 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     before = {r["doc_id"]: r["split"] for r in out}
     after = {r["doc_id"]: r["split"] for r in out2}
     assert all(after[d] == s for d, s in before.items())
+
+
+def test_span_provenance_points_at_first_occurrence(spark):
+    from pydin_spark.operators import text as t
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x1 x2 x3 x4 x5"),
+         (2, "p q a b c d e r s t u v"),     # copies doc1 tokens 1-5
+         (3, "m n o p2 q2 a b c d e w")],    # copies the same run
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           t.span_provenance(docs, k=5, min_count=2).collect()}
+    assert set(out) == {2, 3}                # doc 1 is the keeper
+    assert out[2]["src_doc_id"] == 1 and out[2]["src_pos"] == 1
+    assert out[3]["src_doc_id"] == 1 and out[3]["src_pos"] == 1
+    assert out[2]["span_start"] == 3         # 'a' at token 3 in doc 2
+    assert out[2]["n_src_docs"] == 1
+    # within-doc repetition: the second occurrence's keeper is the
+    # first occurrence in the SAME document
+    rep = spark.createDataFrame(
+        [(9, "u v w x y z1 z2 z3 u v w x y")],
+        "doc_id long, text string")
+    r = t.span_provenance(rep, k=5, min_count=2).collect()
+    assert len(r) == 1
+    assert r[0]["src_doc_id"] == 9 and r[0]["src_pos"] == 1
+    assert r[0]["span_start"] == 9
