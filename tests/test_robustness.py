@@ -72,3 +72,27 @@ def test_read_assets_binary_ingest(spark, tmp_path):
     feats = multimodal.extract_features(assets, dim=4, fake=True)
     got = {r["kind"]: r["feature"] for r in feats.collect()}
     assert len(got["png"]) == 4
+
+
+def test_theta_overlap_single_slice_and_empty(spark):
+    from pydin_spark.operators.rollup import theta_overlap
+    one = spark.createDataFrame([("a", 1), ("a", 2)],
+                                "src string, user_id long")
+    assert theta_overlap(one, "src", "user_id").count() == 0  # no pairs
+    empty = one.limit(0)
+    assert theta_overlap(empty, "src", "user_id").count() == 0
+
+
+def test_leakage_safe_split_no_near_dups_degenerates_to_hash_split(spark):
+    from pydin_spark.operators import curation
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(6)))
+         for i in range(30)], "doc_id long, text string")
+    safe = {r["doc_id"]: (r["group_id"], r["split"]) for r in
+            curation.leakage_safe_split(docs, threshold=0.5).collect()}
+    naive = {r["doc_id"]: r["split"]
+             for r in curation.hash_split(docs).collect()}
+    # all singletons: group is the doc itself and the split matches the
+    # plain per-doc hash split exactly
+    assert all(g == d for d, (g, _) in safe.items())
+    assert all(s == naive[d] for d, (_, s) in safe.items())
