@@ -46,7 +46,10 @@ def main() -> None:
             .join(red.select("doc_id", F.col("redacted").alias("text")),
                   "doc_id"))
 
-    # 3. cut exact duplicate substrings (keep the corpus-first copy)
+    # 3. cut exact duplicate substrings (keep the corpus-first copy),
+    # writing the span-level provenance next to the output — the audit
+    # table that says which doc each cut span first appeared in
+    provenance = text.span_provenance(docs, k=20)
     docs = (docs.drop("text")
             .join(text.remove_duplicate_spans(docs, k=20)
                   .select("doc_id", "text"), "doc_id"))
@@ -65,10 +68,12 @@ def main() -> None:
 
     docs = docs.localCheckpoint(eager=True)
 
-    # 5. deterministic split — append-consistent, eval set stays frozen
-    split = curation.hash_split(docs)
-    train = split.where("split = 'train'").drop("split")
-    heldout = split.where("split != 'train'").drop("split")
+    # 5. deterministic split — append-consistent, eval set stays
+    # frozen, and near-dup clusters move between splits as a UNIT so
+    # the held-out set can't leak training text
+    split = curation.leakage_safe_split(docs, threshold=0.5)
+    train = split.where("split = 'train'").drop("split", "group_id")
+    heldout = split.where("split != 'train'").drop("split", "group_id")
 
     # 6. decontaminate train against the held-out split
     train = curation.decontaminate(train, heldout, threshold=0.5)
@@ -88,13 +93,16 @@ def main() -> None:
 
     packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
     q.write.mode("overwrite").parquet(f"{out_dir}/vectors_int8")
+    provenance.write.mode("overwrite").parquet(f"{out_dir}/cut_provenance")
 
     spark.catalog.refreshByPath(f"{out_dir}/packed")
     n_packed = spark.read.parquet(f"{out_dir}/packed").count()
     n_bins = (spark.read.parquet(f"{out_dir}/packed")
               .select("bin_id").distinct().count())
+    n_prov = spark.read.parquet(f"{out_dir}/cut_provenance").count()
     print(f"{n0} docs -> {n_packed} packed docs in {n_bins} bins; "
-          f"vectors at {out_dir}/vectors_int8")
+          f"vectors at {out_dir}/vectors_int8; "
+          f"{n_prov} cut spans with provenance")
 
 
 if __name__ == "__main__":
