@@ -1628,6 +1628,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     min_count=2)
 
     out["text_span_provenance"] = _text_span_provenance
+
+    def _token_budget(spark, sf_dir):
+        # token-budgeted subsample (the unit training runs are planned
+        # in): hash order, running total cut at the doc boundary
+        _views(spark, sf_dir)
+        return curation.sample_to_token_budget(
+            spark.table("documents"), budget=5000) \
+            .select("doc_id", "n_tokens", "start_offset")
+
+    out["curation_token_budget"] = _token_budget
     return _driver_priority_order(out)
 
 
@@ -2305,6 +2315,26 @@ def oracle_sql() -> dict[str, str]:
                          THEN 'val'
                     ELSE 'test' END AS split
         FROM u
+    """
+    # token-budget subsample: md5-hash order, running token total
+    # BEFORE each doc (exclusive cumsum) < budget — identical hash
+    # arithmetic to curation_sample/split
+    out["curation_token_budget"] = f"""
+        WITH h AS (SELECT doc_id,
+                          len(string_split(text, ' ')) AS n_tokens,
+                          md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+                   FROM documents),
+        u AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h),
+        c AS (SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY u, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS start_offset
+              FROM u)
+        SELECT doc_id, n_tokens, start_offset
+        FROM c WHERE start_offset < 5000
     """
     # theta-sketch overlap matrix vs the true COUNT(DISTINCT) algebra
     # (exact regime: every slice holds far fewer than the 4096 nominal

