@@ -1638,6 +1638,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_tokens", "start_offset")
 
     out["curation_token_budget"] = _token_budget
+
+    def _dsir_weights(spark, sf_dir):
+        # DSIR (Xie et al. 2023): hashed-n-gram importance weights of
+        # every document vs the English slice as the target domain
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        return curation.importance_weights(docs,
+                                           docs.where("lang = 'en'"))
+
+    out["curation_dsir_weights"] = _dsir_weights
+
+    def _dsir_sample(spark, sf_dir):
+        # the selection step: Gumbel top-k = weighted sample without
+        # replacement, deterministic via the md5 unit uniform
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        return curation.importance_resample(
+            docs, docs.where("lang = 'en'"), k=500)
+
+    out["curation_dsir_sample"] = _dsir_sample
+
+    def _text_chunks(spark, sf_dir):
+        # sliding-window context chunking (64-token chunks, 16 overlap)
+        _views(spark, sf_dir)
+        return text.chunk_text(spark.table("documents"),
+                               chunk_tokens=64, overlap=16)
+
+    out["text_chunks"] = _text_chunks
     return _driver_priority_order(out)
 
 
@@ -1879,6 +1907,83 @@ def oracle_sql() -> dict[str, str]:
     hex15 = " + ".join(
         f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
         f" * {16 ** (14 - j)}" for j in range(15))
+    # DSIR importance weights/resampling: the whole pipeline recomputed
+    # independently — md5-bucketed 1/2-gram bag features, add-one
+    # smoothed log ratios rounded to 9 dp and summed as DECIMAL (order-
+    # independent), Gumbel keys from the same md5 unit uniform.
+    hex15g = hex15.replace("substr(m,", "substr(mg,")
+    _dsir_w_cte = f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS gram FROM d),
+        bi  AS (SELECT doc_id, t[CAST(i AS BIGINT)] || ' '
+                               || t[CAST(i AS BIGINT)+1] AS gram
+                FROM d, unnest(range(1, len(t))) AS r(i)),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        g2 AS (SELECT doc_id, gram FROM grams WHERE gram <> ''),
+        h AS (SELECT doc_id, md5(gram) AS m FROM g2),
+        feat AS (SELECT doc_id, CAST({hex15} AS BIGINT) % 256 AS bucket,
+                        COUNT(*) AS c
+                 FROM h GROUP BY 1, 2),
+        tfeat AS (SELECT f.bucket, SUM(f.c) AS n_tgt
+                  FROM feat f JOIN documents dd USING (doc_id)
+                  WHERE dd.lang = 'en' GROUP BY 1),
+        rfeat AS (SELECT bucket, SUM(c) AS n_raw FROM feat GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(n_raw),0) FROM rfeat) AS R,
+                       (SELECT COALESCE(SUM(n_tgt),0) FROM tfeat) AS T),
+        lam AS (SELECT COALESCE(rfeat.bucket, tfeat.bucket) AS bucket,
+                       CAST(ROUND(ln(
+                           CAST((COALESCE(n_tgt,0)+1) * (R + 256)
+                                AS DOUBLE)
+                           / CAST((COALESCE(n_raw,0)+1) * (T + 256)
+                                  AS DOUBLE)), 9)
+                            AS DECIMAL(12,9)) AS lam
+                FROM rfeat FULL OUTER JOIN tfeat USING (bucket), tot),
+        w AS (SELECT doc_id,
+                     CAST(SUM(CAST(c AS DECIMAL(20,0)) * lam) AS DOUBLE)
+                         AS log_weight
+              FROM feat JOIN lam USING (bucket) GROUP BY 1),
+        wa AS (SELECT dd.doc_id, COALESCE(w.log_weight, 0.0)
+                          AS log_weight
+               FROM documents dd LEFT JOIN w USING (doc_id))
+    """
+    out["curation_dsir_weights"] = _dsir_w_cte + """
+        SELECT doc_id, log_weight FROM wa
+    """
+    out["curation_dsir_sample"] = _dsir_w_cte + f""",
+        gu AS (SELECT doc_id, log_weight,
+                      md5(CAST(doc_id AS VARCHAR) || '#42') AS mg
+               FROM wa),
+        keyed AS (SELECT doc_id, log_weight,
+                         log_weight + ROUND(-ln(-ln(
+                             CAST({hex15g} AS DOUBLE)
+                             / 1152921504606846976.0)), 9) AS key
+                  FROM gu)
+        SELECT doc_id, log_weight, rank FROM (
+            SELECT doc_id, log_weight,
+                   ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank
+            FROM keyed) t
+        WHERE rank <= 500
+    """
+    # sliding-window chunking: starts 0, 48, 96, ... (step = 64 - 16),
+    # last chunk cut at the doc boundary; docs <= 64 tokens = 1 chunk
+    out["text_chunks"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        n AS (SELECT doc_id, t,
+                     CASE WHEN len(t) <= 64 THEN 1
+                          ELSE ((len(t) - 64 + 47) // 48) + 1 END
+                         AS n_chunks
+              FROM d),
+        e AS (SELECT doc_id, t, CAST(i AS BIGINT) AS chunk_id
+              FROM n, unnest(range(0, n_chunks)) AS r(i))
+        SELECT doc_id, chunk_id,
+               CAST(len(t[chunk_id*48+1 : chunk_id*48+64]) AS INT)
+                   AS n_tokens,
+               array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')
+                   AS chunk
+        FROM e
+    """
     out["curation_sample"] = f"""
         WITH h AS (SELECT doc_id, lang,
                           md5(CAST(doc_id AS VARCHAR) || '#42') AS m

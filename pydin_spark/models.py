@@ -1482,6 +1482,9 @@ TRANSFORM_OPERATORS = {
     "leakage_safe_split": "curation.leakage_safe_split",
     "span_provenance": "text.span_provenance",
     "sample_to_token_budget": "curation.sample_to_token_budget",
+    "chunk_text": "text.chunk_text",
+    "importance_weights": "curation.importance_weights",
+    "importance_resample": "curation.importance_resample",
 }
 
 

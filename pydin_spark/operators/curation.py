@@ -367,6 +367,134 @@ def leakage_safe_split(df: DataFrame,
                       split_col=split_col)
 
 
+def hashed_ngram_buckets(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_buckets: int = 256,
+                         max_ngram: int = 2) -> DataFrame:
+    """Bag-of-hashed-n-grams featurizer: (id, bucket, c) where bucket
+    is the md5-60-bit hash of each word 1..``max_ngram``-gram modulo
+    ``n_buckets`` and c its in-document occurrence count (a BAG, unlike
+    :func:`~pydin_spark.operators.dedup.word_shingles`' set semantics —
+    importance weighting needs multiplicities).
+
+    md5 (not xxhash64) so an oracle engine can recompute the identical
+    bucketing. One explode + one (id, bucket) hash aggregate; the
+    feature space is ``n_buckets`` rows regardless of corpus size, which
+    is the point — downstream statistics stay broadcast-sized at 100 TB.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _gram_fn(g):
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(g)])
+
+    grams = None
+    for g in range(1, max_ngram + 1):
+        idx = F.sequence(F.lit(1), F.size(toks) - (g - 1))
+        arr = F.when(
+            F.size(toks) >= g, F.transform(idx, _gram_fn(g))
+        ).otherwise(F.array().cast("array<string>"))
+        grams = arr if grams is None else F.concat(grams, arr)
+    exploded = (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+                .where(F.col("gram") != ""))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+              .cast("long") % F.lit(int(n_buckets))).alias("bucket")
+    return (exploded.select(F.col(id_col), bucket)
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def importance_weights(raw: DataFrame, target: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_buckets: int = 256, max_ngram: int = 2,
+                       owned_frames: list | None = None) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-n-gram profile looks like the
+    TARGET corpus rather than the RAW corpus.
+
+    log w(x) = Σ_b c_x[b] · λ[b],
+    λ[b] = ln( (t_b+1)(R+B) / (r_b+1)(T+B) )   (add-one smoothing)
+
+    where t_b/r_b are target/raw bucket totals, T/R the corpus totals,
+    B = ``n_buckets``. Engine-exact by construction: the ratio operands
+    are exact integer products cast to double, λ is rounded to 9 dp and
+    carried as DECIMAL(12,9), and the per-doc sum is decimal (order-
+    independent), cast to double only on output — an oracle recomputing
+    the same arithmetic matches bit-for-bit.
+
+    Scale shape: both distributions are B-row aggregates (map-side
+    combine to almost nothing); λ joins the per-doc features by
+    BROADCAST; the only corpus-sized shuffle is the (id, bucket)
+    feature aggregate. That feature frame is PERSISTED (it feeds both
+    the raw distribution and the per-doc sum, and without it the n-gram
+    explode — the expensive stage — runs twice; no plan-level
+    ReuseExchange fires across the two different aggregations).
+    ``owned_frames`` collects the persisted frame so a long-lived
+    caller can release it once the result is materialized. Output:
+    every raw row's (id, log_weight) — docs with no n-grams weigh
+    ln(1)=0.
+    """
+    f_raw = hashed_ngram_buckets(raw, id_col, text_col, n_buckets,
+                                 max_ngram).persist()
+    if owned_frames is not None:
+        owned_frames.append(f_raw)
+    f_tgt = hashed_ngram_buckets(target, id_col, text_col, n_buckets,
+                                 max_ngram)
+    d_raw = f_raw.groupBy("bucket").agg(F.sum("c").alias("n_raw"))
+    d_tgt = f_tgt.groupBy("bucket").agg(F.sum("c").alias("n_tgt"))
+    totals = (d_raw.agg(F.coalesce(F.sum("n_raw"), F.lit(0)).alias("R"))
+              .crossJoin(d_tgt.agg(F.coalesce(F.sum("n_tgt"),
+                                              F.lit(0)).alias("T"))))
+    b = F.lit(int(n_buckets))
+    lam_tbl = (d_raw.join(d_tgt, "bucket", "full_outer")
+               .crossJoin(F.broadcast(totals))
+               .select(
+                   "bucket",
+                   F.round(F.log(
+                       ((F.coalesce("n_tgt", F.lit(0)) + 1)
+                        * (F.col("R") + b)).cast("double")
+                       / ((F.coalesce("n_raw", F.lit(0)) + 1)
+                          * (F.col("T") + b)).cast("double")), 9)
+                   .cast("decimal(12,9)").alias("lam")))
+    per_doc = (f_raw.join(F.broadcast(lam_tbl), "bucket")
+               .groupBy(id_col)
+               .agg(F.sum(F.col("c") * F.col("lam")).alias("__lw")))
+    return (raw.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__lw").cast("double"), F.lit(0.0))
+                    .alias("log_weight")))
+
+
+def importance_resample(raw: DataFrame, target: DataFrame, k: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 256, max_ngram: int = 2,
+                        seed: int = 42,
+                        owned_frames: list | None = None) -> DataFrame:
+    """DSIR selection step: sample ``k`` raw documents without
+    replacement with probability ∝ importance weight, via the Gumbel
+    top-k trick (key = log w + Gumbel noise; the top k keys are exactly
+    a weighted sample without replacement). The Gumbel variate is
+    derived from the md5 unit uniform of (id, seed) — fully
+    deterministic, reproducible across engines and reruns, and
+    independent of the weight.
+
+    Top-k goes through orderBy+limit (distributed TakeOrdered: each
+    partition keeps k candidates, the driver merges k·P keys — no
+    global sort shuffle). Output: (id, log_weight, rank), rank 1..k by
+    (key DESC, id).
+    """
+    w = importance_weights(raw, target, id_col, text_col, n_buckets,
+                           max_ngram, owned_frames=owned_frames)
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    gumbel = F.round(-F.log(-F.log(u)), 9)
+    keyed = w.withColumn("__key", F.col("log_weight") + gumbel)
+    top = keyed.orderBy(F.desc("__key"), id_col).limit(int(k))
+    from pyspark.sql import Window
+    win = Window.orderBy(F.desc("__key"), id_col)
+    return (top.withColumn("rank", F.row_number().over(win))
+            .select(id_col, "log_weight", "rank"))
+
+
 def sample_to_token_budget(df: DataFrame, budget: int,
                            id_col: str = "doc_id",
                            text_col: str = "text",

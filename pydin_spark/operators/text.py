@@ -682,3 +682,42 @@ def span_provenance(df: DataFrame, id_col: str = "doc_id",
                  F.count_distinct("src_d").alias("n_src_docs"))
             .select(id_col, "span_start", "span_end", "n_dup_grams",
                     "src_doc_id", "src_pos", "n_src_docs"))
+
+
+def chunk_text(df: DataFrame, chunk_tokens: int = 128,
+               overlap: int = 0, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    fixed-size training chunks of ``chunk_tokens`` tokens with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the standard context-window preparation step before sequence
+    packing (complementary to :func:`~pydin_spark.operators.curation.
+    pack_sequences`, which concatenates SHORT docs; this splits LONG
+    ones).
+
+    Chunk starts are 0, step, 2·step … (step = chunk_tokens − overlap)
+    until the window covers the document; the last chunk may be short
+    (cut at the doc boundary, standard semantics). A doc with
+    ≤ chunk_tokens tokens yields exactly one chunk of itself.
+
+    Pure projection + explode — no shuffle, no state; scales linearly
+    with scan volume and parallelizes per input split. Output:
+    (id, chunk_id, n_tokens, chunk).
+    """
+    step = int(chunk_tokens) - int(overlap)
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(F.floor((n - chunk_tokens + step - 1) / step) + 1)
+    chunk_id = F.explode(F.sequence(F.lit(0), n_chunks - 1)) \
+        .alias("chunk_id")
+    out = df.select(F.col(id_col), F.col(text_col), chunk_id)
+    sliced = F.slice(F.split(F.col(text_col), " "),
+                     F.col("chunk_id") * step + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col), F.col("chunk_id"),
+        F.size(sliced).alias("n_tokens"),
+        F.array_join(sliced, " ").alias("chunk"))

@@ -1002,3 +1002,81 @@ def test_sample_to_token_budget_semantics(spark):
              curation.sample_to_token_budget(docs, budget).collect()}
     assert rerun == first
     assert len(grown) > 0
+
+
+def test_chunk_text_windows(spark):
+    from pydin_spark.operators.text import chunk_text
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 toks
+         (2, "a b c"),                                 # short: 1 chunk
+         (3, "")],                                     # degenerate
+        "doc_id long, text string")
+    out = chunk_text(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,2,4,6 -> 4 chunks (start 6 covers tokens 7..10)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk for r in c1] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk.split()[2:] == b.chunk.split()[:2]
+    assert [r.chunk for r in by_doc[2]] == ["a b c"]
+    assert len(by_doc[3]) == 1
+    with pytest.raises(ValueError):
+        chunk_text(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_text_covers_every_token(spark, views):
+    from pydin_spark.operators.text import chunk_text
+    docs = spark.table("documents").limit(50)
+    out = chunk_text(docs, chunk_tokens=32, overlap=8)
+    # reassembling non-overlap prefixes + last chunk == original text
+    rebuilt = (out.withColumn(
+        "piece",
+        F.when(F.col("chunk_id") == 0, F.col("chunk")).otherwise(
+            F.array_join(F.slice(F.split(F.col("chunk"), " "), 9, 32),
+                         " ")))
+        .groupBy("doc_id")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "piece"))),
+            lambda s: s.getField("piece")), " ").alias("text2")))
+    joined = docs.join(rebuilt, "doc_id")
+    bad = joined.where(F.col("text") != F.col("text2")).count()
+    assert bad == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pydin_spark.operators.curation import (importance_resample,
+                                                importance_weights)
+    # target: docs about cats; raw: half cat-like, half noise
+    tgt = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat with the cat") for i in range(8)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)]
+        + [(50 + i, f"zx{i} qwerty uio asdf ghjk") for i in range(10)],
+        "doc_id long, text string")
+    w = {r.doc_id: r.log_weight
+         for r in importance_weights(raw, tgt).collect()}
+    cat_w = [w[i] for i in range(10)]
+    noise_w = [w[50 + i] for i in range(10)]
+    assert min(cat_w) > max(noise_w)
+    # resample at k=10 should be dominated by cat-like docs
+    top = importance_resample(raw, tgt, k=10).collect()
+    assert len(top) == 10
+    assert sorted(r.rank for r in top) == list(range(1, 11))
+    assert sum(1 for r in top if r.doc_id < 50) >= 8
+    # deterministic across invocations
+    again = importance_resample(raw, tgt, k=10).collect()
+    assert sorted(map(tuple, top)) == sorted(map(tuple, again))
+
+
+def test_dsir_weights_cover_all_raw_docs(spark, views):
+    from pydin_spark.operators.curation import importance_weights
+    docs = spark.table("documents")
+    w = importance_weights(docs, docs.where("lang = 'en'"))
+    assert w.count() == docs.count()
+    assert w.where(F.col("log_weight").isNull()).count() == 0
