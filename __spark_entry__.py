@@ -1666,6 +1666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                chunk_tokens=64, overlap=16)
 
     out["text_chunks"] = _text_chunks
+
+    def _text_rewrite_provenance(spark, sf_dir):
+        # the combined single-pass rewrite+provenance operator; its
+        # provenance half must equal span_provenance exactly (the
+        # rewrite half is pinned to remove_duplicate_spans in tests/)
+        _views(spark, sf_dir)
+        _, prov = text.rewrite_with_provenance(spark.table("documents"),
+                                               k=20, min_count=2)
+        return prov
+
+    out["text_rewrite_provenance"] = _text_rewrite_provenance
     return _driver_priority_order(out)
 
 
@@ -2260,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT kdoc) AS n_src_docs
         FROM s GROUP BY doc_id, island
     """
+    out["text_rewrite_provenance"] = out["text_span_provenance"]
     # span-cut rewrite: keep the corpus-first occurrence of every hot
     # k-gram ((doc,pos) total order), cut the rest, rebuild the text
     out["text_dedup_spans"] = """

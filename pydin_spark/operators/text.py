@@ -721,3 +721,110 @@ def chunk_text(df: DataFrame, chunk_tokens: int = 128,
         F.col(id_col), F.col("chunk_id"),
         F.size(sliced).alias("n_tokens"),
         F.array_join(sliced, " ").alias("chunk"))
+
+
+def rewrite_with_provenance(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 20,
+                            min_count: int = 2,
+                            owned_frames: list | None = None):
+    """Single-pass combination of :func:`remove_duplicate_spans` and
+    :func:`span_provenance`: returns ``(rewritten, provenance)`` as two
+    DataFrames computed from ONE k-gram inventory and ONE island merge.
+
+    Pipelines that want both the cut corpus and the audit trail would
+    otherwise run the k-gram explode, the corpus-wide first-occurrence
+    aggregate, and the per-document interval merge twice — this shares
+    all three (the merged-span frame is persisted and serves both
+    outputs), halving the heavy stages. Results are identical to the
+    two separate operators by construction (same redundancy rule: every
+    occurrence after the corpus-first one in (doc, pos) order, same
+    gaps-and-islands merge); ``tests/`` pins the equivalence.
+
+    ``owned_frames`` collects the persisted intermediates (gram
+    inventory + merged spans) for release once both outputs are
+    materialized.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("t"))
+    short = base.where(F.size("t") < k)
+    long_ = base.where(F.size("t") >= k)
+    idx = F.sequence(F.lit(1), F.size(F.col("t")) - (k - 1))
+    grams = (long_.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))
+                .alias("h")))).alias("g"))
+        .select(F.col(id_col), F.col("g.pos"), F.col("g.h"))
+        .persist())
+    if owned_frames is not None:
+        owned_frames.append(grams)
+    occ_struct = F.struct(F.col(id_col).alias("d"),
+                          F.col("pos").alias("p"))
+    stats = (grams.groupBy("h")
+             .agg(F.min(occ_struct).alias("first_occ"),
+                  F.count(F.lit(1)).alias("n_occ")))
+    redundant = (grams
+                 .join(stats.where(F.col("n_occ") >= min_count), "h")
+                 .where(occ_struct > F.col("first_occ"))
+                 .select(F.col(id_col), "pos",
+                         (F.col("pos") + k).alias("end"),
+                         F.col("first_occ.d").alias("src_d"),
+                         F.col("first_occ.p").alias("src_p")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (redundant
+             .withColumn("prev_max", F.max("end").over(prev))
+             .withColumn("ni",
+                         F.when(F.col("prev_max").isNull()
+                                | (F.col("pos") > F.col("prev_max")),
+                                1).otherwise(0))
+             .withColumn("island", F.sum("ni").over(run))
+             .groupBy(id_col, "island")
+             .agg(F.min("pos").alias("span_start"),
+                  F.max("end").alias("span_end"),
+                  F.count(F.lit(1)).alias("n_dup_grams"),
+                  F.min_by("src_d", "pos").alias("src_doc_id"),
+                  F.min_by("src_p", "pos").alias("src_pos"),
+                  F.count_distinct("src_d").alias("n_src_docs"))
+             .persist())
+    if owned_frames is not None:
+        owned_frames.append(spans)
+    provenance = spans.select(id_col, "span_start", "span_end",
+                              "n_dup_grams", "src_doc_id", "src_pos",
+                              "n_src_docs")
+    cuts = (spans.select(F.col(id_col),
+                         F.struct(F.col("span_start").alias("s"),
+                                  F.col("span_end").alias("e"))
+                         .alias("cut"))
+            .groupBy(id_col)
+            .agg(F.collect_list("cut").alias("cuts")))
+    rebuilt = (long_.join(cuts, id_col, "left")
+               .withColumn("cuts", F.coalesce(
+                   "cuts", F.array().cast("array<struct<s:long,e:long>>")))
+               .select(
+                   F.col(id_col),
+                   F.array_join(
+                       F.filter(
+                           F.transform(
+                               F.sequence(F.lit(1), F.size("t")),
+                               lambda i: F.when(
+                                   ~F.exists(
+                                       F.col("cuts"),
+                                       lambda c: (i >= c["s"])
+                                       & (i < c["e"])),
+                                   F.element_at(F.col("t"), i))),
+                           lambda x: x.isNotNull()),
+                       " ").alias(text_col),
+                   F.aggregate(
+                       "cuts", F.lit(0).cast("long"),
+                       lambda acc, c: acc + (c["e"] - c["s"]))
+                   .alias("n_tokens_cut")))
+    rewritten = rebuilt.unionByName(
+        short.select(F.col(id_col), F.col(text_col),
+                     F.lit(0).cast("long").alias("n_tokens_cut")))
+    return rewritten, provenance

@@ -1080,3 +1080,26 @@ def test_dsir_weights_cover_all_raw_docs(spark, views):
     w = importance_weights(docs, docs.where("lang = 'en'"))
     assert w.count() == docs.count()
     assert w.where(F.col("log_weight").isNull()).count() == 0
+
+
+def test_rewrite_with_provenance_equals_separate_ops(spark, views):
+    from pydin_spark.operators.text import (remove_duplicate_spans,
+                                            rewrite_with_provenance,
+                                            span_provenance)
+    docs = spark.table("documents").limit(300)
+    owned = []
+    rw, prov = rewrite_with_provenance(docs, k=20, min_count=2,
+                                       owned_frames=owned)
+    got_rw = sorted(map(tuple, rw.collect()))
+    got_prov = sorted(map(tuple, prov.collect()))
+    want_rw = sorted(map(tuple,
+                         remove_duplicate_spans(docs, k=20,
+                                                min_count=2).collect()))
+    want_prov = sorted(map(tuple,
+                           span_provenance(docs, k=20,
+                                           min_count=2).collect()))
+    assert got_rw == want_rw
+    assert got_prov == want_prov
+    assert len(owned) == 2
+    for f in owned:
+        f.unpersist()
