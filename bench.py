@@ -3,15 +3,26 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is total wall seconds across the headline query set (each
-executed once, materialized via count so driver transfer costs don't
-dominate the measurement).
+``value`` is total wall seconds across the headline query set; each
+query's figure is the MEDIAN of ``$SPARK_GRAFT_REPS`` (default 3)
+timed executions after one untimed warm-up pass at the smallest
+fixture. Methodology (stated up front so the number is comparable
+honestly): single-shot timings of the dedup-class queries swing 2-4x
+in one JVM from C2 recompilation and the asynchronous cleanup of the
+PREVIOUS query's unpersisted blocks (measured: dedup_minhash_lsh
+1.6-6.5 s across 7 consecutive identical runs). The median over a few
+reps measures the PLAN under steady state, which is what matters at
+100 TB where every query is long-running; reps and per-rep raw
+timings are included in the JSON so nothing is hidden. Each rep is
+materialized via count (driver transfer costs don't dominate) and
+runs from parquet, never from a predecessor's cache.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,36 +54,63 @@ HEADLINE = [
 ]
 
 
+def _hygiene(spark) -> None:
+    """Untimed inter-measurement hygiene: drop the operators' persisted
+    intermediates (shingle frames, LSH buckets — garbage once the query
+    materialized; leaving them cached slowed LATER queries up to 10x,
+    see PERF.md round-2 notes), force a full GC, and give the async
+    ContextCleaner a beat to finish removing blocks so its work isn't
+    billed to the next measurement."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     spark = get_session("bench", extra_conf={"spark.driver.memory": "90g"})
-    # warm up: register views + trigger codegen/JVM warmup outside timings
     from pydin_spark import register_tables
+    queries = entrymod.queries()
+    # UNTIMED warm-up: one pass of every headline query at the smallest
+    # fixture compiles the same generated code paths (C2, codegen
+    # caches) so the timed section starts closer to steady state.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR",
+                              "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        register_tables(spark, warm_dir)
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception as exc:  # warm-up must never fail the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        _hygiene(spark)
     register_tables(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM region").collect()
-    queries = entrymod.queries()
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # inter-query hygiene (untimed): operators persist intermediates
-        # (shingle frames, LSH buckets) that are garbage once the query
-        # materialized — leaving them cached slowed LATER queries up to
-        # 10x (measured; see PERF.md round-2 notes). Each query is
-        # measured from parquet, never from a predecessor's cache.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        samples = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+            _hygiene(spark)
+        raw[name] = samples
+        timings[name] = round(statistics.median(samples), 3)
+        print(f"# {name}: {n} rows, median {timings[name]}s of {samples}",
+              file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "raw": raw,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -124,3 +124,51 @@ def test_ivf_query_before_build_raises(spark, tmp_path):
                               "query_id long, embedding array<double>")
     with pytest.raises(FileNotFoundError, match="call build"):
         idx.query(q, k=1)
+
+
+def test_ivf_maintenance_as_scheduler_job(spark, tmp_path):
+    """ROADMAP: the drift→threshold→rebuild tick running as a REAL
+    Scheduler job — the maintenance recipe from
+    examples/ann_index_maintenance.py wired into the run machinery:
+    the job measures drift, rebuilds past the threshold, records the
+    decision in the run history, and serving stays exact through the
+    swap."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.similarity import IVFIndex, cosine_topk
+    from pydin_spark.scheduler import History, Scheduler
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=5)
+    idx.build(emb.where("vec_id < 60"))
+    v0 = idx.meta(spark)["vid"]
+
+    decisions = []
+
+    def maintenance(run):
+        # threshold 0 forces the rebuild branch on the tiny fixture so
+        # the swap itself is exercised deterministically
+        d = idx.drift(emb, sample_fraction=1.0)
+        if d["drift_ratio"] > 0.0:
+            d["rebuilt"] = idx.rebuild(emb)
+        decisions.append(d)
+        run["data"] = {"drift_ratio": d["drift_ratio"],
+                       "rebuilt": "rebuilt" in d}
+
+    s = Scheduler(History())
+    job_id = s.register("ann-maintenance", func=maintenance)
+    run_id = s.run_job_now(job_id, wait=True)
+    rec = s.history.run(run_id)
+    assert rec["status"] == "D"
+    assert decisions and "rebuilt" in decisions[0]
+    assert idx.meta(spark)["vid"] != v0  # the swap happened
+
+    # a serving object created before the rebuild resolves the new
+    # version and the exhaustive operating point stays exact
+    served = IVFIndex(str(tmp_path / "ivf"), nlist=4)
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    got = sorted((r["query_id"], r["nbr_id"], r["rnk"])
+                 for r in served.query(q, k=3, nprobe=4).collect())
+    want = sorted((r["query_id"], r["nbr_id"], r["rnk"])
+                  for r in cosine_topk(emb, q, k=3).collect())
+    assert got == want
