@@ -894,6 +894,20 @@ OPERATOR_ORACLES: dict[str, str] = {
               / (sqrt(list_dot_product(a.e, a.e))
                  * sqrt(list_dot_product(b.e, b.e))) >= 0.4
     """,
+    # SemDeDup survivors at nlist=1: the global first-wins dominance
+    # rule — a vector survives iff no LOWER-id vector reaches the
+    # cosine threshold (same IEEE-exact fold as sim_cosine_dup)
+    "dedup_semantic": """
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                   FROM embeddings)
+        SELECT v.vec_id, v.label FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v a
+            WHERE a.vec_id < v.vec_id
+              AND list_dot_product(a.e, v.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(v.e, v.e))) >= 0.4)
+    """,
     # exact DuckDB reproduction of the deterministic fake featurizer
     # (multimodal.extract_features(fake=True)): utf-8 payload bytes split
     # into 8 numpy-array_split chunks, each chunk's byte-sum mod 997.
@@ -1677,6 +1691,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prov
 
     out["text_rewrite_provenance"] = _text_rewrite_provenance
+
+    def _dedup_semantic(spark, sf_dir):
+        # SemDeDup at the exact operating point (nlist=1: within-
+        # cluster == global dominance rule, so DuckDB can recompute
+        # the survivors; pruned multi-cluster configs are covered by
+        # superset tests in tests/)
+        _views(spark, sf_dir)
+        return similarity.semantic_dedup(
+            spark.table("embeddings"), threshold=0.4, nlist=1,
+            max_iter=1).select("vec_id", "label")
+
+    out["dedup_semantic"] = _dedup_semantic
     return _driver_priority_order(out)
 
 

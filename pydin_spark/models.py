@@ -1485,6 +1485,7 @@ TRANSFORM_OPERATORS = {
     "chunk_text": "text.chunk_text",
     "importance_weights": "curation.importance_weights",
     "importance_resample": "curation.importance_resample",
+    "semantic_dedup": "similarity.semantic_dedup",
 }
 
 

@@ -1103,3 +1103,23 @@ def test_rewrite_with_provenance_equals_separate_ops(spark, views):
     assert len(owned) == 2
     for f in owned:
         f.unpersist()
+
+
+def test_semantic_dedup_properties(spark, emb):
+    from pydin_spark.operators.similarity import semantic_dedup
+    full = semantic_dedup(emb, threshold=0.4, nlist=1)
+    clustered = semantic_dedup(emb, threshold=0.4, nlist=4, max_iter=3)
+    s_full = {r.vec_id for r in full.collect()}
+    s_clus = {r.vec_id for r in clustered.collect()}
+    # clustering can only MISS cross-cluster pairs -> fewer drops:
+    # the exact survivors are a subset of any pruned config's
+    assert s_full <= s_clus
+    assert len(s_full) < emb.count()  # the fixture does contain dups
+    # keeper is always the smallest id of its duplicate set: id 0 (or
+    # the overall min id) can never be dropped under first-wins
+    assert min(r.vec_id for r in emb.select("vec_id").collect()) in s_full
+    # deterministic across invocations (KMeans seeded)
+    again = {r.vec_id for r in
+             semantic_dedup(emb, threshold=0.4, nlist=4,
+                            max_iter=3).collect()}
+    assert again == s_clus
