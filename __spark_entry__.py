@@ -894,6 +894,17 @@ OPERATOR_ORACLES: dict[str, str] = {
               / (sqrt(list_dot_product(a.e, a.e))
                  * sqrt(list_dot_product(b.e, b.e))) >= 0.4
     """,
+    # Misra-Gries heavy hitters in the exact regime: plain top-k counts
+    "rollup_heavy_hitters": """
+        WITH c AS (SELECT CAST(user_id AS VARCHAR) AS item,
+                          COUNT(*) AS est_count
+                   FROM events GROUP BY 1),
+        r AS (SELECT item, est_count, CAST(0 AS BIGINT) AS err_ub,
+                     ROW_NUMBER() OVER (ORDER BY est_count DESC, item)
+                         AS rank
+              FROM c)
+        SELECT item, est_count, err_ub, rank FROM r WHERE rank <= 50
+    """,
     # SemDeDup survivors at nlist=1: the global first-wins dominance
     # rule — a vector survives iff no LOWER-id vector reaches the
     # cosine threshold (same IEEE-exact fold as sim_cosine_dup)
@@ -1703,6 +1714,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_iter=1).select("vec_id", "label")
 
     out["dedup_semantic"] = _dedup_semantic
+
+    def _rollup_heavy_hitters(spark, sf_dir):
+        # Misra-Gries frequent items at the exact operating point
+        # (capacity > distinct users -> counts exact, err_ub = 0);
+        # pruned-capacity error bounds are pinned in tests/
+        from pydin_spark.operators.rollup import heavy_hitters
+        _views(spark, sf_dir)
+        return heavy_hitters(spark.table("events"), "user_id", k=50,
+                             capacity=4096)
+
+    out["rollup_heavy_hitters"] = _rollup_heavy_hitters
     return _driver_priority_order(out)
 
 

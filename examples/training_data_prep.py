@@ -48,11 +48,11 @@ def main() -> None:
 
     # 3. cut exact duplicate substrings (keep the corpus-first copy),
     # writing the span-level provenance next to the output — the audit
-    # table that says which doc each cut span first appeared in
-    provenance = text.span_provenance(docs, k=20)
+    # table that says which doc each cut span first appeared in.
+    # Single-pass: one k-gram inventory serves both outputs.
+    rewritten, provenance = text.rewrite_with_provenance(docs, k=20)
     docs = (docs.drop("text")
-            .join(text.remove_duplicate_spans(docs, k=20)
-                  .select("doc_id", "text"), "doc_id"))
+            .join(rewritten.select("doc_id", "text"), "doc_id"))
 
     # plan hygiene: the dedup stages below branch over `docs` several
     # times — truncate the lineage so each branch starts from the
@@ -83,11 +83,27 @@ def main() -> None:
         train, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         strata_col="source")
 
-    # 8. pack into fixed-capacity training sequences
-    packed = curation.pack_sequences(train, capacity=512)
+    # 8. domain targeting: DSIR importance resampling toward the
+    # English slice as the target distribution (hashed-n-gram
+    # likelihood ratios; deterministic Gumbel top-k)
+    target = train.where("lang = 'en'")
+    n_keep = max(int(train.count() * 0.8), 1)
+    picked = curation.importance_resample(train, target, k=n_keep)
+    train = train.join(picked.select("doc_id"), "doc_id", "left_semi")
 
-    # 9. embeddings: normalize + int8 quantize for the ANN index
+    # 9. context-window chunking of long documents, then pack the
+    # chunks into fixed-capacity training sequences
+    chunks = text.chunk_text(train, chunk_tokens=256, overlap=32)
+    chunks = chunks.select(
+        F.concat_ws("_", "doc_id", "chunk_id").alias("doc_id"),
+        F.col("chunk").alias("text"))
+    packed = curation.pack_sequences(chunks, capacity=512)
+
+    # 10. embeddings: semantic near-dup scrub (cluster-bounded cosine
+    # dominance), then normalize + int8 quantize for the ANN index
     emb = load_table(spark, SF_DIR, "embeddings")
+    emb = similarity.semantic_dedup(emb, threshold=0.95, nlist=8,
+                                    max_iter=3)
     q = similarity.quantize_int8(similarity.with_unit_norm(emb),
                                  vec_col="unit")
 

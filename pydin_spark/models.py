@@ -1486,6 +1486,7 @@ TRANSFORM_OPERATORS = {
     "importance_weights": "curation.importance_weights",
     "importance_resample": "curation.importance_resample",
     "semantic_dedup": "similarity.semantic_dedup",
+    "heavy_hitters": "rollup.heavy_hitters",
 }
 
 

@@ -109,9 +109,12 @@ def pack_sequences(df: DataFrame, capacity: int = 512,
             pdf["bin_id"] = pdf["start_offset"] // capacity
             yield pdf[[id_col, "n_tokens", "start_offset", "bin_id"]]
 
+    # the id keeps its INPUT type (string chunk ids are as valid as
+    # bigint doc ids) — deriving it avoids the hardcoded-schema trap
+    id_type = df.schema[id_col].dataType.simpleString()
     out = part.mapInPandas(
         add_bins,
-        schema=f"{id_col} long, n_tokens long, start_offset long, "
+        schema=f"{id_col} {id_type}, n_tokens long, start_offset long, "
                "bin_id long")
     # bounded-cache discipline (same as bigram_logprob): the range-
     # partitioned frame was persisted for the two-phase sum; release it
@@ -555,7 +558,9 @@ def sample_to_token_budget(df: DataFrame, budget: int,
 
     kept = (part.mapInPandas(
                 add_offsets,
-                schema=f"{id_col} long, n_tokens long, start_offset long")
+                schema=f"{id_col} "
+                       f"{df.schema[id_col].dataType.simpleString()}, "
+                       "n_tokens long, start_offset long")
             .where(F.col("start_offset") < F.lit(int(budget)))
             .localCheckpoint(eager=True))
     part.unpersist()

@@ -300,3 +300,69 @@ def theta_overlap(df: DataFrame, slice_col: str, id_col: str,
         "slice_a", "slice_b", "n_a", "n_b",
         union.alias("n_union"), inter.alias("n_intersection"),
         only_a.alias("n_only_a"))
+
+
+def heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
+                  capacity: int = 4096) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters: the top-``k`` most
+    frequent values of ``item_col`` with deterministic error bounds,
+    from bounded per-partition state — the frequent-items member of
+    the mergeable-sketch family (HLL distinct / KLL quantiles / Theta
+    set algebra), which Spark has no built-in for (``count_min_sketch``
+    can be built but not merged/queried from SQL).
+
+    Each partition maintains at most ``capacity`` counters (classic
+    Misra-Gries: when a new item would exceed capacity, all counters
+    drop by the overflow decrement — counts become LOWER bounds with
+    per-partition error ≤ the accumulated decrement). Summaries merge
+    by item-wise sum (Agarwal et al., "Mergeable Summaries": the
+    merged error is the sum of per-partition errors). Output:
+    (item, est_count, err_ub, rank) — the true count lies in
+    [est_count, est_count + err_ub]; when every partition sees at most
+    ``capacity`` distinct items the decrement never fires and the
+    counts are EXACT with err_ub = 0 (the oracle operating point).
+
+    Scale shape: one pass, per-task state O(capacity), one shuffle of
+    ≤ capacity rows per partition, top-k via TakeOrdered. The rank
+    orders by (est_count DESC, item) so the exact regime is fully
+    deterministic; under pruning the kept set can depend on partition
+    order, as with any MG sketch.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for item, cnt in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                # batched MG reduction: subtract the (capacity+1)-th
+                # largest value from everything, drop the non-positive
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[capacity]
+                counters = {i: c - d for i, c in counters.items()
+                            if c - d > 0}
+                err += d
+        yield pd.DataFrame({
+            "item": list(counters) + ["\x00__err__"],
+            "est": list(counters.values()) + [0],
+            "err": [err] * (len(counters) + 1)})
+
+    summaries = src.mapInPandas(
+        mg, schema="item string, est long, err long")
+    # total error = Σ per-partition errors; carried by one sentinel row
+    # per partition so it needs no second aggregation pass over df
+    total_err = (summaries.where(F.col("item") == "\x00__err__")
+                 .agg(F.coalesce(F.sum("err"), F.lit(0)).alias("err_ub")))
+    merged = (summaries.where(F.col("item") != "\x00__err__")
+              .groupBy("item")
+              .agg(F.sum("est").alias("est_count"))
+              .crossJoin(F.broadcast(total_err)))
+    top = merged.orderBy(F.desc("est_count"), "item").limit(int(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("est_count"), "item")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("item", "est_count", "err_ub", "rank"))

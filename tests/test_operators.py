@@ -1123,3 +1123,21 @@ def test_semantic_dedup_properties(spark, emb):
              semantic_dedup(emb, threshold=0.4, nlist=4,
                             max_iter=3).collect()}
     assert again == s_clus
+
+
+def test_pack_sequences_string_ids(spark):
+    """Chunk ids (e.g. 'doc_chunk' strings) must pack as well as
+    bigint doc ids — the output id keeps the input type instead of a
+    hardcoded long schema."""
+    from pydin_spark.operators import curation
+    docs = spark.createDataFrame(
+        [(f"d{i}_c0", "one two three four") for i in range(6)],
+        "doc_id string, text string")
+    out = curation.pack_sequences(docs, capacity=8)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert {r.bin_id for r in rows} == {0, 1, 2}  # 4 tokens, 2 docs/bin
+    budget = curation.sample_to_token_budget(docs, budget=9)
+    assert budget.schema["doc_id"].dataType.simpleString() == "string"
+    assert budget.count() >= 2

@@ -190,3 +190,32 @@ def test_theta_sketches_reusable_pre_aggregate(spark):
     empty = df.limit(0)
     out = theta_overlap(empty, "src", "user_id", sketches=stored).first()
     assert (out["n_union"], out["n_intersection"]) == (60, 20)
+
+
+def test_heavy_hitters_exact_regime(spark, views):
+    from pydin_spark.operators.rollup import heavy_hitters
+    ev = spark.table("events")
+    got = heavy_hitters(ev, "user_id", k=10, capacity=4096).collect()
+    true = {str(r.user_id): r.cnt for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()}
+    want = sorted(true.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [(r.item, r.est_count) for r in
+            sorted(got, key=lambda r: r.rank)] == want
+    assert all(r.err_ub == 0 for r in got)
+
+
+def test_heavy_hitters_pruned_bounds(spark, views):
+    """Under pruning (capacity << distinct) the Misra-Gries contract
+    must hold: est <= true <= est + err_ub for every reported item."""
+    from pydin_spark.operators.rollup import heavy_hitters
+    ev = spark.table("events")
+    got = heavy_hitters(ev, "user_id", k=20, capacity=8).collect()
+    true = {str(r.user_id): r.cnt for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()}
+    assert got, "pruned sketch returned nothing"
+    for r in got:
+        t = true.get(r.item, 0)
+        assert r.est_count <= t <= r.est_count + r.err_ub, \
+            (r.item, r.est_count, t, r.err_ub)
