@@ -894,6 +894,29 @@ OPERATOR_ORACLES: dict[str, str] = {
               / (sqrt(list_dot_product(a.e, a.e))
                  * sqrt(list_dot_product(b.e, b.e))) >= 0.4
     """,
+    # per-source corpus health report: same normalized fingerprint as
+    # dedup_exact; duplicate membership is decided corpus-wide
+    "curation_report": r"""
+        WITH fp AS (SELECT doc_id, source, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                               AS n_tok,
+                           md5(lower(trim(regexp_replace(text, '\s+',
+                                                         ' ', 'g')))) AS f
+                    FROM documents),
+        dups AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) > 1),
+        b AS (SELECT fp.*,
+                     CASE WHEN f IN (SELECT f FROM dups) THEN 1 ELSE 0
+                     END AS is_dup
+              FROM fp)
+        SELECT source AS stratum,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM b GROUP BY 1
+    """,
     # Misra-Gries heavy hitters in the exact regime: plain top-k counts
     "rollup_heavy_hitters": """
         WITH c AS (SELECT CAST(user_id AS VARCHAR) AS item,
@@ -1725,6 +1748,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              capacity=4096)
 
     out["rollup_heavy_hitters"] = _rollup_heavy_hitters
+
+    def _curation_report(spark, sf_dir):
+        # per-source corpus health: volumes, exact-dup pressure
+        # (corpus-wide fingerprint), language spread — the monitoring
+        # aggregate an ingest pipeline recomputes every cycle
+        _views(spark, sf_dir)
+        return curation.corpus_report(spark.table("documents"))
+
+    out["curation_report"] = _curation_report
     return _driver_priority_order(out)
 
 

@@ -1487,6 +1487,7 @@ TRANSFORM_OPERATORS = {
     "importance_resample": "curation.importance_resample",
     "semantic_dedup": "similarity.semantic_dedup",
     "heavy_hitters": "rollup.heavy_hitters",
+    "corpus_report": "curation.corpus_report",
 }
 
 

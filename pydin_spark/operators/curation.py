@@ -565,3 +565,52 @@ def sample_to_token_budget(df: DataFrame, budget: int,
             .localCheckpoint(eager=True))
     part.unpersist()
     return df.join(kept, id_col)
+
+
+def corpus_report(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  strata_col: str = "source") -> DataFrame:
+    """Per-stratum corpus health report — the monitoring aggregate a
+    production pipeline computes every ingest cycle to catch drift
+    before training does: document and token volumes, average length,
+    exact-duplicate pressure, and language spread per ``strata_col``.
+
+    Output per stratum: (stratum, n_docs, n_tokens, avg_tokens,
+    n_exact_dups, dup_rate, n_langs) where n_exact_dups counts the
+    stratum's documents whose normalized-text fingerprint occurs more
+    than once CORPUS-wide (cross-source copies count in every stratum
+    holding one — that's the signal: a mirror site shows up here first).
+
+    Scale shape: one fingerprint aggregate (32-byte key) + one stratum
+    aggregate; the report is K rows for K strata — the thing dashboards
+    poll, not a corpus-sized result. All arithmetic is engine-exact
+    (integer counts; the two ratios are single divisions of exact
+    integers).
+    """
+    from . import text as _text
+    fp = _text.fingerprint(df, id_col, text_col)
+    dup_fp = (fp.groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 1)
+              .select("fingerprint"))
+    dup_ids = (fp.join(dup_fp, "fingerprint", "left_semi")
+               .select(F.col(id_col), F.lit(1).alias("is_dup")))
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = (df.select(F.col(id_col), F.col(strata_col).alias("stratum"),
+                      toks.alias("n_tok"),
+                      F.col("lang") if "lang" in df.columns
+                      else F.lit(None).cast("string").alias("lang"))
+            .join(dup_ids, id_col, "left"))
+    return (base.groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.coalesce(F.sum("is_dup"), F.lit(0))
+                 .alias("n_exact_dups"),
+                 F.count_distinct("lang").alias("n_langs"))
+            .select("stratum", "n_docs", "n_tokens",
+                    (F.col("n_tokens").cast("double") / F.col("n_docs"))
+                    .alias("avg_tokens"),
+                    "n_exact_dups",
+                    (F.col("n_exact_dups").cast("double")
+                     / F.col("n_docs")).alias("dup_rate"),
+                    "n_langs"))

@@ -1141,3 +1141,18 @@ def test_pack_sequences_string_ids(spark):
     budget = curation.sample_to_token_budget(docs, budget=9)
     assert budget.schema["doc_id"].dataType.simpleString() == "string"
     assert budget.count() >= 2
+
+
+def test_corpus_report_hand_computed(spark):
+    from pydin_spark.operators.curation import corpus_report
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2"),   # cross-source dup
+         (3, "x y", "s1"), (4, "p q r s", "s2")],
+        "doc_id long, text string, source string")   # no lang column
+    got = {r.stratum: r for r in corpus_report(docs).collect()}
+    assert got["s1"].n_docs == 2 and got["s1"].n_tokens == 5
+    # the s1 copy of the cross-source pair counts as a dup in s1 too
+    assert got["s1"].n_exact_dups == 1 and got["s2"].n_exact_dups == 1
+    assert got["s1"].dup_rate == 0.5
+    assert got["s2"].avg_tokens == 3.5
+    assert got["s1"].n_langs == 0   # lang column absent -> 0 distinct

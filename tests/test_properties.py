@@ -134,3 +134,27 @@ def test_connected_components_matches_union_find(spark, edges):
     nodes = {n for a, b in edges if a != b for n in (a, b)}
     want = {n: find(n) for n in nodes}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 12), min_size=1, max_size=120),
+       st.integers(min_value=2, max_value=16))
+def test_heavy_hitters_bounds_hold(spark, items, capacity):
+    """Misra-Gries contract on arbitrary streams and capacities:
+    est <= true <= est + err_ub for every reported item, and in the
+    exact regime (capacity >= distinct) counts are exact with zero
+    error."""
+    from collections import Counter
+
+    from pydin_spark.operators.rollup import heavy_hitters
+    df = spark.createDataFrame([(x,) for x in items], "v long") \
+        .repartition(3)  # force multi-partition merge
+    got = heavy_hitters(df, "v", k=20, capacity=capacity).collect()
+    true = Counter(str(x) for x in items)
+    for r in got:
+        assert r.est_count <= true.get(r.item, 0) <= \
+            r.est_count + r.err_ub, (r.item, r.est_count, r.err_ub)
+    if capacity >= len(true):
+        assert {r.item: r.est_count for r in got} == dict(
+            Counter(true).most_common(20))
+        assert all(r.err_ub == 0 for r in got)
