@@ -928,6 +928,21 @@ OPERATOR_ORACLES: dict[str, str] = {
               FROM c)
         SELECT item, est_count, err_ub, rank FROM r WHERE rank <= 50
     """,
+    # grouped Misra-Gries in the exact regime: top-k counts per group
+    "rollup_hh_by_type": """
+        WITH c AS (SELECT event_type,
+                          CAST(user_id AS VARCHAR) AS item,
+                          COUNT(*) AS est_count
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, item, est_count,
+                     CAST(0 AS BIGINT) AS err_ub,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY est_count DESC, item)
+                         AS rank
+              FROM c)
+        SELECT event_type, item, est_count, err_ub, rank
+        FROM r WHERE rank <= 10
+    """,
     # SemDeDup survivors at nlist=1: the global first-wins dominance
     # rule — a vector survives iff no LOWER-id vector reaches the
     # cosine threshold (same IEEE-exact fold as sim_cosine_dup)
@@ -1757,6 +1772,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curation.corpus_report(spark.table("documents"))
 
     out["curation_report"] = _curation_report
+
+    def _rollup_hh_by_type(spark, sf_dir):
+        # per-group Misra-Gries (one summary per event_type) in the
+        # exact regime — the frequent-items column a rollup keeps per
+        # bucket next to its HLL/KLL sketches
+        from pydin_spark.operators.rollup import heavy_hitters
+        _views(spark, sf_dir)
+        return heavy_hitters(spark.table("events"), "user_id", k=10,
+                             capacity=4096, group_cols=("event_type",))
+
+    out["rollup_hh_by_type"] = _rollup_hh_by_type
     return _driver_priority_order(out)
 
 

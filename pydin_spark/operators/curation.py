@@ -328,7 +328,8 @@ def leakage_safe_split(df: DataFrame,
                        method: str = "auto",
                        auto_minhash_above: int = 100_000,
                        seed: int = 42,
-                       split_col: str = "split") -> DataFrame:
+                       split_col: str = "split",
+                       pairs: DataFrame | None = None) -> DataFrame:
     """Train/val/test split that never separates near-duplicates.
 
     :func:`hash_split` assigns per document; if two near-identical
@@ -348,18 +349,25 @@ def leakage_safe_split(df: DataFrame,
     candidate-bounded paths as :func:`~pydin_spark.operators.dedup.
     drop_near_dups`, LSH above ``auto_minhash_above`` docs); the split
     itself stays a pure projection.
+
+    Pass ``pairs`` (any (id_a, id_b) frame — e.g.
+    :func:`~pydin_spark.operators.similarity.semantic_dup_pairs` for
+    EMBEDDING-similarity grouping, or a precomputed/stored pair set)
+    to skip the n-gram pair generation entirely; the cluster closure
+    and split arithmetic are identical.
     """
     from .dedup import (connected_components, minhash_lsh_pairs,
                         ngram_jaccard_pairs)
-    if method == "auto":
-        method = ("minhash" if df.count() > auto_minhash_above
-                  else "exact")
-    if method == "minhash":
-        pairs = minhash_lsh_pairs(df, id_col, text_col, n,
-                                  threshold=threshold)
-    else:
-        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
-                                    max_shingle_freq)
+    if pairs is None:
+        if method == "auto":
+            method = ("minhash" if df.count() > auto_minhash_above
+                      else "exact")
+        if method == "minhash":
+            pairs = minhash_lsh_pairs(df, id_col, text_col, n,
+                                      threshold=threshold)
+        else:
+            pairs = ngram_jaccard_pairs(df, id_col, text_col, n,
+                                        threshold, max_shingle_freq)
     comp = connected_components(pairs, "id_a", "id_b", id_col)
     labeled = (df.join(comp.select(F.col(id_col),
                                    F.col("component")), id_col, "left")
@@ -409,7 +417,10 @@ def hashed_ngram_buckets(df: DataFrame, id_col: str = "doc_id",
 def importance_weights(raw: DataFrame, target: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        n_buckets: int = 256, max_ngram: int = 2,
-                       owned_frames: list | None = None) -> DataFrame:
+                       owned_frames: list | None = None,
+                       raw_features: DataFrame | None = None,
+                       target_features: DataFrame | None = None
+                       ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
     document by how much its hashed-n-gram profile looks like the
@@ -436,13 +447,24 @@ def importance_weights(raw: DataFrame, target: DataFrame,
     caller can release it once the result is materialized. Output:
     every raw row's (id, log_weight) — docs with no n-grams weigh
     ln(1)=0.
+
+    Multi-domain sweeps: pass ``raw_features`` (and/or
+    ``target_features``) — a stored (id, bucket, c) frame from
+    :func:`hashed_ngram_buckets`, e.g. written to parquet once — to
+    skip the explode entirely; scoring one corpus against N target
+    domains then costs N broadcast-joins over the SAME stored
+    features instead of N explodes of the raw text.
     """
-    f_raw = hashed_ngram_buckets(raw, id_col, text_col, n_buckets,
-                                 max_ngram).persist()
-    if owned_frames is not None:
-        owned_frames.append(f_raw)
-    f_tgt = hashed_ngram_buckets(target, id_col, text_col, n_buckets,
-                                 max_ngram)
+    if raw_features is not None:
+        f_raw = raw_features
+    else:
+        f_raw = hashed_ngram_buckets(raw, id_col, text_col, n_buckets,
+                                     max_ngram).persist()
+        if owned_frames is not None:
+            owned_frames.append(f_raw)
+    f_tgt = target_features if target_features is not None else \
+        hashed_ngram_buckets(target, id_col, text_col, n_buckets,
+                             max_ngram)
     d_raw = f_raw.groupBy("bucket").agg(F.sum("c").alias("n_raw"))
     d_tgt = f_tgt.groupBy("bucket").agg(F.sum("c").alias("n_tgt"))
     totals = (d_raw.agg(F.coalesce(F.sum("n_raw"), F.lit(0)).alias("R"))

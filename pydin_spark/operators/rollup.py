@@ -303,7 +303,8 @@ def theta_overlap(df: DataFrame, slice_col: str, id_col: str,
 
 
 def heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
-                  capacity: int = 4096) -> DataFrame:
+                  capacity: int = 4096,
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distributed Misra-Gries heavy hitters: the top-``k`` most
     frequent values of ``item_col`` with deterministic error bounds,
     from bounded per-partition state — the frequent-items member of
@@ -322,47 +323,83 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
     ``capacity`` distinct items the decrement never fires and the
     counts are EXACT with err_ub = 0 (the oracle operating point).
 
-    Scale shape: one pass, per-task state O(capacity), one shuffle of
-    ≤ capacity rows per partition, top-k via TakeOrdered. The rank
-    orders by (est_count DESC, item) so the exact regime is fully
+    Scale shape: one pass, per-task state O(capacity) per group seen,
+    one shuffle of ≤ capacity rows per (partition, group), top-k via
+    TakeOrdered (global) or a per-group rank window (grouped). The
+    rank orders by (est_count DESC, item) so the exact regime is fully
     deterministic; under pruning the kept set can depend on partition
     order, as with any MG sketch.
+
+    ``group_cols`` (e.g. a rollup's ``("bucket_start", "event_type")``)
+    keeps one independent summary per group — the per-time-bucket
+    frequent-items column next to the HLL/KLL sketch columns: top-k
+    and error are computed within each group, output gains the group
+    columns.
     """
     import pandas as pd
 
-    src = df.select(F.col(item_col).cast("string").alias("item"))
+    gcols = list(group_cols)
+    src = df.select(*[F.col(c) for c in gcols],
+                    F.col(item_col).cast("string").alias("item"))
 
     def mg(batches):
-        counters: dict[str, int] = {}
-        err = 0
+        state: dict = {}   # group key tuple -> [counters dict, err]
         for pdf in batches:
-            for item, cnt in pdf["item"].value_counts().items():
+            counted = (pdf.groupby(gcols + ["item"], sort=False,
+                                   dropna=False).size()
+                       if gcols else pdf["item"].value_counts())
+            for key, cnt in counted.items():
+                if gcols:
+                    gkey = key[:-1] if len(gcols) > 0 else ()
+                    item = key[-1]
+                else:
+                    gkey, item = (), key
+                counters, _ = st = state.setdefault(gkey, [{}, 0])
                 counters[item] = counters.get(item, 0) + int(cnt)
-            if len(counters) > capacity:
-                # batched MG reduction: subtract the (capacity+1)-th
-                # largest value from everything, drop the non-positive
-                vals = sorted(counters.values(), reverse=True)
-                d = vals[capacity]
-                counters = {i: c - d for i, c in counters.items()
-                            if c - d > 0}
-                err += d
-        yield pd.DataFrame({
-            "item": list(counters) + ["\x00__err__"],
-            "est": list(counters.values()) + [0],
-            "err": [err] * (len(counters) + 1)})
+            for gkey, st in state.items():
+                counters, err = st
+                if len(counters) > capacity:
+                    # batched MG reduction: subtract the
+                    # (capacity+1)-th largest value from everything,
+                    # drop the non-positive
+                    vals = sorted(counters.values(), reverse=True)
+                    d = vals[capacity]
+                    st[0] = {i: c - d for i, c in counters.items()
+                             if c - d > 0}
+                    st[1] = err + d
+        rows = []
+        for gkey, (counters, err) in state.items():
+            for item, est in counters.items():
+                rows.append((*gkey, item, est, err))
+            rows.append((*gkey, "\x00__err__", 0, err))
+        yield pd.DataFrame(
+            rows, columns=gcols + ["item", "est", "err"])
 
+    gschema = "".join(
+        f"{c} {df.schema[c].dataType.simpleString()}, " for c in gcols)
     summaries = src.mapInPandas(
-        mg, schema="item string, est long, err long")
+        mg, schema=f"{gschema}item string, est long, err long")
     # total error = Σ per-partition errors; carried by one sentinel row
-    # per partition so it needs no second aggregation pass over df
-    total_err = (summaries.where(F.col("item") == "\x00__err__")
-                 .agg(F.coalesce(F.sum("err"), F.lit(0)).alias("err_ub")))
-    merged = (summaries.where(F.col("item") != "\x00__err__")
-              .groupBy("item")
-              .agg(F.sum("est").alias("est_count"))
-              .crossJoin(F.broadcast(total_err)))
-    top = merged.orderBy(F.desc("est_count"), "item").limit(int(k))
+    # per (partition, group) so it needs no second pass over df
+    sentinels = summaries.where(F.col("item") == "\x00__err__")
+    items = summaries.where(F.col("item") != "\x00__err__")
     from pyspark.sql import Window
-    w = Window.orderBy(F.desc("est_count"), "item")
-    return (top.withColumn("rank", F.row_number().over(w))
-            .select("item", "est_count", "err_ub", "rank"))
+    if not gcols:
+        total_err = sentinels.agg(
+            F.coalesce(F.sum("err"), F.lit(0)).alias("err_ub"))
+        merged = (items.groupBy("item")
+                  .agg(F.sum("est").alias("est_count"))
+                  .crossJoin(F.broadcast(total_err)))
+        top = merged.orderBy(F.desc("est_count"), "item").limit(int(k))
+        w = Window.orderBy(F.desc("est_count"), "item")
+        return (top.withColumn("rank", F.row_number().over(w))
+                .select("item", "est_count", "err_ub", "rank"))
+    total_err = (sentinels.groupBy(*gcols)
+                 .agg(F.sum("err").alias("err_ub")))
+    merged = (items.groupBy(*gcols, "item")
+              .agg(F.sum("est").alias("est_count"))
+              .join(total_err, gcols))
+    w = Window.partitionBy(*gcols).orderBy(F.desc("est_count"), "item")
+    return (merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(*gcols, "item", "est_count", "err_ub", "rank"))

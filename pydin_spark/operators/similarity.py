@@ -709,6 +709,27 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     cluster id. Skewed clusters (one mega-cluster) are the known
     failure mode — pick nlist ~ n/10⁴ so clusters stay joinable.
     """
+    pairs = semantic_dup_pairs(df, threshold, id_col, vec_col, nlist,
+                               max_iter, sample_fraction, seed)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       nlist: int = 16, max_iter: int = 10,
+                       sample_fraction: float = 1.0,
+                       seed: int = 42) -> DataFrame:
+    """The pair surface under :func:`semantic_dedup`: every
+    within-cluster pair with cosine >= ``threshold``, as
+    (id_a, id_b, cosine) with id_a < id_b — same contract as
+    :func:`cosine_dup_pairs`, but candidate generation is bounded by
+    the k-means clustering instead of the block-matrix prefilter.
+    Feed these to :func:`~pydin_spark.operators.dedup.
+    connected_components` / ``leakage_safe_split(pairs=...)`` to
+    group corpora by EMBEDDING similarity rather than n-gram overlap.
+    """
     cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     if nlist <= 1:
         # exact operating point: one global cluster, no training
@@ -737,9 +758,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                         F.col("v").alias("vb"))
     cosine = (_dot(F.col("va"), F.col("vb"))
               / (_norm(F.col("va")) * _norm(F.col("vb"))))
-    losers = (a.join(b, "list_id")
-              .where(F.col("id_a") < F.col("id_b"))
-              .where(cosine >= F.lit(float(threshold)))
-              .select(F.col("id_b").alias(id_col))
-              .distinct())
-    return df.join(losers, id_col, "left_anti")
+    return (a.join(b, "list_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine.alias("cosine"))
+            .where(F.col("cosine") >= F.lit(float(threshold))))

@@ -1156,3 +1156,48 @@ def test_corpus_report_hand_computed(spark):
     assert got["s1"].dup_rate == 0.5
     assert got["s2"].avg_tokens == 3.5
     assert got["s1"].n_langs == 0   # lang column absent -> 0 distinct
+
+
+def test_leakage_split_on_embedding_pairs(spark, emb):
+    """ROADMAP: leakage_safe_split grouping on EMBEDDING similarity —
+    semantic_dup_pairs feeds the same cluster-closure split machinery
+    via pairs=, so no near-identical vectors straddle splits."""
+    from pydin_spark.operators.curation import leakage_safe_split
+    from pydin_spark.operators.dedup import connected_components
+    from pydin_spark.operators.similarity import semantic_dup_pairs
+    pairs = semantic_dup_pairs(emb, threshold=0.4, nlist=1)
+    split = leakage_safe_split(emb, id_col="vec_id", pairs=pairs)
+    rows = split.collect()
+    assert len(rows) == emb.count()
+    by_id = {r.vec_id: r for r in rows}
+    # every pair's two sides share group AND split
+    for p in pairs.collect():
+        a, b = by_id[p.id_a], by_id[p.id_b]
+        assert a.group_id == b.group_id
+        assert a.split == b.split
+    # pair surface agrees with the survivor surface: survivors =
+    # ids that never appear as the greater side of a pair
+    from pydin_spark.operators.similarity import semantic_dedup
+    surv = {r.vec_id for r in
+            semantic_dedup(emb, threshold=0.4, nlist=1).collect()}
+    losers = {p.id_b for p in pairs.collect()}
+    assert surv == {r.vec_id for r in rows} - losers
+
+
+def test_importance_weights_from_stored_features(spark, views):
+    """Stored-feature path: precomputed (id, bucket, c) frames give
+    bit-identical weights to the text path — the multi-domain sweep
+    amortization."""
+    from pydin_spark.operators.curation import (hashed_ngram_buckets,
+                                                importance_weights)
+    docs = spark.table("documents").limit(200)
+    tgt = docs.where("lang = 'en'")
+    direct = {r.doc_id: r.log_weight
+              for r in importance_weights(docs, tgt).collect()}
+    f_raw = hashed_ngram_buckets(docs)
+    f_tgt = f_raw.join(tgt.select("doc_id"), "doc_id", "left_semi")
+    stored = {r.doc_id: r.log_weight
+              for r in importance_weights(
+                  docs, tgt, raw_features=f_raw,
+                  target_features=f_tgt).collect()}
+    assert stored == direct

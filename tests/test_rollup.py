@@ -219,3 +219,35 @@ def test_heavy_hitters_pruned_bounds(spark, views):
         t = true.get(r.item, 0)
         assert r.est_count <= t <= r.est_count + r.err_ub, \
             (r.item, r.est_count, t, r.err_ub)
+
+
+def test_heavy_hitters_grouped_exact(spark, views):
+    from pydin_spark.operators.rollup import heavy_hitters
+    ev = spark.table("events")
+    got = heavy_hitters(ev, "user_id", k=5, capacity=4096,
+                        group_cols=("event_type",)).collect()
+    true = {}
+    for r in ev.groupBy("event_type", "user_id") \
+               .agg(F.count(F.lit(1)).alias("c")).collect():
+        true.setdefault(r.event_type, {})[str(r.user_id)] = r.c
+    for et, counts in true.items():
+        want = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:5]
+        rows = sorted((r for r in got if r.event_type == et),
+                      key=lambda r: r.rank)
+        assert [(r.item, r.est_count) for r in rows] == want
+        assert all(r.err_ub == 0 for r in rows)
+
+
+def test_heavy_hitters_grouped_pruned_bounds(spark, views):
+    from pydin_spark.operators.rollup import heavy_hitters
+    ev = spark.table("events")
+    got = heavy_hitters(ev, "user_id", k=10, capacity=8,
+                        group_cols=("event_type",)).collect()
+    true = {}
+    for r in ev.groupBy("event_type", "user_id") \
+               .agg(F.count(F.lit(1)).alias("c")).collect():
+        true.setdefault(r.event_type, {})[str(r.user_id)] = r.c
+    assert got
+    for r in got:
+        t = true.get(r.event_type, {}).get(r.item, 0)
+        assert r.est_count <= t <= r.est_count + r.err_ub
