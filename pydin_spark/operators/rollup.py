@@ -336,9 +336,45 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
     and error are computed within each group, output gains the group
     columns.
     """
+    gcols = list(group_cols)
+    summaries = _mg_map(df, item_col, capacity, gcols)
+    sentinels = summaries.where(F.col("item") == HH_ERR_ITEM)
+    items = summaries.where(F.col("item") != HH_ERR_ITEM)
+    from pyspark.sql import Window
+    if not gcols:
+        total_err = sentinels.agg(
+            F.coalesce(F.sum("err"), F.lit(0)).alias("err_ub"))
+        merged = (items.groupBy("item")
+                  .agg(F.sum("est").alias("est_count"))
+                  .crossJoin(F.broadcast(total_err)))
+        top = merged.orderBy(F.desc("est_count"), "item").limit(int(k))
+        w = Window.orderBy(F.desc("est_count"), "item")
+        return (top.withColumn("rank", F.row_number().over(w))
+                .select("item", "est_count", "err_ub", "rank"))
+    total_err = (sentinels.groupBy(*gcols)
+                 .agg(F.sum("err").alias("err_ub")))
+    merged = (items.groupBy(*gcols, "item")
+              .agg(F.sum("est").alias("est_count"))
+              .join(total_err, gcols))
+    w = Window.partitionBy(*gcols).orderBy(F.desc("est_count"), "item")
+    return (merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(*gcols, "item", "est_count", "err_ub", "rank"))
+
+
+#: sentinel item carrying a summary's accumulated MG error — a plain
+#: counter, so merging summaries (summing est per item) sums errors too
+HH_ERR_ITEM = "\x00__err__"
+
+
+def _mg_map(df: DataFrame, item_col: str, capacity: int,
+            gcols: list) -> DataFrame:
+    """Map phase shared by :func:`heavy_hitters` and
+    :func:`heavy_hitter_summaries`: per-(partition, group) Misra-Gries
+    counters as (group..., item, est, err) rows, one ``HH_ERR_ITEM``
+    sentinel per (partition, group)."""
     import pandas as pd
 
-    gcols = list(group_cols)
     src = df.select(*[F.col(c) for c in gcols],
                     F.col(item_col).cast("string").alias("item"))
 
@@ -371,34 +407,88 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
         for gkey, (counters, err) in state.items():
             for item, est in counters.items():
                 rows.append((*gkey, item, est, err))
-            rows.append((*gkey, "\x00__err__", 0, err))
+            rows.append((*gkey, HH_ERR_ITEM, 0, err))
         yield pd.DataFrame(
             rows, columns=gcols + ["item", "est", "err"])
 
     gschema = "".join(
         f"{c} {df.schema[c].dataType.simpleString()}, " for c in gcols)
-    summaries = src.mapInPandas(
+    return src.mapInPandas(
         mg, schema=f"{gschema}item string, est long, err long")
-    # total error = Σ per-partition errors; carried by one sentinel row
-    # per (partition, group) so it needs no second pass over df
-    sentinels = summaries.where(F.col("item") == "\x00__err__")
-    items = summaries.where(F.col("item") != "\x00__err__")
+
+
+def heavy_hitter_summaries(df: DataFrame, item_col: str,
+                           capacity: int = 4096,
+                           group_cols: tuple[str, ...] = ()
+                           ) -> DataFrame:
+    """STORED-STATE form of :func:`heavy_hitters`: the mergeable
+    summary rows themselves — (group..., item, est) with one sentinel
+    row per group (``HH_ERR_ITEM``) whose ``est`` is the group's
+    accumulated Misra-Gries error.
+
+    The sentinel convention makes the error just another counter, so
+    EVERY later operation is a plain sum: write hourly summaries once,
+    then :func:`coarsen_hh` rolls them to coarser grains and
+    :func:`hh_topk` serves top-k with the correct merged bound — no
+    rescan of the raw history, the same serve-from-pre-aggregate story
+    as the HLL/KLL/Theta columns. No ranking window runs here (the
+    summary can be much larger than any top-k) — trim happens at
+    serve time.
+    """
+    gcols = list(group_cols)
+    raw = _mg_map(df, item_col, capacity, gcols)
+    return (raw.groupBy(*gcols, "item")
+            .agg(F.sum(F.when(F.col("item") == HH_ERR_ITEM,
+                              F.col("err")).otherwise(F.col("est")))
+                 .alias("est")))
+
+
+def coarsen_hh(summary: DataFrame, group_exprs: dict,
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge stored heavy-hitter summaries to a coarser grouping —
+    e.g. hourly → daily: ``coarsen_hh(s, {"bucket_start":
+    F.date_trunc('day', F.col('bucket_start'))}, keep_cols=
+    ('event_type',))``. Pure sum per (new group, item); the sentinel
+    error rows sum with everything else, which IS the mergeable-
+    summaries error rule (merged error = Σ source errors). The result
+    is again a summary frame — coarsen further or serve with
+    :func:`hh_topk`. No re-trim is applied: a merged summary can hold
+    more than ``capacity`` items (union of sources); trim at serve
+    time by taking top-k.
+    """
+    sel = [expr.alias(name) for name, expr in group_exprs.items()] + \
+          [F.col(c) for c in keep_cols] + [F.col("item"), F.col("est")]
+    out_groups = list(group_exprs) + list(keep_cols)
+    return (summary.select(*sel)
+            .groupBy(*out_groups, "item")
+            .agg(F.sum("est").alias("est")))
+
+
+def hh_topk(summary: DataFrame, k: int = 50,
+            group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Serve top-k from a stored/merged summary frame:
+    (group..., item, est_count, err_ub, rank) — identical contract to
+    :func:`heavy_hitters`, but reading K summary rows instead of the
+    raw history."""
+    gcols = list(group_cols)
     from pyspark.sql import Window
+    sentinels = summary.where(F.col("item") == HH_ERR_ITEM)
+    items = summary.where(F.col("item") != HH_ERR_ITEM)
     if not gcols:
-        total_err = sentinels.agg(
-            F.coalesce(F.sum("err"), F.lit(0)).alias("err_ub"))
+        err = sentinels.agg(
+            F.coalesce(F.sum("est"), F.lit(0)).alias("err_ub"))
         merged = (items.groupBy("item")
                   .agg(F.sum("est").alias("est_count"))
-                  .crossJoin(F.broadcast(total_err)))
+                  .crossJoin(F.broadcast(err)))
         top = merged.orderBy(F.desc("est_count"), "item").limit(int(k))
         w = Window.orderBy(F.desc("est_count"), "item")
         return (top.withColumn("rank", F.row_number().over(w))
                 .select("item", "est_count", "err_ub", "rank"))
-    total_err = (sentinels.groupBy(*gcols)
-                 .agg(F.sum("err").alias("err_ub")))
+    err = (sentinels.groupBy(*gcols)
+           .agg(F.coalesce(F.sum("est"), F.lit(0)).alias("err_ub")))
     merged = (items.groupBy(*gcols, "item")
               .agg(F.sum("est").alias("est_count"))
-              .join(total_err, gcols))
+              .join(err, gcols))
     w = Window.partitionBy(*gcols).orderBy(F.desc("est_count"), "item")
     return (merged.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))

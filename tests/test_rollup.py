@@ -251,3 +251,40 @@ def test_heavy_hitters_grouped_pruned_bounds(spark, views):
     for r in got:
         t = true.get(r.event_type, {}).get(r.item, 0)
         assert r.est_count <= t <= r.est_count + r.err_ub
+
+
+def test_hh_summaries_serve_and_coarsen(spark, views):
+    """Stored-summary path: hh_topk(summaries) == heavy_hitters
+    directly, and hourly summaries coarsened to one day equal the
+    summaries built from the day's raw events (exact regime — errors
+    are zero, merge is plain addition)."""
+    from pydin_spark.operators.rollup import (coarsen_hh,
+                                              heavy_hitter_summaries,
+                                              heavy_hitters, hh_topk)
+    ev = spark.table("events").withColumn(
+        "bucket_start", F.date_trunc("hour", F.col("ts")))
+    canon = lambda df: sorted(map(tuple, (tuple(r) for r in df.collect())))
+    # serve parity (grouped)
+    direct = heavy_hitters(ev, "user_id", k=7, capacity=4096,
+                           group_cols=("event_type",))
+    served = hh_topk(heavy_hitter_summaries(ev, "user_id", 4096,
+                                            ("event_type",)),
+                     k=7, group_cols=("event_type",))
+    assert canon(direct) == canon(served)
+    # coarsen parity: hourly summaries -> daily == daily summaries
+    hourly = heavy_hitter_summaries(ev, "user_id", 4096,
+                                    ("bucket_start", "event_type"))
+    daily_from_hourly = coarsen_hh(
+        hourly, {"day": F.date_trunc("day", F.col("bucket_start"))},
+        keep_cols=("event_type",))
+    daily_direct = heavy_hitter_summaries(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        "user_id", 4096, ("day", "event_type"))
+    assert canon(daily_from_hourly) == canon(daily_direct)
+    # ... and serving from the merged state matches serving from raw
+    top_merged = hh_topk(daily_from_hourly, k=5,
+                         group_cols=("day", "event_type"))
+    top_raw = heavy_hitters(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        "user_id", k=5, capacity=4096, group_cols=("day", "event_type"))
+    assert canon(top_merged) == canon(top_raw)
