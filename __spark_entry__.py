@@ -2050,10 +2050,10 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT COALESCE(SUM(n_tgt),0) FROM tfeat) AS T),
         lam AS (SELECT COALESCE(rfeat.bucket, tfeat.bucket) AS bucket,
                        CAST(ROUND(ln(
-                           CAST((COALESCE(n_tgt,0)+1) * (R + 256)
-                                AS DOUBLE)
-                           / CAST((COALESCE(n_raw,0)+1) * (T + 256)
-                                  AS DOUBLE)), 9)
+                           (CAST(COALESCE(n_tgt,0)+1 AS DOUBLE)
+                            * CAST(R + 256 AS DOUBLE))
+                           / (CAST(COALESCE(n_raw,0)+1 AS DOUBLE)
+                              * CAST(T + 256 AS DOUBLE))), 9)
                             AS DECIMAL(12,9)) AS lam
                 FROM rfeat FULL OUTER JOIN tfeat USING (bucket), tot),
         w AS (SELECT doc_id,

@@ -49,8 +49,12 @@ def main() -> None:
     # 3. cut exact duplicate substrings (keep the corpus-first copy),
     # writing the span-level provenance next to the output — the audit
     # table that says which doc each cut span first appeared in.
-    # Single-pass: one k-gram inventory serves both outputs.
-    rewritten, provenance = text.rewrite_with_provenance(docs, k=20)
+    # Single-pass: one k-gram inventory serves both outputs; owned
+    # frames are released after the final writes (bounded-cache
+    # discipline — leaked persists slow every later stage).
+    owned = []
+    rewritten, provenance = text.rewrite_with_provenance(
+        docs, k=20, owned_frames=owned)
     docs = (docs.drop("text")
             .join(rewritten.select("doc_id", "text"), "doc_id"))
 
@@ -88,7 +92,8 @@ def main() -> None:
     # likelihood ratios; deterministic Gumbel top-k)
     target = train.where("lang = 'en'")
     n_keep = max(int(train.count() * 0.8), 1)
-    picked = curation.importance_resample(train, target, k=n_keep)
+    picked = curation.importance_resample(train, target, k=n_keep,
+                                          owned_frames=owned)
     train = train.join(picked.select("doc_id"), "doc_id", "left_semi")
 
     # 9. context-window chunking of long documents, then pack the
@@ -110,6 +115,8 @@ def main() -> None:
     packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
     q.write.mode("overwrite").parquet(f"{out_dir}/vectors_int8")
     provenance.write.mode("overwrite").parquet(f"{out_dir}/cut_provenance")
+    for frame in owned:
+        frame.unpersist()
 
     spark.catalog.refreshByPath(f"{out_dir}/packed")
     n_packed = spark.read.parquet(f"{out_dir}/packed").count()

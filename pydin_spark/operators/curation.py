@@ -430,11 +430,14 @@ def importance_weights(raw: DataFrame, target: DataFrame,
     λ[b] = ln( (t_b+1)(R+B) / (r_b+1)(T+B) )   (add-one smoothing)
 
     where t_b/r_b are target/raw bucket totals, T/R the corpus totals,
-    B = ``n_buckets``. Engine-exact by construction: the ratio operands
-    are exact integer products cast to double, λ is rounded to 9 dp and
-    carried as DECIMAL(12,9), and the per-doc sum is decimal (order-
-    independent), cast to double only on output — an oracle recomputing
-    the same arithmetic matches bit-for-bit.
+    B = ``n_buckets``. Engine-exact by construction: each ratio FACTOR
+    is an exact-in-double integer cast to double before the multiply
+    (so the product is the correctly-rounded exact product — identical
+    to an arbitrary-precision product rounded once, with no 64-bit
+    overflow at any corpus size), λ is rounded to 9 dp and carried as
+    DECIMAL(12,9), and the per-doc sum is decimal (order-independent),
+    cast to double only on output — an oracle recomputing the same
+    arithmetic matches bit-for-bit.
 
     Scale shape: both distributions are B-row aggregates (map-side
     combine to almost nothing); λ joins the per-doc features by
@@ -466,7 +469,14 @@ def importance_weights(raw: DataFrame, target: DataFrame,
         hashed_ngram_buckets(target, id_col, text_col, n_buckets,
                              max_ngram)
     d_raw = f_raw.groupBy("bucket").agg(F.sum("c").alias("n_raw"))
-    d_tgt = f_tgt.groupBy("bucket").agg(F.sum("c").alias("n_tgt"))
+    # persist the B-row target distribution: it feeds both the totals
+    # aggregate and the λ join, and without it the TARGET explode —
+    # corpus-sized — would run twice (f_raw's persist covers the raw
+    # side; this covers the target side at ≤ B rows of cache)
+    d_tgt = (f_tgt.groupBy("bucket").agg(F.sum("c").alias("n_tgt"))
+             .persist())
+    if owned_frames is not None:
+        owned_frames.append(d_tgt)
     totals = (d_raw.agg(F.coalesce(F.sum("n_raw"), F.lit(0)).alias("R"))
               .crossJoin(d_tgt.agg(F.coalesce(F.sum("n_tgt"),
                                               F.lit(0)).alias("T"))))
@@ -477,9 +487,11 @@ def importance_weights(raw: DataFrame, target: DataFrame,
                    "bucket",
                    F.round(F.log(
                        ((F.coalesce("n_tgt", F.lit(0)) + 1)
-                        * (F.col("R") + b)).cast("double")
+                        .cast("double")
+                        * (F.col("R") + b).cast("double"))
                        / ((F.coalesce("n_raw", F.lit(0)) + 1)
-                          * (F.col("T") + b)).cast("double")), 9)
+                          .cast("double")
+                          * (F.col("T") + b).cast("double"))), 9)
                    .cast("decimal(12,9)").alias("lam")))
     per_doc = (f_raw.join(F.broadcast(lam_tbl), "bucket")
                .groupBy(id_col)

@@ -336,30 +336,11 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
     and error are computed within each group, output gains the group
     columns.
     """
-    gcols = list(group_cols)
-    summaries = _mg_map(df, item_col, capacity, gcols)
-    sentinels = summaries.where(F.col("item") == HH_ERR_ITEM)
-    items = summaries.where(F.col("item") != HH_ERR_ITEM)
-    from pyspark.sql import Window
-    if not gcols:
-        total_err = sentinels.agg(
-            F.coalesce(F.sum("err"), F.lit(0)).alias("err_ub"))
-        merged = (items.groupBy("item")
-                  .agg(F.sum("est").alias("est_count"))
-                  .crossJoin(F.broadcast(total_err)))
-        top = merged.orderBy(F.desc("est_count"), "item").limit(int(k))
-        w = Window.orderBy(F.desc("est_count"), "item")
-        return (top.withColumn("rank", F.row_number().over(w))
-                .select("item", "est_count", "err_ub", "rank"))
-    total_err = (sentinels.groupBy(*gcols)
-                 .agg(F.sum("err").alias("err_ub")))
-    merged = (items.groupBy(*gcols, "item")
-              .agg(F.sum("est").alias("est_count"))
-              .join(total_err, gcols))
-    w = Window.partitionBy(*gcols).orderBy(F.desc("est_count"), "item")
-    return (merged.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= int(k))
-            .select(*gcols, "item", "est_count", "err_ub", "rank"))
+    # one source of truth: build the mergeable summary, serve from it
+    # (Catalyst fuses the two same-key aggregates into one shuffle)
+    return hh_topk(heavy_hitter_summaries(df, item_col, capacity,
+                                          group_cols),
+                   k=k, group_cols=group_cols)
 
 
 #: sentinel item carrying a summary's accumulated MG error — a plain
@@ -486,9 +467,17 @@ def hh_topk(summary: DataFrame, k: int = 50,
                 .select("item", "est_count", "err_ub", "rank"))
     err = (sentinels.groupBy(*gcols)
            .agg(F.coalesce(F.sum("est"), F.lit(0)).alias("err_ub")))
-    merged = (items.groupBy(*gcols, "item")
-              .agg(F.sum("est").alias("est_count"))
-              .join(err, gcols))
+    grouped = (items.groupBy(*gcols, "item")
+               .agg(F.sum("est").alias("est_count")))
+    # NULL group keys are legitimate groups (_mg_map keeps them with
+    # dropna=False) — a null-unsafe equi-join would silently drop them
+    cond = None
+    for c in gcols:
+        piece = grouped[c].eqNullSafe(err[c])
+        cond = piece if cond is None else (cond & piece)
+    merged = (grouped.join(err, cond)
+              .select(*[grouped[c] for c in gcols], grouped["item"],
+                      grouped["est_count"], err["err_ub"]))
     w = Window.partitionBy(*gcols).orderBy(F.desc("est_count"), "item")
     return (merged.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))

@@ -701,12 +701,19 @@ def chunk_text(df: DataFrame, chunk_tokens: int = 128,
     ≤ chunk_tokens tokens yields exactly one chunk of itself.
 
     Pure projection + explode — no shuffle, no state; scales linearly
-    with scan volume and parallelizes per input split. Output:
-    (id, chunk_id, n_tokens, chunk).
+    with scan volume and parallelizes per input split. Rows with NULL
+    text yield no chunks (matching the SQL-oracle semantics — there is
+    nothing to chunk). Output: (id, chunk_id, n_tokens, chunk).
     """
+    if int(chunk_tokens) < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= int(overlap) < int(chunk_tokens):
+        # a negative overlap would silently SKIP tokens between
+        # consecutive chunks — never a chunking a user wants
+        raise ValueError("overlap must satisfy 0 <= overlap "
+                         "< chunk_tokens")
     step = int(chunk_tokens) - int(overlap)
-    if step <= 0:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    df = df.where(F.col(text_col).isNotNull())
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     n_chunks = F.when(

@@ -288,3 +288,21 @@ def test_hh_summaries_serve_and_coarsen(spark, views):
         ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
         "user_id", k=5, capacity=4096, group_cols=("day", "event_type"))
     assert canon(top_merged) == canon(top_raw)
+
+
+def test_heavy_hitters_null_group_kept(spark):
+    """A NULL group key is a legitimate group: it must appear in the
+    grouped output (null-safe err join), not silently vanish."""
+    from pydin_spark.operators.rollup import heavy_hitters
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"),
+         (None, "x"), (None, "x"), (None, "z")],
+        "grp string, item string")
+    got = heavy_hitters(df, "item", k=5, capacity=16,
+                        group_cols=("grp",)).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, {})[r.item] = r.est_count
+    assert by_grp["a"] == {"x": 2, "y": 1}
+    assert by_grp[None] == {"x": 2, "z": 1}
+    assert all(r.err_ub == 0 for r in got)
