@@ -70,7 +70,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
-    spark = get_session("bench", extra_conf={"spark.driver.memory": "90g"})
+    # 32g, not the machine's full 128g: an oversized heap turned the
+    # inter-query System.gc() into multi-second collections that
+    # spiked the NEXT measurement up to 13 s (measured on the dedup
+    # queries); at 32g both dedup medians settle ~2x lower with no
+    # spikes. Right-sizing the heap to the working set IS the 100 TB
+    # discipline — executors there run a few GB each, never 90.
+    spark = get_session("bench", extra_conf={"spark.driver.memory": "32g"})
     from pydin_spark import register_tables
     queries = entrymod.queries()
     # UNTIMED warm-up: one pass of every headline query at the smallest
