@@ -623,6 +623,23 @@ SPARK_ONLY_SQL = {
                percentile(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag
     """,
+    # native PIVOT (Spark SQL surface); COUNT yields NULL for absent
+    # cells, coalesced to 0 to match the oracle's conditional counts
+    "q_pivot": """
+        SELECT y, coalesce(n_urgent, 0) AS n_urgent,
+               coalesce(n_high, 0) AS n_high,
+               coalesce(n_medium, 0) AS n_medium,
+               coalesce(n_notspec, 0) AS n_notspec,
+               coalesce(n_low, 0) AS n_low
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                     o_orderpriority AS p
+              FROM orders)
+        PIVOT (COUNT(*) FOR p IN ('1-URGENT' AS n_urgent,
+                                  '2-HIGH' AS n_high,
+                                  '3-MEDIUM' AS n_medium,
+                                  '4-NOT SPECIFIED' AS n_notspec,
+                                  '5-LOW' AS n_low))
+    """,
 }
 DUCK_ONLY_SQL = {
     "q_date_math": """
@@ -646,6 +663,21 @@ DUCK_ONLY_SQL = {
                quantile_cont(l_quantity, 0.5) AS median_qty,
                quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # conditional-count formulation of the pivot (0 for absent cells)
+    "q_pivot": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                   AS n_urgent,
+               COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+                   AS n_high,
+               COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+                   AS n_medium,
+               COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                     THEN 1 END) AS n_notspec,
+               COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+                   AS n_low
+        FROM orders GROUP BY 1
     """,
 }
 
@@ -1805,7 +1837,9 @@ _DRIVER_GREEN_R1 = [
 
 
 def _driver_priority_order(out: dict) -> dict:
-    sql_green = set(DUAL_SQL) | set(SPARK_ONLY_SQL)  # driver-green in r2
+    # driver-green in r2 (q_pivot joined SPARK_ONLY_SQL later — it
+    # still needs its first driver-green row, so it sorts up front)
+    sql_green = (set(DUAL_SQL) | set(SPARK_ONLY_SQL)) - {"q_pivot"}
     r1_green = [k for k in _DRIVER_GREEN_R1 if k in out]
     never = [k for k in out
              if k not in sql_green and k not in _DRIVER_GREEN_R1]
