@@ -1815,6 +1815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              capacity=4096, group_cols=("event_type",))
 
     out["rollup_hh_by_type"] = _rollup_hh_by_type
+    # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
+    # is deliberately NOT in this inventory: the iterative algorithm
+    # has no SQL twin, and the inventory's invariant is that every
+    # declared query is oracle-backed. Its correctness evidence is
+    # exact equivalence to a driver-side reference implementation
+    # (tests/test_operators.py::test_learn_bpe_merges_matches_reference).
     return _driver_priority_order(out)
 
 

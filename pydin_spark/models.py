@@ -1488,6 +1488,7 @@ TRANSFORM_OPERATORS = {
     "semantic_dedup": "similarity.semantic_dedup",
     "heavy_hitters": "rollup.heavy_hitters",
     "corpus_report": "curation.corpus_report",
+    "bpe_tokenize": "text.bpe_tokenize",
 }
 
 

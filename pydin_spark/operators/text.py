@@ -835,3 +835,134 @@ def rewrite_with_provenance(df: DataFrame, id_col: str = "doc_id",
         short.select(F.col(id_col), F.col(text_col),
                      F.lit(0).cast("long").alias("n_tokens_cut")))
     return rewritten, provenance
+
+
+def _bpe_apply_merge(symbols, left: str, right: str):
+    """Column: one BPE merge (left,right)→left+right applied to a
+    symbol array with standard left-to-right non-overlapping
+    semantics, as a JVM-side fold (no Python in the loop). State:
+    (out, carry) — carry holds the previous unmatched symbol."""
+    merged = left + right
+    state = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("\x00").alias("carry"))  # \x00 = empty carry sentinel
+    step = lambda st, x: F.when(
+        (st["carry"] == F.lit(left)) & (x == F.lit(right)),
+        F.struct(F.concat(st["out"], F.array(F.lit(merged))).alias("out"),
+                 F.lit("\x00").alias("carry"))
+    ).otherwise(F.struct(
+        F.when(st["carry"] == F.lit("\x00"), st["out"])
+        .otherwise(F.concat(st["out"], F.array(st["carry"]))).alias("out"),
+        x.alias("carry")))
+    finish = lambda st: F.when(
+        st["carry"] == F.lit("\x00"), st["out"]
+    ).otherwise(F.concat(st["out"], F.array(st["carry"])))
+    return F.aggregate(symbols, state, step, finish)
+
+
+def learn_bpe_merges(df: DataFrame, k: int = 50,
+                     text_col: str = "text",
+                     end_of_word: str = "</w>",
+                     min_pair_freq: int = 2) -> list[tuple[str, str]]:
+    """Learn ``k`` BPE merges from a corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the tokenizer-training first pass, distributed.
+
+    The decisive structural move: BPE statistics depend only on the
+    DISTINCT-WORD frequency table, so the corpus is aggregated ONCE
+    (explode + count — the only corpus-sized stage) and the iterative
+    part runs over the word table, whose size is the vocabulary, not
+    the corpus. Each round counts adjacent symbol pairs weighted by
+    word frequency (one small shuffle), takes the most frequent pair
+    (deterministic tie-break: freq DESC, then pair lexicographic —
+    ONE collected row per round), and applies the merge with a
+    JVM-side fold. Lineage is truncated each round (localCheckpoint)
+    so round N's plan doesn't replay rounds 1..N-1.
+
+    Returns the ordered merge list [(left, right), ...] — driver-sized
+    by definition (k entries); stop early when no pair reaches
+    ``min_pair_freq``. Words get ``end_of_word`` as a terminal symbol
+    (the standard end marker, so "low" the word and "low" the prefix
+    of "lower" learn different merges).
+    """
+    words = (df.select(F.explode(F.split(F.col(text_col), " "))
+                       .alias("word"))
+             .where(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    sym = (words.select(
+        "freq",
+        F.concat(F.split(F.col("word"), ""),
+                 F.array(F.lit(end_of_word))).alias("symbols"))
+        .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(k)):
+        pairs = (sym.select(
+            "freq",
+            F.explode(F.zip_with(
+                F.slice(F.col("symbols"), 1,
+                        F.size("symbols") - 1),
+                F.slice(F.col("symbols"), 2,
+                        F.size("symbols") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+            .alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n")))
+        top = (pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect())
+        if not top or top[0]["n"] < min_pair_freq:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        nxt = sym.select(
+            "freq", _bpe_apply_merge(F.col("symbols"), left, right)
+            .alias("symbols")).localCheckpoint(eager=True)
+        sym.unpersist()
+        sym = nxt
+    sym.unpersist()
+    return merges
+
+
+def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
+                 id_col: str = "doc_id", text_col: str = "text",
+                 end_of_word: str = "</w>") -> DataFrame:
+    """Apply an ordered merge list from :func:`learn_bpe_merges` to a
+    corpus: (id, tokens array<string>, n_tokens). The encode loop
+    (every merge over every word) runs as an Arrow-batched pandas
+    stage — the documented UDF path for logic Spark's expression
+    language can't unroll M-merges deep; the learning side stays
+    JVM-side where the corpus-sized work happens.
+    """
+    merge_list = [tuple(m) for m in merges]
+
+    def encode(batches):
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                toks: list[str] = []
+                text = row[text_col]
+                for word in (text.split(" ") if text else []):
+                    if not word:
+                        continue
+                    symbols = list(word) + [end_of_word]
+                    for left, right in merge_list:
+                        i, out = 0, []
+                        while i < len(symbols):
+                            if (i + 1 < len(symbols)
+                                    and symbols[i] == left
+                                    and symbols[i + 1] == right):
+                                out.append(left + right)
+                                i += 2
+                            else:
+                                out.append(symbols[i])
+                                i += 1
+                        symbols = out
+                    toks.extend(symbols)
+                out_rows.append((row[id_col], toks, len(toks)))
+            import pandas as pd
+            yield pd.DataFrame(out_rows,
+                               columns=[id_col, "tokens", "n_tokens"])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        encode,
+        schema=f"{id_col} {id_type}, tokens array<string>, "
+               "n_tokens int")

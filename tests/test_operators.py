@@ -1201,3 +1201,62 @@ def test_importance_weights_from_stored_features(spark, views):
                   docs, tgt, raw_features=f_raw,
                   target_features=f_tgt).collect()}
     assert stored == direct
+
+
+def _ref_bpe(word_freqs, k, min_pair_freq=2):
+    """Driver-side reference BPE learner (Sennrich-style) for
+    equivalence testing."""
+    import collections
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(k):
+        pairs = collections.Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best, n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_freq:
+            break
+        merges.append(best)
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + f
+        vocab = new
+    return merges
+
+
+def test_learn_bpe_merges_matches_reference(spark, views):
+    from collections import Counter
+
+    from pydin_spark.operators.text import bpe_tokenize, learn_bpe_merges
+    docs = spark.table("documents").limit(80)
+    freqs = Counter()
+    for r in docs.collect():
+        for w in r.text.split(" "):
+            if w:
+                freqs[w] += 1
+    want = _ref_bpe(freqs, k=25)
+    got = learn_bpe_merges(docs, k=25)
+    assert got == want
+    # encode: tokens reassemble to the original words, and the learned
+    # merges actually compress (fewer symbols than characters)
+    enc = bpe_tokenize(docs.limit(10), got)
+    for r in enc.join(docs, "doc_id").collect():
+        rebuilt = "".join(r.tokens).replace("</w>", " ").rstrip()
+        assert rebuilt == r.text.replace("  ", " ").strip() \
+            or rebuilt == "".join(r.text.split(" ")) \
+            or rebuilt == " ".join(w for w in r.text.split(" ") if w)
+        assert r.n_tokens < len(r.text.replace(" ", "")) + \
+            len(r.text.split(" "))
