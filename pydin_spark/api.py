@@ -35,12 +35,68 @@ class Driver:
         return self.scheduler.history
 
     # -- job management (api.py create_job/configure_job/...) ---------------
+    #: scaffold templates written into jobs/<id>/ (reference
+    #: api.py:195-215 copies samples/job.txt + samples/script.txt the
+    #: same way; the runner here is the pydin_spark process-per-job
+    #: entry so the scaffold is executable as created)
+    JOB_RUNNER_TEMPLATE = '''\
+"""Job runner: executes this folder's script.py as a tracked run.
+
+Launched by the scheduler's process-per-job executor (or by hand:
+``python job.py``). The script sees an injected ``pydin`` context.
+"""
+
+import json
+import os
+import sys
+
+from pydin_spark.scheduler.job import run_script
+
+if __name__ == "__main__":
+    here = os.path.dirname(os.path.abspath(__file__))
+    run = json.loads(os.environ.get("PYDIN_RUN", "{}"))
+    ctx = run_script(os.path.join(here, "script.py"), run=run)
+    sys.exit(0)
+'''
+
+    JOB_SCRIPT_TEMPLATE = '''\
+"""Job script. The injected ``pydin`` object carries:
+
+- ``pydin.run``    the run-history row (id, job_id, added, ...)
+- ``pydin.spark``  a live SparkSession, or None outside the scheduler
+- ``pydin.data``   data inherited from a triggering parent job
+- ``pydin.result`` set it to expose a value to the caller
+"""
+
+pydin.result = f"hello from run {pydin.run.get('id')}"  # noqa: F821
+'''
+
     def create_job(self, job_name: str, desc: str | None = None,
                    func=None, command: str | None = None,
+                   scaffold: bool = False,
                    **schedule_fields) -> int:
-        return self.scheduler.register(
+        """Register a job; with ``scaffold=True`` also create the
+        reference-layout ``jobs/<id>/`` folder holding an executable
+        ``job.py`` runner and a ``script.py`` body (refusing to
+        overwrite anything, like the reference — a half-created job
+        folder should fail loudly, not silently reuse files)."""
+        job_id = self.scheduler.register(
             job_name, func=func, command=command,
             job_description=desc, **schedule_fields)
+        if scaffold:
+            folder = os.path.join(self.jobs_dir, str(job_id))
+            if os.path.exists(folder):
+                raise FileExistsError(f"folder {folder} already exists")
+            os.makedirs(folder)
+            for filename, content in (
+                    ("job.py", self.JOB_RUNNER_TEMPLATE),
+                    ("script.py", self.JOB_SCRIPT_TEMPLATE)):
+                dest = os.path.join(folder, filename)
+                if os.path.exists(dest):
+                    raise FileExistsError(f"file {dest} already exists")
+                with open(dest, "w") as fh:
+                    fh.write(content)
+        return job_id
 
     def configure_job(self, job_id: int, **fields) -> None:
         self.history.set_job(job_id, **fields)

@@ -155,3 +155,41 @@ def test_rest_test_help_deactivate_sync(tmp_path):
     r = client.post("/api/repo/sync", headers=hdr,
                     json={"message": "sync it"})
     assert r.get_json()["pushed"] == "sync it"
+
+
+def test_create_job_scaffold_refuses_overwrite(tmp_path):
+    """Reference parity (api.py:195-215): create_job(scaffold=True)
+    writes jobs/<id>/{job.py,script.py} and FAILS LOUDLY when the job
+    folder already exists instead of silently reusing files."""
+    import pytest
+
+    from pydin_spark.api import Driver
+    from pydin_spark.scheduler import History, Scheduler
+
+    d = Driver(Scheduler(History()), jobs_dir=str(tmp_path / "jobs"))
+    job_id = d.create_job("scaffolded", desc="demo", scaffold=True)
+    folder = tmp_path / "jobs" / str(job_id)
+    assert (folder / "job.py").exists() and (folder / "script.py").exists()
+    # occupy the NEXT id's folder up front: the scaffold must refuse
+    (tmp_path / "jobs" / str(job_id + 1)).mkdir()
+    with pytest.raises(FileExistsError):
+        d.create_job("collides", scaffold=True)
+
+
+def test_create_job_scaffold_script_executes(tmp_path):
+    from pydin_spark.api import Driver
+    from pydin_spark.scheduler import History, Scheduler
+    from pydin_spark.scheduler.job import script_job
+
+    d = Driver(Scheduler(History()), jobs_dir=str(tmp_path / "jobs"))
+    job_id = d.create_job("runnable", scaffold=True)
+    script = str(tmp_path / "jobs" / str(job_id) / "script.py")
+    # run the scaffolded script under the tracked-run machinery
+    runner_id = d.scheduler.register("exec-scaffold",
+                                     func=script_job(script))
+    run_id = d.scheduler.run_job_now(runner_id, wait=True)
+    assert d.history.run(run_id)["status"] == "D"
+    # and directly, to read the exposed result
+    from pydin_spark.scheduler.job import run_script
+    ctx = run_script(script, run={"id": 42})
+    assert ctx.result == "hello from run 42"
