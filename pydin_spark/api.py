@@ -107,10 +107,25 @@ pydin.result = f"hello from run {pydin.run.get('id')}"  # noqa: F821
     def disable_job(self, job_id: int) -> None:
         self.history.set_job(job_id, status="N")
 
-    def delete_job(self, job_id: int) -> None:
-        """Deactivate rather than hard-delete (reference keeps history)."""
-        self.history.set_job(job_id, status="N",
-                             end_date=time.strftime("%Y-%m-%d %H:%M:%S"))
+    def delete_job(self, job_id: int, hard: bool = False) -> None:
+        """Default: deactivate (safe, reversible). ``hard=True`` is
+        the reference semantics (api.py:321-336): the schedule row is
+        deleted, the ``jobs/<id>/`` folder is removed if present, and
+        a repo-backed jobs dir gets the removal pushed — run-history
+        rows survive in both modes (the audit trail)."""
+        if not hard:
+            self.history.set_job(job_id, status="N",
+                                 end_date=time.strftime(
+                                     "%Y-%m-%d %H:%M:%S"))
+            return
+        self.history.delete_job(job_id)
+        folder = os.path.join(self.jobs_dir, str(job_id))
+        if os.path.isdir(folder):
+            import shutil
+            shutil.rmtree(folder)
+        if os.path.isdir(os.path.join(self.jobs_dir, ".git")):
+            self.push_repo(job_id=job_id,
+                           message=f"delete job {job_id}")
 
     def list_jobs(self, active_only: bool = False) -> list[dict]:
         return self.history.jobs(active_only=active_only)
@@ -205,9 +220,10 @@ pydin.result = f"hello from run {pydin.run.get('id')}"  # noqa: F821
         if job_id is None:
             self._git("add", "-A")
         else:
-            folder = os.path.join(self.jobs_dir, str(job_id))
-            if os.path.isdir(folder):
-                self._git("add", "-A", "--", str(job_id))
+            # check=False: the pathspec must also stage a DELETED job
+            # folder (hard delete_job pushes the removal); an id that
+            # never had tracked files is a no-op, not an error
+            self._git("add", "-A", "--", str(job_id), check=False)
         staged = self._git("diff", "--cached", "--name-only").stdout.strip()
         if not staged:
             return None

@@ -102,6 +102,13 @@ class History:
         self._exec(f"UPDATE pd_schedule SET {sets} WHERE id = ?",
                    [*fields.values(), job_id])
 
+    def delete_job(self, job_id: int) -> None:
+        """Remove the schedule row (reference hard delete,
+        api.py:321-336); the run history rows stay — they are the
+        audit trail, keyed by job_id, and the reference keeps them
+        too (it deletes only from the schedule table)."""
+        self._exec("DELETE FROM pd_schedule WHERE id = ?", [job_id])
+
     def jobs(self, active_only: bool = False):
         sql = "SELECT * FROM pd_schedule"
         if active_only:

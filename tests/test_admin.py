@@ -193,3 +193,34 @@ def test_create_job_scaffold_script_executes(tmp_path):
     from pydin_spark.scheduler.job import run_script
     ctx = run_script(script, run={"id": 42})
     assert ctx.result == "hello from run 42"
+
+
+def test_delete_job_hard_removes_row_folder_and_pushes(tmp_path):
+    """Reference hard-delete semantics (api.py:321-336): schedule row
+    gone, jobs/<id>/ folder gone, removal committed when the jobs dir
+    is a repo; run history survives."""
+    from pydin_spark.api import Driver
+    from pydin_spark.scheduler import History, Scheduler
+
+    d = Driver(Scheduler(History()), jobs_dir=str(tmp_path / "jobs"))
+    d.create_repo()
+    job_id = d.create_job("doomed", scaffold=True)
+    d.push_repo(job_id=job_id, message="add job")
+    run_id = d.scheduler.run_job_now(job_id, wait=True)
+    folder = tmp_path / "jobs" / str(job_id)
+    assert folder.exists()
+
+    d.delete_job(job_id, hard=True)
+    assert d.history.job(job_id) is None
+    assert not folder.exists()
+    assert d.history.run(run_id) is not None  # audit trail kept
+    # the removal is committed in the jobs repo
+    import subprocess
+    log = subprocess.run(["git", "-C", str(tmp_path / "jobs"), "log",
+                          "--oneline"], capture_output=True, text=True)
+    assert f"delete job {job_id}" in log.stdout
+
+    # soft path still deactivates
+    other = d.create_job("kept")
+    d.delete_job(other)
+    assert d.history.job(other)["status"] == "N"
