@@ -148,6 +148,161 @@ pydin.result = f"hello from run {pydin.run.get('id')}"  # noqa: F821
         return self.history.runs(job_id=job_id, status=status)
 
     # -- scheduler control (api.py start/stop scheduler) --------------------
+    #: scheduler.py scaffold — the process-level scheduler entry the
+    #: reference deploys from samples/scheduler.txt (api.py:34-54) and
+    #: drives with ``--start``/``stop`` (api.py:87-131). The stop verb
+    #: signals the recorded pid; state lives in pd_components.
+    SCHEDULER_TEMPLATE = '''\
+"""Scheduler entry point — runs as its own process.
+
+``python scheduler.py --start``   run until stopped
+``python scheduler.py stop``      signal the running scheduler
+
+The metadata DB path comes from $PYDIN_DB (default: pydin.db next to
+this file). Liveness is recorded in the pd_components table.
+"""
+
+import os
+import signal
+import sys
+import time
+
+from pydin_spark.scheduler import History, Scheduler
+
+DB = os.environ.get("PYDIN_DB", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "pydin.db"))
+
+
+def main() -> int:
+    history = History(DB)
+    if "stop" in sys.argv:
+        row = history.component("SCHEDULER") or {}
+        if row.get("status") == "Y" and row.get("pid"):
+            os.kill(int(row["pid"]), signal.SIGTERM)
+            return 0
+        print("scheduler is not running")
+        return 1
+    scheduler = Scheduler(history)
+    stopping = []
+    signal.signal(signal.SIGTERM, lambda *_: stopping.append(1))
+    signal.signal(signal.SIGINT, lambda *_: stopping.append(1))
+    history.set_component(
+        "SCHEDULER", status="Y", pid=os.getpid(),
+        start_date=time.strftime("%Y-%m-%d %H:%M:%S"), stop_date=None)
+    scheduler.start()
+    try:
+        while not stopping:
+            time.sleep(0.2)
+    finally:
+        scheduler.stop()
+        history.set_component(
+            "SCHEDULER", status="N", pid=None,
+            stop_date=time.strftime("%Y-%m-%d %H:%M:%S"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
+'''
+
+    def create_scheduler(self, path: str | None = None) -> str:
+        """Scaffold ``scheduler.py`` (reference api.py:34-54: deploy
+        the scheduler entry + the jobs folder; refuses to overwrite an
+        existing scheduler.py)."""
+        root = os.path.abspath(path or os.path.dirname(self.jobs_dir)
+                               or ".")
+        dest = os.path.join(root, "scheduler.py")
+        if os.path.exists(dest):
+            raise FileExistsError(f"file {dest} already exists")
+        os.makedirs(self.jobs_dir, exist_ok=True)
+        os.makedirs(root, exist_ok=True)
+        with open(dest, "w") as fh:
+            fh.write(self.SCHEDULER_TEMPLATE)
+        return dest
+
+    def launch_scheduler(self, path: str | None = None,
+                         db: str | None = None) -> int | None:
+        """Start the scaffolded scheduler as its OWN process (reference
+        api.py:87-113): spawn ``scheduler.py --start``, give it a
+        moment, return the pid if it stayed up (None otherwise)."""
+        root = os.path.abspath(path or os.path.dirname(self.jobs_dir)
+                               or ".")
+        script = os.path.join(root, "scheduler.py")
+        if not os.path.exists(script):
+            raise FileNotFoundError(f"file {script} does not exist")
+        db = db or getattr(self.history, "path", None)
+        if not db or db == ":memory:":
+            raise ValueError("launch_scheduler needs a file-backed DB "
+                             "(db=... or a History(path))")
+        env = dict(os.environ, PYDIN_DB=db)
+        # the scaffold must import pydin_spark from wherever THIS
+        # process found it (a path-based dev checkout is not on the
+        # child's default sys.path once cwd moves to the deploy root)
+        pkg_parent = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in [pkg_parent, env.get("PYTHONPATH")] if p)
+        import sys as _sys
+        # detach: own session + own log file. Inheriting the caller's
+        # stdout/stderr pipes makes any pipe-reading parent (CLI under
+        # subprocess.run, CI harnesses) block until the DAEMON exits.
+        log = open(os.path.join(root, "scheduler.log"), "ab")
+        proc = subprocess.Popen([_sys.executable, script, "--start"],
+                                env=env, cwd=root,
+                                stdin=subprocess.DEVNULL,
+                                stdout=log, stderr=log,
+                                start_new_session=True)
+        log.close()
+        deadline = time.time() + 3.0
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                return None          # died during startup
+            row = History(db).component("SCHEDULER") or {}
+            if row.get("status") == "Y" and row.get("pid") == proc.pid:
+                return proc.pid
+            time.sleep(0.05)
+        return proc.pid if proc.poll() is None else None
+
+    def stop_scheduler_process(self, path: str | None = None,
+                               db: str | None = None) -> None:
+        """Signal the running scheduler process via its recorded pid
+        (reference api.py:115-125 drives ``scheduler.py stop``)."""
+        db = db or getattr(self.history, "path", None)
+        row = (History(db).component("SCHEDULER")
+               if db and db != ":memory:"
+               else self.history.component("SCHEDULER")) or {}
+        if row.get("status") == "Y" and row.get("pid"):
+            import signal as _signal
+            try:
+                os.kill(int(row["pid"]), _signal.SIGTERM)
+            except ProcessLookupError:
+                pass
+
+    def report_scheduler(self, db: str | None = None) -> int | None:
+        """pid when the scheduler component is up AND the process is
+        actually alive, else None (reference api.py:132-152 reads the
+        components row; the liveness probe guards against a stale row
+        after a crash)."""
+        db = db or getattr(self.history, "path", None)
+        hist = History(db) if db and db != ":memory:" else self.history
+        row = hist.component("SCHEDULER") or {}
+        if row.get("status") != "Y" or not row.get("pid"):
+            return None
+        try:
+            os.kill(int(row["pid"]), 0)
+        except (ProcessLookupError, PermissionError):
+            return None
+        return int(row["pid"])
+
+    def restart_scheduler(self, path: str | None = None,
+                          db: str | None = None) -> int | None:
+        """stop + start (reference api.py:127-130)."""
+        self.stop_scheduler_process(path, db)
+        deadline = time.time() + 3.0
+        while self.report_scheduler(db) and time.time() < deadline:
+            time.sleep(0.05)
+        return self.launch_scheduler(path, db)
+
     def start_scheduler(self) -> None:
         self.scheduler.start()
 

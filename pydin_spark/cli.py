@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("start-scheduler", help="run the scheduler loop")
 
+    for verb in ("create-scheduler", "launch-scheduler",
+                 "stop-scheduler", "restart-scheduler",
+                 "report-scheduler"):
+        p = sub.add_parser(
+            verb, help=f"{verb.replace('-', ' ')} (process-level "
+            "lifecycle: scheduler.py + pd_components pid)")
+        if verb != "report-scheduler":
+            p.add_argument("--path", help="deploy root (scheduler.py "
+                           "location)")
+
     cfg = sub.add_parser("create-config",
                          help="write a template sources INI")
     cfg.add_argument("--path")
@@ -137,6 +147,18 @@ def main(argv: list[str] | None = None) -> int:
         except KeyboardInterrupt:
             driver.stop_scheduler()
             out = {"stopped": True}
+    elif args.verb == "create-scheduler":
+        out = {"created": driver.create_scheduler(args.path)}
+    elif args.verb == "launch-scheduler":
+        out = {"pid": driver.launch_scheduler(args.path, db=args.db)}
+    elif args.verb == "stop-scheduler":
+        driver.stop_scheduler_process(args.path, db=args.db)
+        out = {"stopped": True}
+    elif args.verb == "restart-scheduler":
+        out = {"pid": driver.restart_scheduler(args.path, db=args.db)}
+    elif args.verb == "report-scheduler":
+        pid = driver.report_scheduler(db=args.db)
+        out = {"running": pid is not None, "pid": pid}
     elif args.verb == "create-config":
         out = {"created": driver.create_config(args.path)}
     elif args.verb == "create-repo":

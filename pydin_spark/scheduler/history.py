@@ -68,6 +68,13 @@ CREATE TABLE IF NOT EXISTS pd_file_log (
     run_id INTEGER, server TEXT, file_path TEXT, action TEXT,
     status TEXT, start_date TEXT, bytes INTEGER
 );
+CREATE TABLE IF NOT EXISTS pd_components (
+    id TEXT PRIMARY KEY,              -- SCHEDULER / RESTAPI
+    server_name TEXT, user_name TEXT, pid INTEGER, url TEXT,
+    debug TEXT, start_date TEXT, stop_date TEXT, status TEXT
+);
+INSERT OR IGNORE INTO pd_components(id) VALUES ('SCHEDULER');
+INSERT OR IGNORE INTO pd_components(id) VALUES ('RESTAPI');
 """
 
 
@@ -79,6 +86,7 @@ class History:
     """Thread-safe facade over the metadata DB."""
 
     def __init__(self, path: str = ":memory:"):
+        self.path = path
         self.conn = sqlite3.connect(path, check_same_thread=False)
         self.conn.row_factory = sqlite3.Row
         self.conn.executescript(DDL)
@@ -101,6 +109,19 @@ class History:
         sets = ", ".join(f"{k} = ?" for k in fields)
         self._exec(f"UPDATE pd_schedule SET {sets} WHERE id = ?",
                    [*fields.values(), job_id])
+
+    # -- components (reference db/sqlite.sql:207-221) -----------------------
+    def set_component(self, comp_id: str, **fields) -> None:
+        sets = ", ".join(f"{k} = ?" for k in fields)
+        self._exec(f"UPDATE pd_components SET {sets} WHERE id = ?",
+                   [*fields.values(), comp_id])
+
+    def component(self, comp_id: str):
+        with self.lock:
+            row = self.conn.execute(
+                "SELECT * FROM pd_components WHERE id = ?",
+                (comp_id,)).fetchone()
+            return dict(row) if row else None
 
     def delete_job(self, job_id: int) -> None:
         """Remove the schedule row (reference hard delete,

@@ -224,3 +224,78 @@ def test_delete_job_hard_removes_row_folder_and_pushes(tmp_path):
     other = d.create_job("kept")
     d.delete_job(other)
     assert d.history.job(other)["status"] == "N"
+
+
+def test_scheduler_daemon_lifecycle(tmp_path):
+    """Process-level scheduler parity (reference api.py:34-152):
+    create_scheduler scaffolds scheduler.py, launch starts it as its
+    own process (pid in pd_components), a db-registered command job
+    FIRES inside the daemon, report sees it alive, stop tears it
+    down and clears the component row."""
+    import time
+
+    from pydin_spark.api import Driver
+    from pydin_spark.scheduler import History, Scheduler
+
+    db = str(tmp_path / "pydin.db")
+    d = Driver(Scheduler(History(db)), jobs_dir=str(tmp_path / "jobs"))
+    script = d.create_scheduler(path=str(tmp_path))
+    assert script.endswith("scheduler.py")
+    import pytest
+    with pytest.raises(FileExistsError):
+        d.create_scheduler(path=str(tmp_path))
+
+    marker = tmp_path / "fired.marker"
+    d.create_job("toucher", command=f"touch {marker}", sec="*")
+    pid = d.launch_scheduler(path=str(tmp_path))
+    try:
+        assert pid is not None
+        assert d.report_scheduler() == pid
+        deadline = time.time() + 15
+        while not marker.exists() and time.time() < deadline:
+            time.sleep(0.2)
+        assert marker.exists(), "db-registered job never fired in daemon"
+    finally:
+        d.stop_scheduler_process(path=str(tmp_path))
+    deadline = time.time() + 5
+    while d.report_scheduler() is not None and time.time() < deadline:
+        time.sleep(0.1)
+    assert d.report_scheduler() is None
+    row = History(db).component("SCHEDULER")
+    assert row["status"] == "N" and row["pid"] is None
+
+
+def test_cli_scheduler_lifecycle_verbs(tmp_path, capsys):
+    """CLI parity for the process-level scheduler verbs."""
+    import json as _json
+    import time
+
+    from pydin_spark.cli import main as cli_main
+
+    db = str(tmp_path / "s.db")
+    cli_main(["--db", db, "create-scheduler", "--path", str(tmp_path)])
+    created = _json.loads(capsys.readouterr().out)
+    assert created["created"].endswith("scheduler.py")
+    cli_main(["--db", db, "report-scheduler"])
+    assert _json.loads(capsys.readouterr().out) == {"running": False,
+                                                    "pid": None}
+    cli_main(["--db", db, "launch-scheduler", "--path", str(tmp_path)])
+    pid = _json.loads(capsys.readouterr().out)["pid"]
+    try:
+        assert pid
+        cli_main(["--db", db, "report-scheduler"])
+        assert _json.loads(capsys.readouterr().out)["pid"] == pid
+        cli_main(["--db", db, "restart-scheduler", "--path",
+                  str(tmp_path)])
+        pid2 = _json.loads(capsys.readouterr().out)["pid"]
+        assert pid2 and pid2 != pid
+        pid = pid2
+    finally:
+        cli_main(["--db", db, "stop-scheduler", "--path", str(tmp_path)])
+        capsys.readouterr()
+    deadline = time.time() + 5
+    from pydin_spark.api import Driver
+    while Driver().report_scheduler(db=db) and time.time() < deadline:
+        time.sleep(0.1)
+    cli_main(["--db", db, "report-scheduler"])
+    assert _json.loads(capsys.readouterr().out)["running"] is False
