@@ -137,6 +137,26 @@ pydin.result = f"hello from run {pydin.run.get('id')}"  # noqa: F821
     def cancel_run(self, run_id: int) -> None:
         self.scheduler.cancel_run(run_id)
 
+    def cancel_job(self, job_id: int) -> int:
+        """Cancel every non-terminal run of one job (reference
+        cli.py:361-369 'cancel all Job[id] runs'). Returns the count."""
+        n = 0
+        for run in self.history.runs(job_id=job_id):
+            if run["status"] in ("Q", "W", "S", "R"):
+                self.scheduler.cancel_run(run["id"])
+                n += 1
+        return n
+
+    def cancel_jobs(self) -> int:
+        """Cancel every currently pending/running run of every job
+        (reference cli.py:371-377). Returns the count."""
+        n = 0
+        for run in self.history.runs():
+            if run["status"] in ("Q", "W", "S", "R"):
+                self.scheduler.cancel_run(run["id"])
+                n += 1
+        return n
+
     def deactivate_run(self, run_id: int) -> None:
         self.history.set_run(run_id, deactivated="Y")
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 
 from .api import Driver
@@ -42,6 +44,30 @@ def build_parser() -> argparse.ArgumentParser:
 
     cancel = sub.add_parser("cancel-run")
     cancel.add_argument("run_id", type=int)
+
+    cj = sub.add_parser("cancel-job",
+                        help="cancel all pending/running runs of a job")
+    cj.add_argument("job_id", type=int)
+    sub.add_parser("cancel-jobs",
+                   help="cancel every pending/running run")
+
+    rj = sub.add_parser("run-jobs", help="run the job ids listed in a "
+                        "file, one per line (reference run.list)")
+    rj.add_argument("--path", default="run.list")
+    rj.add_argument("--clean", action="store_true",
+                    help="truncate the list file afterwards")
+
+    es = sub.add_parser("edit-script", help="open jobs/<id>/script.py "
+                        "in $EDITOR")
+    es.add_argument("job_id", type=int)
+    es.add_argument("--jobs-dir", default="jobs")
+    ec = sub.add_parser("edit-config", help="open the sources INI in "
+                        "$EDITOR")
+    ec.add_argument("--path")
+
+    inst = sub.add_parser("install", help="deploy config + scheduler "
+                          "+ metadata DB in one step")
+    inst.add_argument("--path", help="deploy root (default: cwd)")
 
     hist = sub.add_parser("history", help="list run history")
     hist.add_argument("--job-id", type=int)
@@ -114,6 +140,56 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "cancel-run":
         driver.cancel_run(args.run_id)
         out = driver.get_run(args.run_id)
+    elif args.verb == "cancel-job":
+        out = {"canceled": driver.cancel_job(args.job_id)}
+    elif args.verb == "cancel-jobs":
+        out = {"canceled": driver.cancel_jobs()}
+    elif args.verb == "run-jobs":
+        # reference cli.py:345-359: a run.list file of job ids
+        results = []
+        path = os.path.abspath(args.path)
+        for line in open(path):
+            line = line.split()
+            if line:
+                run_id = driver.run_job(int(line[0]), wait=True)
+                results.append(driver.get_run(run_id))
+        if args.clean:
+            open(path, "w").close()
+        out = results
+    elif args.verb == "edit-script":
+        # reference cli.py:212-224: launch the editor on the job script
+        path = os.path.join(args.jobs_dir, str(args.job_id), "script.py")
+        if not os.path.exists(path):
+            print(f"file {path} does not exist", file=sys.stderr)
+            return 1
+        subprocess.run([os.environ.get("EDITOR", "vi"), path])
+        out = {"edited": path}
+    elif args.verb == "edit-config":
+        from .sources import SourceRegistry
+        path = os.path.expanduser(args.path or SourceRegistry.DEFAULT_INI)
+        if not os.path.exists(path):
+            print(f"file {path} does not exist", file=sys.stderr)
+            return 1
+        subprocess.run([os.environ.get("EDITOR", "vi"), path])
+        out = {"edited": path}
+    elif args.verb == "install":
+        # reference cli.py:131-146 wizard, non-interactive: config +
+        # scheduler scaffold + metadata DB in one step (each part
+        # skipped with a note when it already exists)
+        root = os.path.abspath(args.path or os.getcwd())
+        report = {}
+        try:
+            report["config"] = driver.create_config(
+                os.path.join(root, "sources.ini"))
+        except FileExistsError:
+            report["config"] = "exists"
+        try:
+            driver.jobs_dir = os.path.join(root, "jobs")
+            report["scheduler"] = driver.create_scheduler(root)
+        except FileExistsError:
+            report["scheduler"] = "exists"
+        report["db"] = args.db
+        out = report
     elif args.verb == "history":
         out = driver.list_runs(job_id=args.job_id, status=args.status)
     elif args.verb == "run-pipeline":

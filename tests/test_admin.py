@@ -299,3 +299,55 @@ def test_cli_scheduler_lifecycle_verbs(tmp_path, capsys):
         time.sleep(0.1)
     cli_main(["--db", db, "report-scheduler"])
     assert _json.loads(capsys.readouterr().out)["running"] is False
+
+
+def test_cli_bulk_edit_install_verbs(tmp_path, capsys, monkeypatch):
+    """run-jobs / cancel-job / edit-script / install CLI parity."""
+    import json as _json
+    import os
+    import stat
+
+    from pydin_spark.cli import main as cli_main
+
+    db = str(tmp_path / "b.db")
+    monkeypatch.chdir(tmp_path)
+    # install: config + scheduler + db in one step; idempotent report
+    cli_main(["--db", db, "install", "--path", str(tmp_path)])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["config"].endswith("sources.ini")
+    assert rep["scheduler"].endswith("scheduler.py")
+    cli_main(["--db", db, "install", "--path", str(tmp_path)])
+    rep2 = _json.loads(capsys.readouterr().out)
+    assert rep2["config"] == "exists" and rep2["scheduler"] == "exists"
+
+    # bulk run from a run.list file
+    for name in ("a", "b"):
+        cli_main(["--db", db, "create-job", name, "--command", "true"])
+        capsys.readouterr()
+    (tmp_path / "run.list").write_text("1\n2\n")
+    cli_main(["--db", db, "run-jobs", "--path",
+              str(tmp_path / "run.list"), "--clean"])
+    runs = _json.loads(capsys.readouterr().out)
+    assert [r["status"] for r in runs] == ["D", "D"]
+    assert (tmp_path / "run.list").read_text() == ""
+
+    # cancel-job / cancel-jobs (nothing running -> 0, shape check)
+    cli_main(["--db", db, "cancel-job", "1"])
+    assert _json.loads(capsys.readouterr().out) == {"canceled": 0}
+    cli_main(["--db", db, "cancel-jobs"])
+    assert _json.loads(capsys.readouterr().out) == {"canceled": 0}
+
+    # edit-script launches $EDITOR on the scaffolded script
+    jobs = tmp_path / "jobs" / "9"
+    jobs.mkdir(parents=True)
+    (jobs / "script.py").write_text("# body\n")
+    editor = tmp_path / "fake_editor.sh"
+    editor.write_text("#!/bin/sh\necho '# edited' >> \"$1\"\n")
+    editor.chmod(editor.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("EDITOR", str(editor))
+    cli_main(["--db", db, "edit-script", "9", "--jobs-dir",
+              str(tmp_path / "jobs")])
+    assert "# edited" in (jobs / "script.py").read_text()
+    # missing script -> error exit
+    assert cli_main(["--db", db, "edit-script", "404", "--jobs-dir",
+                     str(tmp_path / "jobs")]) == 1
