@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     cancel = sub.add_parser("cancel-run")
     cancel.add_argument("run_id", type=int)
 
+    deact = sub.add_parser("deactivate-run", help="exclude a failed "
+                           "run from rerun scans")
+    deact.add_argument("run_id", type=int)
+
     cj = sub.add_parser("cancel-job",
                         help="cancel all pending/running runs of a job")
     cj.add_argument("job_id", type=int)
@@ -139,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
         out = driver.get_run(run_id)
     elif args.verb == "cancel-run":
         driver.cancel_run(args.run_id)
+        out = driver.get_run(args.run_id)
+    elif args.verb == "deactivate-run":
+        driver.deactivate_run(args.run_id)
         out = driver.get_run(args.run_id)
     elif args.verb == "cancel-job":
         out = {"canceled": driver.cancel_job(args.job_id)}

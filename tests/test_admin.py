@@ -351,3 +351,19 @@ def test_cli_bulk_edit_install_verbs(tmp_path, capsys, monkeypatch):
     # missing script -> error exit
     assert cli_main(["--db", db, "edit-script", "404", "--jobs-dir",
                      str(tmp_path / "jobs")]) == 1
+
+
+def test_cli_deactivate_run(tmp_path, capsys):
+    import json as _json
+
+    from pydin_spark.cli import main as cli_main
+
+    db = str(tmp_path / "d.db")
+    cli_main(["--db", db, "create-job", "f", "--command", "false"])
+    job = _json.loads(capsys.readouterr().out)
+    cli_main(["--db", db, "run-job", str(job["job_id"])])
+    run = _json.loads(capsys.readouterr().out)
+    assert run["status"] == "E"
+    cli_main(["--db", db, "deactivate-run", str(run["id"])])
+    out = _json.loads(capsys.readouterr().out)
+    assert out["deactivated"] == "Y"
