@@ -96,3 +96,69 @@ def flag_anomalies(df: DataFrame) -> DataFrame:
     return (df.groupBy("user_id").applyInPandasWithState(
         _anomaly_fn, ANOMALY_SCHEMA, ANOMALY_STATE,
         "append", GroupStateTimeout.NoTimeout))
+
+
+HH_SCHEMA = ("grp string, item string, est_count long, err_ub long, "
+             "rank int")
+HH_STATE = "counters string, err long"  # counters as a JSON object
+
+
+def _heavy_hitters_fn(capacity: int, k: int):
+    def fn(key, pdfs, state: GroupState):
+        import json
+
+        import pandas as pd
+        if state.exists:
+            counters = json.loads(state.get[0])
+            err = int(state.get[1])
+        else:
+            counters, err = {}, 0
+        for pdf in pdfs:
+            for item, cnt in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[capacity]
+                counters = {i: c - d for i, c in counters.items()
+                            if c - d > 0}
+                err += d
+        state.update((json.dumps(counters), err))
+        top = sorted(counters.items(), key=lambda t: (-t[1], t[0]))[:k]
+        yield pd.DataFrame(
+            [(key[0], item, est, err, rnk + 1)
+             for rnk, (item, est) in enumerate(top)],
+            columns=["grp", "item", "est_count", "err_ub", "rank"])
+    return fn
+
+
+def streaming_heavy_hitters(df: DataFrame, item_col: str,
+                            k: int = 10, capacity: int = 4096,
+                            group_col: str | None = None) -> DataFrame:
+    """Misra-Gries frequent items over an unbounded stream: per group
+    (or one global group) the state carries at most ``capacity``
+    counters across micro-batches, emitting the current top-``k`` with
+    the accumulated error bound every trigger — the live-dashboard
+    shape of :func:`~pydin_spark.operators.rollup.heavy_hitters`, with
+    the same contract (est ≤ true ≤ est + err_ub; exact while distinct
+    ≤ capacity).
+
+    State shards by the GROUP: fine when groups partition the traffic
+    (per-tenant, per-topic dashboards). A single global group funnels
+    every event through one task — at that scale, pre-aggregate per
+    micro-batch in the query (groupBy item counts) or keep per-group
+    sketches and merge at read, as the batch operator's stored-summary
+    form does.
+
+    Batch input falls back to the exact equivalent shape.
+    """
+    grp = (F.col(group_col) if group_col is not None
+           else F.lit("__all__")).cast("string").alias("grp")
+    src = df.select(grp, F.col(item_col).cast("string").alias("item"))
+    if not df.isStreaming:
+        from ..operators.rollup import heavy_hitters
+        out = heavy_hitters(src, "item", k=k, capacity=capacity,
+                            group_cols=("grp",))
+        return out.select("grp", "item", "est_count", "err_ub", "rank")
+    return (src.groupBy("grp").applyInPandasWithState(
+        _heavy_hitters_fn(int(capacity), int(k)), HH_SCHEMA, HH_STATE,
+        "update", GroupStateTimeout.NoTimeout))
