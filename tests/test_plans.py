@@ -144,3 +144,49 @@ def test_range_join_is_hash_join_not_nested_loop(spark, views, sf_dir):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_lambda_join_broadcasts(spark, views):
+    """The B-row lambda table must reach the per-doc features by
+    BROADCAST (a shuffle join on the bucket key would move the whole
+    feature frame for a 256-row dimension)."""
+    from pydin_spark.operators.curation import importance_weights
+    docs = spark.table("documents")
+    w = importance_weights(docs, docs.where("lang = 'en'"))
+    plan = plan_of(w)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_clustered_join_is_hash_not_nested(spark, sf_dir):
+    """With nlist > 1 the within-cluster pair join must be an
+    equi-join on list_id (hash/sort-merge), never a nested loop —
+    the clustering IS the quadratic-cost bound."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.similarity import semantic_dup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dup_pairs(emb, threshold=0.4, nlist=4, max_iter=2)
+    plan = plan_of(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_corpus_report_dup_membership_join_shape(spark, views):
+    """corpus_report: no cartesian anywhere, and the report never
+    shuffles more than the fingerprint/strata aggregates need."""
+    from pydin_spark.operators.curation import corpus_report
+    plan = plan_of(corpus_report(spark.table("documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_summary_single_aggregation_chain(spark, views):
+    """The grouped heavy-hitter serve must not re-shuffle the summary
+    between the merge aggregate and the rank window (same keys)."""
+    from pydin_spark.operators.rollup import heavy_hitters
+    hh = heavy_hitters(spark.table("events"), "user_id", k=5,
+                       capacity=64, group_cols=("event_type",))
+    plan = plan_of(hh)
+    assert "CartesianProduct" not in plan
