@@ -298,14 +298,14 @@ if __name__ == "__main__":
             except ProcessLookupError:
                 pass
 
-    def report_scheduler(self, db: str | None = None) -> int | None:
-        """pid when the scheduler component is up AND the process is
-        actually alive, else None (reference api.py:132-152 reads the
-        components row; the liveness probe guards against a stale row
-        after a crash)."""
+    def _component_pid(self, comp_id: str,
+                       db: str | None = None) -> int | None:
+        """pid when the component row says up AND the process is
+        actually alive, else None (the liveness probe guards against a
+        stale row after a crash)."""
         db = db or getattr(self.history, "path", None)
         hist = History(db) if db and db != ":memory:" else self.history
-        row = hist.component("SCHEDULER") or {}
+        row = hist.component(comp_id) or {}
         if row.get("status") != "Y" or not row.get("pid"):
             return None
         try:
@@ -313,6 +313,60 @@ if __name__ == "__main__":
         except (ProcessLookupError, PermissionError):
             return None
         return int(row["pid"])
+
+    def report_scheduler(self, db: str | None = None) -> int | None:
+        """Reference api.py:132-152: the scheduler's pid or None."""
+        return self._component_pid("SCHEDULER", db)
+
+    def launch_web(self, host: str = "127.0.0.1", port: int = 5000,
+                   token: str | None = None,
+                   db: str | None = None) -> int | None:
+        """Start the REST API as its own detached process (reference
+        web.py:71-107); returns the pid once the RESTAPI component
+        reports up, None if startup failed."""
+        db = db or getattr(self.history, "path", None)
+        if not db or db == ":memory:":
+            raise ValueError("launch_web needs a file-backed DB")
+        import sys as _sys
+        argv = [_sys.executable, "-m", "pydin_spark.web", "start",
+                "--db", db, "--host", host, "--port", str(port)]
+        if token:
+            argv += ["--token", token]
+        pkg_parent = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in [pkg_parent, env.get("PYTHONPATH")] if p)
+        log = open(os.path.join(os.path.dirname(db) or ".",
+                                "webserver.log"), "ab")
+        proc = subprocess.Popen(argv, env=env,
+                                stdin=subprocess.DEVNULL,
+                                stdout=log, stderr=log,
+                                start_new_session=True)
+        log.close()
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                return None
+            if self._component_pid("RESTAPI", db) == proc.pid:
+                return proc.pid
+            time.sleep(0.05)
+        return proc.pid if proc.poll() is None else None
+
+    def stop_web_process(self, db: str | None = None) -> None:
+        """Signal the running REST API via its recorded pid (reference
+        web.py:109-127)."""
+        pid = self._component_pid("RESTAPI", db)
+        if pid:
+            import signal as _signal
+            try:
+                os.kill(pid, _signal.SIGTERM)
+            except ProcessLookupError:
+                pass
+
+    def report_web(self, db: str | None = None) -> int | None:
+        """The REST API's pid or None."""
+        return self._component_pid("RESTAPI", db)
 
     def restart_scheduler(self, path: str | None = None,
                           db: str | None = None) -> int | None:

@@ -115,3 +115,75 @@ def create_app(driver: Driver | None = None, token: str | None = None):
         return jsonify({"pushed": pushed})
 
     return app
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Run the REST API as its own process (reference web.py:60-127:
+    the RESTAPI component row carries status/pid/url; ``stop`` signals
+    the recorded pid).
+
+    ``python -m pydin_spark.web --db pydin.db [--host H] [--port P]
+    [--token T]``  /  ``... stop``
+    """
+    import argparse
+    import datetime as dt
+    import os
+    import signal
+    import sys
+
+    from .scheduler import History, Scheduler
+
+    parser = argparse.ArgumentParser(prog="pydin-spark-web")
+    parser.add_argument("action", nargs="?", default="start",
+                        choices=["start", "stop"])
+    parser.add_argument("--db", default="pydin_spark.db")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=5000)
+    parser.add_argument("--token")
+    args = parser.parse_args(argv)
+    history = History(args.db)
+    if args.action == "stop":
+        row = history.component("RESTAPI") or {}
+        if row.get("status") == "Y" and row.get("pid"):
+            try:
+                os.kill(int(row["pid"]), signal.SIGTERM)
+            except ProcessLookupError:
+                pass
+            return 0
+        print("server is not running", file=sys.stderr)
+        return 1
+    row = history.component("RESTAPI") or {}
+    if row.get("status") == "Y" and row.get("pid"):
+        try:
+            os.kill(int(row["pid"]), 0)
+            print(f"server already working on PID[{row['pid']}]",
+                  file=sys.stderr)
+            return 1
+        except (ProcessLookupError, PermissionError):
+            pass  # stale row after a crash — take over
+    driver = Driver(Scheduler(history))
+    app = create_app(driver, token=args.token)
+    url = f"http://{args.host}:{args.port}"
+    now = dt.datetime.now().isoformat(sep=" ", timespec="seconds")
+    history.set_component("RESTAPI", status="Y", pid=os.getpid(),
+                          url=url, start_date=now, stop_date=None)
+
+    def _down(*_):
+        history.set_component(
+            "RESTAPI", status="N", pid=None,
+            stop_date=dt.datetime.now().isoformat(sep=" ",
+                                                  timespec="seconds"))
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _down)
+    signal.signal(signal.SIGINT, _down)
+    try:
+        app.run(host=args.host, port=args.port)
+    finally:
+        _down()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    _sys.exit(main())

@@ -2,6 +2,7 @@
 web.py parity)."""
 
 import json
+import os
 
 from pydin_spark.api import Driver
 from pydin_spark.cli import main as cli_main
@@ -367,3 +368,50 @@ def test_cli_deactivate_run(tmp_path, capsys):
     cli_main(["--db", db, "deactivate-run", str(run["id"])])
     out = _json.loads(capsys.readouterr().out)
     assert out["deactivated"] == "Y"
+
+
+def test_web_server_process_lifecycle(tmp_path):
+    """REST API as its own process (reference web.py:60-127): launch
+    records the RESTAPI component row, the server answers over HTTP
+    with token auth, double-launch refuses, stop signals the pid and
+    clears the row."""
+    import json as _json
+    import time
+    import urllib.request
+
+    import pytest
+    pytest.importorskip("flask")
+
+    from pydin_spark.api import Driver
+    from pydin_spark.scheduler import History, Scheduler
+
+    db = str(tmp_path / "w.db")
+    d = Driver(Scheduler(History(db)))
+    port = 5000 + (os.getpid() % 1000)
+    pid = d.launch_web(port=port, token="t0k", db=db)
+    try:
+        assert pid is not None
+        assert d.report_web(db=db) == pid
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/test",
+            headers={"Authorization": "Bearer t0k"})
+        deadline = time.time() + 10
+        body = None
+        while time.time() < deadline:
+            try:
+                body = _json.loads(urllib.request.urlopen(
+                    req, timeout=2).read())
+                break
+            except Exception:
+                time.sleep(0.2)
+        assert body == {"ok": True}
+        # a second launch must refuse while the first is alive
+        assert d.launch_web(port=port + 1, db=db) is None
+    finally:
+        d.stop_web_process(db=db)
+    deadline = time.time() + 5
+    while d.report_web(db=db) is not None and time.time() < deadline:
+        time.sleep(0.1)
+    assert d.report_web(db=db) is None
+    row = History(db).component("RESTAPI")
+    assert row["status"] == "N" and row["pid"] is None
