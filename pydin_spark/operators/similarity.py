@@ -742,6 +742,13 @@ def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
         train_src = df if sample_fraction >= 1.0 else \
             df.sample(fraction=sample_fraction, seed=seed)
+        if train_src.isEmpty():
+            # a quiet ingest cycle must yield an empty pair set, not a
+            # KMeans crash on zero training rows
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                    "cosine double")
         train = train_src.select(
             array_to_vector(F.transform(F.col(vec_col),
                                         lambda v: v.cast("double")))

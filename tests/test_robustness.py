@@ -96,3 +96,38 @@ def test_leakage_safe_split_no_near_dups_degenerates_to_hash_split(spark):
     # plain per-doc hash split exactly
     assert all(g == d for d, (g, _) in safe.items())
     assert all(s == naive[d] for d, (_, s) in safe.items())
+
+
+def test_new_operators_survive_empty_input(spark):
+    """Every second-pass operator must return an empty (not crashed)
+    result on an empty corpus — the first thing a scheduled pipeline
+    hits on a quiet day."""
+    docs = spark.createDataFrame([], "doc_id long, text string, "
+                                     "lang string, source string")
+    emb = spark.createDataFrame([], "vec_id long, "
+                                    "embedding array<float>")
+    ev = spark.createDataFrame([], "user_id long, event_type string")
+
+    from pydin_spark.operators.curation import (corpus_report,
+                                                importance_resample,
+                                                importance_weights)
+    from pydin_spark.operators.rollup import (heavy_hitter_summaries,
+                                              heavy_hitters, hh_topk)
+    from pydin_spark.operators.similarity import (semantic_dedup,
+                                                  semantic_dup_pairs)
+    from pydin_spark.operators.text import (chunk_text,
+                                            rewrite_with_provenance)
+
+    assert importance_weights(docs, docs).count() == 0
+    assert importance_resample(docs, docs, k=5).count() == 0
+    assert corpus_report(docs).count() == 0
+    assert chunk_text(docs).count() == 0
+    rw, prov = rewrite_with_provenance(docs)
+    assert rw.count() == 0 and prov.count() == 0
+    assert semantic_dup_pairs(emb, nlist=1).count() == 0
+    assert semantic_dedup(emb, nlist=1).count() == 0
+    # the clustered path must not crash KMeans on zero training rows
+    assert semantic_dedup(emb, nlist=4).count() == 0
+    assert heavy_hitters(ev, "user_id", k=5, capacity=8).count() == 0
+    summ = heavy_hitter_summaries(ev, "user_id", 8, ("event_type",))
+    assert hh_topk(summ, k=5, group_cols=("event_type",)).count() == 0
