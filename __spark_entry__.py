@@ -975,6 +975,25 @@ OPERATOR_ORACLES: dict[str, str] = {
         SELECT event_type, item, est_count, err_ub, rank
         FROM r WHERE rank <= 10
     """,
+    # stored per-bucket MG summaries served at the daily grain — exact
+    # regime, so the merged state equals plain daily top-k counts
+    "rollup_hh_stored": """
+        WITH c AS (SELECT time_bucket(INTERVAL '1 day', ts)
+                              AS bucket_start,
+                          event_type,
+                          CAST(user_id AS VARCHAR) AS item,
+                          COUNT(*) AS est_count
+                   FROM events GROUP BY 1, 2, 3),
+        r AS (SELECT bucket_start, event_type, item, est_count,
+                     CAST(0 AS BIGINT) AS err_ub,
+                     ROW_NUMBER() OVER (PARTITION BY bucket_start,
+                                                     event_type
+                                        ORDER BY est_count DESC, item)
+                         AS rank
+              FROM c)
+        SELECT bucket_start, event_type, item, est_count, err_ub, rank
+        FROM r WHERE rank <= 5
+    """,
     # SemDeDup survivors at nlist=1: the global first-wins dominance
     # rule — a vector survives iff no LOWER-id vector reaches the
     # cosine threshold (same IEEE-exact fold as sim_cosine_dup)
@@ -1815,6 +1834,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              capacity=4096, group_cols=("event_type",))
 
     out["rollup_hh_by_type"] = _rollup_hh_by_type
+
+    def _rollup_hh_stored(spark, sf_dir):
+        # STORED per-bucket Misra-Gries state (rollup.StoredHeavyHitters):
+        # hourly summaries built in two incremental refreshes (history
+        # prefix, then the full source — proving the high-water fold),
+        # then served at the coarser DAILY grain purely from the stored
+        # summary rows.  Exact regime: fixture cardinalities sit far
+        # below capacity, so served counts are exact and the SQL twin
+        # is plain daily top-k counts.
+        import shutil
+        import tempfile
+        from pyspark.sql import functions as F
+        from pydin_spark.operators.rollup import StoredHeavyHitters
+        _views(spark, sf_dir)
+        ev = spark.table("events")
+        scratch = tempfile.mkdtemp(prefix="pydin_hh_")
+        try:
+            st = StoredHeavyHitters(scratch + "/hh", "user_id",
+                                    bucket="1 hour",
+                                    group_cols=("event_type",))
+            cut = ev.selectExpr(
+                "percentile(event_id, 0.5) AS c").first()["c"]
+            st.refresh(ev.where(F.col("event_id") <= F.lit(cut)))
+            st.refresh(ev)
+            return (st.serve(spark, k=5, bucket="1 day")
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["rollup_hh_stored"] = _rollup_hh_stored
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every

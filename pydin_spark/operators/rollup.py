@@ -482,3 +482,119 @@ def hh_topk(summary: DataFrame, k: int = 50,
     return (merged.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))
             .select(*gcols, "item", "est_count", "err_ub", "rank"))
+
+
+class StoredHeavyHitters:
+    """Incrementally-maintained per-bucket heavy-hitter STATE stored as
+    bucket-partitioned parquet — the frequent-items companion to
+    :class:`ContinuousRollup`'s HLL/KLL/Theta sketch columns.
+
+    The sink holds one Misra-Gries summary per (bucket, group): rows
+    ``(bucket_start, *group_cols, item, est)`` with the
+    :data:`HH_ERR_ITEM` sentinel carrying each group's accumulated
+    error as just another counter. ``refresh(events)`` recomputes only
+    buckets >= the sink's high-water bucket minus ``lateness`` buckets
+    and rewrites exactly those partitions (dynamic partition
+    overwrite, same contract as :class:`ContinuousRollup.refresh` —
+    pass the full event source; the Column predicate prunes the scan
+    to the tail). ``serve()`` answers top-k at the stored grain, any
+    coarser grain, or globally, by merging stored summaries
+    (:func:`coarsen_hh` + :func:`hh_topk`) — the 100 TB event history
+    is never rescanned; the only state that moves is
+    O(buckets x groups x capacity) summary rows.
+
+    Exactness follows the MG contract: while every (partition, bucket,
+    group) sees at most ``capacity`` distinct items, stored counts are
+    exact with err_ub = 0 — the oracle operating point; beyond it the
+    served bound est <= true <= est + err_ub degrades gracefully and
+    merging sums the error, never hides it.
+    """
+
+    def __init__(self, path: str, item_col: str, ts_col: str = "ts",
+                 bucket: str = "1 hour", capacity: int = 4096,
+                 group_cols: tuple[str, ...] = (), lateness: int = 0):
+        self.path = path
+        self.item_col = item_col
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self.capacity = int(capacity)
+        self.group_cols = tuple(group_cols)
+        self.lateness = int(lateness)
+
+    def _summarize(self, events: DataFrame) -> DataFrame:
+        bucketed = events.withColumn(
+            "bucket_start",
+            F.window(self.ts_col, self.bucket)["start"])
+        # cluster by the partition column before the partitioned write:
+        # without this every shuffle task writes a sliver into every
+        # bucket directory (tasks x buckets small files — the classic
+        # partitioned-sink explosion); with it each bucket is one file
+        return heavy_hitter_summaries(
+            bucketed, self.item_col, self.capacity,
+            ("bucket_start", *self.group_cols)
+        ).repartition("bucket_start")
+
+    def read(self, spark) -> DataFrame:
+        """The stored summary frame in canonical column order (the
+        partition column round-trips via partition type inference)."""
+        return (spark.read.parquet(self.path)
+                .select(F.col("bucket_start").cast("timestamp"),
+                        *self.group_cols, "item", "est"))
+
+    def refresh(self, events: DataFrame) -> DataFrame:
+        """Fold new events into the stored per-bucket summaries;
+        returns the refreshed summary frame.
+
+        Buckets strictly below (high-water − ``lateness``) are
+        immutable and untouched; everything at or above is rebuilt
+        from ``events`` (which must therefore contain every event of
+        the recompute window — the standard continuous-aggregate
+        contract) and swapped in via dynamic partition overwrite.
+        """
+        spark = events.sparkSession
+        probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
+        if not probe._exists(spark):
+            (self._summarize(events).write.mode("overwrite")
+             .partitionBy("bucket_start").parquet(self.path))
+            spark.catalog.refreshByPath(self.path)
+            return self.read(spark)
+
+        high = (self.read(spark)
+                .agg(F.max("bucket_start").alias("m")).first()["m"])
+        import datetime as dt
+        secs = probe._bucket_seconds(spark)
+        floor = high - dt.timedelta(seconds=secs * self.lateness)
+        fresh = self._summarize(
+            events.where(F.col(self.ts_col) >= F.lit(floor)))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (fresh.write.mode("overwrite").partitionBy("bucket_start")
+             .parquet(self.path))
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshByPath(self.path)
+        return self.read(spark)
+
+    def serve(self, spark, k: int = 50,
+              bucket: str | None = None) -> DataFrame:
+        """Top-k frequent items from the stored state, no raw rescan.
+
+        ``bucket=None`` merges every stored bucket into one global
+        summary (per ``group_cols`` group if any); ``bucket='1 day'``
+        re-buckets the stored (finer) summaries to that grain first.
+        Output contract matches :func:`heavy_hitters` /
+        :func:`hh_topk`: (…, item, est_count, err_ub, rank).
+        """
+        s = self.read(spark)
+        if bucket is None:
+            merged = coarsen_hh(s, {}, keep_cols=self.group_cols)
+            return hh_topk(merged, k=k, group_cols=self.group_cols)
+        merged = coarsen_hh(
+            s, {"bucket_start": F.window("bucket_start", bucket)["start"]},
+            keep_cols=self.group_cols)
+        return hh_topk(merged, k=k,
+                       group_cols=("bucket_start", *self.group_cols))

@@ -306,3 +306,71 @@ def test_heavy_hitters_null_group_kept(spark):
     assert by_grp["a"] == {"x": 2, "y": 1}
     assert by_grp[None] == {"x": 2, "z": 1}
     assert all(r.err_ub == 0 for r in got)
+
+
+def test_stored_hh_incremental_equals_full(spark, events,
+                                           tmp_path_factory):
+    """StoredHeavyHitters refresh folds new events into the stored
+    per-bucket summaries; an incremental build must equal a one-shot
+    full build (exact regime: summaries are exact counts, so equality
+    is structural, not just top-k)."""
+    from pydin_spark.operators.rollup import StoredHeavyHitters
+    base = tmp_path_factory.mktemp("hh_state")
+    cut = events.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
+    inc = StoredHeavyHitters(str(base / "inc"), "user_id",
+                             bucket="1 hour",
+                             group_cols=("event_type",))
+    inc.refresh(events.where(F.col("event_id") <= cut))
+    out = inc.refresh(events)
+    full = StoredHeavyHitters(str(base / "full"), "user_id",
+                              bucket="1 hour",
+                              group_cols=("event_type",))
+    ref = full.refresh(events)
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    assert canon(out) == canon(ref)
+
+
+def test_stored_hh_serve_matches_direct(spark, events,
+                                        tmp_path_factory):
+    """Serving from stored state (global merge and a coarser daily
+    grain) matches computing heavy_hitters straight from the raw
+    events — the serve layer never needs the history."""
+    from pydin_spark.operators.rollup import (StoredHeavyHitters,
+                                              heavy_hitters)
+    path = str(tmp_path_factory.mktemp("hh_state") / "hourly")
+    st = StoredHeavyHitters(path, "user_id", bucket="1 hour",
+                            group_cols=("event_type",))
+    st.refresh(events)
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    served = st.serve(spark, k=7)
+    direct = heavy_hitters(events, "user_id", k=7, capacity=4096,
+                           group_cols=("event_type",))
+    assert canon(served) == canon(direct)
+    served_daily = st.serve(spark, k=5, bucket="1 day")
+    direct_daily = heavy_hitters(
+        events.withColumn("bucket_start",
+                          F.window("ts", "1 day")["start"]),
+        "user_id", k=5, capacity=4096,
+        group_cols=("bucket_start", "event_type"))
+    assert canon(served_daily) == canon(direct_daily)
+
+
+def test_stored_hh_lateness_window(spark, tmp_path_factory):
+    """A late item one bucket behind the high-water mark is folded in
+    when lateness covers it; the immutable older bucket is untouched."""
+    from pydin_spark.operators.rollup import StoredHeavyHitters
+    path = str(tmp_path_factory.mktemp("hh_state") / "hourly")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = mk([(1, "2024-01-01 10:15:00", "u1"),
+               (2, "2024-01-01 11:20:00", "u2")])
+    st = StoredHeavyHitters(path, "user_id", bucket="1 hour",
+                            lateness=1)
+    st.refresh(base)
+    late = base.union(mk([(3, "2024-01-01 10:45:00", "u1")]))
+    out = {(str(r.bucket_start), r.item): r.est
+           for r in st.refresh(late).collect()
+           if not r.item.startswith("\x00")}
+    assert out[("2024-01-01 10:00:00", "u1")] == 2
+    assert out[("2024-01-01 11:00:00", "u2")] == 1
