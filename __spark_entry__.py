@@ -1864,6 +1864,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(scratch, ignore_errors=True)
 
     out["rollup_hh_stored"] = _rollup_hh_stored
+
+    def _sim_knn_graph(spark, sf_dir):
+        # EXACT kNN graph for every corpus vector — block-matrix
+        # candidate tasks with per-row block-local top-k (+ tie slack,
+        # a provable superset), then the deterministic sequential-fold
+        # re-score; small rows_per_block keeps several blocks live even
+        # on the gate fixtures so the distributed path is what's tested
+        from pydin_spark.operators import similarity as _sim
+        _views(spark, sf_dir)
+        return _sim.knn_graph(spark.table("embeddings"), k=5,
+                              rows_per_block=256)
+
+    out["sim_knn_graph"] = _sim_knn_graph
+
+    def _curation_temperature(spark, sf_dir):
+        # alpha=0.5 temperature resampling over sources (the oracle
+        # operating point: the keep rate is a single correctly-rounded
+        # sqrt, so DuckDB reproduces the md5 keep set bit-for-bit)
+        _views(spark, sf_dir)
+        return curation.temperature_mixture(
+            spark.table("documents"), alpha=0.5, strata_col="source"
+        ).select("doc_id", "source")
+
+    out["curation_temperature"] = _curation_temperature
+
+    def _curation_top_fraction(spark, sf_dir):
+        # percentile quality gate: top 25% per source by n_chars,
+        # deterministic (score DESC, id) quota through ties
+        _views(spark, sf_dir)
+        return curation.keep_top_fraction(
+            spark.table("documents"), "n_chars", 0.25,
+            strata_col="source"
+        ).select("doc_id", "source", "n_chars")
+
+    out["curation_top_fraction"] = _curation_top_fraction
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -2833,5 +2868,55 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         GROUP BY a.doc_id, b.doc_id
         HAVING COUNT(*) >= 2
+    """
+    # exact kNN graph: per-row top-5 by (cosine DESC, nbr) over the
+    # same IEEE-exact sequential-fold cosine as sim_cosine_dup
+    out["sim_knn_graph"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        r AS (SELECT src_id, nbr_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY cosine DESC, nbr_id)
+                         AS rnk
+              FROM p)
+        SELECT src_id, nbr_id, cosine, rnk FROM r WHERE rnk <= 5
+    """
+    # temperature mixture at alpha=0.5: keep rate per stratum is
+    # scale*sqrt(c_min/c_s) — int/int division then sqrt then multiply,
+    # every op correctly rounded, so the md5 keep set is bit-identical
+    out["curation_temperature"] = f"""
+        WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+                   GROUP BY source),
+        mn AS (SELECT MIN(n) AS cmin FROM c),
+        r AS (SELECT c.source,
+                     CAST(1.0 AS DOUBLE) * sqrt(mn.cmin / c.n) AS rate
+              FROM c CROSS JOIN mn),
+        h AS (SELECT doc_id, source,
+                     md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+              FROM documents),
+        u AS (SELECT doc_id, source,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h)
+        SELECT u.doc_id, u.source FROM u
+        JOIN r ON r.source = u.source
+        WHERE u.u < r.rate
+    """
+    # percentile quality gate: top 25% per source by n_chars with the
+    # deterministic (score DESC, id) quota through ties
+    out["curation_top_fraction"] = """
+        WITH r AS (SELECT doc_id, source, n_chars,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY n_chars DESC,
+                                                      doc_id) AS rn,
+                          COUNT(*) OVER (PARTITION BY source) AS n
+                   FROM documents)
+        SELECT doc_id, source, n_chars FROM r
+        WHERE rn <= CEIL(CAST(0.25 AS DOUBLE)
+                         * CAST(n AS DOUBLE))
     """
     return out

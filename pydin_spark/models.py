@@ -1489,6 +1489,9 @@ TRANSFORM_OPERATORS = {
     "heavy_hitters": "rollup.heavy_hitters",
     "corpus_report": "curation.corpus_report",
     "bpe_tokenize": "text.bpe_tokenize",
+    "knn_graph": "similarity.knn_graph",
+    "temperature_mixture": "curation.temperature_mixture",
+    "keep_top_fraction": "curation.keep_top_fraction",
 }
 
 

@@ -648,3 +648,94 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
                     (F.col("n_exact_dups").cast("double")
                      / F.col("n_docs")).alias("dup_rate"),
                     "n_langs"))
+
+
+def temperature_mixture(df: DataFrame, alpha: float = 0.5,
+                        strata_col: str = "source",
+                        id_col: str = "doc_id", seed: int = 42,
+                        scale: float = 1.0) -> DataFrame:
+    """Temperature-scaled mixture resampling: downsample strata so the
+    output counts are proportional to c_s^alpha — the exponential-
+    smoothing sampling rule used for multilingual pretraining mixes
+    (alpha=1 keeps the natural mixture, alpha=0 targets uniform,
+    alpha~0.3-0.7 lifts low-resource strata without drowning the head).
+
+    Without-replacement formulation: each stratum keeps rate_s =
+    scale * (c_min / c_s)^(1-alpha) of its rows — the smallest stratum
+    keeps everything and larger strata shrink toward it, which yields
+    output counts c_min^(1-alpha) * c_s^alpha (proportional to
+    c_s^alpha, the temperature target). The keep decision is the
+    deterministic md5 unit uniform of (id, seed) — a pure filter, no
+    shuffle, stable under reruns.
+
+    Scale shape: one K-row stratum-count aggregate to the driver, then
+    a scan filter. At alpha=0.5 the rate is computed with a single
+    correctly-rounded sqrt of an int/int division, so a SQL twin
+    reproduces the exact keep set bit-for-bit (the oracle operating
+    point); other alphas go through pow(), which libms round
+    differently in the last ulp — fine for sampling, not for
+    value-exact oracles.
+    """
+    import math
+
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return df
+    cmin = min(counts.values())
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    rate = F.lit(None).cast("double")
+    for s, c in counts.items():
+        ratio = cmin / c
+        r = (float(scale) * math.sqrt(ratio) if alpha == 0.5
+             else float(scale) * ratio ** (1.0 - float(alpha)))
+        cond = (F.col(strata_col).isNull() if s is None
+                else (F.col(strata_col) == s))
+        rate = F.when(cond, F.lit(r)).otherwise(rate)
+    return df.where(u < rate)
+
+
+def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
+                      strata_col: str | None = None,
+                      id_col: str = "doc_id",
+                      approx: bool = False,
+                      accuracy: int = 10_000) -> DataFrame:
+    """Quality gate at a percentile: keep the top ``fraction`` of rows
+    by ``score_col`` (per ``strata_col`` stratum if given) — "train on
+    the best X% by quality score per source", the selection step after
+    scoring operators like quality_score / bigram_logprob / Gopher.
+
+    Exact path (default): rank rows by (score DESC, id) inside each
+    stratum and keep rank <= ceil(fraction * n_s) — a deterministic
+    quota even through ties. One hash shuffle on the stratum key; the
+    rank window is per-stratum, so no global single-partition sort.
+
+    ``approx=True`` is the 100 TB path: compute the per-stratum
+    (1-fraction) quantile of the score with ``approx_percentile``
+    (t-digest-style mergeable sketch, one aggregate), broadcast the
+    K-row threshold table, and keep score >= cutoff with a pure scan
+    filter — no rank window at all. All cutoff ties are kept, so the
+    kept fraction deviates from the quota only by the sketch's rank
+    error and tie mass.
+    """
+    strata = F.col(strata_col) if strata_col is not None else F.lit(0)
+    if approx:
+        cuts = (df.groupBy(strata.alias("__s"))
+                .agg(F.percentile_approx(
+                    F.col(score_col), F.lit(1.0 - float(fraction)),
+                    F.lit(int(accuracy))).alias("__cut")))
+        joined = df.join(F.broadcast(cuts),
+                         strata.eqNullSafe(F.col("__s")))
+        return joined.where(F.col(score_col) >= F.col("__cut")) \
+            .drop("__s", "__cut")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(strata)
+         .orderBy(F.col(score_col).desc(), F.col(id_col)))
+    wn = Window.partitionBy(strata)
+    quota = F.ceil(F.lit(float(fraction))
+                   * F.count(F.lit(1)).over(wn).cast("double"))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__q", quota)
+            .where(F.col("__rn") <= F.col("__q"))
+            .drop("__rn", "__q"))

@@ -408,6 +408,128 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .where(F.col("cosine") >= threshold))
 
 
+def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              rows_per_block: int = 8192) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over a whole embedding corpus:
+    for EVERY vector, its ``k`` most-cosine-similar neighbors —
+    (src_id, nbr_id, cosine, rnk). The all-rows sibling of
+    :func:`cosine_topk` (which broadcasts a small query set) and the
+    substrate for graph-based curation (SemDeDup neighborhoods,
+    connectivity pruning, label propagation).
+
+    Same block-matrix shape as :func:`_cosine_candidates_blocks`: the
+    corpus hashes into B blocks, each unordered block pair is one
+    bounded numpy task. Each task emits, per row, its block-local
+    top-k *with a 1e-6 tie slack* below the k-th score — a provable
+    candidate superset, because a row's true global top-k neighbor is
+    necessarily in the top-k of its own block (numpy's ~1e-12 sum-order
+    error cannot push it below the slack). Candidates are then
+    re-scored with the deterministic sequential fold and ranked
+    (cosine DESC, nbr_id) — the final graph is IEEE-exact and
+    oracle-matchable regardless of which superset the prefilter
+    produced.
+
+    Scale shape: O(n²·d) flops are inherent to an exact kNN graph, but
+    they run in B(B+1)/2 bounded tasks with per-task memory capped at
+    two blocks; the candidate shuffle is ~n·B·k rows (not n²), and no
+    driver collect appears anywhere. For approximate graphs at larger
+    n, assign vectors to IVF lists first and run per-list (the
+    :class:`IVFIndex` path).
+    """
+    import math
+
+    n = df.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nblocks = max(1, math.ceil(n / rows_per_block),
+                  math.ceil((2 * par) ** 0.5))
+    nblocks = min(nblocks, max(1, n))
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
+        .cast("int").alias("blk"))
+    rep = (v.select(
+        id_col, vec_col, "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("p"))
+        .select(id_col, vec_col, "blk",
+                F.least("blk", "p").alias("bi"),
+                F.greatest("blk", "p").alias("bj")))
+
+    def topk_rows(src_ids, nbr_ids, sims):
+        # per-row block-local top-k with tie slack; sims: |src| x |nbr|
+        import numpy as np
+        m = sims.shape[1]
+        if m == 0 or sims.shape[0] == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        if m <= k:
+            kth = sims.min(axis=1)
+        else:
+            kth = np.partition(sims, m - k, axis=1)[:, m - k]
+        # isfinite guard: the diagonal's -inf self-entries must never
+        # pass the slack compare (-inf >= -inf is true)
+        ia, ib = np.nonzero((sims >= (kth - 1e-6)[:, None])
+                            & np.isfinite(sims))
+        return src_ids[ia], nbr_ids[ib]
+
+    def block_knn(bi, bj, pdf):
+        import numpy as np
+        import pandas as pd
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0, 1.0, norms)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        blk = pdf["blk"].to_numpy()
+        if bi == bj:
+            sims = mat @ mat.T
+            np.fill_diagonal(sims, -np.inf)
+            src, nbr = topk_rows(ids, ids, sims)
+            return pd.DataFrame({"src": src, "nbr": nbr})
+        a_idx = np.nonzero(blk == bi)[0]
+        b_idx = np.nonzero(blk == bj)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"src": [], "nbr": []}).astype("int64")
+        sims = mat[a_idx] @ mat[b_idx].T
+        # both directions: A-rows vs B-block and B-rows vs A-block
+        sa, na = topk_rows(ids[a_idx], ids[b_idx], sims)
+        sb, nb = topk_rows(ids[b_idx], ids[a_idx], sims.T)
+        return pd.DataFrame({"src": np.concatenate([sa, sb]),
+                             "nbr": np.concatenate([na, nb])})
+
+    def partition_blocks(batches):
+        # fixed-N repartition + per-partition grouping, not
+        # groupBy().applyInPandas() — same AQE-coalescing rationale as
+        # the threshold prefilter (compute-heavy, shuffle-light groups)
+        import pandas as pd
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for (bi, bj), group in pdf.groupby(["bi", "bj"], sort=False):
+            yield block_knn(int(bi), int(bj), group)
+
+    npairs = nblocks * (nblocks + 1) // 2
+    cand = (rep.repartition(npairs, "bi", "bj")
+            .mapInPandas(partition_blocks, schema="src long, nbr long"))
+
+    vv = df.select(F.col(id_col),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+    a = vv.select(F.col(id_col).alias("src"), F.col("v").alias("va"))
+    b = vv.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"))
+    cosine = (_dot(F.col("va"), F.col("vb"))
+              / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    scored = (cand.join(a, "src").join(b, "nbr")
+              .select(F.col("src").alias("src_id"),
+                      F.col("nbr").alias("nbr_id"),
+                      cosine.alias("cosine")))
+    w = (Window.partitionBy("src_id")
+         .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("src_id", "nbr_id", "cosine", "rnk"))
+
+
 class IVFIndex:
     """Persisted IVF (inverted-file) ANN index: the centroids and the
     list-partitioned corpus live as parquet under ``path``, so serving

@@ -1260,3 +1260,93 @@ def test_learn_bpe_merges_matches_reference(spark, views):
             or rebuilt == " ".join(w for w in r.text.split(" ") if w)
         assert r.n_tokens < len(r.text.replace(" ", "")) + \
             len(r.text.split(" "))
+
+
+def test_knn_graph_exact_with_ties(spark):
+    """knn_graph must equal brute force even with exact-duplicate
+    vectors (cosine ties at 1.0 across blocks) — the tie-slack
+    candidate emission is what keeps the superset provable."""
+    import math
+    from pydin_spark.operators.similarity import (knn_graph, _dot,
+                                                  _norm)
+    from pyspark.sql import Window
+    # 24 vectors in 3 duplicated groups of 8 → heavy tie structure
+    rows = [(i, [math.cos(i % 3), math.sin(i % 3), float(i % 3)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_graph(emb, k=4, rows_per_block=5)  # force several blocks
+    v = emb.select("vec_id", F.col("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("src_id"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"))
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    p = (a.join(b, F.col("src_id") != F.col("nbr_id"))
+         .select("src_id", "nbr_id", cos.alias("cosine")))
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(),
+                                             "nbr_id")
+    ref = p.withColumn("rnk", F.row_number().over(w)).where("rnk <= 4")
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    assert canon(got) == canon(ref)
+
+
+def test_temperature_mixture_scaling(spark, views):
+    """alpha=0.5: smallest stratum keeps everything (rate 1), larger
+    strata keep ~sqrt(c_min/c_s); alpha=1 keeps the natural mixture
+    (every row); the sample is deterministic."""
+    from pydin_spark.operators.curation import temperature_mixture
+    docs = spark.table("documents")
+    natural = temperature_mixture(docs, alpha=1.0)
+    assert natural.count() == docs.count()
+    out = temperature_mixture(docs, alpha=0.5)
+    again = temperature_mixture(docs, alpha=0.5)
+    canon = lambda df: sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert canon(out) == canon(again)
+    counts = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r.source: r.n for r in
+            out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    cmin = min(counts.values())
+    smallest = min(counts, key=counts.get)
+    assert kept[smallest] == counts[smallest]
+    import math
+    for s, c in counts.items():
+        expect = c * math.sqrt(cmin / c)
+        # md5 uniform: binomial deviation, generous 6-sigma bound
+        sd = math.sqrt(expect) * 6 + 3
+        assert abs(kept.get(s, 0) - expect) <= sd, (s, kept.get(s), expect)
+
+
+def test_keep_top_fraction_quota_and_approx(spark):
+    from pydin_spark.operators.curation import keep_top_fraction
+    rows = [(i, "a" if i < 40 else "b", float(i % 37) + i * 1e-3)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    out = keep_top_fraction(df, "score", 0.25, strata_col="src")
+    kept = {r.src: r.n for r in
+            out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert kept == {"a": 10, "b": 15}  # ceil(0.25*40), ceil(0.25*60)
+    # every kept row outscores every dropped row within its stratum
+    mins = {r.src: r.m for r in
+            out.groupBy("src").agg(F.min("score").alias("m")).collect()}
+    dropped = df.join(out.select("doc_id"), "doc_id", "left_anti")
+    for r in dropped.collect():
+        assert r.score <= mins[r.src]
+    # the sketch threshold keeps a superset of the exact quota: the
+    # cutoff is the value AT the (1-fraction) rank, which the >= filter
+    # admits — at most one boundary row extra per stratum
+    approx = keep_top_fraction(df, "score", 0.25, strata_col="src",
+                               approx=True)
+    canon = lambda d: sorted(r.doc_id for r in d.select("doc_id").collect())
+    a_ids, e_ids = set(canon(approx)), set(canon(out))
+    assert e_ids <= a_ids
+    assert len(a_ids) - len(e_ids) <= 2  # one boundary row per stratum
+
+
+def test_keep_top_fraction_tie_quota(spark):
+    """All-equal scores: the (score DESC, id) quota still keeps exactly
+    ceil(fraction*n) rows — deterministically the lowest ids."""
+    from pydin_spark.operators.curation import keep_top_fraction
+    df = spark.createDataFrame([(i, 1.0) for i in range(10)],
+                               "doc_id long, score double")
+    out = keep_top_fraction(df, "score", 0.3)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
