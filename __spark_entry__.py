@@ -1899,6 +1899,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "n_chars")
 
     out["curation_top_fraction"] = _curation_top_fraction
+
+    def _curation_exact_k(spark, sf_dir):
+        # exactly-k-per-stratum holdout draw in deterministic md5 hash
+        # order — size-guaranteed, engine-reproducible
+        _views(spark, sf_dir)
+        return curation.sample_exact_k(
+            spark.table("documents"), k=7, strata_col="source"
+        ).select("doc_id", "source")
+
+    out["curation_exact_k"] = _curation_exact_k
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -2918,5 +2928,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, n_chars FROM r
         WHERE rn <= CEIL(CAST(0.25 AS DOUBLE)
                          * CAST(n AS DOUBLE))
+    """
+    # exactly-k holdout: rank per stratum by (md5 unit uniform, id)
+    out["curation_exact_k"] = f"""
+        WITH h AS (SELECT doc_id, source,
+                          md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+                   FROM documents),
+        u AS (SELECT doc_id, source,
+                     CAST({hex15} AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM h),
+        r AS (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY u ASC, doc_id) AS rn
+              FROM u)
+        SELECT doc_id, source FROM r WHERE rn <= 7
     """
     return out

@@ -739,3 +739,29 @@ def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
             .withColumn("__q", quota)
             .where(F.col("__rn") <= F.col("__q"))
             .drop("__rn", "__q"))
+
+
+def sample_exact_k(df: DataFrame, k: int,
+                   strata_col: str | None = None,
+                   id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Exactly ``k`` rows (per stratum if ``strata_col`` is given),
+    chosen by deterministic md5 hash order — the eval-set/holdout
+    construction primitive: unlike rate-based sampling the output size
+    is a guarantee, and unlike ``df.limit(k)`` the choice is stable
+    across runs, partitionings, and engines (strata with fewer than
+    ``k`` rows keep everything).
+
+    Rank in (md5-uniform, id) order and keep rank <= k — a uniform
+    random-without-replacement draw under the md5 hash model. One
+    shuffle on the stratum key; the per-stratum sort is a window, not
+    a global order-by, so no single-partition bottleneck. For k large
+    enough that per-stratum rank state hurts, fall back to
+    :func:`sample_stratified` (rate-based) + trim.
+    """
+    from pyspark.sql import Window
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    strata = F.col(strata_col) if strata_col is not None else F.lit(0)
+    w = Window.partitionBy(strata).orderBy(u.asc(), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k))
+            .drop("__rn"))

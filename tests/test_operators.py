@@ -1350,3 +1350,24 @@ def test_keep_top_fraction_tie_quota(spark):
                                "doc_id long, score double")
     out = keep_top_fraction(df, "score", 0.3)
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_sample_exact_k(spark, views):
+    """sample_exact_k: size guarantee per stratum, determinism, and
+    small strata keep everything."""
+    from pydin_spark.operators.curation import sample_exact_k
+    docs = spark.table("documents")
+    out = sample_exact_k(docs, k=7, strata_col="source")
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in totals.items():
+        assert per.get(s, 0) == min(7, n)
+    canon = lambda d: sorted(r.doc_id for r in d.select("doc_id").collect())
+    assert canon(out) == canon(sample_exact_k(docs, k=7,
+                                              strata_col="source"))
+    # global draw (no strata): exactly k rows
+    assert sample_exact_k(docs, k=11).count() == 11
+    # k beyond the corpus keeps everything
+    assert sample_exact_k(docs.limit(3), k=100).count() == 3
