@@ -79,13 +79,31 @@ def main() -> None:
     train = split.where("split = 'train'").drop("split", "group_id")
     heldout = split.where("split != 'train'").drop("split", "group_id")
 
+    # 5b. a size-guaranteed eval slice: exactly 25 docs per language
+    # from the held-out split, stable across reruns (md5 rank order)
+    eval_set = curation.sample_exact_k(heldout, k=25, strata_col="lang")
+
     # 6. decontaminate train against the held-out split
     train = curation.decontaminate(train, heldout, threshold=0.5)
 
-    # 7. resample to target source mixture (first 4 sources 4:3:2:1)
+    # 7. resample to target source mixture (first 4 sources 4:3:2:1),
+    # then temperature-smooth the language mixture (alpha=0.5 lifts
+    # low-resource languages toward parity without drowning the head)
     train = curation.mixture_sample(
         train, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         strata_col="source")
+    train = curation.temperature_mixture(train, alpha=0.5,
+                                         strata_col="lang")
+
+    # 7b. percentile quality gate: keep the top 80% by quality score
+    # within each source (the approx path needs no rank window and is
+    # the shape that survives 100 TB)
+    tq = text.quality_score(train).select(
+        "doc_id", F.col("quality").alias("gate_score"))
+    train = (train.join(tq, "doc_id")
+             .transform(lambda d: curation.keep_top_fraction(
+                 d, "gate_score", 0.8, strata_col="source", approx=True))
+             .drop("gate_score"))
 
     # 8. domain targeting: DSIR importance resampling toward the
     # English slice as the target distribution (hashed-n-gram
@@ -113,6 +131,7 @@ def main() -> None:
                                  vec_col="unit")
 
     packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+    eval_set.write.mode("overwrite").parquet(f"{out_dir}/eval_set")
     q.write.mode("overwrite").parquet(f"{out_dir}/vectors_int8")
     provenance.write.mode("overwrite").parquet(f"{out_dir}/cut_provenance")
     for frame in owned:
@@ -123,9 +142,11 @@ def main() -> None:
     n_bins = (spark.read.parquet(f"{out_dir}/packed")
               .select("bin_id").distinct().count())
     n_prov = spark.read.parquet(f"{out_dir}/cut_provenance").count()
+    n_eval = spark.read.parquet(f"{out_dir}/eval_set").count()
     print(f"{n0} docs -> {n_packed} packed docs in {n_bins} bins; "
           f"vectors at {out_dir}/vectors_int8; "
-          f"{n_prov} cut spans with provenance")
+          f"{n_prov} cut spans with provenance; "
+          f"{n_eval}-doc fixed eval slice")
 
 
 if __name__ == "__main__":
