@@ -216,9 +216,12 @@ class ContinuousRollup:
         """
         spark = self._spark(events)
         if not self._exists(spark):
+            # cluster by the partition column before the partitioned
+            # write (tasks x buckets sliver files otherwise)
             out = rollup_aggregate(events, self.ts_col, self.bucket,
                                    self.group_cols, self.value_col,
-                                   self.distinct_col)
+                                   self.distinct_col
+                                   ).repartition("bucket_start")
             (out.write.mode("overwrite").partitionBy("bucket_start")
              .parquet(self.path))
             spark.catalog.refreshByPath(self.path)
@@ -236,7 +239,7 @@ class ContinuousRollup:
         fresh = rollup_aggregate(
             events.where(F.col(self.ts_col) >= F.lit(floor)),
             self.ts_col, self.bucket, self.group_cols, self.value_col,
-            self.distinct_col)
+            self.distinct_col).repartition("bucket_start")
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                               "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",

@@ -115,6 +115,56 @@ def write_foreach_batch(stream_df: DataFrame, loader,
     return writer.start()
 
 
+def _land_and_refresh(rollup, events_path: str):
+    """The per-batch action behind :func:`stream_rollup`, factored out
+    so its exactly-once property is directly testable: land the batch
+    under a ``batch=<id>`` partition directory with OVERWRITE (a
+    replayed batch rewrites the same directory instead of appending a
+    duplicate — idempotent by construction), then refresh the stored
+    aggregate from the whole landing zone (the refresh's high-water
+    predicate prunes that scan to the tail buckets)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{events_path}/batch={batch_id}")
+        spark.catalog.refreshByPath(events_path)
+        rollup.refresh(spark.read.parquet(events_path)
+                       .drop("batch"))
+
+    return _sink
+
+
+def stream_rollup(stream_df: DataFrame, rollup, events_path: str,
+                  checkpoint: str, trigger_once: bool = True):
+    """Streaming continuous aggregate: micro-batches land in a bronze
+    events directory, then the stored pre-aggregate —
+    :class:`~pydin_spark.operators.rollup.ContinuousRollup`,
+    :class:`~pydin_spark.operators.rollup.StoredHeavyHitters`, or
+    anything with their ``refresh(full_source)`` contract — is
+    refreshed from the landing zone. Returns the started query.
+
+    This is the materialized-view shape for stored sketch state that a
+    pure stateful streaming query can't persist as mergeable parquet:
+    per trigger, the landing write costs the batch, and the refresh
+    scan is pruned to buckets >= the high-water floor by the rollup's
+    own Column predicate — the history is landed once and never
+    re-aggregated. Each batch lands under ``batch=<id>`` with
+    overwrite, so a crash-replayed micro-batch rewrites its own
+    directory instead of double-counting (exactly-once landing on top
+    of the checkpoint's at-least-once replay). Late events are folded
+    in on the next refresh if they fall within the rollup's
+    ``lateness`` window — the same contract as the batch path.
+    """
+    writer = (stream_df.writeStream
+              .foreachBatch(_land_and_refresh(rollup, events_path))
+              .outputMode("append")
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def interval_join(left: DataFrame, right: DataFrame,
                   key: str = "user_id", ts_col: str = "ts",
                   within: str = "30 minutes",

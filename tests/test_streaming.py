@@ -208,3 +208,87 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "survivors"))
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == [0, 1, 2, 3, 4, 101]      # 100 dropped vs state
+
+
+def test_stream_rollup_continuous_aggregate(spark, tmp_path):
+    """stream_rollup: micro-batches land in the bronze zone and the
+    stored rollup is refreshed per trigger; the final state equals the
+    one-shot batch aggregate, and a replayed batch does not double
+    count (overwrite-by-batch-dir landing)."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.rollup import (ContinuousRollup,
+                                              rollup_aggregate)
+    from pydin_spark.streaming.events import (_land_and_refresh,
+                                              file_events, stream_rollup)
+
+    import time
+    land = str(tmp_path / "landing")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # land in event-time order (one file per ~10-day slice, increasing
+    # mtime): FileStreamSource drains oldest-first, so micro-batches
+    # respect the rollup's lateness contract the way a real landing
+    # zone fed by an in-order producer does
+    for lo, hi in [("2024-01-01", "2024-01-11"),
+                   ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-02-01")]:
+        (ev.where(f"ts >= '{lo}' AND ts < '{hi}'").coalesce(1)
+         .write.mode("append").parquet(land))
+        time.sleep(1.1)
+
+    bronze = str(tmp_path / "bronze")
+    roll = ContinuousRollup(str(tmp_path / "rollup"), bucket="1 hour",
+                            lateness=1)
+    stream = file_events(spark, land, max_files_per_trigger=1)
+    q = stream_rollup(stream, roll, bronze,
+                      str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    got = roll.read(spark)
+    want = rollup_aggregate(ev, bucket="1 hour")
+    assert canon(got) == canon(want)
+
+    # crash-replay: re-running the LAST batch must be a no-op — the
+    # batch directory is overwritten, not appended
+    last_batch = sorted(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "bronze").glob("batch=*"))[-1]
+    # materialize first: a real replay arrives from the stream source,
+    # not from the bronze directory the sink is about to overwrite
+    replay = (spark.read.parquet(f"{bronze}/batch={last_batch}")
+              .localCheckpoint(eager=True))
+    _land_and_refresh(roll, bronze)(replay, last_batch)
+    assert canon(roll.read(spark)) == canon(want)
+
+
+def test_stream_rollup_stored_heavy_hitters(spark, tmp_path):
+    """The same bridge drives StoredHeavyHitters: streamed per-bucket
+    MG state equals the batch build, and serving needs only the
+    summaries."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.rollup import (StoredHeavyHitters,
+                                              heavy_hitters)
+    from pydin_spark.streaming.events import file_events, stream_rollup
+
+    import time
+    land = str(tmp_path / "landing")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for lo, hi in [("2024-01-01", "2024-01-16"),
+                   ("2024-01-16", "2024-02-01")]:
+        (ev.where(f"ts >= '{lo}' AND ts < '{hi}'").coalesce(1)
+         .write.mode("append").parquet(land))
+        time.sleep(1.1)
+
+    st = StoredHeavyHitters(str(tmp_path / "hh"), "user_id",
+                            bucket="1 hour", lateness=1,
+                            group_cols=("event_type",))
+    stream = file_events(spark, land, max_files_per_trigger=1)
+    q = stream_rollup(stream, st, str(tmp_path / "bronze"),
+                      str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    served = st.serve(spark, k=5)
+    direct = heavy_hitters(ev, "user_id", k=5, capacity=4096,
+                           group_cols=("event_type",))
+    assert canon(served) == canon(direct)
