@@ -539,7 +539,14 @@ class StoredHeavyHitters:
 
     def read(self, spark) -> DataFrame:
         """The stored summary frame in canonical column order (the
-        partition column round-trips via partition type inference)."""
+        partition column round-trips via partition type inference).
+        Raises a clear error when no state has been stored yet —
+        an all-empty refresh history leaves nothing on disk."""
+        if not ContinuousRollup(self.path, self.ts_col,
+                                self.bucket)._exists(spark):
+            raise ValueError(
+                f"no stored heavy-hitter state at {self.path} — "
+                "refresh() with a non-empty source first")
         return (spark.read.parquet(self.path)
                 .select(F.col("bucket_start").cast("timestamp"),
                         *self.group_cols, "item", "est"))
@@ -557,9 +564,15 @@ class StoredHeavyHitters:
         spark = events.sparkSession
         probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
         if not probe._exists(spark):
-            (self._summarize(events).write.mode("overwrite")
+            out = self._summarize(events)
+            (out.write.mode("overwrite")
              .partitionBy("bucket_start").parquet(self.path))
             spark.catalog.refreshByPath(self.path)
+            if not probe._exists(spark):
+                # an empty source writes no data files (partitioned
+                # parquet keeps no schema for zero rows): stay in the
+                # "first build pending" state and return a typed empty
+                return spark.createDataFrame([], out.schema)
             return self.read(spark)
 
         high = (self.read(spark)

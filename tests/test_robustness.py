@@ -131,3 +131,34 @@ def test_new_operators_survive_empty_input(spark):
     assert heavy_hitters(ev, "user_id", k=5, capacity=8).count() == 0
     summ = heavy_hitter_summaries(ev, "user_id", 8, ("event_type",))
     assert hh_topk(summ, k=5, group_cols=("event_type",)).count() == 0
+
+
+def test_fourth_pass_operators_survive_empty_input(spark, tmp_path):
+    """Empty-corpus sweep for the fourth-pass operators: graph, the
+    three samplers, and the stored heavy-hitter state."""
+    docs = spark.createDataFrame([], "doc_id long, text string, "
+                                     "lang string, source string")
+    emb = spark.createDataFrame([], "vec_id long, "
+                                    "embedding array<float>")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id string")
+
+    from pydin_spark.operators.curation import (keep_top_fraction,
+                                                sample_exact_k,
+                                                temperature_mixture)
+    from pydin_spark.operators.rollup import StoredHeavyHitters
+    from pydin_spark.operators.similarity import knn_graph
+
+    assert knn_graph(emb, k=3).count() == 0
+    assert temperature_mixture(docs, alpha=0.5).count() == 0
+    assert keep_top_fraction(docs, "doc_id", 0.5).count() == 0
+    assert keep_top_fraction(docs, "doc_id", 0.5,
+                             approx=True).count() == 0
+    assert sample_exact_k(docs, k=5).count() == 0
+    st = StoredHeavyHitters(str(tmp_path / "hh"), "user_id")
+    assert st.refresh(ev).count() == 0
+    # nothing was ever stored: serving must fail actionably, not with
+    # a schema-inference stack trace
+    import pytest
+    with pytest.raises(ValueError, match="refresh"):
+        st.serve(spark, k=5)
