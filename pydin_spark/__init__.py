@@ -20,6 +20,7 @@ from .models import (CSV, JSON, ORC, SQL, XML, Avro, Command, Delta, Executable,
 from .config import pipeline_from_config
 from .pipeline import ErrorLimitExceeded, Node, Pipeline, Step, StepError
 from .session import get_session
+from .notify import SmtpNotifier
 from .sources import Database, Filesystem, Server, SourceRegistry, registry
 
 __version__ = "0.1.0"
@@ -131,5 +132,5 @@ __all__ = [
     "KeyField", "KEY_FIELDS",
     "Database", "Filesystem", "Server", "SourceRegistry", "registry",
     "get_session", "register_tables", "load_table", "TPCH_TABLES",
-    "pipeline_from_config",
+    "pipeline_from_config", "SmtpNotifier",
 ]

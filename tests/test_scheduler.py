@@ -255,3 +255,97 @@ def test_schedule_active_window(monkeypatch):
     # open-ended job fires any time
     open_id = s.register("open", func=lambda run: None, sec="*")
     assert s._is_due(s.history.job(open_id), before)
+
+
+class _FakeSMTP:
+    """Recording smtplib.SMTP double."""
+    instances = []
+
+    def __init__(self, host, port):
+        self.host, self.port = host, port
+        self.tls = False
+        self.login_as = None
+        self.sent = []
+        _FakeSMTP.instances.append(self)
+
+    def starttls(self):
+        self.tls = True
+
+    def login(self, user, password):
+        self.login_as = (user, password)
+
+    def send_message(self, msg):
+        self.sent.append(msg)
+
+    def quit(self):
+        pass
+
+
+def test_smtp_notifier_delivers_failure_report():
+    from pydin_spark.notify import SmtpNotifier
+    _FakeSMTP.instances.clear()
+    n = SmtpNotifier(host="mail.test", port=2525, tls=True,
+                     address="pydin@test", username="u", password="p",
+                     recipients=("owner@test",),
+                     smtp_factory=_FakeSMTP)
+    ok = n({"job_id": 7, "job_name": "nightly", "run_id": 42,
+            "status": "E",
+            "email_list": "a@test, b@test",
+            "error_list": ["StepError: boom"]})
+    assert ok
+    (client,) = _FakeSMTP.instances
+    assert (client.host, client.port) == ("mail.test", 2525)
+    assert client.tls and client.login_as == ("u", "p")
+    (msg,) = client.sent
+    assert msg["To"] == "a@test, b@test"
+    assert "ERROR" in msg["Subject"] and "nightly" in msg["Subject"]
+    assert "StepError: boom" in msg.get_content()
+    # no email_list -> configured default recipients (the owner)
+    _FakeSMTP.instances.clear()
+    assert n({"job_id": 7, "run_id": 43, "status": "T",
+              "email_list": None})
+    (client,) = _FakeSMTP.instances
+    assert client.sent[0]["To"] == "owner@test"
+    # no recipients anywhere -> skipped, nothing connected
+    n2 = SmtpNotifier(host="mail.test", smtp_factory=_FakeSMTP)
+    _FakeSMTP.instances.clear()
+    assert not n2({"job_id": 1, "run_id": 1, "status": "E"})
+    assert not _FakeSMTP.instances
+
+
+def test_smtp_notifier_from_config(tmp_path, monkeypatch):
+    from pydin_spark.notify import SmtpNotifier
+    # unconfigured -> None (alarming simply off)
+    assert SmtpNotifier.from_config(str(tmp_path / "none.ini")) is None
+    ini = tmp_path / "sources.ini"
+    ini.write_text("[email]\nhost = relay.test\nport = 587\n"
+                   "tls = yes\naddress = from@test\n"
+                   "recipients = owner@test, oncall@test\n")
+    n = SmtpNotifier.from_config(str(ini), smtp_factory=_FakeSMTP)
+    assert (n.host, n.port, n.tls) == ("relay.test", 587, True)
+    assert n.recipients == ("owner@test", "oncall@test")
+    # env overlay wins (same layering as SourceRegistry)
+    monkeypatch.setenv("PYDIN_EMAIL_HOST", "env.test")
+    n2 = SmtpNotifier.from_config(str(ini), smtp_factory=_FakeSMTP)
+    assert n2.host == "env.test"
+
+
+def test_scheduler_with_smtp_notifier_end_to_end():
+    """The Scheduler's failure hook and the SMTP notifier compose: a
+    failing registered job produces exactly one mail to its
+    email_list."""
+    from pydin_spark.notify import SmtpNotifier
+    _FakeSMTP.instances.clear()
+    n = SmtpNotifier(host="mail.test", smtp_factory=_FakeSMTP,
+                     recipients=("owner@test",))
+    s = Scheduler(History(), notifier=n)
+
+    def boom(run):
+        raise RuntimeError("kaput")
+
+    bad = s.register("flaky", func=boom, email_list="oncall@test")
+    s.run_job_now(bad, wait=True)
+    sent = [m for c in _FakeSMTP.instances for m in c.sent]
+    assert len(sent) == 1
+    assert sent[0]["To"] == "oncall@test"
+    assert "kaput" in sent[0].get_content()
