@@ -1878,6 +1878,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sim_knn_graph"] = _sim_knn_graph
 
+    def _sim_knn_graph_ivf(spark, sf_dir):
+        # IVF-bounded approximate graph at the exhaustive operating
+        # point (nprobe=nlist probes every cell), which provably
+        # equals the exact graph for ANY centroid set — so the
+        # brute-force oracle applies; pruned settings are covered by
+        # the recall floor in tests
+        from pydin_spark.operators import similarity as _sim
+        _views(spark, sf_dir)
+        return _sim.ivf_knn_graph(spark.table("embeddings"), k=5,
+                                  nlist=8, nprobe=8, max_iter=2)
+
+    out["sim_knn_graph_ivf"] = _sim_knn_graph_ivf
+
     def _curation_temperature(spark, sf_dir):
         # alpha=0.5 temperature resampling over sources (the oracle
         # operating point: the keep rate is a single correctly-rounded
@@ -2896,6 +2909,9 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
         SELECT src_id, nbr_id, cosine, rnk FROM r WHERE rnk <= 5
     """
+    # the IVF graph probes every cell at nprobe=nlist — same answer as
+    # the exact graph, same oracle
+    out["sim_knn_graph_ivf"] = out["sim_knn_graph"]
     # temperature mixture at alpha=0.5: keep rate per stratum is
     # scale*sqrt(c_min/c_s) — int/int division then sqrt then multiply,
     # every op correctly rounded, so the md5 keep set is bit-identical

@@ -1490,6 +1490,7 @@ TRANSFORM_OPERATORS = {
     "corpus_report": "curation.corpus_report",
     "bpe_tokenize": "text.bpe_tokenize",
     "knn_graph": "similarity.knn_graph",
+    "ivf_knn_graph": "similarity.ivf_knn_graph",
     "temperature_mixture": "curation.temperature_mixture",
     "keep_top_fraction": "curation.keep_top_fraction",
     "sample_exact_k": "curation.sample_exact_k",

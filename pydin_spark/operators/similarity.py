@@ -457,20 +457,7 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                 F.greatest("blk", "p").alias("bj")))
 
     def topk_rows(src_ids, nbr_ids, sims):
-        # per-row block-local top-k with tie slack; sims: |src| x |nbr|
-        import numpy as np
-        m = sims.shape[1]
-        if m == 0 or sims.shape[0] == 0:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-        if m <= k:
-            kth = sims.min(axis=1)
-        else:
-            kth = np.partition(sims, m - k, axis=1)[:, m - k]
-        # isfinite guard: the diagonal's -inf self-entries must never
-        # pass the slack compare (-inf >= -inf is true)
-        ia, ib = np.nonzero((sims >= (kth - 1e-6)[:, None])
-                            & np.isfinite(sims))
-        return src_ids[ia], nbr_ids[ib]
+        return _matrix_topk(src_ids, nbr_ids, sims, k)
 
     def block_knn(bi, bj, pdf):
         import numpy as np
@@ -511,7 +498,35 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     npairs = nblocks * (nblocks + 1) // 2
     cand = (rep.repartition(npairs, "bi", "bj")
             .mapInPandas(partition_blocks, schema="src long, nbr long"))
+    return _exact_rescore_topk(df, cand, k, id_col, vec_col)
 
+
+def _matrix_topk(src_ids, nbr_ids, sims, k: int):
+    """Per-row top-k candidate emission with a 1e-6 tie slack —
+    shared by the block-pair and per-IVF-cell candidate stages.
+    ``sims``: |src| x |nbr| numpy similarity matrix; non-finite
+    entries (masked self-pairs) never pass the slack compare."""
+    import numpy as np
+    m = sims.shape[1]
+    if m == 0 or sims.shape[0] == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    if m <= k:
+        kth = sims.min(axis=1)
+    else:
+        kth = np.partition(sims, m - k, axis=1)[:, m - k]
+    # isfinite guard: -inf self-entries must never pass (-inf >= -inf)
+    ia, ib = np.nonzero((sims >= (kth - 1e-6)[:, None])
+                        & np.isfinite(sims))
+    return src_ids[ia], nbr_ids[ib]
+
+
+def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """Re-score (src, nbr) candidate pairs with the deterministic
+    sequential-fold cosine and rank top-k per source — the shared
+    exact tail of the graph builders: the result is IEEE-exact and
+    oracle-matchable regardless of which candidate superset the
+    prefilter produced."""
     vv = df.select(F.col(id_col),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("v"))
@@ -528,6 +543,117 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("src_id", "nbr_id", "cosine", "rnk"))
+
+
+def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
+                  nprobe: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding", seed: int = 42,
+                  max_iter: int = 20, centers=None) -> DataFrame:
+    """APPROXIMATE kNN graph: each vector's top-k within its ``nprobe``
+    nearest IVF cells — the n²·nprobe/nlist scale path that turns
+    :func:`knn_graph`'s inherent n² into a tunable recall/cost trade
+    (the SemDeDup regime: neighborhoods only need to be good, not
+    provably exact, and clustered data keeps true neighbors in the
+    same cells).
+
+    Shape: k-means centroids (sample-trainable, deterministic seed);
+    the corpus is assigned once to its nearest cell (the neighbor
+    side) and exploded to its ``nprobe`` nearest cells (the source
+    side); every cell is one bounded numpy task emitting per-source
+    cell-local top-k candidates (same :func:`_matrix_topk` slack
+    emission as the exact graph — SIMD matmul, NOT a per-pair
+    expression fold: the first cut scored the join output with the
+    JVM fold and measured 12x SLOWER than the exact block graph
+    despite 16x fewer pairs, because per-row fold cost dwarfs matmul
+    throughput). Candidates then go through the shared exact re-score,
+    so reported cosines are IEEE-exact; only WHICH neighbors are
+    reachable is approximate. ``nprobe == nlist`` probes every cell
+    and provably equals :func:`knn_graph`; recall at pruned settings
+    is measured against the exact graph in tests. Cell skew bounds the
+    longest task — cap cell size by raising ``nlist`` (cells ~n/nlist
+    rows on balanced data).
+    """
+    import numpy as np
+
+    if centers is None:
+        # per-call training is the dominant cost at moderate n (the
+        # matmul stage is ~seconds): amortize it by passing ``centers``
+        # from a stored IVFIndex or a previous build
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = df.select(
+            array_to_vector(F.transform(F.col(vec_col),
+                                        lambda v: v.cast("double")))
+            .alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+        centers = [np.asarray(c) for c in model.clusterCenters()]
+    centers = np.array(centers, dtype=np.float64)
+    nlist = len(centers)
+
+    import math
+
+    cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # one union frame, side-tagged: members ('n', assigned to exactly
+    # one cell) + probers ('s', exploded to their nprobe nearest
+    # cells). When nlist is below ~2x the cluster parallelism, a cell
+    # per task underfills the cluster — sub-split each cell's PROBER
+    # side into `splits` hash chunks and replicate the members to
+    # every chunk (members are the small side: n/nlist rows per cell),
+    # so tasks = nlist*splits and every core stays busy.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    splits = max(1, math.ceil(2 * par / int(nlist)))
+    # two-step select: mixing the nearest-list HOF and a generator in
+    # one projection trips lambda-variable resolution in Catalyst
+    nbrs = (df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.element_at(_nearest_lists(cv, 1, centers), 1).alias("list_id"),
+        F.lit("n").alias("side"))
+        .select("vid", "vec", "list_id", "side",
+                F.explode(F.sequence(F.lit(0), F.lit(splits - 1)))
+                .alias("chunk")))
+    srcs = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.explode(_nearest_lists(cv, min(int(nprobe), int(nlist)),
+                                 centers)).alias("list_id"),
+        F.lit("s").alias("side"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(splits))
+        .cast("int").alias("chunk"))
+
+    def cell_knn(pdf):
+        import pandas as pd
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0, 1.0, norms)
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        side = pdf["side"].to_numpy()
+        s_idx = np.nonzero(side == "s")[0]
+        n_idx = np.nonzero(side == "n")[0]
+        if len(s_idx) == 0 or len(n_idx) == 0:
+            return pd.DataFrame({"src": [], "nbr": []}).astype("int64")
+        sims = mat[s_idx] @ mat[n_idx].T
+        sims[ids[s_idx][:, None] == ids[n_idx][None, :]] = -np.inf
+        src, nbr = _matrix_topk(ids[s_idx], ids[n_idx], sims, k)
+        return pd.DataFrame({"src": src, "nbr": nbr})
+
+    def partition_cells(batches):
+        # fixed-N repartition + per-partition grouping (the AQE
+        # rationale of the exact graph's block stage)
+        import pandas as pd
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for _, group in pdf.groupby(["list_id", "chunk"], sort=False):
+            yield cell_knn(group)
+
+    cand = (srcs.unionByName(nbrs)
+            .repartition(int(nlist) * splits, "list_id", "chunk")
+            .mapInPandas(partition_cells, schema="src long, nbr long")
+            # a prober reaches the same neighbor through at most one
+            # (cell, its own chunk) task, so pairs are unique
+            )
+    return _exact_rescore_topk(df, cand, k, id_col, vec_col)
 
 
 class IVFIndex:

@@ -82,3 +82,21 @@ def test_ivf_pruned_recall_floor_and_monotone(corpus, queries, truth):
     assert by_np[4] >= 0.45, by_np     # the documented default nprobe
     assert by_np[8] >= 0.65, by_np
     assert by_np[2] <= by_np[4] + 1e-9 <= by_np[8] + 2e-9, by_np
+
+
+def test_ivf_knn_graph_recall_and_exhaustive_equivalence(spark, corpus):
+    """ivf_knn_graph at nprobe=nlist equals the exact graph for any
+    centroid set; pruned probes keep recall above a floor on the
+    clustered fixture."""
+    from pydin_spark.operators.similarity import ivf_knn_graph, knn_graph
+    exact = {(r.src_id, r.nbr_id)
+             for r in knn_graph(corpus, k=5).collect()}
+    full = {(r.src_id, r.nbr_id)
+            for r in ivf_knn_graph(corpus, k=5, nlist=8, nprobe=8,
+                                   max_iter=2).collect()}
+    assert full == exact
+    pruned = {(r.src_id, r.nbr_id)
+              for r in ivf_knn_graph(corpus, k=5, nlist=8, nprobe=2,
+                                     max_iter=10).collect()}
+    recall = len(pruned & exact) / len(exact)
+    assert recall >= 0.6, recall
