@@ -190,3 +190,37 @@ def test_heavy_hitters_summary_single_aggregation_chain(spark, views):
                        capacity=64, group_cols=("event_type",))
     plan = plan_of(hh)
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_rescore_joins_shuffle_light(spark, views):
+    """The kNN graph's exact re-score must be hash/broadcast joins of
+    the candidate frame against the corpus — never a nested loop or
+    cartesian (those would reintroduce the n² the candidate stage
+    exists to avoid)."""
+    from pydin_spark.operators.similarity import knn_graph
+    plan = knn_graph(spark.table("embeddings"), k=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mixture_is_pure_filter(spark, views):
+    """Temperature resampling must compile to a scan + filter: zero
+    exchanges (the K-row count aggregate runs eagerly at build time,
+    not in the returned plan)."""
+    from pydin_spark.operators.curation import temperature_mixture
+    plan = temperature_mixture(spark.table("documents"), alpha=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_keep_top_fraction_approx_has_no_rank_window(spark, views):
+    """The approx path exists precisely to avoid the per-stratum rank
+    window: its plan must contain no Window operator, and the cutoff
+    join must be broadcast."""
+    from pydin_spark.operators.curation import keep_top_fraction
+    plan = keep_top_fraction(spark.table("documents"), "n_chars", 0.5,
+                             strata_col="source", approx=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
