@@ -1891,6 +1891,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sim_knn_graph_ivf"] = _sim_knn_graph_ivf
 
+    def _sim_mutual_knn(spark, sf_dir):
+        # symmetric kNN edges: both endpoints must rank each other
+        # top-k — the hub-resistant graph for semantic clustering
+        from pydin_spark.operators import similarity as _sim
+        _views(spark, sf_dir)
+        return _sim.mutual_knn_pairs(spark.table("embeddings"), k=5)
+
+    out["sim_mutual_knn"] = _sim_mutual_knn
+
     def _curation_temperature(spark, sf_dir):
         # alpha=0.5 temperature resampling over sources (the oracle
         # operating point: the keep rate is a single correctly-rounded
@@ -2912,6 +2921,26 @@ def oracle_sql() -> dict[str, str]:
     # the IVF graph probes every cell at nprobe=nlist — same answer as
     # the exact graph, same oracle
     out["sim_knn_graph_ivf"] = out["sim_knn_graph"]
+    # mutual-kNN edges: both directions rank top-5, canonical order
+    out["sim_mutual_knn"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        r AS (SELECT src_id, nbr_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY cosine DESC, nbr_id)
+                         AS rnk
+              FROM p),
+        g AS (SELECT src_id, nbr_id, cosine FROM r WHERE rnk <= 5)
+        SELECT a.src_id AS id_a, a.nbr_id AS id_b, a.cosine
+        FROM g a JOIN g b ON b.src_id = a.nbr_id
+                         AND b.nbr_id = a.src_id
+        WHERE a.src_id < a.nbr_id
+    """
     # temperature mixture at alpha=0.5: keep rate per stratum is
     # scale*sqrt(c_min/c_s) — int/int division then sqrt then multiply,
     # every op correctly rounded, so the md5 keep set is bit-identical

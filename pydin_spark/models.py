@@ -1491,6 +1491,7 @@ TRANSFORM_OPERATORS = {
     "bpe_tokenize": "text.bpe_tokenize",
     "knn_graph": "similarity.knn_graph",
     "ivf_knn_graph": "similarity.ivf_knn_graph",
+    "mutual_knn_pairs": "similarity.mutual_knn_pairs",
     "temperature_mixture": "curation.temperature_mixture",
     "keep_top_fraction": "curation.keep_top_fraction",
     "sample_exact_k": "curation.sample_exact_k",

@@ -545,6 +545,35 @@ def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
             .select("src_id", "nbr_id", "cosine", "rnk"))
 
 
+def mutual_knn_pairs(df: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     graph: DataFrame | None = None) -> DataFrame:
+    """Mutual-kNN edges: (id_a, id_b, cosine) with id_a < id_b where
+    EACH vector is in the other's top-k — the standard symmetric
+    robustification of a kNN graph before clustering (one-directional
+    edges let a hub vector chain unrelated clusters together; mutual
+    edges require agreement from both endpoints). Feed the result to
+    ``dedup.dup_components``-style pointer-jumping clustering for
+    graph-based semantic grouping.
+
+    Pass ``graph`` to reuse an already-built (exact or IVF) kNN graph
+    frame — otherwise the exact :func:`knn_graph` is built. The
+    mutuality check is one self-join of the k·n-row edge list on the
+    reversed pair — edge-list-sized work, never corpus-sized.
+    """
+    g = graph if graph is not None else knn_graph(df, k=k,
+                                                 id_col=id_col,
+                                                 vec_col=vec_col)
+    e = g.select("src_id", "nbr_id", "cosine")
+    rev = e.select(F.col("nbr_id").alias("src_id"),
+                   F.col("src_id").alias("nbr_id"))
+    return (e.join(rev, ["src_id", "nbr_id"], "left_semi")
+            .where(F.col("src_id") < F.col("nbr_id"))
+            .select(F.col("src_id").alias("id_a"),
+                    F.col("nbr_id").alias("id_b"), "cosine"))
+
+
 def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
                   nprobe: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding", seed: int = 42,

@@ -100,3 +100,22 @@ def test_ivf_knn_graph_recall_and_exhaustive_equivalence(spark, corpus):
                                      max_iter=10).collect()}
     recall = len(pruned & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_mutual_knn_pairs_symmetry(spark, corpus):
+    """Mutual edges are exactly the intersection of the directed graph
+    with its reverse, canonically ordered; reusing a prebuilt graph
+    gives the same answer as building internally."""
+    from pydin_spark.operators.similarity import (knn_graph,
+                                                  mutual_knn_pairs)
+    g = knn_graph(corpus, k=5).persist()
+    directed = {(r.src_id, r.nbr_id) for r in g.collect()}
+    mutual = mutual_knn_pairs(corpus, k=5, graph=g).collect()
+    got = {(r.id_a, r.id_b) for r in mutual}
+    want = {(min(a, b), max(a, b)) for (a, b) in directed
+            if (b, a) in directed}
+    assert got == want and got  # non-empty on the fixture
+    built = {(r.id_a, r.id_b)
+             for r in mutual_knn_pairs(corpus, k=5).collect()}
+    assert built == got
+    g.unpersist()
