@@ -1854,9 +1854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             st = StoredHeavyHitters(scratch + "/hh", "user_id",
                                     bucket="1 hour",
                                     group_cols=("event_type",))
+            # split on TIME, not id: the refresh contract needs the
+            # first build to be a complete time prefix (an id split
+            # only worked because ids track ts in this fixture — a
+            # correlation the sf1 replica deliberately breaks)
             cut = ev.selectExpr(
-                "percentile(event_id, 0.5) AS c").first()["c"]
-            st.refresh(ev.where(F.col("event_id") <= F.lit(cut)))
+                "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+            st.refresh(ev.where(F.unix_timestamp("ts") <= F.lit(cut)))
             st.refresh(ev)
             return (st.serve(spark, k=5, bucket="1 day")
                     .localCheckpoint(eager=True))
@@ -2971,8 +2975,8 @@ def oracle_sql() -> dict[str, str]:
                           COUNT(*) OVER (PARTITION BY source) AS n
                    FROM documents)
         SELECT doc_id, source, n_chars FROM r
-        WHERE rn <= CEIL(CAST(0.25 AS DOUBLE)
-                         * CAST(n AS DOUBLE))
+        WHERE rn <= CEIL(ROUND(CAST(0.25 AS DOUBLE)
+                               * CAST(n AS DOUBLE), 9))
     """
     # exactly-k holdout: rank per stratum by (md5 unit uniform, id)
     out["curation_exact_k"] = f"""

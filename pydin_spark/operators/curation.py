@@ -733,8 +733,12 @@ def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
     w = (Window.partitionBy(strata)
          .orderBy(F.col(score_col).desc(), F.col(id_col)))
     wn = Window.partitionBy(strata)
-    quota = F.ceil(F.lit(float(fraction))
-                   * F.count(F.lit(1)).over(wn).cast("double"))
+    # round at 9 dp before ceil: the raw double product overshoots the
+    # documented ceil(fraction*n) quota when fraction*n lands just
+    # above an exact integer (0.07*100 = 7.000000000000001 -> 8)
+    quota = F.ceil(F.round(
+        F.lit(float(fraction))
+        * F.count(F.lit(1)).over(wn).cast("double"), 9))
     return (df.withColumn("__rn", F.row_number().over(w))
             .withColumn("__q", quota)
             .where(F.col("__rn") <= F.col("__q"))

@@ -609,6 +609,18 @@ class StoredHeavyHitters:
         if bucket is None:
             merged = coarsen_hh(s, {}, keep_cols=self.group_cols)
             return hh_topk(merged, k=k, group_cols=self.group_cols)
+        # refuse finer/misaligned grains: re-bucketing day-grain state
+        # to hours would pile each day's counts onto its first hour and
+        # report them with err_ub=0 — confidently wrong, so error out
+        probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
+        stored_s = probe._bucket_seconds(spark)
+        req_s = ContinuousRollup(self.path, self.ts_col,
+                                 bucket)._bucket_seconds(spark)
+        if req_s < stored_s or req_s % stored_s:
+            raise ValueError(
+                f"serve bucket {bucket!r} ({req_s}s) must be a whole "
+                f"multiple of the stored bucket {self.bucket!r} "
+                f"({stored_s}s)")
         merged = coarsen_hh(
             s, {"bucket_start": F.window("bucket_start", bucket)["start"]},
             keep_cols=self.group_cols)

@@ -218,39 +218,12 @@ def _cosine_candidates_blocks(df: DataFrame, threshold: float,
     ~1e-12), so they are a provable superset of the exact answer —
     callers re-score with the deterministic sequential fold.
     """
-    import math
-
-    n = df.count()
-    # enough block pairs (B(B+1)/2 tasks) to fill the cluster even when
-    # the corpus is small; block size capped by rows_per_block regardless
-    par = df.sparkSession.sparkContext.defaultParallelism
-    nblocks = max(1, math.ceil(n / rows_per_block),
-                  math.ceil((2 * par) ** 0.5))
-    nblocks = min(nblocks, max(1, n))
     slack = threshold - 1e-6
-
-    v = df.select(
-        F.col(id_col), F.col(vec_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
-        .cast("int").alias("blk"))
-    # replicate each row into every block pair it participates in:
-    # partner p == blk contributes the diagonal group once; p != blk
-    # contributes (min, max) exactly once per side — no duplicates
-    rep = (v.select(
-        id_col, vec_col, "blk",
-        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("p"))
-        .select(id_col, vec_col, "blk",
-                F.least("blk", "p").alias("bi"),
-                F.greatest("blk", "p").alias("bj")))
 
     def block_join(bi, bj, pdf):
         import numpy as np
         import pandas as pd
-        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat /= np.where(norms == 0, 1.0, norms)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        blk = pdf["blk"].to_numpy()
+        mat, ids, blk = _normalized_matrix(pdf, id_col, vec_col)
         if bi == bj:
             sims = mat @ mat.T
             ia, ib = np.nonzero((sims >= slack)
@@ -271,23 +244,69 @@ def _cosine_candidates_blocks(df: DataFrame, threshold: float,
             id_b = np.maximum(xa, xb)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
+    return _run_block_pairs(df, id_col, vec_col, rows_per_block,
+                            block_join, "id_a long, id_b long")
+
+
+def _run_block_pairs(df: DataFrame, id_col: str, vec_col: str,
+                     rows_per_block: int, emit,
+                     schema: str) -> DataFrame:
+    """Shared block-pair fan-out driver for the pairwise numpy stages
+    (:func:`_cosine_candidates_blocks` and :func:`knn_graph`): hash
+    rows into B blocks sized from ``rows_per_block`` AND the cluster
+    parallelism, replicate each row into its B(B+1)/2 unordered block
+    pairs, and run ``emit(bi, bj, group_pdf)`` once per pair in a
+    fixed-N-repartitioned ``mapInPandas`` (explicit repartition + per-
+    partition grouping, NOT groupBy().applyInPandas(): the matmul work
+    per group far outweighs its shuffle bytes, so AQE's size-based
+    coalescing would squash the groups onto a handful of tasks and
+    serialize the compute). Replication invariant: partner p == blk
+    contributes the diagonal group once; p != blk contributes
+    (min, max) exactly once per side — no duplicate groups.
+    """
+    import math
+
+    n = df.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nblocks = max(1, math.ceil(n / rows_per_block),
+                  math.ceil((2 * par) ** 0.5))
+    nblocks = min(nblocks, max(1, n))
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
+        .cast("int").alias("blk"))
+    rep = (v.select(
+        id_col, vec_col, "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("p"))
+        .select(id_col, vec_col, "blk",
+                F.least("blk", "p").alias("bi"),
+                F.greatest("blk", "p").alias("bj")))
+
     def partition_blocks(batches):
-        # explicit repartition + per-partition grouping instead of
-        # groupBy().applyInPandas(): the matmul work per group is far
-        # heavier than its shuffle bytes, so AQE's size-based coalescing
-        # would squash the B(B+1)/2 groups onto a handful of tasks and
-        # serialize the compute; a fixed-N repartition is never coalesced
         import pandas as pd
         pdfs = list(batches)
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         for (bi, bj), group in pdf.groupby(["bi", "bj"], sort=False):
-            yield block_join(int(bi), int(bj), group)
+            yield emit(int(bi), int(bj), group)
 
     npairs = nblocks * (nblocks + 1) // 2
     return (rep.repartition(npairs, "bi", "bj")
-            .mapInPandas(partition_blocks, schema="id_a long, id_b long"))
+            .mapInPandas(partition_blocks, schema=schema))
+
+
+def _normalized_matrix(pdf, id_col: str, vec_col: str):
+    """(unit-row matrix, int64 ids, block column) from a block-pair or
+    cell group — the shared numpy entry of the pairwise stages."""
+    import numpy as np
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.where(norms == 0, 1.0, norms)
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    blk = pdf["blk"].to_numpy() if "blk" in pdf.columns else None
+    return mat, ids, blk
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -432,45 +451,20 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
     Scale shape: O(n²·d) flops are inherent to an exact kNN graph, but
     they run in B(B+1)/2 bounded tasks with per-task memory capped at
-    two blocks; the candidate shuffle is ~n·B·k rows (not n²), and no
-    driver collect appears anywhere. For approximate graphs at larger
-    n, assign vectors to IVF lists first and run per-list (the
-    :class:`IVFIndex` path).
+    two blocks (the shared :func:`_run_block_pairs` fan-out); the
+    candidate shuffle is ~n·B·k rows (not n²), and no driver collect
+    appears anywhere. For approximate graphs at larger n, probe IVF
+    cells instead (:func:`ivf_knn_graph`).
     """
-    import math
-
-    n = df.count()
-    par = df.sparkSession.sparkContext.defaultParallelism
-    nblocks = max(1, math.ceil(n / rows_per_block),
-                  math.ceil((2 * par) ** 0.5))
-    nblocks = min(nblocks, max(1, n))
-
-    v = df.select(
-        F.col(id_col), F.col(vec_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
-        .cast("int").alias("blk"))
-    rep = (v.select(
-        id_col, vec_col, "blk",
-        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("p"))
-        .select(id_col, vec_col, "blk",
-                F.least("blk", "p").alias("bi"),
-                F.greatest("blk", "p").alias("bj")))
-
-    def topk_rows(src_ids, nbr_ids, sims):
-        return _matrix_topk(src_ids, nbr_ids, sims, k)
 
     def block_knn(bi, bj, pdf):
         import numpy as np
         import pandas as pd
-        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat /= np.where(norms == 0, 1.0, norms)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        blk = pdf["blk"].to_numpy()
+        mat, ids, blk = _normalized_matrix(pdf, id_col, vec_col)
         if bi == bj:
             sims = mat @ mat.T
             np.fill_diagonal(sims, -np.inf)
-            src, nbr = topk_rows(ids, ids, sims)
+            src, nbr = _matrix_topk(ids, ids, sims, k)
             return pd.DataFrame({"src": src, "nbr": nbr})
         a_idx = np.nonzero(blk == bi)[0]
         b_idx = np.nonzero(blk == bj)[0]
@@ -478,26 +472,13 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             return pd.DataFrame({"src": [], "nbr": []}).astype("int64")
         sims = mat[a_idx] @ mat[b_idx].T
         # both directions: A-rows vs B-block and B-rows vs A-block
-        sa, na = topk_rows(ids[a_idx], ids[b_idx], sims)
-        sb, nb = topk_rows(ids[b_idx], ids[a_idx], sims.T)
+        sa, na = _matrix_topk(ids[a_idx], ids[b_idx], sims, k)
+        sb, nb = _matrix_topk(ids[b_idx], ids[a_idx], sims.T, k)
         return pd.DataFrame({"src": np.concatenate([sa, sb]),
                              "nbr": np.concatenate([na, nb])})
 
-    def partition_blocks(batches):
-        # fixed-N repartition + per-partition grouping, not
-        # groupBy().applyInPandas() — same AQE-coalescing rationale as
-        # the threshold prefilter (compute-heavy, shuffle-light groups)
-        import pandas as pd
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for (bi, bj), group in pdf.groupby(["bi", "bj"], sort=False):
-            yield block_knn(int(bi), int(bj), group)
-
-    npairs = nblocks * (nblocks + 1) // 2
-    cand = (rep.repartition(npairs, "bi", "bj")
-            .mapInPandas(partition_blocks, schema="src long, nbr long"))
+    cand = _run_block_pairs(df, id_col, vec_col, rows_per_block,
+                            block_knn, "src long, nbr long")
     return _exact_rescore_topk(df, cand, k, id_col, vec_col)
 
 
@@ -604,6 +585,11 @@ def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
     """
     import numpy as np
 
+    if centers is None and df.isEmpty():
+        # KMeans.fit on zero rows throws — honor the empty-input
+        # invariant (quiet ingest cycles) with a typed empty graph
+        return df.sparkSession.createDataFrame(
+            [], "src_id long, nbr_id long, cosine double, rnk int")
     if centers is None:
         # per-call training is the dominant cost at moderate n (the
         # matmul stage is ~seconds): amortize it by passing ``centers``
@@ -651,10 +637,7 @@ def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
 
     def cell_knn(pdf):
         import pandas as pd
-        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat /= np.where(norms == 0, 1.0, norms)
-        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat, ids, _ = _normalized_matrix(pdf, "vid", "vec")
         side = pdf["side"].to_numpy()
         s_idx = np.nonzero(side == "s")[0]
         n_idx = np.nonzero(side == "n")[0]

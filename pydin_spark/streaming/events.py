@@ -118,19 +118,27 @@ def write_foreach_batch(stream_df: DataFrame, loader,
 def _land_and_refresh(rollup, events_path: str):
     """The per-batch action behind :func:`stream_rollup`, factored out
     so its exactly-once property is directly testable: land the batch
-    under a ``batch=<id>`` partition directory with OVERWRITE (a
+    under a ``_pd_batch=<id>`` partition directory with OVERWRITE (a
     replayed batch rewrites the same directory instead of appending a
     duplicate — idempotent by construction), then refresh the stored
     aggregate from the whole landing zone (the refresh's high-water
-    predicate prunes that scan to the tail buckets)."""
+    predicate prunes that scan to the tail buckets). The partition key
+    is namespaced (``_pd_batch``, the engine's lineage-column prefix)
+    so an event schema carrying its own ``batch`` column doesn't
+    collide with the inferred partition column on read; a stream that
+    somehow carries ``_pd_batch`` itself is refused outright."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if "_pd_batch" in batch_df.columns:
+            raise ValueError(
+                "_pd_batch is the landing zone's reserved partition "
+                "column; rename it in the stream schema")
         spark = batch_df.sparkSession
         batch_df.write.mode("overwrite").parquet(
-            f"{events_path}/batch={batch_id}")
+            f"{events_path}/_pd_batch={batch_id}")
         spark.catalog.refreshByPath(events_path)
         rollup.refresh(spark.read.parquet(events_path)
-                       .drop("batch"))
+                       .drop("_pd_batch"))
 
     return _sink
 
@@ -149,7 +157,7 @@ def stream_rollup(stream_df: DataFrame, rollup, events_path: str,
     per trigger, the landing write costs the batch, and the refresh
     scan is pruned to buckets >= the high-water floor by the rollup's
     own Column predicate — the history is landed once and never
-    re-aggregated. Each batch lands under ``batch=<id>`` with
+    re-aggregated. Each batch lands under ``_pd_batch=<id>`` with
     overwrite, so a crash-replayed micro-batch rewrites its own
     directory instead of double-counting (exactly-once landing on top
     of the checkpoint's at-least-once replay). Late events are folded

@@ -1371,3 +1371,12 @@ def test_sample_exact_k(spark, views):
     assert sample_exact_k(docs, k=11).count() == 11
     # k beyond the corpus keeps everything
     assert sample_exact_k(docs.limit(3), k=100).count() == 3
+
+
+def test_keep_top_fraction_quota_no_fp_overshoot(spark):
+    """0.07 * 100 = 7.000000000000001 in doubles; the quota must still
+    be ceil(7) = 7, not 8."""
+    from pydin_spark.operators.curation import keep_top_fraction
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "doc_id long, score double")
+    assert keep_top_fraction(df, "score", 0.07).count() == 7

@@ -150,6 +150,8 @@ def test_fourth_pass_operators_survive_empty_input(spark, tmp_path):
     from pydin_spark.operators.similarity import knn_graph
 
     assert knn_graph(emb, k=3).count() == 0
+    from pydin_spark.operators.similarity import ivf_knn_graph
+    assert ivf_knn_graph(emb, k=3, nlist=4).count() == 0
     assert temperature_mixture(docs, alpha=0.5).count() == 0
     assert keep_top_fraction(docs, "doc_id", 0.5).count() == 0
     assert keep_top_fraction(docs, "doc_id", 0.5,

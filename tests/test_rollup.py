@@ -19,8 +19,11 @@ def _canon(df):
 def test_incremental_refresh_equals_full_recompute(spark, events,
                                                    tmp_path_factory):
     path = str(tmp_path_factory.mktemp("rollup") / "hourly")
-    cut = events.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
-    first_half = events.where(F.col("event_id") <= cut)
+    # time-prefix split (see the stored-HH test: an id split leans on
+    # the fixture's id/ts correlation, which the sf1 replica breaks)
+    cut = events.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+    first_half = events.where(F.unix_timestamp("ts") <= cut)
 
     r = ContinuousRollup(path, bucket="1 hour")
     r.refresh(first_half)           # initial build from the first half
@@ -104,8 +107,9 @@ def test_continuous_rollup_with_sketch_roundtrip(spark, events,
                                               with_distinct_estimate)
     path = str(tmp_path_factory.mktemp("rollup") / "hourly_hll")
     r = ContinuousRollup(path, bucket="1 hour", distinct_col="user_id")
-    cut = events.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
-    r.refresh(events.where(F.col("event_id") <= cut))
+    cut = events.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+    r.refresh(events.where(F.unix_timestamp("ts") <= cut))
     out = with_distinct_estimate(r.refresh(events))
     full = with_distinct_estimate(
         rollup_aggregate(events, bucket="1 hour",
@@ -316,11 +320,14 @@ def test_stored_hh_incremental_equals_full(spark, events,
     is structural, not just top-k)."""
     from pydin_spark.operators.rollup import StoredHeavyHitters
     base = tmp_path_factory.mktemp("hh_state")
-    cut = events.selectExpr("percentile(event_id, 0.5) AS c").first()["c"]
+    # a TIME prefix, not an id prefix: the refresh contract requires
+    # the first build to cover whole leading buckets
+    cut = events.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
     inc = StoredHeavyHitters(str(base / "inc"), "user_id",
                              bucket="1 hour",
                              group_cols=("event_type",))
-    inc.refresh(events.where(F.col("event_id") <= cut))
+    inc.refresh(events.where(F.unix_timestamp("ts") <= cut))
     out = inc.refresh(events)
     full = StoredHeavyHitters(str(base / "full"), "user_id",
                               bucket="1 hour",
@@ -374,3 +381,20 @@ def test_stored_hh_lateness_window(spark, tmp_path_factory):
            if not r.item.startswith("\x00")}
     assert out[("2024-01-01 10:00:00", "u1")] == 2
     assert out[("2024-01-01 11:00:00", "u2")] == 1
+
+
+def test_stored_hh_serve_refuses_finer_grain(spark, events,
+                                             tmp_path_factory):
+    """Serving at a finer or misaligned grain than the stored bucket
+    would silently misattribute counts — it must raise instead."""
+    import pytest
+    from pydin_spark.operators.rollup import StoredHeavyHitters
+    path = str(tmp_path_factory.mktemp("hh_state") / "daily")
+    st = StoredHeavyHitters(path, "user_id", bucket="1 day")
+    st.refresh(events)
+    with pytest.raises(ValueError, match="whole multiple"):
+        st.serve(spark, k=5, bucket="1 hour")
+    with pytest.raises(ValueError, match="whole multiple"):
+        st.serve(spark, k=5, bucket="90 minutes")
+    # an aligned coarser grain still serves
+    assert st.serve(spark, k=5, bucket="2 days").count() > 0

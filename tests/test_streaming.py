@@ -252,10 +252,10 @@ def test_stream_rollup_continuous_aggregate(spark, tmp_path):
     # batch directory is overwritten, not appended
     last_batch = sorted(
         int(p.name.split("=")[1])
-        for p in (tmp_path / "bronze").glob("batch=*"))[-1]
+        for p in (tmp_path / "bronze").glob("_pd_batch=*"))[-1]
     # materialize first: a real replay arrives from the stream source,
     # not from the bronze directory the sink is about to overwrite
-    replay = (spark.read.parquet(f"{bronze}/batch={last_batch}")
+    replay = (spark.read.parquet(f"{bronze}/_pd_batch={last_batch}")
               .localCheckpoint(eager=True))
     _land_and_refresh(roll, bronze)(replay, last_batch)
     assert canon(roll.read(spark)) == canon(want)
@@ -292,3 +292,30 @@ def test_stream_rollup_stored_heavy_hitters(spark, tmp_path):
     direct = heavy_hitters(ev, "user_id", k=5, capacity=4096,
                            group_cols=("event_type",))
     assert canon(served) == canon(direct)
+
+
+def test_stream_rollup_refuses_reserved_batch_column(spark, tmp_path):
+    """_pd_batch is the landing zone's partition key: a stream schema
+    carrying it must be refused, and a plain 'batch' data column must
+    round-trip untouched (no collision with the partition dir)."""
+    import pytest
+    from pydin_spark.operators.rollup import ContinuousRollup
+    from pydin_spark.streaming.events import _land_and_refresh
+
+    roll = ContinuousRollup(str(tmp_path / "rollup"), bucket="1 hour")
+    sink = _land_and_refresh(roll, str(tmp_path / "bronze"))
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "x", 1.0, 9)],
+        "event_id long, ts string, event_type string, value double, "
+        "_pd_batch int").withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="_pd_batch"):
+        sink(bad, 0)
+    ok = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "x", 1.0, 7),
+         (2, "2024-01-01 11:00:00", "y", 2.0, 7)],
+        "event_id long, ts string, event_type string, value double, "
+        "batch long").withColumn("ts", F.col("ts").cast("timestamp"))
+    sink(ok, 0)
+    assert roll.read(spark).count() == 2
+    landed = spark.read.parquet(str(tmp_path / "bronze"))
+    assert sorted(r.batch for r in landed.collect()) == [7, 7]
