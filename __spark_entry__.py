@@ -1904,6 +1904,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sim_mutual_knn"] = _sim_mutual_knn
 
+    def _dedup_semantic_graph(spark, sf_dir):
+        # graph-clustered semantic dedup: mutual-kNN edges at
+        # cosine>=0.4 -> connected components -> min-id survivor per
+        # cluster (the default policy, so the oracle is pure SQL)
+        from pydin_spark.operators import similarity as _sim
+        _views(spark, sf_dir)
+        return _sim.semantic_cluster_dedup(
+            spark.table("embeddings"), k=5, threshold=0.4
+        ).select("vec_id", "label")
+
+    out["dedup_semantic_graph"] = _dedup_semantic_graph
+
     def _curation_temperature(spark, sf_dir):
         # alpha=0.5 temperature resampling over sources (the oracle
         # operating point: the keep rate is a single correctly-rounded
@@ -2944,6 +2956,39 @@ def oracle_sql() -> dict[str, str]:
         FROM g a JOIN g b ON b.src_id = a.nbr_id
                          AND b.nbr_id = a.src_id
         WHERE a.src_id < a.nbr_id
+    """
+    # graph-clustered semantic dedup, min-id survivor policy: mutual
+    # top-5 edges at cosine >= 0.4, transitive closure, keep the
+    # component representative (= the min reachable id) + untouched
+    out["dedup_semantic_graph"] = """
+        WITH RECURSIVE
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        r AS (SELECT src_id, nbr_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY cosine DESC, nbr_id)
+                         AS rnk
+              FROM p),
+        g AS (SELECT src_id, nbr_id, cosine FROM r WHERE rnk <= 5),
+        m AS (SELECT a.src_id AS id_a, a.nbr_id AS id_b
+              FROM g a JOIN g b ON b.src_id = a.nbr_id
+                               AND b.nbr_id = a.src_id
+              WHERE a.src_id < a.nbr_id
+                AND a.cosine >= CAST(0.4 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM m
+                  UNION SELECT id_b AS a, id_a AS b FROM m),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        losers AS (SELECT id FROM comp WHERE id <> component)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM losers)
     """
     # temperature mixture at alpha=0.5: keep rate per stratum is
     # scale*sqrt(c_min/c_s) — int/int division then sqrt then multiply,

@@ -1492,6 +1492,7 @@ TRANSFORM_OPERATORS = {
     "knn_graph": "similarity.knn_graph",
     "ivf_knn_graph": "similarity.ivf_knn_graph",
     "mutual_knn_pairs": "similarity.mutual_knn_pairs",
+    "semantic_cluster_dedup": "similarity.semantic_cluster_dedup",
     "temperature_mixture": "curation.temperature_mixture",
     "keep_top_fraction": "curation.keep_top_fraction",
     "sample_exact_k": "curation.sample_exact_k",

@@ -555,6 +555,52 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
                     F.col("nbr_id").alias("id_b"), "cosine"))
 
 
+def semantic_cluster_dedup(df: DataFrame, k: int = 5,
+                           threshold: float = 0.85,
+                           method: str = "exact", nlist: int = 16,
+                           nprobe: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           order_col: str | None = None,
+                           descending: bool = True,
+                           centers=None) -> DataFrame:
+    """Graph-clustered semantic dedup: mutual-kNN edges at cosine >=
+    ``threshold`` → connected components → one survivor per cluster.
+
+    The graph formulation complements :func:`semantic_dedup`'s
+    within-cell first-wins dominance three ways: edges require MUTUAL
+    top-k agreement (hub vectors can't chain unrelated clusters),
+    clustering is transitive across the whole corpus (not bounded by
+    a k-means cell), and the survivor policy is pluggable —
+    ``order_col`` keeps the best-scoring member per cluster (e.g. a
+    quality column joined onto the embedding frame) instead of the
+    smallest id. Vectors in no cluster pass through untouched.
+
+    ``method='exact'`` builds the exact graph (:func:`knn_graph`);
+    ``'ivf'`` uses the cell-bounded approximate graph
+    (:func:`ivf_knn_graph`, with ``centers=`` to amortize training) —
+    at 100 TB the IVF path is the default posture and the exact path
+    the audit tool. Cost beyond the graph build: one edge-list
+    semi-join, the O(log d) component rounds, one rank window.
+    """
+    from .dedup import pick_cluster_survivors
+
+    if method == "exact":
+        g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col)
+    elif method == "ivf":
+        g = ivf_knn_graph(df, k=k, nlist=nlist, nprobe=nprobe,
+                          id_col=id_col, vec_col=vec_col,
+                          centers=centers)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    edges = (mutual_knn_pairs(df, k=k, id_col=id_col, vec_col=vec_col,
+                              graph=g)
+             .where(F.col("cosine") >= float(threshold)))
+    return pick_cluster_survivors(df, edges, id_col=id_col,
+                                  order_col=order_col,
+                                  descending=descending)
+
+
 def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
                   nprobe: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding", seed: int = 42,

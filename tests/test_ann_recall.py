@@ -119,3 +119,53 @@ def test_mutual_knn_pairs_symmetry(spark, corpus):
              for r in mutual_knn_pairs(corpus, k=5).collect()}
     assert built == got
     g.unpersist()
+
+
+def test_semantic_cluster_dedup_policies(spark, corpus):
+    """Graph-clustered dedup: survivors equal a driver-side union-find
+    over the mutual edges (min-id policy), the quality policy keeps
+    the best-scoring member per cluster, and untouched vectors pass
+    through."""
+    from pydin_spark.operators.similarity import (mutual_knn_pairs,
+                                                  semantic_cluster_dedup)
+    edges = [(r.id_a, r.id_b) for r in
+             mutual_knn_pairs(corpus, k=5).where("cosine >= 0.4")
+             .collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = [r.vec_id for r in corpus.select("vec_id").collect()]
+    clustered = {x: find(x) for x in parent}
+    want = {x for x in all_ids
+            if x not in clustered or clustered[x] == x}
+    got = {r.vec_id for r in
+           semantic_cluster_dedup(corpus, k=5, threshold=0.4).collect()}
+    assert got == want
+    # quality policy: per cluster the max-score member survives
+    from pyspark.sql import functions as F
+    scored = corpus.withColumn("score",
+                               (F.col("vec_id") * 37 % 101).cast("double"))
+    got_q = {r.vec_id for r in
+             semantic_cluster_dedup(scored, k=5, threshold=0.4,
+                                    order_col="score").collect()}
+    from collections import defaultdict
+    clusters = defaultdict(list)
+    for x in all_ids:
+        clusters[clustered.get(x, x) if x in clustered else x].append(x)
+    want_q = set()
+    for rep, members in clusters.items():
+        if len(members) == 1:
+            want_q.add(members[0])
+        else:
+            want_q.add(max(members, key=lambda x: (x * 37 % 101, -x)))
+    assert got_q == want_q
