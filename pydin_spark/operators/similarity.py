@@ -885,6 +885,25 @@ class IVFIndex:
         return {"vid": row["vid"], "n_vectors": row["n_vectors"],
                 "mean_residual": row["mean_residual"]}
 
+    def knn_graph(self, spark, k: int = 5,
+                  nprobe: int = 2) -> DataFrame:
+        """Approximate kNN graph over the index's OWN stored corpus,
+        reusing the stored centroids — the graph-construction entry of
+        the stored-index lifecycle: build/rebuild the index once, then
+        derive semantic-clustering graphs (feed
+        :func:`semantic_cluster_dedup` via its ``centers=``/``graph=``
+        hooks or :func:`mutual_knn_pairs`) without retraining k-means
+        per call. ``nprobe = nlist`` is provably the exact graph of
+        the stored corpus. Reads the serving version's immutable
+        files, so a concurrent rebuild can't shear the result."""
+        vdir = self._version_path(self._current_vid(spark))
+        centers = self._centers(spark, vdir)
+        corpus = (spark.read.parquet(f"{vdir}/lists")
+                  .select(F.col(self.id_col), F.col("cv")))
+        return ivf_knn_graph(corpus, k=k, nprobe=nprobe,
+                             id_col=self.id_col, vec_col="cv",
+                             centers=centers)
+
     def drift(self, corpus: DataFrame,
               sample_fraction: float | None = None,
               seed: int = 7) -> dict:

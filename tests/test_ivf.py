@@ -172,3 +172,18 @@ def test_ivf_maintenance_as_scheduler_job(spark, tmp_path):
     want = sorted((r["query_id"], r["nbr_id"], r["rnk"])
                   for r in cosine_topk(emb, q, k=3).collect())
     assert got == want
+
+
+def test_stored_index_knn_graph_exhaustive(spark, tmp_path):
+    """IVFIndex.knn_graph at nprobe=nlist equals the exact graph over
+    the stored corpus — the no-retrain graph entry of the index
+    lifecycle."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.similarity import IVFIndex, knn_graph
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(emb)
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    got = IVFIndex(str(tmp_path / "ivf")).knn_graph(spark, k=4,
+                                                    nprobe=4)
+    assert canon(got) == canon(knn_graph(emb, k=4))
