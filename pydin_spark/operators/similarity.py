@@ -875,6 +875,39 @@ class IVFIndex:
             .orderBy("list_id").collect()
         return np.array([r["center"] for r in rows])
 
+    def append(self, new_vectors: DataFrame) -> dict:
+        """Ingest fast path between rebuilds: assign new vectors to the
+        SERVING version's existing cells and append them to its list
+        files — no k-means retrain, no corpus rewrite. Queries and
+        :meth:`knn_graph` cover the appended vectors from the next
+        file listing on (append-only-table read semantics: a query
+        mid-flight during the append keeps its resolved file set).
+
+        The centroids stay the build-time ones, so recall degrades as
+        appended data drifts from them — exactly what :meth:`drift`
+        measures against the build-time ``mean_residual`` baseline
+        (which ``append`` deliberately does NOT update): the scheduler
+        maintenance job sees drift rise and triggers :meth:`rebuild`.
+        Appending an id that already exists duplicates it (this is a
+        vector log, not an upsert) — dedup upstream or rebuild.
+
+        Returns {"vid", "n_appended"}.
+        """
+        spark = new_vectors.sparkSession
+        vid = self._current_vid(spark)
+        vdir = self._version_path(vid)
+        centers = self._centers(spark, vdir)
+        cv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
+        assigned = new_vectors.select(
+            F.col(self.id_col), cv.alias("cv"),
+            F.element_at(_nearest_lists(cv, 1, centers), 1)
+            .alias("list_id"))
+        n = assigned.count()
+        (assigned.write.mode("append").partitionBy("list_id")
+         .parquet(f"{vdir}/lists"))
+        spark.catalog.refreshByPath(f"{vdir}/lists")
+        return {"vid": vid, "n_appended": int(n)}
+
     def meta(self, spark) -> dict:
         """Stats of the serving version (vid, n_vectors,
         mean_residual) — the build-time baseline ``drift`` compares

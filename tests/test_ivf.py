@@ -187,3 +187,32 @@ def test_stored_index_knn_graph_exhaustive(spark, tmp_path):
     got = IVFIndex(str(tmp_path / "ivf")).knn_graph(spark, k=4,
                                                     nprobe=4)
     assert canon(got) == canon(knn_graph(emb, k=4))
+
+
+def test_index_append_serves_new_vectors_exactly(spark, tmp_path):
+    """append() is the no-retrain ingest path: after appending the
+    second half of the corpus, the exhaustive query (nprobe=nlist)
+    over the stored index equals brute force over the FULL corpus,
+    and the stored-index graph covers appended ids."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.similarity import (IVFIndex, cosine_topk,
+                                                  knn_graph)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where("vec_id % 2 = 0")
+    second = emb.where("vec_id % 2 = 1")
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(first)
+    out = idx.append(second)
+    assert out["n_appended"] == second.count()
+
+    q = emb.where("vec_id < 8").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    served = IVFIndex(str(tmp_path / "ivf")).query(q, k=5, nprobe=4)
+    brute = cosine_topk(emb, q, k=5)
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    assert canon(served) == canon(brute)
+
+    g = IVFIndex(str(tmp_path / "ivf")).knn_graph(spark, k=3, nprobe=4)
+    assert canon(g) == canon(knn_graph(emb, k=3))
+    # drift baseline untouched: still the build-time stats
+    assert idx.meta(spark)["n_vectors"] == first.count()
