@@ -58,6 +58,18 @@ def main() -> None:
                                            "embedding")
     print(f"serving sample: {served.query(q, k=3, nprobe=8).count()} rows")
 
+    # the corpus grows between rebuilds: append assigns new vectors to
+    # the EXISTING cells (no retrain, no rewrite) — queries and the
+    # stored-index graph cover them immediately, while drift keeps
+    # measuring them against the centroids that actually serve them
+    arrived = emb.where("vec_id >= 150 AND vec_id < 300")
+    appended = idx.append(arrived)
+    print(f"appended {appended['n_appended']} vectors into the "
+          f"serving version (no retrain)")
+    g = served.knn_graph(spark, k=3, nprobe=8)
+    assert g.where("src_id >= 150").count() > 0, \
+        "appended vectors must appear in the stored-index graph"
+
     # weeks later: the corpus grew/drifted; the scheduled tick decides
     grown = emb
     result = maintenance_tick(idx, grown, log=lambda m: print(f"  {m}"))
