@@ -1916,6 +1916,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dedup_semantic_graph"] = _dedup_semantic_graph
 
+    def _q_funnel(spark, sf_dir):
+        # ordered funnel view -> click -> purchase, first-completion
+        # semantics (step k = earliest step-k event strictly after the
+        # user's step-(k-1) time)
+        from pydin_spark.operators.relational import funnel
+        _views(spark, sf_dir)
+        return funnel(spark.table("events"),
+                      ["view", "click", "purchase"])
+
+    out["q_funnel"] = _q_funnel
+
+    def _q_retention(spark, sf_dir):
+        # daily cohort retention matrix (first-activity day x offset)
+        from pydin_spark.operators.relational import retention_cohorts
+        _views(spark, sf_dir)
+        return retention_cohorts(spark.table("events"), bucket="1 day")
+
+    out["q_retention"] = _q_retention
+
     def _curation_temperature(spark, sf_dir):
         # alpha=0.5 temperature resampling over sources (the oracle
         # operating point: the keep rate is a single correctly-rounded
@@ -2989,6 +3008,48 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT id FROM comp WHERE id <> component)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM losers)
+    """
+    # ordered funnel: conditional min per step, strictly-after chaining
+    out["q_funnel"] = """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+               FROM events e JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+               FROM events e JOIN s2 ON s2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY 1),
+        c AS (SELECT 1 AS step_no, 'view' AS step,
+                     (SELECT COUNT(*) FROM s1) AS n_users
+              UNION ALL
+              SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        SELECT CAST(step_no AS INT) AS step_no, step, n_users,
+               CAST(n_users AS DOUBLE)
+                   / (SELECT COUNT(*) FROM s1) AS conversion
+        FROM c
+    """
+    # daily cohort retention: first-seen day x whole-day offset
+    out["q_retention"] = """
+        WITH b AS (SELECT user_id,
+                          time_bucket(INTERVAL '1 day', ts) AS bucket
+                   FROM events GROUP BY 1, 2),
+        f AS (SELECT user_id, MIN(bucket) AS cohort FROM b GROUP BY 1),
+        j AS (SELECT f.cohort,
+                     CAST((epoch(b.bucket) - epoch(f.cohort)) / 86400
+                          AS BIGINT) AS "offset",
+                     b.user_id
+              FROM b JOIN f ON f.user_id = b.user_id),
+        m AS (SELECT cohort, "offset",
+                     COUNT(DISTINCT user_id) AS n_active
+              FROM j GROUP BY 1, 2),
+        s AS (SELECT cohort, COUNT(*) AS n_cohort FROM f GROUP BY 1)
+        SELECT m.cohort, m."offset", m.n_active, s.n_cohort,
+               CAST(m.n_active AS DOUBLE) / s.n_cohort AS retention
+        FROM m JOIN s ON s.cohort = m.cohort
     """
     # temperature mixture at alpha=0.5: keep rate per stratum is
     # scale*sqrt(c_min/c_s) — int/int division then sqrt then multiply,

@@ -1493,6 +1493,8 @@ TRANSFORM_OPERATORS = {
     "ivf_knn_graph": "similarity.ivf_knn_graph",
     "mutual_knn_pairs": "similarity.mutual_knn_pairs",
     "semantic_cluster_dedup": "similarity.semantic_cluster_dedup",
+    "funnel": "relational.funnel",
+    "retention_cohorts": "relational.retention_cohorts",
     "temperature_mixture": "curation.temperature_mixture",
     "keep_top_fraction": "curation.keep_top_fraction",
     "sample_exact_k": "curation.sample_exact_k",

@@ -108,3 +108,98 @@ def range_join(points: DataFrame, intervals: DataFrame,
               .where(F.col(point_col).between(F.col(start_col),
                                               F.col(end_col))))
     return joined.select(*points.columns, *intervals.columns)
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           within: str | None = None) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly AFTER their step-1 time, and so on — the product-
+    analytics staple (view → click → purchase). Output one row per
+    step: (step_no, step, n_users, conversion) where conversion is the
+    fraction of step-1 completers who reached this step.
+
+    A user's step-k time is the EARLIEST step-k event strictly after
+    their step-(k-1) time (first-completion semantics — re-entries
+    don't restart the funnel). ``within`` bounds the whole journey:
+    step-k events count only inside ``[t1, t1 + within]``.
+
+    Scale shape: K-1 conditional min-aggregations over hash-partitioned
+    frames — each step is one shuffle on the user key (co-partitioned
+    after the first, so AQE reuses the exchange), no per-user window
+    over the full history, no UDF. The result is K rows.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    t1 = (events.where(F.col(type_col) == steps[0])
+          .groupBy(user_col)
+          .agg(F.min(ts_col).alias("t1")))
+    reached = t1.select(user_col, F.col("t1"),
+                        F.col("t1").alias("t_prev"))
+    counts = [(1, steps[0], t1.count())]
+    for i, step in enumerate(steps[1:], start=2):
+        ev = events.where(F.col(type_col) == step) \
+            .select(user_col, F.col(ts_col).alias("__ts"))
+        cond = F.col("__ts") > F.col("t_prev")
+        if within is not None:
+            cond = cond & (F.col("__ts") <=
+                           F.col("t1") + F.expr(f"INTERVAL {within}"))
+        nxt = (ev.join(reached, user_col)
+               .where(cond)
+               .groupBy(user_col)
+               .agg(F.min("__ts").alias("t_step"),
+                    F.first("t1").alias("t1")))
+        reached = nxt.select(user_col, "t1",
+                             F.col("t_step").alias("t_prev"))
+        counts.append((i, step, reached.count()))
+    spark = events.sparkSession
+    base = counts[0][2]
+    rows = [(n, s, c, (c / base) if base else 0.0)
+            for (n, s, c) in counts]
+    return spark.createDataFrame(
+        rows, "step_no int, step string, n_users long, conversion double")
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bucket: str = "1 day") -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    bucket (the cohort); for each (cohort, offset) the distinct cohort
+    members active ``offset`` buckets later — the curve every growth
+    dashboard plots. Output: (cohort, offset, n_active, n_cohort,
+    retention); offset 0 rows equal the cohort size by construction.
+
+    Scale shape: one min-aggregate for first-seen, one distinct
+    (user, bucket) projection, a hash join on the user key, and one
+    count-distinct per (cohort, offset) — two shuffles over the event
+    key space regardless of history length. Buckets are epoch-aligned
+    fixed windows (``F.window``), so the offset is an exact integer
+    division.
+    """
+    w = F.window(ts_col, bucket)["start"]
+    first = (events.groupBy(user_col)
+             .agg(F.min(w).alias("cohort")))
+    active = events.select(F.col(user_col), w.alias("bucket")).distinct()
+    # bucket width in seconds via a 1-row probe (no duration parsing)
+    spark = events.sparkSession
+    probe = (spark.range(1)
+             .select(F.window(F.lit("1970-01-01 00:00:00")
+                              .cast("timestamp"), bucket).alias("w"))
+             .select((F.unix_timestamp("w.end")
+                      - F.unix_timestamp("w.start")).alias("s")))
+    secs = probe.first()["s"]
+    joined = (active.join(first, user_col)
+              .select(F.col("cohort"),
+                      ((F.unix_timestamp("bucket")
+                        - F.unix_timestamp("cohort"))
+                       / F.lit(int(secs))).cast("long").alias("offset"),
+                      F.col(user_col)))
+    matrix = (joined.groupBy("cohort", "offset")
+              .agg(F.count_distinct(F.col(user_col)).alias("n_active")))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    return (matrix.join(sizes, "cohort")
+            .select("cohort", "offset", "n_active", "n_cohort",
+                    (F.col("n_active").cast("double")
+                     / F.col("n_cohort")).alias("retention")))

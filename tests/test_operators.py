@@ -1380,3 +1380,56 @@ def test_keep_top_fraction_quota_no_fp_overshoot(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(100)],
                                "doc_id long, score double")
     assert keep_top_fraction(df, "score", 0.07).count() == 7
+
+
+def test_funnel_within_and_order(spark):
+    """Hand-computed funnel: strictly-after chaining, first-completion
+    semantics, and the `within` journey bound."""
+    from pydin_spark.operators.relational import funnel
+    rows = [
+        # u1 completes all three in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3 views only
+        (3, "2024-01-01 08:00:00", "view"),
+        # u4 completes but the purchase is 2 days after the view
+        (4, "2024-01-01 08:00:00", "view"),
+        (4, "2024-01-01 08:30:00", "click"),
+        (4, "2024-01-03 09:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.step: (r.n_users, r.conversion)
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"] == (4, 1.0)
+    assert out["click"] == (2, 0.5)       # u1, u4 (u2 clicked early)
+    assert out["purchase"] == (2, 0.5)    # u1, u4
+    bounded = {r.step: r.n_users
+               for r in funnel(ev, ["view", "click", "purchase"],
+                               within="1 day").collect()}
+    assert bounded["purchase"] == 1       # u4's purchase falls outside
+
+
+def test_retention_cohorts_hand_case(spark):
+    from pydin_spark.operators.relational import retention_cohorts
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 11:00:00"),
+        (1, "2024-01-04 09:00:00"),
+        (2, "2024-01-01 12:00:00"),
+        (3, "2024-01-02 08:00:00"), (3, "2024-01-03 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(str(r.cohort)[:10], r.offset): (r.n_active, r.n_cohort)
+           for r in retention_cohorts(ev, bucket="1 day").collect()}
+    assert out[("2024-01-01", 0)] == (2, 2)   # u1, u2
+    assert out[("2024-01-01", 1)] == (1, 2)   # u1 back next day
+    assert out[("2024-01-01", 3)] == (1, 2)   # u1 on day 4
+    assert out[("2024-01-02", 0)] == (1, 1)   # u3's own cohort
+    assert out[("2024-01-02", 1)] == (1, 1)
+    assert ("2024-01-01", 2) not in out       # nobody active day 3
