@@ -1935,6 +1935,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["q_retention"] = _q_retention
 
+    def _q_event_paths(spark, sf_dir):
+        # top-20 first-5-event journeys per user
+        from pydin_spark.operators.relational import event_paths
+        _views(spark, sf_dir)
+        return event_paths(spark.table("events"), max_len=5, k=20)
+
+    out["q_event_paths"] = _q_event_paths
+
+    def _q_gap_fill(spark, sf_dir):
+        # hourly LOCF gap-fill per user over the events value series
+        from pydin_spark.operators.relational import fill_gaps_locf
+        _views(spark, sf_dir)
+        return fill_gaps_locf(spark.table("events"), bucket="1 hour")
+
+    out["q_gap_fill"] = _q_gap_fill
+
     def _curation_temperature(spark, sf_dir):
         # alpha=0.5 temperature resampling over sources (the oracle
         # operating point: the keep rate is a single correctly-rounded
@@ -3050,6 +3066,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.cohort, m."offset", m.n_active, s.n_cohort,
                CAST(m.n_active AS DOUBLE) / s.n_cohort AS retention
         FROM m JOIN s ON s.cohort = m.cohort
+    """
+    # top first-journey paths: total (ts, event_id) order per user
+    out["q_event_paths"] = """
+        WITH r AS (SELECT user_id, event_type,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                              AS rn
+                   FROM events),
+        p AS (SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 5 GROUP BY user_id),
+        c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path),
+        t AS (SELECT path, n_users,
+                     ROW_NUMBER() OVER (ORDER BY n_users DESC, path)
+                         AS rank
+              FROM c)
+        SELECT path, n_users, rank FROM t WHERE rank <= 20
+    """
+    # hourly LOCF gap-fill: bucket MAX representative, per-key grid,
+    # forward fill (last_value IGNORE NULLS over the ordered grid)
+    out["q_gap_fill"] = """
+        WITH per AS (SELECT user_id,
+                            time_bucket(INTERVAL '1 hour', ts)
+                                AS bucket,
+                            MAX(value) AS v
+                     FROM events GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+                   FROM per GROUP BY 1),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(mn, mx,
+                                               INTERVAL '1 hour'))
+                            AS bucket
+                 FROM bounds),
+        j AS (SELECT g.user_id, g.bucket, p.v
+              FROM grid g LEFT JOIN per p
+                ON p.user_id = g.user_id AND p.bucket = g.bucket)
+        SELECT user_id, bucket,
+               last_value(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS value_filled,
+               (v IS NULL) AS is_gap
+        FROM j
     """
     # temperature mixture at alpha=0.5: keep rate per stratum is
     # scale*sqrt(c_min/c_s) — int/int division then sqrt then multiply,

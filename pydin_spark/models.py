@@ -1495,6 +1495,8 @@ TRANSFORM_OPERATORS = {
     "semantic_cluster_dedup": "similarity.semantic_cluster_dedup",
     "funnel": "relational.funnel",
     "retention_cohorts": "relational.retention_cohorts",
+    "event_paths": "relational.event_paths",
+    "fill_gaps_locf": "relational.fill_gaps_locf",
     "temperature_mixture": "curation.temperature_mixture",
     "keep_top_fraction": "curation.keep_top_fraction",
     "sample_exact_k": "curation.sample_exact_k",

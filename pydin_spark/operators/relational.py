@@ -203,3 +203,77 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .select("cohort", "offset", "n_active", "n_cohort",
                     (F.col("n_active").cast("double")
                      / F.col("n_cohort")).alias("retention")))
+
+
+def event_paths(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                order_col: str = "event_id",
+                max_len: int = 5, k: int = 20) -> DataFrame:
+    """Top-k first-journey paths: each user's first ``max_len`` events
+    in (ts, order_col) order joined into a ``a>b>c`` path string, then
+    the ``k`` most common paths — the "how do users actually move
+    through the product" query. Output: (path, n_users, rank).
+
+    Determinism: the per-user order is a total order (ts then
+    ``order_col``), and the path list is rebuilt with ``array_sort``
+    over (position, type) structs rather than trusting
+    ``collect_list`` arrival order. Scale shape: one rank window per
+    user, one per-user aggregate (≤ max_len rows each), one path
+    count — everything keyed, the result is k rows.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col(order_col)))
+    firsts = (events
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= int(max_len)))
+    per_user = (firsts.groupBy(user_col)
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__rn").alias("rn"),
+                                     F.col(type_col).alias("t")))),
+                        lambda s: s["t"]),
+                    ">").alias("path")))
+    counts = (per_user.groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_users")))
+    wr = Window.orderBy(F.desc("n_users"), F.col("path"))
+    return (counts.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= int(k))
+            .select("path", "n_users", "rank"))
+
+
+def fill_gaps_locf(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   bucket: str = "1 hour") -> DataFrame:
+    """Per-key regular time grid with last-observation-carried-forward
+    filling: bucket the series (MAX per bucket — a deterministic
+    representative), generate every bucket between each key's first
+    and last observation, and forward-fill the holes — the
+    sensor/metrics gap-fill every time-series store ships
+    (``locf``/``interpolate``). Output: (key, bucket, value_filled,
+    is_gap).
+
+    Scale shape: one bucket aggregate, a per-key 2-row bounds
+    aggregate, a ``sequence`` explode of the grid (rows ∝ key-span
+    buckets — bound the bucket width to the span you actually serve),
+    a keyed left join, and one ordered LOCF window per key. No UDF,
+    no driver data.
+    """
+    from pyspark.sql import Window
+    b = F.window(ts_col, bucket)["start"]
+    per = (events.groupBy(F.col(key_col), b.alias("bucket"))
+           .agg(F.max(value_col).alias("__v")))
+    bounds = per.groupBy(key_col).agg(F.min("bucket").alias("mn"),
+                                      F.max("bucket").alias("mx"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.expr(f"sequence(mn, mx, interval {bucket})"))
+        .alias("bucket"))
+    joined = grid.join(per, [key_col, "bucket"], "left")
+    w = (Window.partitionBy(key_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        F.col(key_col), F.col("bucket"),
+        F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("__v").isNull().alias("is_gap"))

@@ -1433,3 +1433,32 @@ def test_retention_cohorts_hand_case(spark):
     assert out[("2024-01-02", 0)] == (1, 1)   # u3's own cohort
     assert out[("2024-01-02", 1)] == (1, 1)
     assert ("2024-01-01", 2) not in out       # nobody active day 3
+
+
+def test_event_paths_and_gap_fill_hand_cases(spark):
+    from pydin_spark.operators.relational import (event_paths,
+                                                  fill_gaps_locf)
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view", 1.0),
+        (2, 1, "2024-01-01 10:05:00", "click", 2.0),
+        (3, 1, "2024-01-01 13:10:00", "purchase", 4.0),
+        (4, 2, "2024-01-01 09:00:00", "view", 8.0),
+        (5, 2, "2024-01-01 09:30:00", "click", 16.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, "
+              "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    paths = {r.path: r.n_users for r in event_paths(ev).collect()}
+    assert paths == {"view>click>purchase": 1, "view>click": 1}
+    filled = {(r.user_id, str(r.bucket)): (r.value_filled, r.is_gap)
+              for r in fill_gaps_locf(ev, bucket="1 hour").collect()}
+    # u1: observed 10:00 (max of 1,2), gaps 11:00/12:00 carry 2.0,
+    # observed 13:00
+    assert filled[(1, "2024-01-01 10:00:00")] == (2.0, False)
+    assert filled[(1, "2024-01-01 11:00:00")] == (2.0, True)
+    assert filled[(1, "2024-01-01 12:00:00")] == (2.0, True)
+    assert filled[(1, "2024-01-01 13:00:00")] == (4.0, False)
+    # u2: single bucket, no gaps
+    assert filled[(2, "2024-01-01 09:00:00")] == (16.0, False)
+    assert len(filled) == 5
