@@ -158,3 +158,43 @@ def test_heavy_hitters_bounds_hold(spark, items, capacity):
         assert {r.item: r.est_count for r in got} == dict(
             Counter(true).most_common(20))
         assert all(r.err_ub == 0 for r in got)
+
+
+ev_entries = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),      # user
+              st.integers(min_value=0, max_value=50),     # minute
+              st.sampled_from(["view", "click", "buy", "other"])),
+    min_size=0, max_size=25)
+
+
+@settings(max_examples=12, deadline=None)
+@given(entries=ev_entries)
+def test_funnel_matches_reference(spark, entries):
+    """funnel() == a direct per-user reference walk for arbitrary tiny
+    event logs (first-completion, strictly-after chaining)."""
+    from pyspark.sql import functions as F
+    from pydin_spark.operators.relational import funnel
+    rows = [(i, u, f"2024-01-01 00:{m:02d}:00", t)
+            for i, (u, m, t) in enumerate(entries)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    steps = ["view", "click", "buy"]
+    got = {r.step: r.n_users for r in funnel(ev, steps).collect()}
+
+    # reference: chaining is on TIMES (strictly greater), matching the
+    # operator's ts-only comparison — same-timestamp events don't chain
+    per_user = {}
+    for (u, m, t) in entries:
+        per_user.setdefault(u, []).append((m, t))
+    want = {s: 0 for s in steps}
+    for events_u in per_user.values():
+        prev_m = None
+        for s in steps:
+            times = [m for (m, t) in events_u
+                     if t == s and (prev_m is None or m > prev_m)]
+            if not times:
+                break
+            prev_m = min(times)
+            want[s] += 1
+    assert got == want
