@@ -164,3 +164,20 @@ def test_fourth_pass_operators_survive_empty_input(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="refresh"):
         st.serve(spark, k=5)
+
+
+def test_analytics_operators_survive_empty_input(spark):
+    """Quiet-day sweep for the event-analytics family."""
+    from pydin_spark.operators.relational import (event_paths,
+                                                  fill_gaps_locf,
+                                                  funnel,
+                                                  retention_cohorts)
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double")
+    out = funnel(ev, ["view", "click"]).collect()
+    assert [(r.step, r.n_users, r.conversion) for r in out] == \
+        [("view", 0, 0.0), ("click", 0, 0.0)]
+    assert retention_cohorts(ev).count() == 0
+    assert event_paths(ev).count() == 0
+    assert fill_gaps_locf(ev).count() == 0
