@@ -32,6 +32,17 @@ def _hash_unit(col, seed: int):
     return h / F.lit(float(1 << 60))
 
 
+def _strata(strata_col):
+    """Stratum expression from a column name, a list/tuple of names
+    (composite strata like (source, lang) — compared as a struct), or
+    None (one global stratum)."""
+    if strata_col is None:
+        return F.lit(0)
+    if isinstance(strata_col, str):
+        return F.col(strata_col)
+    return F.struct(*[F.col(c) for c in strata_col])
+
+
 def sample_stratified(df: DataFrame, fraction: float | None = None,
                       id_col: str = "doc_id",
                       strata_col: str | None = None,
@@ -651,7 +662,7 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
 
 
 def temperature_mixture(df: DataFrame, alpha: float = 0.5,
-                        strata_col: str = "source",
+                        strata_col: str | list = "source",
                         id_col: str = "doc_id", seed: int = 42,
                         scale: float = 1.0) -> DataFrame:
     """Temperature-scaled mixture resampling: downsample strata so the
@@ -678,26 +689,30 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.5,
     """
     import math
 
-    counts = {r[strata_col]: r["n"] for r in
-              df.groupBy(strata_col)
+    cols = [strata_col] if isinstance(strata_col, str) else list(strata_col)
+    counts = {tuple(r[c] for c in cols): r["n"] for r in
+              df.groupBy(*cols)
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     if not counts:
         return df
     cmin = min(counts.values())
     u = _hash_unit(F.col(id_col).cast("string"), seed)
     rate = F.lit(None).cast("double")
-    for s, c in counts.items():
+    for key, c in counts.items():
         ratio = cmin / c
         r = (float(scale) * math.sqrt(ratio) if alpha == 0.5
              else float(scale) * ratio ** (1.0 - float(alpha)))
-        cond = (F.col(strata_col).isNull() if s is None
-                else (F.col(strata_col) == s))
+        cond = None
+        for col_name, v in zip(cols, key):
+            piece = (F.col(col_name).isNull() if v is None
+                     else (F.col(col_name) == F.lit(v)))
+            cond = piece if cond is None else (cond & piece)
         rate = F.when(cond, F.lit(r)).otherwise(rate)
     return df.where(u < rate)
 
 
 def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
-                      strata_col: str | None = None,
+                      strata_col: str | list | None = None,
                       id_col: str = "doc_id",
                       approx: bool = False,
                       accuracy: int = 10_000) -> DataFrame:
@@ -719,7 +734,7 @@ def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
     kept fraction deviates from the quota only by the sketch's rank
     error and tie mass.
     """
-    strata = F.col(strata_col) if strata_col is not None else F.lit(0)
+    strata = _strata(strata_col)
     if approx:
         cuts = (df.groupBy(strata.alias("__s"))
                 .agg(F.percentile_approx(
@@ -746,7 +761,7 @@ def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
 
 
 def sample_exact_k(df: DataFrame, k: int,
-                   strata_col: str | None = None,
+                   strata_col: str | list | None = None,
                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
     """Exactly ``k`` rows (per stratum if ``strata_col`` is given),
     chosen by deterministic md5 hash order — the eval-set/holdout
@@ -764,7 +779,7 @@ def sample_exact_k(df: DataFrame, k: int,
     """
     from pyspark.sql import Window
     u = _hash_unit(F.col(id_col).cast("string"), seed)
-    strata = F.col(strata_col) if strata_col is not None else F.lit(0)
+    strata = _strata(strata_col)
     w = Window.partitionBy(strata).orderBy(u.asc(), F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= int(k))

@@ -1462,3 +1462,50 @@ def test_event_paths_and_gap_fill_hand_cases(spark):
     # u2: single bucket, no gaps
     assert filled[(2, "2024-01-01 09:00:00")] == (16.0, False)
     assert len(filled) == 5
+
+
+def test_samplers_composite_strata(spark, views):
+    """strata_col accepts a list of columns: quotas, temperature rates
+    and exact-k draws are computed per (source, lang) combination."""
+    from pydin_spark.operators.curation import (keep_top_fraction,
+                                                sample_exact_k,
+                                                temperature_mixture)
+    docs = spark.table("documents")
+    combos = {(r.source, r.lang): r.n for r in
+              docs.groupBy("source", "lang")
+              .agg(F.count("*").alias("n")).collect()}
+
+    per = {(r.source, r.lang): r.n for r in
+           sample_exact_k(docs, k=3, strata_col=["source", "lang"])
+           .groupBy("source", "lang").agg(F.count("*").alias("n"))
+           .collect()}
+    for key, n in combos.items():
+        assert per.get(key, 0) == min(3, n)
+
+    kept = {(r.source, r.lang): r.n for r in
+            keep_top_fraction(docs, "n_chars", 0.5,
+                              strata_col=["source", "lang"])
+            .groupBy("source", "lang").agg(F.count("*").alias("n"))
+            .collect()}
+    import math
+    for key, n in combos.items():
+        assert kept.get(key, 0) == math.ceil(round(0.5 * n, 9))
+
+    # smallest (source, lang) combo keeps everything at alpha=0.5
+    tm = temperature_mixture(docs, alpha=0.5,
+                             strata_col=["source", "lang"])
+    got = {(r.source, r.lang): r.n for r in
+           tm.groupBy("source", "lang").agg(F.count("*").alias("n"))
+           .collect()}
+    smallest = min(combos, key=combos.get)
+    assert got[smallest] == combos[smallest]
+    # single-col str path unchanged (regression vs the oracle query)
+    a = sorted(r.doc_id for r in
+               temperature_mixture(docs, alpha=0.5,
+                                   strata_col="source")
+               .select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               temperature_mixture(docs, alpha=0.5,
+                                   strata_col=["source"])
+               .select("doc_id").collect())
+    assert a == b
