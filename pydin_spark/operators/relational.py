@@ -125,10 +125,13 @@ def funnel(events: DataFrame, steps: list[str],
     don't restart the funnel). ``within`` bounds the whole journey:
     step-k events count only inside ``[t1, t1 + within]``.
 
-    Scale shape: K-1 conditional min-aggregations over hash-partitioned
-    frames — each step is one shuffle on the user key (co-partitioned
-    after the first, so AQE reuses the exchange), no per-user window
-    over the full history, no UDF. The result is K rows.
+    Scale shape: K-1 conditional min-aggregations, each one shuffle of
+    the step's events against the (shrinking) reached-user frontier.
+    The frontier is MATERIALIZED per step (``localCheckpoint``) — each
+    step is counted from the materialized frontier, so step k costs
+    one events pass, not a replay of steps 1..k-1 (K passes total, not
+    K²). No per-user window over the full history, no UDF; the result
+    is K rows.
     """
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
@@ -136,8 +139,9 @@ def funnel(events: DataFrame, steps: list[str],
           .groupBy(user_col)
           .agg(F.min(ts_col).alias("t1")))
     reached = t1.select(user_col, F.col("t1"),
-                        F.col("t1").alias("t_prev"))
-    counts = [(1, steps[0], t1.count())]
+                        F.col("t1").alias("t_prev")) \
+        .localCheckpoint(eager=True)
+    counts = [(1, steps[0], reached.count())]
     for i, step in enumerate(steps[1:], start=2):
         ev = events.where(F.col(type_col) == step) \
             .select(user_col, F.col(ts_col).alias("__ts"))
@@ -151,7 +155,8 @@ def funnel(events: DataFrame, steps: list[str],
                .agg(F.min("__ts").alias("t_step"),
                     F.first("t1").alias("t1")))
         reached = nxt.select(user_col, "t1",
-                             F.col("t_step").alias("t_prev"))
+                             F.col("t_step").alias("t_prev")) \
+            .localCheckpoint(eager=True)
         counts.append((i, step, reached.count()))
     spark = events.sparkSession
     base = counts[0][2]
@@ -218,8 +223,11 @@ def event_paths(events: DataFrame, user_col: str = "user_id",
     ``order_col``), and the path list is rebuilt with ``array_sort``
     over (position, type) structs rather than trusting
     ``collect_list`` arrival order. Scale shape: one rank window per
-    user, one per-user aggregate (≤ max_len rows each), one path
-    count — everything keyed, the result is k rows.
+    user, one per-user aggregate (≤ max_len rows each), one keyed path
+    count, then a distributed ``orderBy().limit(k)`` (TakeOrdered —
+    per-partition top-k merged on the driver) so the full path
+    histogram is never shuffled to one partition; the rank window runs
+    over the k surviving rows only.
     """
     from pyspark.sql import Window
     w = (Window.partitionBy(user_col)
@@ -237,9 +245,9 @@ def event_paths(events: DataFrame, user_col: str = "user_id",
                     ">").alias("path")))
     counts = (per_user.groupBy("path")
               .agg(F.count(F.lit(1)).alias("n_users")))
+    top = counts.orderBy(F.desc("n_users"), F.col("path")).limit(int(k))
     wr = Window.orderBy(F.desc("n_users"), F.col("path"))
-    return (counts.withColumn("rank", F.row_number().over(wr))
-            .where(F.col("rank") <= int(k))
+    return (top.withColumn("rank", F.row_number().over(wr))
             .select("path", "n_users", "rank"))
 
 

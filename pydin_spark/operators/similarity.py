@@ -563,7 +563,8 @@ def semantic_cluster_dedup(df: DataFrame, k: int = 5,
                            vec_col: str = "embedding",
                            order_col: str | None = None,
                            descending: bool = True,
-                           centers=None) -> DataFrame:
+                           centers=None,
+                           graph: DataFrame | None = None) -> DataFrame:
     """Graph-clustered semantic dedup: mutual-kNN edges at cosine >=
     ``threshold`` → connected components → one survivor per cluster.
 
@@ -580,12 +581,21 @@ def semantic_cluster_dedup(df: DataFrame, k: int = 5,
     ``'ivf'`` uses the cell-bounded approximate graph
     (:func:`ivf_knn_graph`, with ``centers=`` to amortize training) —
     at 100 TB the IVF path is the default posture and the exact path
-    the audit tool. Cost beyond the graph build: one edge-list
-    semi-join, the O(log d) component rounds, one rank window.
+    the audit tool. ``graph=`` skips the build entirely and reuses an
+    already-built (src_id, nbr_id, cosine, rnk) frame — e.g.
+    ``IVFIndex.knn_graph``'s stored-index graph. Cost beyond the graph
+    build: one edge-list semi-join, the O(log d) component rounds, one
+    rank window.
     """
     from .dedup import pick_cluster_survivors
 
-    if method == "exact":
+    if graph is not None:
+        g = graph
+    elif method == "exact":
+        if centers is not None:
+            raise ValueError(
+                "centers= only applies to method='ivf' — the exact "
+                "graph trains nothing (pass method='ivf' or graph=)")
         g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col)
     elif method == "ivf":
         g = ivf_knn_graph(df, k=k, nlist=nlist, nprobe=nprobe,
@@ -891,22 +901,35 @@ class IVFIndex:
         Appending an id that already exists duplicates it (this is a
         vector log, not an upsert) — dedup upstream or rebuild.
 
+        Concurrent-rebuild safety: after writing, append re-resolves
+        the manifest; if a rebuild flipped the serving version
+        mid-append, the batch (now sitting in a superseded tree) is
+        re-assigned against the NEW version's centroids and re-applied
+        — the ``keep_versions`` GC grace keeps the superseded tree
+        from being deleted under the in-flight write. Losing a batch
+        would need rebuilds to flip on every retry.
+
         Returns {"vid", "n_appended"}.
         """
         spark = new_vectors.sparkSession
-        vid = self._current_vid(spark)
-        vdir = self._version_path(vid)
-        centers = self._centers(spark, vdir)
+        n = new_vectors.count()
         cv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
-        assigned = new_vectors.select(
-            F.col(self.id_col), cv.alias("cv"),
-            F.element_at(_nearest_lists(cv, 1, centers), 1)
-            .alias("list_id"))
-        n = assigned.count()
-        (assigned.write.mode("append").partitionBy("list_id")
-         .parquet(f"{vdir}/lists"))
-        spark.catalog.refreshByPath(f"{vdir}/lists")
-        return {"vid": vid, "n_appended": int(n)}
+        for _ in range(3):
+            vid = self._current_vid(spark)
+            vdir = self._version_path(vid)
+            centers = self._centers(spark, vdir)
+            assigned = new_vectors.select(
+                F.col(self.id_col), cv.alias("cv"),
+                F.element_at(_nearest_lists(cv, 1, centers), 1)
+                .alias("list_id"))
+            (assigned.write.mode("append").partitionBy("list_id")
+             .parquet(f"{vdir}/lists"))
+            spark.catalog.refreshByPath(f"{vdir}/lists")
+            if self._current_vid(spark) == vid:
+                return {"vid": vid, "n_appended": int(n)}
+        raise RuntimeError(
+            "append raced a rebuild on every attempt — pause the "
+            "maintenance job or serialize ingest with rebuilds")
 
     def meta(self, spark) -> dict:
         """Stats of the serving version (vid, n_vectors,
@@ -923,10 +946,9 @@ class IVFIndex:
         """Approximate kNN graph over the index's OWN stored corpus,
         reusing the stored centroids — the graph-construction entry of
         the stored-index lifecycle: build/rebuild the index once, then
-        derive semantic-clustering graphs (feed
-        :func:`semantic_cluster_dedup` via its ``centers=``/``graph=``
-        hooks or :func:`mutual_knn_pairs`) without retraining k-means
-        per call. ``nprobe = nlist`` is provably the exact graph of
+        derive semantic-clustering graphs (pass the result as
+        :func:`semantic_cluster_dedup`'s / :func:`mutual_knn_pairs`'s
+        ``graph=``) without retraining k-means per call. ``nprobe = nlist`` is provably the exact graph of
         the stored corpus. Reads the serving version's immutable
         files, so a concurrent rebuild can't shear the result."""
         vdir = self._version_path(self._current_vid(spark))

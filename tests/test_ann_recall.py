@@ -169,3 +169,19 @@ def test_semantic_cluster_dedup_policies(spark, corpus):
         else:
             want_q.add(max(members, key=lambda x: (x * 37 % 101, -x)))
     assert got_q == want_q
+
+
+def test_semantic_cluster_dedup_graph_hook(spark, corpus):
+    """graph= reuses a prebuilt graph (same survivors as building
+    internally); centers= under method='exact' is refused instead of
+    silently ignored."""
+    import pytest
+    from pydin_spark.operators.similarity import (knn_graph,
+                                                  semantic_cluster_dedup)
+    g = knn_graph(corpus, k=5).localCheckpoint(eager=True)
+    canon = lambda df: sorted(r.vec_id for r in df.select("vec_id").collect())
+    assert canon(semantic_cluster_dedup(corpus, k=5, threshold=0.4,
+                                        graph=g)) == \
+        canon(semantic_cluster_dedup(corpus, k=5, threshold=0.4))
+    with pytest.raises(ValueError, match="centers="):
+        semantic_cluster_dedup(corpus, k=5, centers=[[1.0, 0.0]])

@@ -216,3 +216,42 @@ def test_index_append_serves_new_vectors_exactly(spark, tmp_path):
     assert canon(g) == canon(knn_graph(emb, k=3))
     # drift baseline untouched: still the build-time stats
     assert idx.meta(spark)["n_vectors"] == first.count()
+
+
+def test_append_revalidates_after_rebuild_flip(spark, tmp_path,
+                                               monkeypatch):
+    """If a rebuild flips the serving version mid-append, append must
+    re-apply the batch onto the NEW version (not leave it stranded in
+    the superseded tree)."""
+    from pydin_spark import load_table
+    from pydin_spark.operators.similarity import IVFIndex, cosine_topk
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where("vec_id % 2 = 0")
+    second = emb.where("vec_id % 2 = 1")
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(first)
+
+    # simulate the race: the first _current_vid resolution happens
+    # BEFORE a concurrent rebuild flips the manifest
+    real = IVFIndex._current_vid
+    state = {"calls": 0}
+
+    def racing(self, sp):
+        vid = real(self, sp)
+        state["calls"] += 1
+        if state["calls"] == 1:
+            idx2 = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+            idx2.rebuild(first)          # flip mid-append
+            return vid                   # stale resolution
+        return real(self, sp)
+
+    monkeypatch.setattr(IVFIndex, "_current_vid", racing)
+    out = idx.append(second)
+    monkeypatch.setattr(IVFIndex, "_current_vid", real)
+    assert out["n_appended"] == second.count()
+    # the serving version must contain the appended vectors
+    q = emb.where("vec_id < 6").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))
+    served = IVFIndex(str(tmp_path / "ivf")).query(q, k=5, nprobe=4)
+    assert canon(served) == canon(cosine_topk(emb, q, k=5))
