@@ -614,7 +614,8 @@ def semantic_cluster_dedup(df: DataFrame, k: int = 5,
 def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
                   nprobe: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding", seed: int = 42,
-                  max_iter: int = 20, centers=None) -> DataFrame:
+                  max_iter: int = 20, centers=None,
+                  src_ids: DataFrame | None = None) -> DataFrame:
     """APPROXIMATE kNN graph: each vector's top-k within its ``nprobe``
     nearest IVF cells — the n²·nprobe/nlist scale path that turns
     :func:`knn_graph`'s inherent n² into a tunable recall/cost trade
@@ -638,6 +639,13 @@ def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
     is measured against the exact graph in tests. Cell skew bounds the
     longest task — cap cell size by raising ``nlist`` (cells ~n/nlist
     rows on balanced data).
+
+    ``src_ids`` (a 1-column frame of ``id_col`` values) restricts the
+    PROBER side — edges are computed only for those sources, while
+    every corpus vector stays a candidate neighbor. This is the
+    incremental-patch primitive: a source's edge set depends only on
+    its probed cells' member sets, so after an append only sources
+    probing touched cells need recomputing.
     """
     import numpy as np
 
@@ -683,7 +691,10 @@ def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
         .select("vid", "vec", "list_id", "side",
                 F.explode(F.sequence(F.lit(0), F.lit(splits - 1)))
                 .alias("chunk")))
-    srcs = df.select(
+    src_df = df if src_ids is None else df.join(
+        src_ids.select(F.col(src_ids.columns[0]).alias(id_col)),
+        id_col, "left_semi")
+    srcs = src_df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         F.explode(_nearest_lists(cv, min(int(nprobe), int(nlist)),
                                  centers)).alias("list_id"),
@@ -958,6 +969,79 @@ class IVFIndex:
         return ivf_knn_graph(corpus, k=k, nprobe=nprobe,
                              id_col=self.id_col, vec_col="cv",
                              centers=centers)
+
+    def _graph_path(self, vdir: str, k: int, nprobe: int) -> str:
+        return f"{vdir}/graphs/k{int(k)}_p{int(nprobe)}"
+
+    def build_graph(self, spark, k: int = 5,
+                    nprobe: int = 2) -> DataFrame:
+        """Materialize the stored-corpus kNN graph next to the serving
+        version (``graphs/k<k>_p<nprobe>/``) so downstream consumers
+        (semantic clustering, dedup) read edges instead of recomputing
+        them, and :meth:`patch_graph` can maintain them incrementally
+        after appends."""
+        vdir = self._version_path(self._current_vid(spark))
+        path = self._graph_path(vdir, k, nprobe)
+        g = self.knn_graph(spark, k=k, nprobe=nprobe)
+        g.write.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        return self.read_graph(spark, k=k, nprobe=nprobe)
+
+    def read_graph(self, spark, k: int = 5,
+                   nprobe: int = 2) -> DataFrame:
+        """The stored edge frame (src_id, nbr_id, cosine, rnk) of the
+        serving version — build_graph/patch_graph first."""
+        vdir = self._version_path(self._current_vid(spark))
+        return (spark.read.parquet(self._graph_path(vdir, k, nprobe))
+                .select("src_id", "nbr_id", "cosine", "rnk"))
+
+    def patch_graph(self, new_vectors: DataFrame, k: int = 5,
+                    nprobe: int = 2) -> DataFrame:
+        """Incremental graph maintenance after :meth:`append` of the
+        SAME batch: a source's edge set depends only on the member
+        sets of the cells it probes, and an append only ADDS members —
+        so exactly the sources probing a touched cell (plus the
+        appended vectors themselves, which are such sources by
+        construction) are recomputed; every other stored edge is
+        provably still correct and carried over unchanged. The result
+        is IDENTICAL to a full rebuild at the same (k, nprobe) —
+        pinned in tests — at ~(touched cells / nlist) of the cost.
+
+        Call order: ``append(batch)`` then ``patch_graph(batch)``,
+        both against the same serving version (patch re-reads the
+        current manifest; run it before the next rebuild flips).
+        """
+        spark = new_vectors.sparkSession
+        vdir = self._version_path(self._current_vid(spark))
+        centers = self._centers(spark, vdir)
+        path = self._graph_path(vdir, k, nprobe)
+        old = spark.read.parquet(path)
+        cv = F.transform(F.col(self.vec_col),
+                         lambda v: v.cast("double"))
+        touched = (new_vectors.select(
+            F.element_at(_nearest_lists(cv, 1, centers), 1)
+            .alias("list_id")).distinct())
+        corpus = (spark.read.parquet(f"{vdir}/lists")
+                  .select(F.col(self.id_col), F.col("cv")))
+        nprobe_eff = min(int(nprobe), len(centers))
+        probes = corpus.select(
+            F.col(self.id_col),
+            F.explode(_nearest_lists(F.col("cv"), nprobe_eff, centers))
+            .alias("list_id"))
+        from pyspark.sql.functions import broadcast
+        affected = (probes.join(broadcast(touched), "list_id")
+                    .select(self.id_col).distinct())
+        fresh = ivf_knn_graph(corpus, k=k, nprobe=nprobe,
+                              id_col=self.id_col, vec_col="cv",
+                              centers=centers, src_ids=affected)
+        kept = old.join(
+            affected.withColumnRenamed(self.id_col, "src_id"),
+            "src_id", "left_anti")
+        # materialize before overwriting the directory being read
+        out = kept.unionByName(fresh).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        return self.read_graph(spark, k=k, nprobe=nprobe)
 
     def drift(self, corpus: DataFrame,
               sample_fraction: float | None = None,
