@@ -63,12 +63,19 @@ def main() -> None:
     # stored-index graph cover them immediately, while drift keeps
     # measuring them against the centroids that actually serve them
     arrived = emb.where("vec_id >= 150 AND vec_id < 300")
+    idx.build_graph(spark, k=3, nprobe=4)       # stored edge frame
     appended = idx.append(arrived)
     print(f"appended {appended['n_appended']} vectors into the "
           f"serving version (no retrain)")
-    g = served.knn_graph(spark, k=3, nprobe=8)
-    assert g.where("src_id >= 150").count() > 0, \
-        "appended vectors must appear in the stored-index graph"
+    # incremental maintenance: only sources probing touched cells
+    # recompute; the stored edges still equal a full rebuild
+    patched = idx.patch_graph(arrived, k=3, nprobe=4)
+    assert patched.where("src_id >= 150").count() > 0, \
+        "appended vectors must appear in the patched graph"
+    key = lambda df: sorted((r["src_id"], r["nbr_id"], r["rnk"])
+                            for r in df.collect())
+    assert key(patched) == key(served.knn_graph(spark, k=3, nprobe=4)), \
+        "patched graph must equal a full rebuild"
 
     # weeks later: the corpus grew/drifted; the scheduled tick decides
     grown = emb
