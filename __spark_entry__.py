@@ -1951,6 +1951,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["q_gap_fill"] = _q_gap_fill
 
+    def _sim_knn_graph_patched(spark, sf_dir):
+        # the STORED-graph lifecycle under the gate: build the index on
+        # the even vectors, materialize its graph, append the odd
+        # vectors, then PATCH (only sources probing touched cells
+        # recompute). At nprobe=nlist the patched graph provably equals
+        # the exact graph over the full corpus — the brute-force oracle
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        scratch = tempfile.mkdtemp(prefix="pydin_ivfg_")
+        try:
+            idx = similarity.IVFIndex(scratch + "/ivf", nlist=8,
+                                      max_iter=2)
+            idx.build(emb.where("vec_id % 2 = 0"))
+            idx.build_graph(spark, k=5, nprobe=8)
+            batch = emb.where("vec_id % 2 = 1")
+            idx.append(batch)
+            return (idx.patch_graph(batch, k=5, nprobe=8)
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["sim_knn_graph_patched"] = _sim_knn_graph_patched
+
     def _curation_temperature(spark, sf_dir):
         # alpha=0.5 temperature resampling over sources (the oracle
         # operating point: the keep rate is a single correctly-rounded
@@ -2972,6 +2997,9 @@ def oracle_sql() -> dict[str, str]:
     # the IVF graph probes every cell at nprobe=nlist — same answer as
     # the exact graph, same oracle
     out["sim_knn_graph_ivf"] = out["sim_knn_graph"]
+    # build-on-half + append + patch at nprobe=nlist is still the
+    # exact graph of the full corpus — same oracle again
+    out["sim_knn_graph_patched"] = out["sim_knn_graph"]
     # mutual-kNN edges: both directions rank top-5, canonical order
     out["sim_mutual_knn"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
