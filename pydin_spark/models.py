@@ -1500,6 +1500,11 @@ TRANSFORM_OPERATORS = {
     "temperature_mixture": "curation.temperature_mixture",
     "keep_top_fraction": "curation.keep_top_fraction",
     "sample_exact_k": "curation.sample_exact_k",
+    "bloom_build": "rollup.bloom_build",
+    "bloom_merge": "rollup.bloom_merge",
+    "decontaminate_bloom": "curation.decontaminate_bloom",
+    "profile": "curation.profile",
+    "line_dedup": "text.line_dedup",
 }
 
 

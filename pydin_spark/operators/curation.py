@@ -680,14 +680,19 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.5,
     shuffle, stable under reruns.
 
     Scale shape: one K-row stratum-count aggregate to the driver, then
-    a scan filter. At alpha=0.5 the rate is computed with a single
-    correctly-rounded sqrt of an int/int division, so a SQL twin
-    reproduces the exact keep set bit-for-bit (the oracle operating
-    point); other alphas go through pow(), which libms round
-    differently in the last ulp — fine for sampling, not for
-    value-exact oracles.
+    the per-stratum rate rides back as a K-row broadcast hash join —
+    NOT a chained CASE expression, which at high stratum cardinality
+    (per-domain mixes) hits Catalyst expression-depth/codegen limits
+    and driver memory instead of degrading gracefully. At alpha=0.5
+    the rate is computed with a single correctly-rounded sqrt of an
+    int/int division, so a SQL twin reproduces the exact keep set
+    bit-for-bit (the oracle operating point); other alphas go through
+    pow(), which libms round differently in the last ulp — fine for
+    sampling, not for value-exact oracles.
     """
     import math
+
+    from pyspark.sql import types as T
 
     cols = [strata_col] if isinstance(strata_col, str) else list(strata_col)
     counts = {tuple(r[c] for c in cols): r["n"] for r in
@@ -696,19 +701,26 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.5,
     if not counts:
         return df
     cmin = min(counts.values())
-    u = _hash_unit(F.col(id_col).cast("string"), seed)
-    rate = F.lit(None).cast("double")
+    rows = []
     for key, c in counts.items():
         ratio = cmin / c
         r = (float(scale) * math.sqrt(ratio) if alpha == 0.5
              else float(scale) * ratio ** (1.0 - float(alpha)))
-        cond = None
-        for col_name, v in zip(cols, key):
-            piece = (F.col(col_name).isNull() if v is None
-                     else (F.col(col_name) == F.lit(v)))
-            cond = piece if cond is None else (cond & piece)
-        rate = F.when(cond, F.lit(r)).otherwise(rate)
-    return df.where(u < rate)
+        rows.append(tuple(key) + (r,))
+    spark = df.sparkSession
+    key_fields = df.select(*cols).schema.fields
+    rate_schema = T.StructType(
+        list(key_fields) + [T.StructField("__rate", T.DoubleType(), False)])
+    rates = spark.createDataFrame(rows, rate_schema).select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(cols)], "__rate")
+    cond = None
+    for i, c in enumerate(cols):
+        piece = F.col(c).eqNullSafe(F.col(f"__k{i}"))
+        cond = piece if cond is None else (cond & piece)
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    return (df.join(F.broadcast(rates), cond)
+            .where(u < F.col("__rate"))
+            .drop("__rate", *[f"__k{i}" for i in range(len(cols))]))
 
 
 def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
@@ -733,6 +745,14 @@ def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
     filter — no rank window at all. All cutoff ties are kept, so the
     kept fraction deviates from the quota only by the sketch's rank
     error and tie mass.
+
+    NULL scores sort as lowest in both paths: the exact rank puts them
+    after every real score (kept only when the quota exceeds the
+    non-NULL count), and the approx filter drops them whenever the
+    stratum has a real cutoff. A stratum whose scores are ALL NULL has
+    no percentile (``approx_percentile`` returns NULL) — it keeps all
+    its rows rather than silently vanishing, matching the exact path's
+    quota-over-ties behavior as closely as a cutoff filter can.
     """
     strata = _strata(strata_col)
     if approx:
@@ -742,7 +762,8 @@ def keep_top_fraction(df: DataFrame, score_col: str, fraction: float,
                     F.lit(int(accuracy))).alias("__cut")))
         joined = df.join(F.broadcast(cuts),
                          strata.eqNullSafe(F.col("__s")))
-        return joined.where(F.col(score_col) >= F.col("__cut")) \
+        return joined.where(F.col("__cut").isNull()
+                            | (F.col(score_col) >= F.col("__cut"))) \
             .drop("__s", "__cut")
     from pyspark.sql import Window
     w = (Window.partitionBy(strata)
@@ -784,3 +805,96 @@ def sample_exact_k(df: DataFrame, k: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= int(k))
             .drop("__rn"))
+
+
+def decontaminate_bloom(train: DataFrame, test: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.8,
+                        m_bits: int = 1 << 17,
+                        k_hashes: int = 3) -> DataFrame:
+    """Benchmark decontamination via a Bloom membership sketch of the
+    evaluation corpus — the 100 TB shape of :func:`decontaminate`:
+    drop training documents whose distinct word ``n``-gram CONTAINMENT
+    in the test set is >= ``threshold`` (fraction of the doc's
+    n-grams that appear anywhere in the eval corpus — the
+    GPT-3/PaLM-style contamination rule, document-vs-corpus rather
+    than the exact variant's document-vs-document Jaccard).
+
+    Why this exists next to :func:`decontaminate`: the exact version
+    shuffles the TRAIN side's n-grams into a cross-corpus join — at
+    100 TB of training text that shuffle dwarfs everything else. Here
+    the test corpus (always the small side: eval suites are MBs)
+    compresses into a ~16 KiB-per-2^17-bits word table
+    (:func:`pydin_spark.operators.rollup.bloom_build`) that BROADCASTS;
+    the train side stays a pure scan probed by k broadcast joins
+    (:func:`~pydin_spark.operators.rollup.bloom_contains`) — zero
+    train-side shuffle except the final per-doc fraction aggregate on
+    the doc key. False positives only ever OVER-count containment
+    (safe direction for decontamination), are bounded by the filter
+    sizing (~2% at 10 bits/item, k=3), and are md5-deterministic — an
+    oracle recomputing the same filter flags the identical doc set.
+
+    Returns surviving training rows unchanged.
+    """
+    from . import dedup
+    from .rollup import bloom_build, bloom_contains
+
+    sh_te = dedup.word_shingles(test, id_col, text_col, n) \
+        .select("shingle").distinct()
+    bloom = bloom_build(sh_te, "shingle", m_bits=m_bits,
+                        k_hashes=k_hashes)
+    sh_tr = dedup.word_shingles(train, id_col, text_col, n)
+    probed = bloom_contains(sh_tr, bloom, "shingle", m_bits=m_bits,
+                            k_hashes=k_hashes, out_col="__hit")
+    frac = (probed.groupBy(id_col)
+            .agg((F.sum(F.col("__hit").cast("long"))
+                  / F.count(F.lit(1))).alias("__frac")))
+    bad = frac.where(F.col("__frac") >= F.lit(float(threshold))) \
+        .select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            exact_distinct: bool = False) -> DataFrame:
+    """Per-column data profile in long format — the monitoring /
+    data-quality primitive run before and after every pipeline stage:
+    (column, n_rows, n_null, n_distinct, min_value, max_value,
+    mean_value), one row per profiled column. min/max are computed in
+    the column's native order and stringified afterwards (so numeric
+    columns don't get lexicographic extremes); mean is NULL for
+    non-numeric columns.
+
+    Scale shape: ONE full-scan aggregate for all columns together
+    (single reduce to a 1-row frame, exploded to K rows driver-side of
+    the plan — no per-column passes). ``n_distinct`` defaults to
+    ``approx_count_distinct`` (HLL, mergeable, one pass); set
+    ``exact_distinct=True`` only where exactness matters more than the
+    expand-operator cost of K simultaneous COUNT DISTINCTs — that
+    exact point is what the DuckDB oracle verifies.
+    """
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, T.NumericType)}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = (F.count_distinct(F.col(c)) if exact_distinct
+              else F.approx_count_distinct(F.col(c)))
+        aggs += [F.count(F.col(c)).alias(f"__nn_{c}"),
+                 nd.alias(f"__nd_{c}"),
+                 F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                 F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+                 (F.avg(F.col(c)) if c in numeric
+                  else F.lit(None).cast("double")).alias(f"__av_{c}")]
+    row = df.agg(*aggs)
+    entries = [F.struct(
+        F.lit(c).alias("column"),
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+        F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+        F.col(f"__mn_{c}").alias("min_value"),
+        F.col(f"__mx_{c}").alias("max_value"),
+        F.col(f"__av_{c}").alias("mean_value")) for c in cols]
+    return (row.select(F.explode(F.array(*entries)).alias("p"))
+            .select("p.*"))

@@ -160,7 +160,11 @@ def funnel(events: DataFrame, steps: list[str],
         counts.append((i, step, reached.count()))
     spark = events.sparkSession
     base = counts[0][2]
-    rows = [(n, s, c, (c / base) if base else 0.0)
+    # conversion is "fraction of step-1 completers"; with zero step-1
+    # completers that fraction is undefined — NULL, not 0.0 (0.0 would
+    # claim "nobody converted out of a real cohort", and the step-1
+    # row itself is 1.0 by definition whenever the base exists)
+    rows = [(n, s, c, (c / base) if base else None)
             for (n, s, c) in counts]
     return spark.createDataFrame(
         rows, "step_no int, step string, n_users long, conversion double")

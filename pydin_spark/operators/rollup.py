@@ -626,3 +626,109 @@ class StoredHeavyHitters:
             keep_cols=self.group_cols)
         return hh_topk(merged, k=k,
                        group_cols=("bucket_start", *self.group_cols))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filters — the MEMBERSHIP member of the mergeable-sketch family
+# (HLL = distinct counts, KLL = quantiles, Theta = set algebra,
+# Misra-Gries = frequent items, Bloom = "have we seen this?").
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 63  # bits per packed word; 63 keeps 1<<bit positive
+# in both Spark longs and DuckDB BIGINTs, so oracles reproduce the
+# packed words without sign-extension edge cases
+
+
+def _bloom_positions(item, j, m_bits: int):
+    """Deterministic bit position for (item, hash j): first 15 hex
+    chars of md5(item '#' j) -> 60-bit int -> mod m_bits. md5 exists in
+    DuckDB, so an oracle rebuilds the identical filter bit-for-bit —
+    false positives and all (FPs are deterministic, not random)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("#", item.cast("string"),
+                          j.cast("string"))), 1, 15), 16, 10).cast("long")
+    return h % F.lit(int(m_bits))
+
+
+def bloom_build(df: DataFrame, item_col: str, m_bits: int = 1 << 17,
+                k_hashes: int = 3,
+                group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Build a Bloom filter of ``item_col``'s values as packed words:
+    rows (group…, word_idx, bits) with ``word_idx = pos // 63`` and
+    bit ``pos % 63`` set for each of ``k_hashes`` md5-derived
+    positions. One filter per ``group_cols`` group (e.g. per source,
+    per day — the incremental-build unit).
+
+    Mergeable: filters over shards/batches/groups combine by
+    ``bit_or`` per word (:func:`bloom_merge`) — the property that
+    makes this the 100 TB membership answer: each executor sets bits
+    map-side, the reduce moves at most ``m_bits/63`` longs per group
+    (~16 KiB at the 2^17 default), and the finished filter broadcasts
+    to probe ANY other table with zero shuffle. Duplicate items need
+    no pre-distinct (re-setting a bit is idempotent under OR), so the
+    build is a pure scan + one tiny aggregate.
+
+    Size m_bits for ~10 bits/distinct item at k=3 for <2% FP; FPs are
+    deterministic (md5), so two engines computing the same filter
+    agree exactly — the oracle operating point.
+    """
+    ex = df.select(*group_cols,
+                   F.col(item_col).cast("string").alias("__it"))
+    ex = ex.withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])))
+    pos = _bloom_positions(F.col("__it"), F.col("__j"), m_bits)
+    wb = F.lit(_BLOOM_WORD_BITS)
+    return (ex.select(*group_cols,
+                      (pos / wb).cast("long").alias("word_idx"),
+                      (pos % wb).cast("int").alias("__bit"))
+            .withColumn("__m",
+                        F.expr("shiftleft(CAST(1 AS BIGINT), __bit)"))
+            .groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("__m").alias("bits")))
+
+
+def bloom_merge(filters: DataFrame,
+                group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union Bloom filters built with the same (m_bits, k_hashes):
+    bit-OR per word. Merging filters of different parameters is
+    undefined — the caller owns that contract (same rule as every
+    sketch in this family)."""
+    return (filters.groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
+def bloom_contains(df: DataFrame, bloom: DataFrame, item_col: str,
+                   m_bits: int = 1 << 17, k_hashes: int = 3,
+                   out_col: str = "maybe_in") -> DataFrame:
+    """Probe a (single, ungrouped) Bloom filter: adds boolean
+    ``out_col`` — True iff ALL ``k_hashes`` probe bits are set (the
+    standard "definitely absent / maybe present" contract; False is
+    authoritative, True has the filter's FP rate).
+
+    Scale shape: ``k_hashes`` broadcast hash joins of the ≤ m_bits/63
+    word table onto the probe stream — NO shuffle of ``df`` at all and
+    no row-id regroup; each probe row picks up its k words via
+    broadcast and the bit tests are codegen'd column ops. This is why
+    the filter beats an exact semi-join for huge probe sides: the
+    probe stays a pure scan.
+    """
+    out = df
+    wb = F.lit(_BLOOM_WORD_BITS)
+    hit = None
+    for j in range(k_hashes):
+        pos = _bloom_positions(F.col(item_col), F.lit(j), m_bits)
+        w = bloom.select(F.col("word_idx").alias(f"__w{j}"),
+                         F.col("bits").alias(f"__b{j}"))
+        out = out.withColumn(f"__wi{j}", (pos / wb).cast("long")) \
+            .withColumn(f"__bt{j}", (pos % wb).cast("int")) \
+            .withColumn(f"__mk{j}",
+                        F.expr(f"shiftleft(CAST(1 AS BIGINT), __bt{j})"))
+        out = out.join(F.broadcast(w),
+                       F.col(f"__wi{j}") == F.col(f"__w{j}"), "left")
+        test = (F.coalesce(F.col(f"__b{j}"), F.lit(0))
+                .bitwiseAND(F.col(f"__mk{j}")) != 0)
+        hit = test if hit is None else (hit & test)
+    drop = [c for j in range(k_hashes)
+            for c in (f"__wi{j}", f"__bt{j}", f"__mk{j}",
+                      f"__w{j}", f"__b{j}")]
+    return out.withColumn(out_col, hit).drop(*drop)

@@ -263,6 +263,17 @@ def _run_block_pairs(df: DataFrame, id_col: str, vec_col: str,
     serialize the compute). Replication invariant: partner p == blk
     contributes the diagonal group once; p != blk contributes
     (min, max) exactly once per side — no duplicate groups.
+
+    Skew: the block key hashes the id TOGETHER WITH the vector, so a
+    heavily duplicated id space (vector logs, append streams with
+    repeated keys) still spreads uniformly — hashing the id alone
+    would pile every duplicate onto one hot block and serialize its
+    matmuls. Blocking never affects the RESULT (every row pair still
+    meets in exactly one group, and the exact re-score downstream is
+    partition-independent), so the spread is free. Only bit-identical
+    (id, vector) rows can still collide; their block load is bounded
+    by the duplication factor of truly identical rows, which exact
+    dedup upstream removes.
     """
     import math
 
@@ -274,8 +285,8 @@ def _run_block_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     v = df.select(
         F.col(id_col), F.col(vec_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
-        .cast("int").alias("blk"))
+        F.pmod(F.xxhash64(F.col(id_col), F.col(vec_col)),
+               F.lit(nblocks)).cast("int").alias("blk"))
     rep = (v.select(
         id_col, vec_col, "blk",
         F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("p"))
@@ -542,10 +553,29 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
     frame — otherwise the exact :func:`knn_graph` is built. The
     mutuality check is one self-join of the k·n-row edge list on the
     reversed pair — edge-list-sized work, never corpus-sized.
+
+    A supplied ``graph`` is validated against ``k`` via its ``rnk``
+    column (one edge-list-sized max aggregate): a graph built at a
+    LARGER k is trimmed to ``rnk <= k`` (a k'-graph is a superset of
+    the k-graph, so the trim is exact); a graph whose deepest rank is
+    SMALLER than ``k`` raises — its mutual edges would silently be the
+    graph's k, not the requested one (pass ``k=<graph's k>`` if the
+    shallower graph is intentional, e.g. a corpus smaller than k+1
+    where every source legitimately has fewer neighbors).
     """
-    g = graph if graph is not None else knn_graph(df, k=k,
-                                                 id_col=id_col,
-                                                 vec_col=vec_col)
+    if graph is not None:
+        g = graph
+        if "rnk" in g.columns:
+            gk = g.agg(F.max("rnk").alias("m")).first()["m"] or 0
+            if gk > k:
+                g = g.where(F.col("rnk") <= k)
+            elif gk < k:
+                raise ValueError(
+                    f"graph= was built at k={gk} but k={k} was "
+                    f"requested; rebuild the graph at k>={k} or pass "
+                    f"k={gk} explicitly")
+    else:
+        g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col)
     e = g.select("src_id", "nbr_id", "cosine")
     rev = e.select(F.col("nbr_id").alias("src_id"),
                    F.col("src_id").alias("nbr_id"))
@@ -919,6 +949,20 @@ class IVFIndex:
         — the ``keep_versions`` GC grace keeps the superseded tree
         from being deleted under the in-flight write. Losing a batch
         would need rebuilds to flip on every retry.
+
+        RESIDUAL RACE (check-after-write, best-effort not atomic): a
+        rebuild that listed the serving version's files BEFORE this
+        write but flips AFTER the equality check passes builds the new
+        version without the batch, and append has already returned
+        success — no amount of post-write re-reading closes this
+        without a write lock, because the flip can always land after
+        the last check. The shipped mitigation is serialization at the
+        orchestration layer: rebuilds run as the scheduler maintenance
+        job (drift-triggered, one at a time) and ingest should pause
+        or drain around them; if appends and rebuilds must genuinely
+        overlap, re-append the batches ingested during the rebuild's
+        scan window (appends are idempotent only at the batch level —
+        the index is a vector log — so track batch ids upstream).
 
         Returns {"vid", "n_appended"}.
         """

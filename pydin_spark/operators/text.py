@@ -966,3 +966,67 @@ def bpe_tokenize(df: DataFrame, merges: list[tuple[str, str]],
         encode,
         schema=f"{id_col} {id_type}, tokens array<string>, "
                "n_tokens int")
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n",
+               min_tokens: int = 1,
+               join_sep: str | None = None) -> DataFrame:
+    """Corpus-wide exact LINE deduplication (C4/RefinedWeb-style): a
+    line that occurs in several documents survives only at its
+    corpus-first occurrence — smallest (id, position) — and is cut
+    everywhere else; boilerplate (nav bars, cookie banners, license
+    headers) disappears without touching unique prose. Output:
+    (id, text, n_lines, n_kept) with the text reassembled from the
+    kept lines in original order (docs whose every line was cut keep
+    an empty text — drop downstream if desired).
+
+    ``sep`` is a regex (default newline). Lines that are empty or
+    shorter than ``min_tokens`` whitespace tokens are EXEMPT — always
+    kept, never counted as duplicates (cutting every blank line or
+    stray "the" corpus-wide would shred documents; the C4 rule only
+    targets content-bearing repeated lines).
+
+    Scale shape — deliberately NOT a window over the line text: hot
+    boilerplate lines occur millions of times, and
+    ``row_number() OVER (PARTITION BY line)`` would sort each hot
+    line's occurrence list in one task. Instead the corpus-first
+    occurrence is ``min(struct(id, pos))`` per line — an aggregate
+    with map-side partial combine, so the hot line reduces to one row
+    per map task before the (tiny, distinct-line-sized) shuffle —
+    then one equi-join of that firsts table back onto the exploded
+    lines (AQE skew-join splits any remaining hot key), and one
+    reassembly aggregate on the doc key. Three shuffles total, none of
+    them a per-key sort.
+
+    ``sep`` is a split REGEX; ``join_sep`` is the literal string used
+    to reassemble (defaults to ``sep``, correct whenever ``sep`` has
+    no regex metacharacters — pass it explicitly otherwise).
+    """
+    toks_per_line = F.size(F.split(F.col("line"), " "))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    elig = (F.length(F.col("line")) > 0) \
+        & (toks_per_line >= F.lit(int(min_tokens)))
+    lines = lines.withColumn("__elig", elig)
+    firsts = (lines.where("__elig")
+              .groupBy("line")
+              .agg(F.min(F.struct(id_col, "pos")).alias("__first")))
+    joined = lines.join(firsts, "line", "left")
+    keep = (~F.col("__elig")) | (
+        (F.col(f"__first.{id_col}") == F.col(id_col))
+        & (F.col("__first.pos") == F.col("pos")))
+    marked = joined.withColumn("__keep", keep)
+    kept_line = F.when(F.col("__keep"), F.col("line"))
+    out = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__keep"),
+                           F.struct("pos", "line")))).alias("__ls")))
+    text_out = F.array_join(
+        F.transform(F.col("__ls"), lambda s: s["line"]),
+        join_sep if join_sep is not None else sep)
+    return out.select(F.col(id_col), text_out.alias(text_col),
+                      "n_lines", "n_kept")

@@ -205,13 +205,16 @@ def test_knn_graph_rescore_joins_shuffle_light(spark, views):
 
 
 def test_temperature_mixture_is_pure_filter(spark, views):
-    """Temperature resampling must compile to a scan + filter: zero
-    exchanges (the K-row count aggregate runs eagerly at build time,
-    not in the returned plan)."""
+    """Temperature resampling must compile to a scan + a broadcast
+    rate join — no SHUFFLE exchange (the K-row count aggregate runs
+    eagerly at build time; the per-stratum rates ride back as a
+    broadcast hash join rather than a CASE chain, which would hit
+    codegen limits at high stratum cardinality — ADVICE r3)."""
     from pydin_spark.operators.curation import temperature_mixture
     plan = temperature_mixture(spark.table("documents"), alpha=0.5) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_keep_top_fraction_approx_has_no_rank_window(spark, views):

@@ -1,0 +1,157 @@
+"""Round-4 operators: Bloom membership family, bloom decontamination,
+column profiling, corpus-wide line dedup."""
+
+from pyspark.sql import functions as F
+
+from pydin_spark.operators import curation, text
+from pydin_spark.operators.rollup import (bloom_build, bloom_contains,
+                                          bloom_merge)
+
+M = 1 << 14
+K = 3
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    items = spark.range(1000).select(
+        F.concat(F.lit("item"), "id").alias("it"))
+    bl = bloom_build(items, "it", m_bits=M, k_hashes=K)
+    # members: never a false negative
+    got = bloom_contains(items, bl, "it", m_bits=M, k_hashes=K)
+    assert got.where("NOT maybe_in").count() == 0
+    # non-members: FP rate well under 10% at ~16 bits/item
+    others = spark.range(1000).select(
+        F.concat(F.lit("other"), "id").alias("it"))
+    fp = bloom_contains(others, bl, "it", m_bits=M, k_hashes=K) \
+        .where("maybe_in").count()
+    assert fp < 100
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.range(0, 500).select(F.concat(F.lit("x"), "id").alias("it"))
+    b = spark.range(500, 900).select(F.concat(F.lit("x"), "id").alias("it"))
+    merged = bloom_merge(bloom_build(a, "it", m_bits=M, k_hashes=K)
+                         .union(bloom_build(b, "it", m_bits=M, k_hashes=K)))
+    direct = bloom_build(a.union(b), "it", m_bits=M, k_hashes=K)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_bloom_probe_side_never_shuffles(spark):
+    """The whole point of the filter: probing must not shuffle the
+    probe stream — k broadcast joins only."""
+    items = spark.range(200).select(F.concat(F.lit("i"), "id").alias("it"))
+    bl_rows = bloom_build(items, "it", m_bits=M, k_hashes=K).collect()
+    bl = spark.createDataFrame(bl_rows, "word_idx long, bits long")
+    probed = bloom_contains(spark.range(5000).select(
+        F.concat(F.lit("i"), "id").alias("it")), bl, "it",
+        m_bits=M, k_hashes=K)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bloom_grouped_filters_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", "only-in-a"), ("b", "only-in-b")], "g string, it string")
+    bl = bloom_build(df, "it", m_bits=M, k_hashes=K, group_cols=("g",))
+    a_words = bl.where("g = 'a'").select("word_idx", "bits")
+    hit = bloom_contains(
+        spark.createDataFrame([("only-in-b",)], "it string"),
+        a_words, "it", m_bits=M, k_hashes=K)
+    assert hit.first()["maybe_in"] is False
+
+
+def test_decontaminate_bloom_drops_contaminated(spark, views):
+    docs = spark.table("documents")
+    train = docs.where("doc_id % 2 = 0")
+    # test corpus CONTAINS one full training document => containment
+    # 1.0 for it, and it must be dropped
+    leaked = train.limit(1)
+    test = docs.where("doc_id % 2 = 1").union(leaked)
+    surv = curation.decontaminate_bloom(train, test, threshold=0.9)
+    leaked_id = leaked.first()["doc_id"]
+    assert surv.where(F.col("doc_id") == leaked_id).count() == 0
+
+
+def test_decontaminate_bloom_empty_test_keeps_all(spark, views):
+    docs = spark.table("documents")
+    train = docs.limit(50)
+    test = docs.where("1 = 0")
+    surv = curation.decontaminate_bloom(train, test, threshold=0.1)
+    assert surv.count() == train.count()
+
+
+def test_profile_nulls_types_and_subset(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "b", 2.5)],
+        "k long, s string, v double")
+    p = {r["column"]: r for r in curation.profile(df).collect()}
+    assert set(p) == {"k", "s", "v"}
+    assert p["s"]["n_null"] == 1 and p["v"]["n_null"] == 1
+    assert p["k"]["mean_value"] == 2.0
+    assert p["s"]["mean_value"] is None  # non-numeric: no mean
+    assert p["k"]["min_value"] == "1" and p["k"]["max_value"] == "3"
+    only = curation.profile(df, columns=["k"]).collect()
+    assert len(only) == 1 and only[0]["column"] == "k"
+
+
+def test_profile_numeric_min_is_numeric_not_lexicographic(spark):
+    df = spark.createDataFrame([(9,), (10,), (2,)], "n long")
+    row = curation.profile(df, exact_distinct=True).first()
+    assert row["min_value"] == "2" and row["max_value"] == "10"
+
+
+def test_line_dedup_keeps_corpus_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "unique one\nshared boilerplate line\nunique two"),
+         (2, "shared boilerplate line\nother text here"),
+         (3, "shared boilerplate line")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.line_dedup(df, min_tokens=2).collect()}
+    assert out[1]["text"] == ("unique one\nshared boilerplate line\n"
+                              "unique two")
+    assert out[2]["text"] == "other text here"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+
+
+def test_line_dedup_short_lines_exempt(spark):
+    """Lines under min_tokens are kept everywhere, never deduped."""
+    df = spark.createDataFrame(
+        [(1, "ok\nlong enough line"), (2, "ok\nlong enough line")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           text.line_dedup(df, min_tokens=3).collect()}
+    assert out[1] == "ok\nlong enough line"
+    assert out[2] == "ok"  # the long line deduped, "ok" exempt
+
+
+def test_line_dedup_no_line_partition_sort_window(spark):
+    """Scale guard: the corpus-first pass must be an aggregate (partial
+    combine on hot boilerplate keys), not row_number over the line."""
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id long, text string")
+    plan = text.line_dedup(df, sep=" ", join_sep=" ") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_block_pairs_duplicate_ids_spread_across_blocks(spark):
+    """Roadmap #13: a heavily duplicated id space must not serialize
+    into one hot block — the block key hashes (id, vector) so
+    duplicates spread; and the exact knn result is unaffected."""
+    import random
+
+    from pydin_spark.operators import similarity
+
+    rnd = random.Random(3)
+    # 400 rows but only 4 distinct ids; vectors differ
+    rows = [(i % 4, [rnd.uniform(-1, 1) for _ in range(4)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    counts = (df.select(F.pmod(F.xxhash64("vec_id", "embedding"),
+                               F.lit(8)).alias("blk"))
+              .groupBy("blk").count().collect())
+    assert len(counts) == 8  # every block populated despite 4 ids
+    assert max(r["count"] for r in counts) < 2 * 400 / 8

@@ -175,9 +175,11 @@ def test_analytics_operators_survive_empty_input(spark):
     ev = spark.createDataFrame(
         [], "event_id long, ts timestamp, user_id long, "
             "event_type string, value double")
+    # zero step-1 completers: conversion is undefined => NULL (the
+    # ADVICE r3 fix; 0.0 would fabricate a "nobody converted" claim)
     out = funnel(ev, ["view", "click"]).collect()
     assert [(r.step, r.n_users, r.conversion) for r in out] == \
-        [("view", 0, 0.0), ("click", 0, 0.0)]
+        [("view", 0, None), ("click", 0, None)]
     assert retention_cohorts(ev).count() == 0
     assert event_paths(ev).count() == 0
     assert fill_gaps_locf(ev).count() == 0
