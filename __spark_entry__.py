@@ -2055,6 +2055,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                join_sep=" ")
 
     out["text_line_dedup"] = _text_line_dedup
+
+    def _rollup_bloom_stored(spark, sf_dir):
+        # STORED per-bucket Bloom state (rollup.StoredBloom): daily
+        # filters built in two incremental refreshes (time prefix,
+        # then full source — proving the high-water fold), then served
+        # as ONE global filter.  Bit-OR merging is exact, so the
+        # served filter is bit-identical to a one-shot build over the
+        # whole history — the SQL twin just rebuilds that directly.
+        import shutil
+        import tempfile
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        ev = spark.table("events")
+        scratch = tempfile.mkdtemp(prefix="pydin_bloomst_")
+        try:
+            sb = rollup_ops.StoredBloom(scratch + "/bloom", "user_id",
+                                        bucket="1 day", m_bits=8192,
+                                        k_hashes=3)
+            cut = ev.selectExpr(
+                "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+            sb.refresh(ev.where(F.unix_timestamp("ts") <= F.lit(cut)))
+            sb.refresh(ev)
+            return sb.serve(spark).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["rollup_bloom_stored"] = _rollup_bloom_stored
+
+    def _curation_linear_scorer(spark, sf_dir):
+        # fastText/CCNet-style quality-classifier SCORING pass with a
+        # deterministic rule-built weight table (training itself is
+        # iterative MLlib — verified in pytest by held-out accuracy;
+        # the scorer arithmetic is what the oracle pins): margin =
+        # intercept + Σ c·w in DECIMAL, keep = margin > 0
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        w = (spark.range(4096)
+             .select(F.col("id").alias("bucket"),
+                     (((F.col("id") % 13) - 6) / 1000.0).alias("w")))
+        return curation.apply_linear_scorer(
+            spark.table("documents"), w, intercept=0.05,
+            n_buckets=4096, max_ngram=2)
+
+    out["curation_linear_scorer"] = _curation_linear_scorer
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -2086,7 +2130,7 @@ _NEVER_DRIVER_GREEN = [
     "multimodal_features",
     # new in round 4 — no driver row could exist yet
     "rollup_bloom_filter", "curation_bloom_decontam", "curation_profile",
-    "text_line_dedup",
+    "text_line_dedup", "rollup_bloom_stored", "curation_linear_scorer",
 ]
 
 
@@ -3316,6 +3360,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(n_chars) AS VARCHAR),
                CAST(MAX(n_chars) AS VARCHAR), AVG(n_chars)
         FROM documents
+    """
+    # linear quality scorer: same hashed 1/2-gram bag features as the
+    # DSIR CTE but at 4096 buckets; w = ((bucket%13)-6)/1000 rounded
+    # to 9 dp as DECIMAL(12,9); dot product summed in DECIMAL (order-
+    # independent) + intercept, cast to double only at the end
+    out["curation_linear_scorer"] = f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS gram FROM d),
+        bi  AS (SELECT doc_id, t[CAST(i AS BIGINT)] || ' '
+                               || t[CAST(i AS BIGINT)+1] AS gram
+                FROM d, unnest(range(1, len(t))) AS r(i)),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        g2 AS (SELECT doc_id, gram FROM grams WHERE gram <> ''),
+        h AS (SELECT doc_id, md5(gram) AS m FROM g2),
+        feat AS (SELECT doc_id, CAST({hex15} AS BIGINT) % 4096 AS bucket,
+                        COUNT(*) AS c
+                 FROM h GROUP BY 1, 2),
+        w AS (SELECT CAST(i AS BIGINT) AS bucket,
+                     CAST(ROUND(CAST((i % 13) - 6 AS DOUBLE) / 1000.0,
+                                9) AS DECIMAL(12,9)) AS w
+              FROM unnest(range(0, 4096)) AS u(i)),
+        dot AS (SELECT doc_id,
+                       SUM(CAST(c AS DECIMAL(20,0)) * w) AS s
+                FROM feat JOIN w USING (bucket) GROUP BY 1)
+        SELECT dd.doc_id,
+               CAST(COALESCE(dot.s, CAST(0 AS DECIMAL(12,9)))
+                    + CAST(0.05 AS DECIMAL(12,9)) AS DOUBLE) AS margin,
+               CAST(COALESCE(dot.s, CAST(0 AS DECIMAL(12,9)))
+                    + CAST(0.05 AS DECIMAL(12,9)) AS DOUBLE)
+                   > CAST(0.0 AS DOUBLE) AS keep
+        FROM documents dd LEFT JOIN dot USING (doc_id)
+    """
+    # stored-Bloom lifecycle: because bit-OR merging is exact, the
+    # globally-served filter from the two-refresh stored state equals
+    # a one-shot bloom over every event's user_id — rebuild that
+    out["rollup_bloom_stored"] = f"""
+        WITH it AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS it
+                    FROM events),
+        h AS (SELECT md5(it || '#' || j) AS m
+              FROM it, unnest([0, 1, 2]) AS u(j)),
+        p AS (SELECT CAST(({hex15}) % 8192 AS BIGINT) AS pos FROM h)
+        SELECT pos // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+        FROM p GROUP BY 1
     """
     # corpus-first line dedup at word grain (fixture texts are one
     # line); corpus-first = smallest (doc_id, position)

@@ -40,6 +40,29 @@ def main() -> None:
               .where("avg_logprob > -9").select("doc_id"))
     docs = docs.join(fluent, "doc_id", "left_semi")
 
+    # 1b. fastText/CCNet-style learned quality gate: bootstrap labels
+    # from the heuristic quality score (top quartile = positive seed,
+    # bottom quartile = negative), train the linear classifier on the
+    # hashed-n-gram bag, score EVERYTHING with pure column arithmetic
+    # (broadcast weight join — the shape that scores 100 TB), keep
+    # positive margins
+    qs = text.quality_score(docs).select("doc_id", "quality")
+    lab = docs.join(qs, "doc_id")
+    hi = curation.keep_top_fraction(lab, "quality", 0.25)
+    lo = curation.keep_top_fraction(
+        lab.withColumn("quality", -F.col("quality")), "quality", 0.25)
+    w, b = curation.train_quality_classifier(hi, lo, n_buckets=2048,
+                                             max_iter=20)
+    scored = curation.apply_linear_scorer(docs, w, intercept=b,
+                                          n_buckets=2048)
+    docs = docs.join(scored.where("keep").select("doc_id"),
+                     "doc_id", "left_semi")
+
+    # (On real multi-line corpora, text.line_dedup(sep="\n") would run
+    # here — C4-style corpus-wide boilerplate-line removal. The
+    # fixture texts are single-line word salad, where line dedup at
+    # any grain guts the corpus, so this pipeline skips it.)
+
     # 2. PII masking (counts kept for the audit report)
     red = redact.redact_pii(docs)
     docs = (docs.drop("text")
@@ -83,8 +106,11 @@ def main() -> None:
     # from the held-out split, stable across reruns (md5 rank order)
     eval_set = curation.sample_exact_k(heldout, k=25, strata_col="lang")
 
-    # 6. decontaminate train against the held-out split
-    train = curation.decontaminate(train, heldout, threshold=0.5)
+    # 6. decontaminate train against the held-out split — the Bloom
+    # shape: the eval corpus compresses into a broadcast filter and
+    # the train side stays a pure scan (zero train-side shuffle before
+    # the per-doc containment aggregate)
+    train = curation.decontaminate_bloom(train, heldout, threshold=0.5)
 
     # 7. resample to target source mixture (first 4 sources 4:3:2:1),
     # then temperature-smooth the language mixture (alpha=0.5 lifts
@@ -130,7 +156,12 @@ def main() -> None:
     q = similarity.quantize_int8(similarity.with_unit_norm(emb),
                                  vec_col="unit")
 
+    # 11. monitoring: the per-column profile of the final train slice
+    # (one full-scan aggregate — the before/after data-quality record)
+    report = curation.profile(train)
+
     packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+    report.write.mode("overwrite").parquet(f"{out_dir}/profile")
     eval_set.write.mode("overwrite").parquet(f"{out_dir}/eval_set")
     q.write.mode("overwrite").parquet(f"{out_dir}/vectors_int8")
     provenance.write.mode("overwrite").parquet(f"{out_dir}/cut_provenance")

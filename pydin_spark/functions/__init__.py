@@ -1,5 +1,7 @@
 """Scale helpers: skew-aware joins, bucketing, partition sizing."""
 
-from .skew import bucketed_table, explain_has, salted_join, top_keys
+from .skew import (bloom_prefilter_join, bucketed_table, explain_has,
+                   salted_join, top_keys)
 
-__all__ = ["salted_join", "top_keys", "bucketed_table", "explain_has"]
+__all__ = ["salted_join", "top_keys", "bucketed_table", "explain_has",
+           "bloom_prefilter_join"]

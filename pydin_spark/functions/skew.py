@@ -87,3 +87,50 @@ def explain_has(df: DataFrame, operator: str) -> bool:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     return operator in plan
+
+
+def bloom_prefilter_join(big: DataFrame, small: DataFrame, on: str,
+                         how: str = "inner", m_bits: int = 1 << 20,
+                         k_hashes: int = 3) -> DataFrame:
+    """Equi-join with runtime row-level filtering: the big side is
+    pre-filtered through a Bloom filter of the small side's keys
+    BEFORE the join shuffle, so rows that can't possibly match never
+    enter the exchange. The final exact join removes the filter's
+    false positives, so the result is IDENTICAL to ``big.join(small,
+    on, how)`` — the bloom only sheds shuffle bytes.
+
+    When it pays: the small side is too big to broadcast (so the join
+    must shuffle BOTH sides) but its key SET fits a filter — m_bits of
+    2^20 is 16 KiB of packed words for ~100k keys at <2% FP. The
+    classic case is a fact table joined to a filtered dimension: 100 TB
+    of facts shuffle in full under a plain SortMergeJoin, but only the
+    ~matching fraction shuffles here. When the small side already
+    broadcasts, skip this — the broadcast hash join is itself the
+    filter. Spark's own runtime bloom rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) triggers on the
+    same shape but only under selectivity heuristics; this helper is
+    the explicit, always-on form with a filter you can also persist
+    and reuse across jobs (see ``operators.rollup.StoredBloom``).
+
+    ``how`` supports the join types where pre-filtering the big (left)
+    side is semantics-preserving: inner / semi / right outer — NOT
+    left/full outer (dropping a non-matching left row changes the
+    result) and NOT anti (the filter would drop exactly the rows anti
+    keeps).
+    """
+    allowed = {"inner", "semi", "left_semi", "leftsemi", "right",
+               "right_outer", "rightouter"}
+    if how.replace("_", "").lower() not in {
+            a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/semi/right joins; "
+            f"{how!r} would change results when the big side is "
+            "pre-filtered — use a plain join")
+    from ..operators.rollup import bloom_build, bloom_contains
+
+    bloom = bloom_build(small.select(on), on, m_bits=m_bits,
+                        k_hashes=k_hashes)
+    pref = (bloom_contains(big, bloom, on, m_bits=m_bits,
+                           k_hashes=k_hashes, out_col="__maybe")
+            .where("__maybe").drop("__maybe"))
+    return pref.join(small, on, how)

@@ -1505,6 +1505,7 @@ TRANSFORM_OPERATORS = {
     "decontaminate_bloom": "curation.decontaminate_bloom",
     "profile": "curation.profile",
     "line_dedup": "text.line_dedup",
+    "apply_linear_scorer": "curation.apply_linear_scorer",
 }
 
 

@@ -898,3 +898,108 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         F.col(f"__av_{c}").alias("mean_value")) for c in cols]
     return (row.select(F.explode(F.array(*entries)).alias("p"))
             .select("p.*"))
+
+
+def apply_linear_scorer(df: DataFrame, weights: DataFrame,
+                        intercept: float = 0.0,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 4096, max_ngram: int = 2,
+                        features: DataFrame | None = None,
+                        threshold: float = 0.0) -> DataFrame:
+    """Score documents with a LINEAR model over hashed-n-gram counts —
+    the fastText/CCNet-style quality-classifier scoring pass:
+    margin(x) = intercept + Σ_b c_x[b]·w[b], keep = margin > threshold.
+    ``weights`` is a (bucket, w) frame (train one with
+    :func:`train_quality_classifier`, load one from parquet, or build
+    one by rule); buckets come from :func:`hashed_ngram_buckets`, so a
+    stored feature frame (``features=``) amortizes the explode across
+    many models exactly like the DSIR path.
+
+    Scale shape: the model is at most ``n_buckets`` rows and joins the
+    per-doc features by BROADCAST; the only corpus-sized shuffle is
+    the (id, bucket) feature aggregate. Engine-exact the same way as
+    :func:`importance_weights`: w rounds to 9 dp and rides as
+    DECIMAL(12,9), the per-doc dot product accumulates in decimal
+    (order-independent), and only the output margin casts to double —
+    so the margin (and therefore the keep decision) is reproducible
+    bit-for-bit by any engine with the same arithmetic. The margin is
+    returned rather than the sigmoid probability on purpose: sigmoid
+    is monotone (the keep set is identical) and exp() differs across
+    libms in the last ulp, which would break oracle exactness for
+    zero selection benefit.
+
+    Output: every input row's (id, margin, keep) — docs with no
+    n-grams score the bare intercept.
+    """
+    f = features if features is not None else hashed_ngram_buckets(
+        df, id_col, text_col, n_buckets, max_ngram)
+    w_tbl = weights.select(
+        F.col("bucket"),
+        F.round(F.col("w").cast("double"), 9)
+        .cast("decimal(12,9)").alias("__w"))
+    icpt = F.lit(round(float(intercept), 9)).cast("decimal(12,9)")
+    per_doc = (f.join(F.broadcast(w_tbl), "bucket")
+               .groupBy(id_col)
+               .agg(F.sum(F.col("c") * F.col("__w")).alias("__dot")))
+    out = (df.select(id_col).join(per_doc, id_col, "left")
+           .select(F.col(id_col),
+                   (F.coalesce(F.col("__dot"),
+                               F.lit(0).cast("decimal(12,9)")) + icpt)
+                   .cast("double").alias("margin")))
+    return out.withColumn("keep",
+                          F.col("margin") > F.lit(float(threshold)))
+
+
+def train_quality_classifier(pos: DataFrame, neg: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n_buckets: int = 4096, max_ngram: int = 2,
+                             max_iter: int = 50,
+                             reg_param: float = 0.0) -> tuple:
+    """Train the fastText-style quality classifier: logistic
+    regression (Spark MLlib, distributed LBFGS) over the same hashed
+    bag-of-n-grams features :func:`apply_linear_scorer` scores with —
+    ``pos`` is the curated/high-quality seed (wiki-like pages, vetted
+    sources), ``neg`` the random/raw sample, exactly the
+    CCNet/LLaMA-1 recipe. Returns ``(weights_df, intercept)`` ready to
+    persist and feed to the scorer.
+
+    The model stays linear on purpose: scoring 100 TB with the trained
+    model is then pure column arithmetic (broadcast weight join — no
+    model server, no UDF). Training itself runs on the labeled seed
+    corpus (thousands-to-millions of docs, not the full 100 TB) and
+    uses a per-doc sparse-vector UDF — a row-at-a-time Python step
+    that is fine HERE because the training set is small by
+    construction; the hot path (scoring) never touches Python.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import DoubleType
+
+    spark = pos.sparkSession
+    labeled = (pos.select(F.col(id_col), F.col(text_col),
+                          F.lit(1.0).alias("label"))
+               .unionByName(neg.select(F.col(id_col), F.col(text_col),
+                                       F.lit(0.0).alias("label"))))
+    feats = hashed_ngram_buckets(labeled, id_col, text_col, n_buckets,
+                                 max_ngram)
+    pairs = (feats.groupBy(id_col)
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("bucket", "c"))).alias("bc")))
+    nb = int(n_buckets)
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(bc):
+        return Vectors.sparse(nb, [int(r["bucket"]) for r in bc],
+                              [float(r["c"]) for r in bc])
+
+    data = (labeled.join(pairs, id_col)
+            .select(F.col("label").cast(DoubleType()),
+                    to_vec("bc").alias("features")))
+    model = LogisticRegression(
+        maxIter=int(max_iter), regParam=float(reg_param),
+        standardization=False).fit(data)
+    coef = model.coefficients.toArray()
+    rows = [(int(b), float(w)) for b, w in enumerate(coef) if w != 0.0]
+    weights = spark.createDataFrame(rows, "bucket long, w double")
+    return weights, float(model.intercept)

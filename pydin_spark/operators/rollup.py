@@ -732,3 +732,116 @@ def bloom_contains(df: DataFrame, bloom: DataFrame, item_col: str,
             for c in (f"__wi{j}", f"__bt{j}", f"__mk{j}",
                       f"__w{j}", f"__b{j}")]
     return out.withColumn(out_col, hit).drop(*drop)
+
+
+class StoredBloom:
+    """Incrementally-maintained per-bucket Bloom filters stored as
+    bucket-partitioned parquet — the MEMBERSHIP member of the
+    stored-state family next to :class:`ContinuousRollup` and
+    :class:`StoredHeavyHitters`. Answers "has this id/n-gram/URL been
+    seen, and roughly when?" from O(buckets × m_bits/63) longs of
+    state — the 100 TB history is sketched once per refresh window and
+    never rescanned.
+
+    Same maintenance contract as its siblings: ``refresh(events)``
+    recomputes only buckets >= high-water − ``lateness`` buckets and
+    swaps exactly those partitions in (dynamic partition overwrite;
+    pass the full source — the Column predicate prunes the scan to the
+    tail). ``serve()`` returns the filter at the stored grain, any
+    coarser grain, or merged globally; because bit-OR merging is EXACT
+    (a bloom of a union IS the OR of the blooms), the served global
+    filter is bit-identical to one built from the raw history in one
+    shot — the oracle operating point, with no exactness-regime caveat
+    at all. ``contains(df, col)`` probes the merged filter with the
+    zero-probe-shuffle broadcast-join plan of :func:`bloom_contains`.
+    """
+
+    def __init__(self, path: str, item_col: str, ts_col: str = "ts",
+                 bucket: str = "1 hour", m_bits: int = 1 << 17,
+                 k_hashes: int = 3, lateness: int = 0):
+        self.path = path
+        self.item_col = item_col
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self.m_bits = int(m_bits)
+        self.k_hashes = int(k_hashes)
+        self.lateness = int(lateness)
+
+    def _summarize(self, events: DataFrame) -> DataFrame:
+        bucketed = events.withColumn(
+            "bucket_start", F.window(self.ts_col, self.bucket)["start"])
+        # cluster by the partition column before the partitioned write
+        # (same sliver-file guard as the other stored-state sinks)
+        return bloom_build(bucketed, self.item_col, m_bits=self.m_bits,
+                           k_hashes=self.k_hashes,
+                           group_cols=("bucket_start",)) \
+            .repartition("bucket_start")
+
+    def read(self, spark) -> DataFrame:
+        if not ContinuousRollup(self.path, self.ts_col,
+                                self.bucket)._exists(spark):
+            raise ValueError(
+                f"no stored bloom state at {self.path} — refresh() "
+                "with a non-empty source first")
+        return (spark.read.parquet(self.path)
+                .select(F.col("bucket_start").cast("timestamp"),
+                        "word_idx", "bits"))
+
+    def refresh(self, events: DataFrame) -> DataFrame:
+        spark = events.sparkSession
+        probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
+        if not probe._exists(spark):
+            out = self._summarize(events)
+            (out.write.mode("overwrite")
+             .partitionBy("bucket_start").parquet(self.path))
+            spark.catalog.refreshByPath(self.path)
+            if not probe._exists(spark):
+                return spark.createDataFrame([], out.schema)
+            return self.read(spark)
+        high = (self.read(spark)
+                .agg(F.max("bucket_start").alias("m")).first()["m"])
+        import datetime as dt
+        secs = probe._bucket_seconds(spark)
+        floor = high - dt.timedelta(seconds=secs * self.lateness)
+        fresh = self._summarize(
+            events.where(F.col(self.ts_col) >= F.lit(floor)))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (fresh.write.mode("overwrite").partitionBy("bucket_start")
+             .parquet(self.path))
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshByPath(self.path)
+        return self.read(spark)
+
+    def serve(self, spark, bucket: str | None = None) -> DataFrame:
+        """The stored filter: global (bucket=None — one filter for the
+        whole history), or per coarser-grain bucket. Finer/misaligned
+        grains are refused (the same silently-wrong-serve guard as
+        StoredHeavyHitters)."""
+        s = self.read(spark)
+        if bucket is None:
+            return bloom_merge(s)
+        probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
+        stored_s = probe._bucket_seconds(spark)
+        req_s = ContinuousRollup(self.path, self.ts_col,
+                                 bucket)._bucket_seconds(spark)
+        if req_s < stored_s or req_s % stored_s:
+            raise ValueError(
+                f"serve bucket {bucket!r} ({req_s}s) must be a whole "
+                f"multiple of the stored bucket {self.bucket!r} "
+                f"({stored_s}s)")
+        rebucketed = s.withColumn(
+            "bucket_start", F.window("bucket_start", bucket)["start"])
+        return bloom_merge(rebucketed, group_cols=("bucket_start",))
+
+    def contains(self, df: DataFrame, item_col: str,
+                 out_col: str = "maybe_seen") -> DataFrame:
+        """Probe the merged global filter — "was this ever seen?"."""
+        merged = self.serve(df.sparkSession)
+        return bloom_contains(df, merged, item_col, m_bits=self.m_bits,
+                              k_hashes=self.k_hashes, out_col=out_col)

@@ -155,3 +155,118 @@ def test_block_pairs_duplicate_ids_spread_across_blocks(spark):
               .groupBy("blk").count().collect())
     assert len(counts) == 8  # every block populated despite 4 ids
     assert max(r["count"] for r in counts) < 2 * 400 / 8
+
+
+def test_stored_bloom_incremental_equals_oneshot(spark, views, tmp_path):
+    """Two incremental refreshes + global serve == one-shot bloom over
+    the whole history (bit-OR merging is exact)."""
+    from pydin_spark.operators.rollup import StoredBloom, bloom_build
+
+    ev = spark.table("events")
+    sb = StoredBloom(str(tmp_path / "bloom"), "user_id",
+                     bucket="1 day", m_bits=8192, k_hashes=K)
+    cut = ev.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+    sb.refresh(ev.where(F.unix_timestamp("ts") <= F.lit(cut)))
+    sb.refresh(ev)
+    served = sorted(map(tuple, sb.serve(spark).collect()))
+    direct = sorted(map(tuple, bloom_build(
+        ev.select("user_id"), "user_id", m_bits=8192,
+        k_hashes=K).collect()))
+    assert served == direct
+
+
+def test_stored_bloom_contains_and_grain_guard(spark, views, tmp_path):
+    import pytest
+
+    from pydin_spark.operators.rollup import StoredBloom
+
+    ev = spark.table("events")
+    sb = StoredBloom(str(tmp_path / "b2"), "user_id", bucket="1 hour",
+                     m_bits=1 << 14, k_hashes=K)
+    sb.refresh(ev)
+    # every historical user must probe positive
+    probe = sb.contains(ev.select("user_id").distinct(), "user_id")
+    assert probe.where("NOT maybe_seen").count() == 0
+    # coarser grain serves; finer grain refuses
+    assert sb.serve(spark, bucket="1 day").count() > 0
+    with pytest.raises(ValueError, match="whole"):
+        sb.serve(spark, bucket="30 minutes")
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark, views):
+    from pydin_spark.functions import bloom_prefilter_join
+
+    orders = spark.table("orders")
+    custs = spark.table("customer").where("c_acctbal > 5000") \
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = orders.join(custs, "o_custkey")
+    pref = bloom_prefilter_join(orders, custs, "o_custkey")
+    assert pref.count() == plain.count()
+    a = sorted(map(tuple, plain.select("o_orderkey", "c_name").collect()))
+    b = sorted(map(tuple, pref.select("o_orderkey", "c_name").collect()))
+    assert a == b
+
+
+def test_bloom_prefilter_join_rejects_outer(spark, views):
+    import pytest
+
+    from pydin_spark.functions import bloom_prefilter_join
+
+    with pytest.raises(ValueError, match="plain join"):
+        bloom_prefilter_join(spark.table("orders"),
+                             spark.table("customer"), "o_custkey",
+                             how="left")
+
+
+def test_quality_classifier_learns_separable_classes(spark):
+    """fastText-style pipeline: train on separable synthetic classes,
+    score held-out docs, accuracy near-perfect; the scoring plan stays
+    broadcast-join + aggregate (no Python in the hot path)."""
+    import random
+
+    rnd = random.Random(11)
+    good_w = ["insight", "analysis", "rigor", "evidence", "method"]
+    bad_w = ["spam", "click", "winner", "prize", "free"]
+    mk = lambda ws, n: " ".join(rnd.choice(ws) for _ in range(n))
+    pos = spark.createDataFrame(
+        [(i, mk(good_w, 20)) for i in range(120)],
+        "doc_id long, text string")
+    neg = spark.createDataFrame(
+        [(1000 + i, mk(bad_w, 20)) for i in range(120)],
+        "doc_id long, text string")
+    w, b = curation.train_quality_classifier(pos, neg, n_buckets=512,
+                                             max_iter=30)
+    held = spark.createDataFrame(
+        [(5000 + i, mk(good_w, 15)) for i in range(30)]
+        + [(6000 + i, mk(bad_w, 15)) for i in range(30)],
+        "doc_id long, text string")
+    scored = curation.apply_linear_scorer(held, w, intercept=b,
+                                          n_buckets=512)
+    acc = scored.where(
+        ((F.col("doc_id") < 6000) & F.col("keep"))
+        | ((F.col("doc_id") >= 6000) & ~F.col("keep"))).count() / 60
+    assert acc >= 0.95
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_apply_linear_scorer_empty_doc_gets_intercept(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 1.0)], "bucket long, w double")
+    row = curation.apply_linear_scorer(df, w, intercept=0.25).first()
+    assert row["margin"] == 0.25 and bool(row["keep"]) is True
+
+
+def test_apply_linear_scorer_stored_features_identical(spark, views):
+    docs = spark.table("documents").limit(100)
+    w = (spark.range(4096)
+         .select(F.col("id").alias("bucket"),
+                 (((F.col("id") % 13) - 6) / 1000.0).alias("w")))
+    feats = curation.hashed_ngram_buckets(docs, n_buckets=4096)
+    a = sorted(map(tuple, curation.apply_linear_scorer(
+        docs, w, n_buckets=4096).collect()))
+    b = sorted(map(tuple, curation.apply_linear_scorer(
+        docs, w, n_buckets=4096, features=feats).collect()))
+    assert a == b
