@@ -2099,6 +2099,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_buckets=4096, max_ngram=2)
 
     out["curation_linear_scorer"] = _curation_linear_scorer
+
+    def _text_line_dedup_incr(spark, sf_dir):
+        # the incremental-line-dedup LIFECYCLE under the gate: two
+        # id-ordered ingests against persisted state ≡ the one-shot
+        # corpus-first dedup (arrival order == (id, pos) order here),
+        # so the oracle is text_line_dedup's SQL verbatim
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        scratch = tempfile.mkdtemp(prefix="pydin_ild_")
+        try:
+            inc = text.IncrementalLineDeduper(scratch + "/st", sep=" ",
+                                              join_sep=" ")
+            a = inc.ingest(docs.where("doc_id < 250"))
+            b = inc.ingest(docs.where("doc_id >= 250"))
+            return a.unionByName(b).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["text_line_dedup_incr"] = _text_line_dedup_incr
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -2131,6 +2152,7 @@ _NEVER_DRIVER_GREEN = [
     # new in round 4 — no driver row could exist yet
     "rollup_bloom_filter", "curation_bloom_decontam", "curation_profile",
     "text_line_dedup", "rollup_bloom_stored", "curation_linear_scorer",
+    "text_line_dedup_incr",
 ]
 
 
@@ -3428,4 +3450,6 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
         FROM n LEFT JOIN agg USING (doc_id)
     """
+    # incremental ingest in id order ≡ the one-shot dedup: same twin
+    out["text_line_dedup_incr"] = out["text_line_dedup"]
     return out

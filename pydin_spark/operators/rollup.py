@@ -699,38 +699,52 @@ def bloom_merge(filters: DataFrame,
 
 def bloom_contains(df: DataFrame, bloom: DataFrame, item_col: str,
                    m_bits: int = 1 << 17, k_hashes: int = 3,
-                   out_col: str = "maybe_in") -> DataFrame:
-    """Probe a (single, ungrouped) Bloom filter: adds boolean
-    ``out_col`` — True iff ALL ``k_hashes`` probe bits are set (the
-    standard "definitely absent / maybe present" contract; False is
-    authoritative, True has the filter's FP rate).
+                   out_col: str = "maybe_in",
+                   group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Probe a Bloom filter: adds boolean ``out_col`` — True iff ALL
+    ``k_hashes`` probe bits are set (the standard "definitely absent /
+    maybe present" contract; False is authoritative, True has the
+    filter's FP rate).
 
-    Scale shape: ``k_hashes`` broadcast hash joins of the ≤ m_bits/63
-    word table onto the probe stream — NO shuffle of ``df`` at all and
-    no row-id regroup; each probe row picks up its k words via
-    broadcast and the bit tests are codegen'd column ops. This is why
-    the filter beats an exact semi-join for huge probe sides: the
-    probe stays a pure scan.
+    With ``group_cols``, ``bloom`` holds one filter per group (built
+    with the same ``group_cols``) and each probe row is tested against
+    ITS OWN group's filter — per-source / per-day membership in one
+    pass; a probe row whose group has no filter reads "definitely
+    absent".
+
+    Scale shape: ``k_hashes`` broadcast hash joins of the ≤
+    groups × m_bits/63 word table onto the probe stream — NO shuffle
+    of ``df`` at all and no row-id regroup; each probe row picks up
+    its k words via broadcast and the bit tests are codegen'd column
+    ops. This is why the filter beats an exact semi-join for huge
+    probe sides: the probe stays a pure scan.
     """
     out = df
     wb = F.lit(_BLOOM_WORD_BITS)
     hit = None
     for j in range(k_hashes):
         pos = _bloom_positions(F.col(item_col), F.lit(j), m_bits)
-        w = bloom.select(F.col("word_idx").alias(f"__w{j}"),
-                         F.col("bits").alias(f"__b{j}"))
+        w = bloom.select(
+            *[F.col(g).alias(f"__g{j}_{i}")
+              for i, g in enumerate(group_cols)],
+            F.col("word_idx").alias(f"__w{j}"),
+            F.col("bits").alias(f"__b{j}"))
         out = out.withColumn(f"__wi{j}", (pos / wb).cast("long")) \
             .withColumn(f"__bt{j}", (pos % wb).cast("int")) \
             .withColumn(f"__mk{j}",
                         F.expr(f"shiftleft(CAST(1 AS BIGINT), __bt{j})"))
-        out = out.join(F.broadcast(w),
-                       F.col(f"__wi{j}") == F.col(f"__w{j}"), "left")
+        cond = F.col(f"__wi{j}") == F.col(f"__w{j}")
+        for i, g in enumerate(group_cols):
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__g{j}_{i}"))
+        out = out.join(F.broadcast(w), cond, "left")
         test = (F.coalesce(F.col(f"__b{j}"), F.lit(0))
                 .bitwiseAND(F.col(f"__mk{j}")) != 0)
         hit = test if hit is None else (hit & test)
     drop = [c for j in range(k_hashes)
             for c in (f"__wi{j}", f"__bt{j}", f"__mk{j}",
                       f"__w{j}", f"__b{j}")]
+    drop += [f"__g{j}_{i}" for j in range(k_hashes)
+             for i in range(len(group_cols))]
     return out.withColumn(out_col, hit).drop(*drop)
 
 

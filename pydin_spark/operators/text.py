@@ -1030,3 +1030,147 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         join_sep if join_sep is not None else sep)
     return out.select(F.col(id_col), text_out.alias(text_col),
                       "n_lines", "n_kept")
+
+
+class IncrementalLineDeduper:
+    """:func:`line_dedup` for a GROWING corpus: the corpus-first line
+    table persists as parquet state, so each new batch dedups against
+    all history without rescanning it — the C4/RefinedWeb pipeline run
+    as an incremental ingest (same philosophy as
+    :class:`~pydin_spark.operators.dedup.IncrementalDeduper`, same
+    commit-log atomicity).
+
+    Semantics are ARRIVAL-order-first: a line's keeper is its first
+    occurrence across ingest calls (and the smallest (id, pos) within
+    a batch). When batches arrive in id order this is exactly the
+    one-shot :func:`line_dedup` over the concatenated corpus —
+    pinned by test and oracle; out-of-order arrivals keep the earlier
+    ARRIVAL, which is what an append-only pipeline means by "first".
+
+    State under ``path``: ``firsts/`` — one row per distinct
+    content-bearing line (the line STRING, so dedup decisions are
+    exact equality like the one-shot operator, plus the keeper's
+    (id, pos) for provenance), each row carrying a ``batch`` commit
+    id; ``commits/`` — one row per committed batch. The commit row is
+    written last, and readers semi-join committed batches, so the
+    append is atomic under crashes (orphans invisible). Per-batch cost
+    is one batch explode + one equi-join against the
+    distinct-line-sized state (never the raw history) + one
+    state append of only the NEW lines.
+    """
+
+    def __init__(self, path: str, id_col: str = "doc_id",
+                 text_col: str = "text", sep: str = "\n",
+                 min_tokens: int = 1, join_sep: str | None = None):
+        self.path = str(path).rstrip("/")
+        self.id_col, self.text_col = id_col, text_col
+        self.sep, self.min_tokens = sep, min_tokens
+        self.join_sep = join_sep if join_sep is not None else sep
+
+    def _has_state(self, spark) -> bool:
+        try:
+            spark.read.parquet(f"{self.path}/commits").schema
+            return True
+        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
+            msg = f"{type(exc).__name__}: {exc}"
+            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                    or "Unable to infer schema" in msg):
+                return False
+            raise
+
+    def seen_lines(self, spark) -> DataFrame:
+        """Committed state: (line, id, pos) of every keeper so far."""
+        if not self._has_state(spark):
+            return spark.createDataFrame(
+                [], f"line string, {self.id_col} string, pos int")
+        st = spark.read.parquet(f"{self.path}/firsts")
+        commits = spark.read.parquet(f"{self.path}/commits")
+        return (st.join(F.broadcast(commits), "batch", "left_semi")
+                .drop("batch"))
+
+    def ingest(self, docs: DataFrame) -> DataFrame:
+        """Dedup the batch against history AND within itself, append
+        the batch's new keeper lines to the state, return the
+        rewritten batch: (id, text, n_lines, n_kept)."""
+        import uuid
+
+        spark = docs.sparkSession
+        id_col = self.id_col
+        lines = docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(self.text_col), self.sep))
+            .alias("pos", "line"))
+        elig = (F.length(F.col("line")) > 0) \
+            & (F.size(F.split(F.col("line"), " "))
+               >= F.lit(int(self.min_tokens)))
+        lines = lines.withColumn("__elig", elig)
+        firsts = (lines.where("__elig")
+                  .groupBy("line")
+                  .agg(F.min(F.struct(id_col, "pos")).alias("__first")))
+        seen = self.seen_lines(spark).select("line").distinct()
+        new_firsts = firsts.join(seen, "line", "left_anti") \
+            .localCheckpoint(eager=True)
+        joined = lines.join(new_firsts, "line", "left")
+        keep = (~F.col("__elig")) | (
+            F.col("__first").isNotNull()
+            & (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.pos") == F.col("pos")))
+        marked = joined.withColumn("__keep", keep)
+        out = (marked.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct("pos", "line")))).alias("__ls")))
+        result = out.select(
+            F.col(id_col),
+            F.array_join(F.transform(F.col("__ls"),
+                                     lambda s: s["line"]),
+                         self.join_sep).alias(self.text_col),
+            "n_lines", "n_kept").localCheckpoint(eager=True)
+        # state append AFTER the result is materialized: a crash before
+        # the commit row replays the batch against the old state and
+        # reproduces the same output (at-least-once, never silent loss)
+        batch_id = uuid.uuid4().hex
+        (new_firsts.select(
+            "line",
+            F.col(f"__first.{id_col}").cast("string").alias(id_col),
+            F.col("__first.pos").alias("pos"),
+            F.lit(batch_id).alias("batch"))
+         .write.mode("append").parquet(f"{self.path}/firsts"))
+        spark.createDataFrame([(batch_id,)], "batch string") \
+            .write.mode("append").parquet(f"{self.path}/commits")
+        spark.catalog.refreshByPath(f"{self.path}/firsts")
+        spark.catalog.refreshByPath(f"{self.path}/commits")
+        return result
+
+    def checkpoint_state(self) -> None:
+        """Collapse N committed batches into one (the commit log is
+        read per ingest and must stay bounded). Same
+        invisible-until-committed crash safety: the compacted state is
+        written under a fresh batch id into fresh directories and
+        swapped in by directory rename."""
+        import shutil
+        import uuid
+
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        st = self.seen_lines(spark).localCheckpoint(eager=True)
+        batch_id = uuid.uuid4().hex
+        tmp_f, tmp_c = f"{self.path}/firsts.__new__", \
+            f"{self.path}/commits.__new__"
+        st.select("*", F.lit(batch_id).alias("batch")) \
+            .write.mode("overwrite").parquet(tmp_f)
+        spark.createDataFrame([(batch_id,)], "batch string") \
+            .write.mode("overwrite").parquet(tmp_c)
+        import os
+        for tmp, live in ((tmp_f, f"{self.path}/firsts"),
+                          (tmp_c, f"{self.path}/commits")):
+            old = live + ".__old__"
+            if os.path.exists(live):
+                os.rename(live, old)
+            os.rename(tmp, live)
+            shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(f"{self.path}/firsts")
+        spark.catalog.refreshByPath(f"{self.path}/commits")

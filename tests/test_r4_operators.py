@@ -270,3 +270,66 @@ def test_apply_linear_scorer_stored_features_identical(spark, views):
     b = sorted(map(tuple, curation.apply_linear_scorer(
         docs, w, n_buckets=4096, features=feats).collect()))
     assert a == b
+
+
+def test_incremental_line_dedup_equals_oneshot(spark, tmp_path):
+    """Ordered-batch ingest ≡ one-shot line_dedup over the union (the
+    arrival-order-first contract at its exactness point)."""
+    rows = [(1, "alpha beta\nshared line one\ngamma"),
+            (2, "shared line one\ndelta"),
+            (3, "epsilon\nshared line two"),
+            (4, "shared line two\nshared line one\nzeta"),
+            (5, "eta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b1, b2 = df.where("doc_id <= 2"), df.where("doc_id > 2")
+    inc = text.IncrementalLineDeduper(str(tmp_path / "st"), min_tokens=1)
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           inc.ingest(b1).collect() + inc.ingest(b2).collect()}
+    want = {r["doc_id"]: tuple(r)[1:]
+            for r in text.line_dedup(df, min_tokens=1).collect()}
+    assert got == want
+
+
+def test_incremental_line_dedup_checkpoint_preserves_decisions(
+        spark, tmp_path):
+    inc = text.IncrementalLineDeduper(str(tmp_path / "st2"))
+    for i in range(3):
+        inc.ingest(spark.createDataFrame(
+            [(i, f"common boilerplate\nunique line {i}")],
+            "doc_id long, text string"))
+    inc.checkpoint_state()
+    assert spark.read.parquet(str(tmp_path / "st2/commits")).count() == 1
+    out = inc.ingest(spark.createDataFrame(
+        [(99, "common boilerplate\nunique line 0\nbrand new line")],
+        "doc_id long, text string")).first()
+    assert out["text"] == "brand new line" and out["n_kept"] == 1
+
+
+def test_incremental_line_dedup_state_is_line_sized(spark, tmp_path):
+    """The state holds one row per DISTINCT content line, not per
+    occurrence — the growth contract."""
+    inc = text.IncrementalLineDeduper(str(tmp_path / "st3"))
+    inc.ingest(spark.createDataFrame(
+        [(i, "same line everywhere") for i in range(50)],
+        "doc_id long, text string"))
+    assert inc.seen_lines(spark).count() == 1
+
+
+def test_bloom_contains_grouped_probes_own_filter(spark):
+    """group_cols: each probe row tests against ITS group's filter;
+    rows in a filterless group read definitely-absent."""
+    items = spark.createDataFrame(
+        [("a", "in-a"), ("b", "in-b")], "g string, it string")
+    bl = bloom_build(items, "it", m_bits=M, k_hashes=K,
+                     group_cols=("g",))
+    probes = spark.createDataFrame(
+        [("a", "in-a"),   # own group: hit
+         ("a", "in-b"),   # other group's item: miss
+         ("b", "in-b"),   # own group: hit
+         ("c", "in-a")],  # no filter for group c: miss
+        "g string, it string")
+    got = {(r["g"], r["it"]): r["maybe_in"] for r in
+           bloom_contains(probes, bl, "it", m_bits=M, k_hashes=K,
+                          group_cols=("g",)).collect()}
+    assert got == {("a", "in-a"): True, ("a", "in-b"): False,
+                   ("b", "in-b"): True, ("c", "in-a"): False}

@@ -183,3 +183,48 @@ def test_analytics_operators_survive_empty_input(spark):
     assert retention_cohorts(ev).count() == 0
     assert event_paths(ev).count() == 0
     assert fill_gaps_locf(ev).count() == 0
+
+
+def test_round4_operators_survive_empty_input(spark, tmp_path):
+    """Quiet-day sweep for the round-4 family: bloom, profile,
+    line_dedup, linear scorer."""
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators import curation, text
+    from pydin_spark.operators.rollup import (StoredBloom, bloom_build,
+                                              bloom_contains)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_items = spark.createDataFrame([], "it string")
+
+    # empty bloom: no words; probing it says "definitely absent"
+    bl = bloom_build(empty_items, "it", m_bits=1 << 10)
+    assert bl.count() == 0
+    probe = bloom_contains(
+        spark.createDataFrame([("x",)], "it string"), bl, "it",
+        m_bits=1 << 10)
+    assert probe.first()["maybe_in"] is False
+
+    # profile of an empty frame: one row per column, zero counts
+    p = {r["column"]: r for r in curation.profile(empty_docs).collect()}
+    assert p["text"]["n_rows"] == 0 and p["text"]["n_null"] == 0
+
+    # line_dedup of nothing is nothing
+    assert text.line_dedup(empty_docs).count() == 0
+
+    # scorer with an empty model scores the bare intercept
+    w = spark.createDataFrame([], "bucket long, w double")
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = curation.apply_linear_scorer(one, w, intercept=0.5).first()
+    assert row["margin"] == 0.5
+
+    # StoredBloom: an all-empty refresh leaves the "first build
+    # pending" state and serving fails actionably
+    import pytest
+
+    ev = spark.createDataFrame(
+        [], "ts timestamp, user_id long")
+    sb = StoredBloom(str(tmp_path / "eb"), "user_id")
+    assert sb.refresh(ev).count() == 0
+    with pytest.raises(ValueError, match="refresh"):
+        sb.serve(spark)
