@@ -2120,6 +2120,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(scratch, ignore_errors=True)
 
     out["text_line_dedup_incr"] = _text_line_dedup_incr
+
+    def _text_normalize(spark, sf_dir):
+        # Unicode NFC + whitespace collapse (Arrow-batched pandas UDF
+        # — normalization tables aren't Column builtins). The normal
+        # form is standard-defined, so DuckDB's nfc_normalize()
+        # reproduces the bytes exactly; real-unicode agreement is
+        # additionally pinned in pytest (the fixture is ASCII)
+        _views(spark, sf_dir)
+        return text.normalize_text(spark.table("documents"),
+                                   form="NFC",
+                                   collapse_whitespace=True) \
+            .select("doc_id", "text")
+
+    out["text_normalize"] = _text_normalize
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -2152,7 +2166,7 @@ _NEVER_DRIVER_GREEN = [
     # new in round 4 — no driver row could exist yet
     "rollup_bloom_filter", "curation_bloom_decontam", "curation_profile",
     "text_line_dedup", "rollup_bloom_stored", "curation_linear_scorer",
-    "text_line_dedup_incr",
+    "text_line_dedup_incr", "text_normalize",
 ]
 
 
@@ -3452,4 +3466,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # incremental ingest in id order ≡ the one-shot dedup: same twin
     out["text_line_dedup_incr"] = out["text_line_dedup"]
+    # NFC is standard-defined; whitespace collapse = \s+ -> ' ' + trim
+    out["text_normalize"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(text), '\s+', ' ',
+                                   'g')) AS text
+        FROM documents
+    """
     return out

@@ -55,6 +55,23 @@ def main() -> None:
     hh.refresh(ev)
     top = hh.serve(spark, k=5)          # global top users per type
 
+    # 6. new-vs-returning from membership state: yesterday's StoredBloom
+    # answers "seen before?" for today's events with a broadcast probe —
+    # no join against the raw user history. Split on time to simulate
+    # the two nightly runs.
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.rollup import StoredBloom
+    cut = ev.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+    seen = StoredBloom(f"{out}/seen_users", "user_id", bucket="1 day")
+    seen.refresh(ev.where(F.unix_timestamp("ts") <= F.lit(cut)))
+    today = ev.where(F.unix_timestamp("ts") > F.lit(cut))
+    flagged = seen.contains(today.select("user_id").distinct(), "user_id")
+    n_new = flagged.where("NOT maybe_seen").count()
+    n_ret = flagged.where("maybe_seen").count()
+    seen.refresh(ev)  # fold today in for tomorrow's run
+
     f = {r.step: (r.n_users, round(r.conversion, 3))
          for r in fun.collect()}
     print(f"funnel: {f}")
@@ -65,6 +82,8 @@ def main() -> None:
           f"{spark.read.parquet(f'{out}/activity').count()}")
     print(f"rollup buckets: {roll.read(spark).count()}; "
           f"heavy-hitter rows served: {top.count()}")
+    print(f"second-half users: {n_new} new / {n_ret} returning "
+          f"(membership from stored bloom, no history join)")
     print(f"outputs at {out}")
 
 

@@ -1506,6 +1506,7 @@ TRANSFORM_OPERATORS = {
     "profile": "curation.profile",
     "line_dedup": "text.line_dedup",
     "apply_linear_scorer": "curation.apply_linear_scorer",
+    "normalize_text": "text.normalize_text",
 }
 
 

@@ -841,8 +841,14 @@ def decontaminate_bloom(train: DataFrame, test: DataFrame,
 
     sh_te = dedup.word_shingles(test, id_col, text_col, n) \
         .select("shingle").distinct()
+    # materialize the filter once: it is <= m_bits/63 rows (~2k at the
+    # default) BY CONSTRUCTION, while as a lazy plan each of the k
+    # probe joins carries the whole eval-corpus explode+aggregate in
+    # its broadcast subtree — whether that recomputes is left to
+    # ReusedExchange's discretion. A ~2k-row checkpoint makes the
+    # k-broadcast cost unconditional instead of optimizer-dependent.
     bloom = bloom_build(sh_te, "shingle", m_bits=m_bits,
-                        k_hashes=k_hashes)
+                        k_hashes=k_hashes).localCheckpoint(eager=True)
     sh_tr = dedup.word_shingles(train, id_col, text_col, n)
     probed = bloom_contains(sh_tr, bloom, "shingle", m_bits=m_bits,
                             k_hashes=k_hashes, out_col="__hit")

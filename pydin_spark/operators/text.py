@@ -1089,10 +1089,17 @@ class IncrementalLineDeduper:
         return (st.join(F.broadcast(commits), "batch", "left_semi")
                 .drop("batch"))
 
-    def ingest(self, docs: DataFrame) -> DataFrame:
+    def ingest(self, docs: DataFrame,
+               rewritten_path: str | None = None) -> DataFrame:
         """Dedup the batch against history AND within itself, append
         the batch's new keeper lines to the state, return the
-        rewritten batch: (id, text, n_lines, n_kept)."""
+        rewritten batch: (id, text, n_lines, n_kept).
+
+        With ``rewritten_path`` the rewritten docs append to that sink
+        BEFORE the state commit: a crash between the two replays the
+        batch against pre-batch state and re-derives the same rewrite
+        (at-least-once to the sink — dedup downstream by id —
+        exactly-once to the state)."""
         import uuid
 
         spark = docs.sparkSession
@@ -1129,9 +1136,12 @@ class IncrementalLineDeduper:
                                      lambda s: s["line"]),
                          self.join_sep).alias(self.text_col),
             "n_lines", "n_kept").localCheckpoint(eager=True)
-        # state append AFTER the result is materialized: a crash before
-        # the commit row replays the batch against the old state and
+        # sink write and state append AFTER the result is materialized
+        # and the sink BEFORE the commit row: a crash anywhere up to
+        # the commit replays the batch against the old state and
         # reproduces the same output (at-least-once, never silent loss)
+        if rewritten_path is not None:
+            result.write.mode("append").parquet(rewritten_path)
         batch_id = uuid.uuid4().hex
         (new_firsts.select(
             "line",
@@ -1144,6 +1154,33 @@ class IncrementalLineDeduper:
         spark.catalog.refreshByPath(f"{self.path}/firsts")
         spark.catalog.refreshByPath(f"{self.path}/commits")
         return result
+
+    def ingest_stream(self, stream_df: DataFrame, checkpoint: str,
+                      rewritten_path: str | None = None,
+                      trigger_once: bool = True,
+                      compact_every: int | None = 20):
+        """Streaming front door: every micro-batch is line-deduped
+        against history + itself, the rewritten docs optionally append
+        to ``rewritten_path``, and the batch's new keeper lines commit
+        to the state. Same replay contract as the near-dup deduper's
+        stream: the output is written before the state commit, so a
+        crash replays the batch against pre-batch state and re-derives
+        the same rewrite — at-least-once to the sink, exactly-once to
+        the state. ``compact_every`` bounds the commit log. Returns
+        the started StreamingQuery."""
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest(batch_df, rewritten_path=rewritten_path)
+            if compact_every and batch_id > 0 \
+                    and batch_id % compact_every == 0:
+                self.checkpoint_state()
+
+        writer = (stream_df.writeStream
+                  .foreachBatch(_sink)
+                  .outputMode("update")
+                  .option("checkpointLocation", checkpoint))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def checkpoint_state(self) -> None:
         """Collapse N committed batches into one (the commit log is
@@ -1174,3 +1211,61 @@ class IncrementalLineDeduper:
             shutil.rmtree(old, ignore_errors=True)
         spark.catalog.refreshByPath(f"{self.path}/firsts")
         spark.catalog.refreshByPath(f"{self.path}/commits")
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", form: str = "NFC",
+                   casefold: bool = False,
+                   strip_accents: bool = False,
+                   collapse_whitespace: bool = False) -> DataFrame:
+    """Unicode text normalization — the cleaning step every real-world
+    (non-ASCII) corpus needs before ANY hash-based operator: "café"
+    composed (U+00E9) and decomposed (e + U+0301) are different byte
+    strings, so fingerprints, shingles, and bloom probes all miss each
+    other until the corpus is normalized to one form. Options: Unicode
+    normal form (NFC/NFKC/NFD/NFKD via the standard algorithm),
+    ``casefold`` (full Unicode case folding, stronger than lower()),
+    ``strip_accents`` (NFD + drop combining marks), and
+    ``collapse_whitespace`` (runs of whitespace → one space, trimmed).
+
+    Runs as an Arrow-batched pandas UDF — normalization tables aren't
+    in Spark's built-in functions, and a vectorized str pass over
+    Arrow batches is the honest cost (one linear scan, no shuffle, no
+    per-row Python). Output replaces ``text_col``; all other columns
+    pass through untouched.
+
+    Determinism: Unicode normal forms are defined by the standard, so
+    any conforming engine produces identical bytes — the DuckDB oracle
+    recomputes NFC with ``nfc_normalize()`` and matches exactly.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normal form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        import pandas as pd
+
+        def one(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize(form, t)
+            if strip_accents:
+                out = "".join(
+                    ch for ch in unicodedata.normalize("NFD", out)
+                    if unicodedata.category(ch) != "Mn")
+                out = unicodedata.normalize(form, out)
+            if casefold:
+                out = out.casefold()
+            if collapse_whitespace:
+                out = " ".join(out.split())
+            return out
+
+        return pd.Series([one(t) for t in s])
+
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, _norm(F.col(text_col)).alias(text_col)) \
+        .select(*df.columns)

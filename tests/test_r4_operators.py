@@ -333,3 +333,99 @@ def test_bloom_contains_grouped_probes_own_filter(spark):
                           group_cols=("g",)).collect()}
     assert got == {("a", "in-a"): True, ("a", "in-b"): False,
                    ("b", "in-b"): True, ("c", "in-a"): False}
+
+
+def test_normalize_text_unicode_forms(spark):
+    composed = "café"                     # é as one codepoint
+    decomposed = "café"                  # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None),
+         (4, "  AÉ  b\t c  ")],
+        "doc_id long, text string")
+    nfc = {r["doc_id"]: r["text"] for r in
+           text.normalize_text(df, form="NFC").collect()}
+    assert nfc[1] == nfc[2] == composed  # both forms converge
+    assert nfc[3] is None
+    full = {r["doc_id"]: r["text"] for r in
+            text.normalize_text(df, casefold=True, strip_accents=True,
+                                collapse_whitespace=True).collect()}
+    assert full[1] == full[2] == "cafe"
+    assert full[4] == "ae b c"
+
+
+def test_normalize_text_matches_duckdb_nfc(spark):
+    """Cross-engine NFC: the standard defines the bytes, both engines
+    must agree (the oracle argument, pinned here on real unicode)."""
+    import duckdb
+
+    rows = [(1, "café naïve"), (2, "ﬁne"),  # fi ligature
+            (3, "Ångström")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in
+           text.normalize_text(df, form="NFC").collect()}
+    con = duckdb.connect()
+    for i, t in rows:
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == want
+
+
+def test_line_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest over a file landing zone ≡ ordered batch
+    ingests; rewritten docs land in the sink."""
+    rows1 = [(1, "shared line\nalpha"), (2, "beta\nshared line")]
+    rows2 = [(3, "shared line\ngamma"), (4, "delta")]
+    land = tmp_path / "land"
+    land.mkdir()
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(land))
+    inc = text.IncrementalLineDeduper(str(tmp_path / "st"))
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(str(land))
+    q = inc.ingest_stream(stream, str(tmp_path / "ckpt"),
+                          rewritten_path=str(tmp_path / "out"))
+    q.awaitTermination(120)
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(land))
+    q2 = inc.ingest_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(land)), str(tmp_path / "ckpt"),
+        rewritten_path=str(tmp_path / "out"))
+    q2.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    both = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    want = {r["doc_id"]: r["text"] for r in
+            text.line_dedup(both).collect()}
+    assert got == want
+
+
+def test_line_dedup_ingest_replay_rederives_same_rewrite(
+        spark, tmp_path, monkeypatch):
+    """Crash between sink write and state commit: the replayed batch
+    re-derives the same rewrite (at-least-once, never loss)."""
+    import pyspark.sql.readwriter as rw
+
+    inc = text.IncrementalLineDeduper(str(tmp_path / "st"))
+    inc.ingest(spark.createDataFrame(
+        [(1, "history line\nkeep me")], "doc_id long, text string"))
+    batch = spark.createDataFrame(
+        [(2, "history line\nfresh line")], "doc_id long, text string")
+    sink = str(tmp_path / "out")
+
+    real_parquet = rw.DataFrameWriter.parquet
+
+    def exploding(self, path, **kw):
+        if path.endswith("/commits"):
+            raise RuntimeError("injected crash before commit")
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", exploding)
+    try:
+        inc.ingest(batch, rewritten_path=sink)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # replay: same batch, same pre-batch state -> same rewrite again
+    inc.ingest(batch, rewritten_path=sink)
+    out = spark.read.parquet(sink).where("doc_id = 2").collect()
+    assert {r["text"] for r in out} == {"fresh line"}
