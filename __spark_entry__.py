@@ -3443,7 +3443,11 @@ def oracle_sql() -> dict[str, str]:
         FROM p GROUP BY 1
     """
     # corpus-first line dedup at word grain (fixture texts are one
-    # line); corpus-first = smallest (doc_id, position)
+    # line); corpus-first = smallest (doc_id, position). Exempt
+    # (empty) lines are always kept in the rebuilt text but excluded
+    # from n_kept — they were never dedup candidates (matches the
+    # operator's exempt-line rule on texts with consecutive
+    # separators)
     out["text_line_dedup"] = """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
                    FROM documents),
@@ -3454,8 +3458,12 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY line
                                         ORDER BY doc_id, i) AS rn
               FROM l WHERE length(line) > 0),
-        k AS (SELECT doc_id, i, line FROM r WHERE rn = 1),
-        agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        k AS (SELECT doc_id, i, line, TRUE AS elig FROM r WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, i, line, FALSE AS elig
+              FROM l WHERE length(line) = 0),
+        agg AS (SELECT doc_id,
+                       COUNT(*) FILTER (WHERE elig) AS n_kept,
                        string_agg(line, ' ' ORDER BY i) AS text
                 FROM k GROUP BY doc_id),
         n AS (SELECT doc_id, len(t) AS n_lines FROM d)

@@ -101,7 +101,9 @@ def bloom_prefilter_join(big: DataFrame, small: DataFrame, on: str,
 
     When it pays: the small side is too big to broadcast (so the join
     must shuffle BOTH sides) but its key SET fits a filter — m_bits of
-    2^20 is 16 KiB of packed words for ~100k keys at <2% FP. The
+    2^20 is 128 KiB of packed words for ~100k keys at <2% FP (the
+    16 KiB figure quoted for sketch state belongs to the 2^17
+    default used elsewhere). The
     classic case is a fact table joined to a filtered dimension: 100 TB
     of facts shuffle in full under a plain SortMergeJoin, but only the
     ~matching fraction shuffles here. When the small side already

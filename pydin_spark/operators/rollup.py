@@ -674,6 +674,9 @@ def bloom_build(df: DataFrame, item_col: str, m_bits: int = 1 << 17,
     """
     ex = df.select(*group_cols,
                    F.col(item_col).cast("string").alias("__it"))
+    # NULL is not a member under SQL equality semantics: it never
+    # sets bits (and bloom_contains reads NULL probes as absent)
+    ex = ex.where(F.col("__it").isNotNull())
     ex = ex.withColumn(
         "__j", F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])))
     pos = _bloom_positions(F.col("__it"), F.col("__j"), m_bits)
@@ -745,7 +748,10 @@ def bloom_contains(df: DataFrame, bloom: DataFrame, item_col: str,
                       f"__w{j}", f"__b{j}")]
     drop += [f"__g{j}_{i}" for j in range(k_hashes)
              for i in range(len(group_cols))]
-    return out.withColumn(out_col, hit).drop(*drop)
+    # NULL probes read definitively absent (SQL equality semantics:
+    # NULL matches nothing; the build never set bits for NULL either)
+    return out.withColumn(out_col,
+                          F.col(item_col).isNotNull() & hit).drop(*drop)
 
 
 class StoredBloom:

@@ -555,13 +555,16 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
     reversed pair — edge-list-sized work, never corpus-sized.
 
     A supplied ``graph`` is validated against ``k`` via its ``rnk``
-    column (one edge-list-sized max aggregate): a graph built at a
+    column (one edge-list-sized aggregate): a graph built at a
     LARGER k is trimmed to ``rnk <= k`` (a k'-graph is a superset of
     the k-graph, so the trim is exact); a graph whose deepest rank is
-    SMALLER than ``k`` raises — its mutual edges would silently be the
-    graph's k, not the requested one (pass ``k=<graph's k>`` if the
-    shallower graph is intentional, e.g. a corpus smaller than k+1
-    where every source legitimately has fewer neighbors).
+    SMALLER than ``min(k, n-1)`` — where n is the graph's distinct
+    node count — raises, because its mutual edges would silently be
+    the graph's k, not the requested one. The ``n-1`` bound keeps a
+    COMPLETE graph valid for any k: over a corpus of n <= k vectors
+    the exact k-graph has only n-1 neighbors per source, and that
+    complete graph IS the k-graph for every larger k, so it is
+    accepted rather than spuriously rejected.
     """
     if graph is not None:
         g = graph
@@ -570,10 +573,14 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
             if gk > k:
                 g = g.where(F.col("rnk") <= k)
             elif gk < k:
-                raise ValueError(
-                    f"graph= was built at k={gk} but k={k} was "
-                    f"requested; rebuild the graph at k>={k} or pass "
-                    f"k={gk} explicitly")
+                n_ids = (g.select(F.col("src_id").alias("i"))
+                         .union(g.select(F.col("nbr_id").alias("i")))
+                         .distinct().count())
+                if gk < min(k, n_ids - 1):
+                    raise ValueError(
+                        f"graph= was built at k={gk} but k={k} was "
+                        f"requested; rebuild the graph at k>={k} or "
+                        f"pass k={gk} explicitly")
     else:
         g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col)
     e = g.select("src_id", "nbr_id", "cosine")

@@ -983,9 +983,14 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
 
     ``sep`` is a regex (default newline). Lines that are empty or
     shorter than ``min_tokens`` whitespace tokens are EXEMPT — always
-    kept, never counted as duplicates (cutting every blank line or
-    stray "the" corpus-wide would shred documents; the C4 rule only
-    targets content-bearing repeated lines).
+    kept in the rebuilt text, never counted as duplicates (cutting
+    every blank line or stray "the" corpus-wide would shred documents;
+    the C4 rule only targets content-bearing repeated lines).
+    ``n_kept`` counts only ELIGIBLE lines that survived dedup —
+    exempt lines were never candidates, so they don't inflate the
+    keep count (``n_lines`` still counts every split piece, so
+    ``n_lines - n_kept`` is NOT the number cut; compare against an
+    eligible-line count if you need a cut rate).
 
     Scale shape — deliberately NOT a window over the line text: hot
     boilerplate lines occur millions of times, and
@@ -1018,10 +1023,10 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         (F.col(f"__first.{id_col}") == F.col(id_col))
         & (F.col("__first.pos") == F.col("pos")))
     marked = joined.withColumn("__keep", keep)
-    kept_line = F.when(F.col("__keep"), F.col("line"))
     out = (marked.groupBy(id_col)
            .agg(F.count(F.lit(1)).alias("n_lines"),
-                F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                F.sum((F.col("__elig") & F.col("__keep"))
+                      .cast("long")).alias("n_kept"),
                 F.array_sort(F.collect_list(
                     F.when(F.col("__keep"),
                            F.struct("pos", "line")))).alias("__ls")))
@@ -1126,7 +1131,8 @@ class IncrementalLineDeduper:
         marked = joined.withColumn("__keep", keep)
         out = (marked.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_lines"),
-                    F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                    F.sum((F.col("__elig") & F.col("__keep"))
+                          .cast("long")).alias("n_kept"),
                     F.array_sort(F.collect_list(
                         F.when(F.col("__keep"),
                                F.struct("pos", "line")))).alias("__ls")))
@@ -1226,7 +1232,10 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
     normal form (NFC/NFKC/NFD/NFKD via the standard algorithm),
     ``casefold`` (full Unicode case folding, stronger than lower()),
     ``strip_accents`` (NFD + drop combining marks), and
-    ``collapse_whitespace`` (runs of whitespace → one space, trimmed).
+    ``collapse_whitespace`` (runs of ASCII whitespace → one space,
+    trimmed; non-ASCII whitespace like NBSP is content, not
+    separator — the same rule SQL ``regexp_replace(.., '\\s+')``
+    engines apply, so oracle twins agree on unicode text).
 
     Runs as an Arrow-batched pandas UDF — normalization tables aren't
     in Spark's built-in functions, and a vectorized str pass over
@@ -1238,12 +1247,15 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
     any conforming engine produces identical bytes — the DuckDB oracle
     recomputes NFC with ``nfc_normalize()`` and matches exactly.
     """
+    import re
     import unicodedata
 
     from pyspark.sql.functions import pandas_udf
 
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normal form {form!r}")
+
+    _ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
 
     @pandas_udf("string")
     def _norm(s):
@@ -1261,7 +1273,11 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
             if casefold:
                 out = out.casefold()
             if collapse_whitespace:
-                out = " ".join(out.split())
+                # ASCII whitespace only — str.split() would also
+                # collapse NBSP/U+2028 etc., which SQL engines'
+                # \s+ (RE2, ASCII) does not; keep both engines on
+                # the ASCII rule so oracles agree on unicode text
+                out = _ASCII_WS.sub(" ", out).strip(" ")
             return out
 
         return pd.Series([one(t) for t in s])
