@@ -473,14 +473,20 @@ def hh_topk(summary: DataFrame, k: int = 50,
     grouped = (items.groupBy(*gcols, "item")
                .agg(F.sum("est").alias("est_count")))
     # NULL group keys are legitimate groups (_mg_map keeps them with
-    # dropna=False) — a null-unsafe equi-join would silently drop them
+    # dropna=False) — a null-unsafe equi-join would silently drop
+    # them. Both sides derive from `summary`, so alias them before
+    # joining: df[c] == other[c] on shared lineage resolves to the
+    # same attribute and Spark warns "trivially true equals predicate"
+    ga, ea = grouped.alias("__hh_g"), err.alias("__hh_e")
     cond = None
     for c in gcols:
-        piece = grouped[c].eqNullSafe(err[c])
+        piece = F.col(f"__hh_g.{c}").eqNullSafe(F.col(f"__hh_e.{c}"))
         cond = piece if cond is None else (cond & piece)
-    merged = (grouped.join(err, cond)
-              .select(*[grouped[c] for c in gcols], grouped["item"],
-                      grouped["est_count"], err["err_ub"]))
+    merged = (ga.join(ea, cond)
+              .select(*[F.col(f"__hh_g.{c}") for c in gcols],
+                      F.col("__hh_g.item"),
+                      F.col("__hh_g.est_count"),
+                      F.col("__hh_e.err_ub")))
     w = Window.partitionBy(*gcols).orderBy(F.desc("est_count"), "item")
     return (merged.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))
