@@ -62,6 +62,58 @@ def compact(spark: SparkSession, path: str,
     return {"before": stats, "after": dataset_stats(spark, path)}
 
 
+def compact_if_fragmented(spark: SparkSession, path: str,
+                          max_files: int = 64,
+                          target_file_bytes: int = 128 * 1024 * 1024,
+                          partition_by: list[str] | None = None,
+                          row_filter=None) -> dict:
+    """Compact a parquet dataset only when its file count exceeds
+    ``max_files`` — the idempotent building block every stored-state
+    ``maintain()`` shares (high refresh cadence appends/overwrites
+    small files; reads degrade without a periodic rewrite, but
+    rewriting a healthy table every tick is wasted IO). Returns
+    ``{}`` when the dataset doesn't exist, ``{"skipped": stats}``
+    when healthy, else ``compact``'s before/after stats."""
+    try:
+        stats = dataset_stats(spark, path)
+        spark.read.parquet(path).schema
+    except Exception:  # noqa: BLE001 - state not built yet
+        return {}
+    if stats["files"] <= max_files:
+        return {"skipped": stats}
+    return compact(spark, path, target_file_bytes=target_file_bytes,
+                   partition_by=partition_by, row_filter=row_filter)
+
+
+def maintain_states(spark: SparkSession, states, **kwargs) -> dict:
+    """Run ``maintain()`` across every stored-state object in one
+    sweep — the single scheduler-driven upkeep entry point for a
+    deployment's whole state fleet (incremental dedupers, continuous
+    rollups, heavy-hitter/bloom sketch stores, line-dedup state, IVF
+    indexes). Each family's ``maintain`` is idempotent and bounded
+    (compaction only past a file-count threshold, commit-log collapse
+    only past a batch-count threshold, orphan sweep always safe), so
+    the sweep can run on any cron cadence.
+
+    ``states`` is an iterable of objects exposing
+    ``maintain(spark, **kwargs)``; results key by ``ClassName[path]``.
+    A family that raises doesn't abort its siblings — the error
+    string lands in the result so the scheduler job can alarm on it
+    (same error-tolerance philosophy as the pipeline's
+    ``error_limit``)."""
+    import inspect
+    out: dict[str, object] = {}
+    for st in states:
+        key = f"{type(st).__name__}[{getattr(st, 'path', '?')}]"
+        try:
+            accepted = inspect.signature(st.maintain).parameters
+            kw = {k: v for k, v in kwargs.items() if k in accepted}
+            out[key] = st.maintain(spark, **kw)
+        except Exception as exc:  # noqa: BLE001 - isolate families
+            out[key] = {"error": f"{type(exc).__name__}: {exc}"}
+    return out
+
+
 def write_partitioned(df: DataFrame, path: str, date_col: str,
                       granularity: str = "day",
                       mode: str = "overwrite") -> None:

@@ -183,6 +183,21 @@ class ContinuousRollup:
                         *self.group_cols, "n_events", "total_value",
                         *extra))
 
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Compact the bucket-partitioned state once refreshes have
+        fragmented it past ``max_files`` (each dynamic partition
+        overwrite rewrites its partitions as task-count file sets;
+        at high cadence the read side degrades into a metadata
+        storm). Idempotent and bounded — the shared stored-state
+        upkeep contract (:func:`~pydin_spark.functions.maintenance.
+        maintain_states`)."""
+        from ..functions.maintenance import compact_if_fragmented
+        return compact_if_fragmented(
+            spark, self.path, max_files=max_files,
+            target_file_bytes=target_file_bytes,
+            partition_by=["bucket_start"])
+
     def _bucket_seconds(self, spark) -> int:
         # derive the bucket width from a probe window rather than
         # parsing the duration string ourselves
@@ -557,6 +572,17 @@ class StoredHeavyHitters:
                 .select(F.col("bucket_start").cast("timestamp"),
                         *self.group_cols, "item", "est"))
 
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Compact fragmented summary state — see
+        :meth:`ContinuousRollup.maintain` (same layout, same
+        contract)."""
+        from ..functions.maintenance import compact_if_fragmented
+        return compact_if_fragmented(
+            spark, self.path, max_files=max_files,
+            target_file_bytes=target_file_bytes,
+            partition_by=["bucket_start"])
+
     def refresh(self, events: DataFrame) -> DataFrame:
         """Fold new events into the stored per-bucket summaries;
         returns the refreshed summary frame.
@@ -812,6 +838,17 @@ class StoredBloom:
         return (spark.read.parquet(self.path)
                 .select(F.col("bucket_start").cast("timestamp"),
                         "word_idx", "bits"))
+
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Compact fragmented filter state — see
+        :meth:`ContinuousRollup.maintain` (same layout, same
+        contract)."""
+        from ..functions.maintenance import compact_if_fragmented
+        return compact_if_fragmented(
+            spark, self.path, max_files=max_files,
+            target_file_bytes=target_file_bytes,
+            partition_by=["bucket_start"])
 
     def refresh(self, events: DataFrame) -> DataFrame:
         spark = events.sparkSession

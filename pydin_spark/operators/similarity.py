@@ -1003,6 +1003,44 @@ class IVFIndex:
         return {"vid": row["vid"], "n_vectors": row["n_vectors"],
                 "mean_residual": row["mean_residual"]}
 
+    def maintain(self, spark, corpus: DataFrame | None = None,
+                 drift_threshold: float | None = None,
+                 sample_fraction: float | None = None,
+                 max_files: int = 64) -> dict:
+        """Shared stored-state upkeep (the
+        :func:`~pydin_spark.functions.maintenance.maintain_states`
+        contract): sweep orphan version trees — crashed builds that
+        never published a manifest row, plus versions older than
+        ``keep_versions`` — and compact the append-per-flip manifest
+        once it fragments. With ``corpus`` and ``drift_threshold``
+        set, also runs the drift→rebuild tick
+        (examples/ann_index_maintenance.py's recipe) in the same
+        sweep. Returns per-step stats; ``{}`` when no index exists
+        yet."""
+        from ..functions.maintenance import compact_if_fragmented
+        out: dict[str, object] = {}
+        try:
+            self._current_vid(spark)
+        except Exception:  # noqa: BLE001 - no index yet
+            return out
+        if corpus is not None and drift_threshold is not None:
+            d = self.drift(corpus, sample_fraction=sample_fraction)
+            out["drift"] = d
+            if d["drift_ratio"] > drift_threshold:
+                out["rebuilt"] = self.rebuild(corpus)
+        import os
+        vroot = f"{self.path}/versions"
+        before = (len(os.listdir(vroot)) if os.path.isdir(vroot)
+                  else 0)
+        self._gc(spark)
+        after = len(os.listdir(vroot)) if os.path.isdir(vroot) else 0
+        out["versions"] = {"before": before, "after": after}
+        res = compact_if_fragmented(spark, self._manifest_path(),
+                                    max_files=max_files)
+        if res:
+            out["manifest"] = res
+        return out
+
     def knn_graph(self, spark, k: int = 5,
                   nprobe: int = 2) -> DataFrame:
         """Approximate kNN graph over the index's OWN stored corpus,

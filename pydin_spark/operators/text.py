@@ -1188,6 +1188,39 @@ class IncrementalLineDeduper:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def maintain(self, spark, max_files: int = 64,
+                 checkpoint_above: int = 1000) -> dict:
+        """Shared stored-state upkeep (same contract as
+        ``IncrementalDeduper.maintain``): collapse the commit log via
+        :meth:`checkpoint_state` once it exceeds ``checkpoint_above``
+        batches (it is broadcast on every read), then compact the
+        ``firsts`` table past ``max_files`` fragments, sweeping
+        uncommitted orphan rows from crashed appends in the same
+        rewrite (rows whose ``batch`` has no commit row are invisible
+        to readers already — the sweep just reclaims their bytes)."""
+        from ..functions.maintenance import compact_if_fragmented
+        out: dict[str, object] = {}
+        try:
+            n_commits = spark.read.parquet(
+                f"{self.path}/commits").count()
+        except Exception:  # noqa: BLE001 - no state yet
+            return out
+        if n_commits > checkpoint_above:
+            self.checkpoint_state()
+            out["checkpoint"] = {"commits_before": n_commits}
+        committed = [r["batch"] for r in spark.read.parquet(
+            f"{self.path}/commits").collect()]
+        res = compact_if_fragmented(
+            spark, f"{self.path}/firsts", max_files=max_files,
+            row_filter=F.col("batch").isin(committed))
+        if res:
+            out["firsts"] = res
+        res = compact_if_fragmented(spark, f"{self.path}/commits",
+                                    max_files=max_files)
+        if res:
+            out["commits"] = res
+        return out
+
     def checkpoint_state(self) -> None:
         """Collapse N committed batches into one (the commit log is
         read per ingest and must stay bounded). Same

@@ -198,6 +198,14 @@ class Scheduler:
             self.history.set_run(run_id, status=RUNNING)
             if func is not None:
                 self._run_callable(func, run, timeout)
+                # persist the job's data mutations so downstream
+                # triggered jobs AND history readers see them
+                # (reference pickles the data dump after every run;
+                # trigger inheritance below already reads data_dump)
+                if run.get("data"):
+                    import json as _json
+                    self.history.set_run(
+                        run_id, data_dump=_json.dumps(run["data"]))
             elif job.get("arguments"):
                 self._run_command(job["arguments"], timeout)
             self.history.set_run(run_id, status=DONE)
