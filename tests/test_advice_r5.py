@@ -130,3 +130,20 @@ def test_bloom_null_never_member(spark):
     only_null = spark.createDataFrame([(None,)], "it string")
     assert bloom_build(only_null, "it", m_bits=M, k_hashes=K) \
         .count() == 0
+
+
+def test_driver_priority_order_rotates_by_staleness():
+    """The driver verifies a 50-slot prefix of queries() in dict
+    order; the rotation must (a) lose no queries, (b) put
+    never-verified queries first, (c) order the rest by ascending
+    last-green round so the stalest evidence re-verifies first."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()
+    last = entry._last_green_rounds()
+    names = list(out)
+    assert len(names) == len(set(names))
+    ranks = [last.get(q, -1) for q in names]
+    assert ranks == sorted(ranks)  # monotone: never-green (-1) first
+    # sanity: the committed CORRECTNESS files actually drive this
+    assert any(r > 0 for r in ranks)

@@ -18,6 +18,16 @@ skew handling applies to):
 All three produce identical results (asserted). Prints a markdown
 table for PERF.md.
 
+Scale realism: the container fixture is MB-sized where production hot
+partitions are GB-sized, so (a) the AQE skew byte-thresholds are
+scaled to the fixture (same RELATIVE skew triggers the same split a
+256 MB threshold triggers at warehouse scale), and (b) the
+post-join aggregate includes a per-row sha2 — a stand-in for the
+per-row downstream cost (decode, featurize, write) that makes a
+straggler reducer hurt at 100 TB. Without a per-row cost, 32 local
+cores chew a 40 MB hot partition before skew matters and every
+strategy measures identical — demonstrating nothing.
+
 Usage: python tools/skew_demo.py [sf_dir] [factor]
 """
 
@@ -51,10 +61,18 @@ def timed(fn):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    out = "/tmp/skew_orders"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    out = f"/tmp/skew_orders_x{factor}"
     spark = get_session("skew-demo",
                         extra_conf={"spark.driver.memory": "32g"})
+    # fixture-scaled skew thresholds (see module doc)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                   "8MB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                   "2")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
@@ -80,22 +98,32 @@ def main() -> None:
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
+    # per-row downstream cost (see module doc): sha2 over the joined
+    # row makes the straggler reducer's row count COST something, as
+    # it does at warehouse scale
+    def _agg_df(joined):
+        work = F.sha2(F.concat_ws("#", "o_orderkey", "o_totalprice",
+                                  "c_name"), 256)
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .alias("s"),
+            F.sum(F.length(work)).alias("w"))
+
+    def _agg(joined):
+        return _agg_df(joined).collect()
+
     def run_join(skew_on: bool):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
                        "true" if skew_on else "false")
-        return (big.join(customer,
-                         big["o_custkey"] == customer["c_custkey"])
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("o_totalprice").alias("s")).collect())
+        return _agg(big.join(
+            customer, big["o_custkey"] == customer["c_custkey"]))
 
     def run_salted():
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        return (salted_join(big,
-                            customer.withColumnRenamed("c_custkey",
-                                                       "o_custkey"),
-                            on="o_custkey", salt=16)
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("o_totalprice").alias("s")).collect())
+        return _agg(salted_join(
+            big, customer.withColumnRenamed("c_custkey", "o_custkey"),
+            on="o_custkey", salt=16))
 
     r_naive = run_join(False)
     r_aqe = run_join(True)
@@ -106,12 +134,14 @@ def main() -> None:
     t_naive = timed(lambda: run_join(False))
     t_aqe = timed(lambda: run_join(True))
     t_salt = timed(run_salted)
-    # evidence the split actually happened: materialize the agg and
-    # read ITS executed plan (the join node carries the skew mark)
+    # evidence the split actually happened: materialize the SAME
+    # workload the timings ran (a count-only probe would prune the
+    # join down to the key column, shrink the shuffle below the byte
+    # threshold, and report no skew handling) and read ITS executed
+    # plan — the join node carries the skew mark
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    agg = (big.join(customer,
-                    big["o_custkey"] == customer["c_custkey"])
-           .agg(F.count(F.lit(1)).alias("n")))
+    agg = _agg_df(big.join(customer,
+                           big["o_custkey"] == customer["c_custkey"]))
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     marked = "skew=true" in plan
