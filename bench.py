@@ -69,7 +69,10 @@ def _hygiene(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    # default 5 reps since round 5: same-code medians moved ±30% across
+    # a day on this shared host at 3 reps (PERF.md round-5 notes);
+    # median-of-5 with raw samples recorded is cheap insurance
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
     # 32g, not the machine's full 128g: an oversized heap turned the
     # inter-query System.gc() into multi-second collections that
     # spiked the NEXT measurement up to 13 s (measured on the dedup
