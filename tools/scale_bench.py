@@ -81,6 +81,30 @@ EXTRA = [
     "text_line_dedup_incr",
     "text_normalize",
     "rollup_bloom_stored",
+    # round 5 widening: the curation/text/rollup/relational families —
+    # every remaining operator family gets a measured 10x row
+    "curation_token_budget",
+    "curation_temperature",
+    "curation_exact_k",
+    "curation_split",
+    "curation_dsir_weights",
+    "curation_decontaminate",
+    "text_tfidf",
+    "text_dup_spans",
+    "text_winnow",
+    "text_chunks",
+    "text_gopher_filter",
+    "text_repetition",
+    "rollup_hourly",
+    "rollup_daily_distinct",
+    "rollup_quantile",
+    "theta_overlap_users",
+    "rollup_hh_stored",
+    "q_funnel",
+    "q_retention",
+    "q_event_paths",
+    "q_gap_fill",
+    "q_range_join",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -174,6 +198,28 @@ LINEAR_OK = {
     "dedup_semantic",           # cluster-bounded pairs: ~n*cluster
                                 # size per corpus when nlist tracks n
                                 # (the scale-tier variant sizes it so)
+    "curation_token_budget",    # whole-corpus prefix-sum scan
+    "curation_temperature",     # corpus scan + K-row rate join
+    "curation_exact_k",         # per-stratum rank window over corpus
+    "curation_split",           # corpus scan + cluster closure
+    "curation_dsir_weights",    # corpus n-gram explode + bucket join
+    "curation_decontaminate",   # corpus n-gram explode + semi-join
+    "text_tfidf",               # corpus term explode + idf join
+    "text_dup_spans",           # corpus k-gram inventory
+    "text_winnow",              # corpus k-gram window minima
+    "text_chunks",              # corpus explode, shuffle-free
+    "text_gopher_filter",       # whole-corpus column pass
+    "text_repetition",          # whole-corpus column pass
+    "rollup_hourly",            # events scan + bucket agg
+    "rollup_daily_distinct",    # events scan + HLL merge
+    "rollup_quantile",          # events scan + KLL merge
+    "theta_overlap_users",      # events scan -> K sketches
+    "rollup_hh_stored",         # two refreshes scan events twice
+    "q_funnel",                 # events scan + per-user fold
+    "q_retention",              # events scan + cohort agg
+    "q_event_paths",            # events scan + per-user sequence
+    "q_gap_fill",               # events scan + per-key LOCF window
+    "q_range_join",             # binned range join, events-sized
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
