@@ -2155,6 +2155,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.bpe_tokenize(spark.table("documents"), BPE_MERGES)
 
     out["text_bpe_apply"] = _text_bpe_apply
+
+    def _rollup_mad_outliers(spark, sf_dir):
+        # robust per-type outlier screen: |value - median| > 3 * MAD
+        # (exact interpolated medians — the same cross-engine
+        # percentile surface q_percentiles pins); scores rounded to
+        # 9 dp for the value-hash, flag predicate on full precision
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        return rollup_ops.mad_outliers(
+            spark.table("events"), value_col="value",
+            group_cols=("event_type",), threshold=3.0
+        ).select("event_id", "event_type", "value",
+                 F.round("med_value", 9).alias("med_value"),
+                 F.round("mad_value", 9).alias("mad_value"),
+                 F.round("robust_z", 9).alias("robust_z"))
+
+    out["rollup_mad_outliers"] = _rollup_mad_outliers
+
+    def _curation_weighted_sample(spark, sf_dir):
+        # weighted sampling without replacement ∝ n_chars, 40 docs per
+        # language — Gumbel top-k over the md5 unit uniform, fully
+        # deterministic so the oracle draws the identical sample
+        _views(spark, sf_dir)
+        return curation.weighted_sample(
+            spark.table("documents"), weight_col="n_chars", k=40,
+            group_cols=("lang",)
+        ).select("doc_id", "lang", "n_chars", "rank")
+
+    out["curation_weighted_sample"] = _curation_weighted_sample
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3515,6 +3544,54 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     out["text_bpe_apply"] = _bpe_apply_oracle_sql(BPE_MERGES)
+    # robust MAD outliers: exact interpolated medians, flag predicate
+    # on full precision, scores rounded to 9 dp only for the hash
+    out["rollup_mad_outliers"] = """
+        WITH v AS (SELECT event_id, event_type, value FROM events
+                   WHERE value IS NOT NULL),
+        m AS (SELECT event_type,
+                     quantile_cont(value, 0.5) AS med_value
+              FROM v GROUP BY event_type),
+        d AS (SELECT v.event_id, v.event_type, v.value, m.med_value
+              FROM v JOIN m USING (event_type)),
+        md AS (SELECT event_type,
+                      quantile_cont(abs(value - med_value), 0.5)
+                          AS mad_value
+               FROM d GROUP BY event_type),
+        s AS (SELECT d.event_id, d.event_type, d.value, d.med_value,
+                     md.mad_value,
+                     (d.value - d.med_value)
+                     / nullif(md.mad_value, CAST(0.0 AS DOUBLE))
+                         AS robust_z
+              FROM d JOIN md USING (event_type))
+        SELECT event_id, event_type, value,
+               ROUND(med_value, 9) AS med_value,
+               ROUND(mad_value, 9) AS mad_value,
+               ROUND(robust_z, 9) AS robust_z
+        FROM s WHERE abs(robust_z) > CAST(3.0 AS DOUBLE)
+    """
+    # weighted sample ∝ n_chars: the same Gumbel top-k keys as the
+    # Spark operator (md5 unit uniform, both terms rounded to 9 dp)
+    out["curation_weighted_sample"] = f"""
+        WITH w AS (SELECT doc_id, lang, n_chars,
+                          md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+                   FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars > 0),
+        u AS (SELECT doc_id, lang, n_chars,
+                     CAST({hex15} AS DOUBLE)
+                     / 1152921504606846976.0 AS u
+              FROM w),
+        k AS (SELECT doc_id, lang, n_chars,
+                     ROUND(ln(CAST(n_chars AS DOUBLE)), 9)
+                     + ROUND(-ln(-ln(u)), 9) AS key
+              FROM u),
+        r AS (SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY key DESC, doc_id)
+                         AS rank
+              FROM k)
+        SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 40
+    """
     return out
 
 

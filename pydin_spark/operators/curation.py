@@ -1009,3 +1009,48 @@ def train_quality_classifier(pos: DataFrame, neg: DataFrame,
     rows = [(int(b), float(w)) for b, w in enumerate(coef) if w != 0.0]
     weights = spark.createDataFrame(rows, "bucket long, w double")
     return weights, float(model.intercept)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id",
+                    group_cols: tuple[str, ...] = (),
+                    seed: int = 42) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement over an
+    arbitrary positive weight column: the ``k`` rows (per group, if
+    ``group_cols`` is given) drawn with probability proportional to
+    ``weight_col``, via the Gumbel top-k trick — the same machinery
+    :func:`importance_resample` uses for DSIR, generalized to any
+    caller-supplied weight (quality scores, token counts, dwell
+    times). key = round(ln w, 9) + round(Gumbel(md5-uniform(id)), 9);
+    the top-k keys are exactly a w-weighted sample without
+    replacement (Efraimidis-Spirakis via Gumbel reparameterization).
+
+    Fully deterministic and engine-reproducible: the noise comes from
+    the md5 unit uniform of (id, seed), never from an RNG, so reruns,
+    retries and the DuckDB oracle all draw the identical sample —
+    the reproducibility property a curation pipeline needs to be
+    auditable. Rows with NULL or non-positive weight are excluded
+    (they have zero inclusion probability; ln is undefined).
+
+    Scale shape: ungrouped top-k goes through orderBy+limit
+    (distributed TakeOrdered — each partition keeps k candidates, the
+    driver merges k·P keys, no global sort shuffle); grouped top-k is
+    one rank window on the group key (one shuffle). Output: the input
+    row plus ``rank`` (1..k by key DESC within its group).
+    """
+    w = df.where(F.col(weight_col).isNotNull()
+                 & (F.col(weight_col) > 0))
+    u = _hash_unit(F.col(id_col).cast("string"), seed)
+    gumbel = F.round(-F.log(-F.log(u)), 9)
+    key = F.round(F.log(F.col(weight_col).cast("double")), 9) + gumbel
+    keyed = w.withColumn("__key", key)
+    from pyspark.sql import Window
+    if group_cols:
+        win = (Window.partitionBy(*[F.col(c) for c in group_cols])
+               .orderBy(F.desc("__key"), id_col))
+        return (keyed.withColumn("rank", F.row_number().over(win))
+                .where(F.col("rank") <= int(k)).drop("__key"))
+    top = keyed.orderBy(F.desc("__key"), id_col).limit(int(k))
+    win = Window.orderBy(F.desc("__key"), id_col)
+    return (top.withColumn("rank", F.row_number().over(win))
+            .drop("__key"))

@@ -908,3 +908,64 @@ class StoredBloom:
         merged = self.serve(df.sparkSession)
         return bloom_contains(df, merged, item_col, m_bits=self.m_bits,
                               k_hashes=self.k_hashes, out_col=out_col)
+
+
+def mad_outliers(df: DataFrame, value_col: str = "value",
+                 group_cols: tuple[str, ...] = ("event_type",),
+                 threshold: float = 3.0,
+                 only_outliers: bool = True) -> DataFrame:
+    """Robust per-group outlier detection via median absolute
+    deviation: a row is flagged when
+    ``abs(value - median) > threshold * MAD`` for its group, where
+    ``MAD = median(abs(value - median))`` — the classic robust
+    z-score family (Hampel / Iglewicz-Hoaglin), immune to the exact
+    failure mode of mean/stddev gating (one extreme value inflates
+    the very spread that is supposed to catch it). No reference
+    counterpart (pydin has no statistics operators); engine extension
+    for telemetry/quality screening on event streams.
+
+    Output: the input columns plus ``med_value``, ``mad_value`` and
+    ``robust_z`` (= ``(value - med) / mad``, signed, NULL when the
+    group's MAD is 0 — a degenerate constant-majority group in which
+    the robust score is undefined; such rows are never flagged, the
+    caller can fall back to an exact-inequality rule there). With
+    ``only_outliers=False`` every non-NULL-value row is returned with
+    its scores (the screening-report shape); the default returns only
+    the flagged rows. NULL ``value_col`` rows are dropped (they have
+    no deviation; both engines' percentiles ignore NULLs).
+
+    Scale shape: two aggregates on the group key (exact interpolated
+    medians — ``F.percentile``, the same exact-percentile surface the
+    q_percentiles gate pins cross-engine) and two broadcast-sized
+    joins back (one row per group). The event table is scanned twice;
+    for a single-pass approximate variant at 100 TB, serve the
+    medians from stored KLL sketches (:func:`with_quantile_estimate`)
+    and treat this exact form as the audit tier — thresholds are
+    robust to the sketch's rank error precisely because MAD gating
+    only needs the bulk, not the tails.
+
+    Multipliers: MAD of a normal distribution is 0.6745 sigma, so
+    ``threshold=3`` here is ~2 sigma; use ``threshold=4.45`` for the
+    conventional 3-sigma gate (3/0.6745). The consistency constant is
+    deliberately NOT baked in — it is distribution-specific and the
+    gate threshold is the caller's policy knob.
+    """
+    gcols = list(group_cols)
+    vals = df.where(F.col(value_col).isNotNull())
+    med = (vals.groupBy(*gcols)
+           .agg(F.percentile(F.col(value_col), F.lit(0.5))
+                .alias("med_value")))
+    dev = vals.join(F.broadcast(med), gcols)
+    mad = (dev.groupBy(*gcols)
+           .agg(F.percentile(F.abs(F.col(value_col)
+                                   - F.col("med_value")), F.lit(0.5))
+                .alias("mad_value")))
+    scored = (dev.join(F.broadcast(mad), gcols)
+              .withColumn(
+                  "robust_z",
+                  (F.col(value_col) - F.col("med_value"))
+                  / F.nullif(F.col("mad_value"), F.lit(0.0))))
+    if only_outliers:
+        scored = scored.where(
+            F.abs(F.col("robust_z")) > F.lit(float(threshold)))
+    return scored

@@ -1,0 +1,123 @@
+"""Round-5 operator additions: robust MAD outlier screening and
+generalized deterministic weighted sampling."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydin_spark.operators.curation import weighted_sample
+from pydin_spark.operators.rollup import mad_outliers
+
+
+@pytest.fixture()
+def metric_df(spark):
+    # group 'a': tight cluster around 10 with one wild point; group
+    # 'b': constant majority (MAD = 0); plus a NULL value row
+    rows = ([("a", float(v)) for v in
+             [9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 300.0]]
+            + [("b", 5.0)] * 6 + [("b", 9.0)]
+            + [("a", None)])
+    return spark.createDataFrame(rows, "event_type string, value double")
+
+
+def test_mad_outliers_flags_the_wild_point(metric_df):
+    out = mad_outliers(metric_df, value_col="value",
+                       group_cols=("event_type",), threshold=3.0)
+    flagged = out.collect()
+    assert [(r["event_type"], r["value"]) for r in flagged] == \
+        [("a", 300.0)]
+    r = flagged[0]
+    # a-group median 10.0, deviations [1.0, 0.5, 0, 0, 0.5, 1.0, 290]
+    # -> MAD 0.5; robust_z = 290 / 0.5
+    assert r["med_value"] == 10.0
+    assert r["mad_value"] == 0.5
+    assert r["robust_z"] == pytest.approx(580.0)
+
+
+def test_mad_outliers_zero_mad_group_never_flags(metric_df):
+    # 'b' has MAD 0: robust_z is NULL there and nothing is flagged,
+    # even though 9.0 differs from the constant majority
+    out = mad_outliers(metric_df, value_col="value",
+                       group_cols=("event_type",), threshold=3.0,
+                       only_outliers=False)
+    b = {r["value"]: r for r in out.where("event_type = 'b'").collect()}
+    assert b[9.0]["mad_value"] == 0.0 and b[9.0]["robust_z"] is None
+    flagged = mad_outliers(metric_df, value_col="value",
+                           group_cols=("event_type",), threshold=3.0)
+    assert flagged.where("event_type = 'b'").count() == 0
+
+
+def test_mad_outliers_null_values_dropped_and_z_signed(metric_df):
+    out = mad_outliers(metric_df, value_col="value",
+                       group_cols=("event_type",), threshold=3.0,
+                       only_outliers=False)
+    # the NULL-value row is gone entirely
+    assert out.where("value IS NULL").count() == 0
+    a = {r["value"]: r["robust_z"]
+         for r in out.where("event_type = 'a'").collect()}
+    assert a[9.0] == pytest.approx(-2.0)   # below median -> negative
+    assert a[11.0] == pytest.approx(2.0)   # above median -> positive
+
+
+def test_weighted_sample_deterministic_and_ranked(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(60)],
+        "doc_id long, w double")
+    a = weighted_sample(df, "w", k=10).collect()
+    b = weighted_sample(df, "w", k=10).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert sorted(r["rank"] for r in a) == list(range(1, 11))
+    # distinct draws: without replacement
+    assert len({r["doc_id"] for r in a}) == 10
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", k=5).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_grouped_k_per_group(spark):
+    rows = [(i, "g" + str(i % 3), 1.0 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_sample(df, "w", k=4, group_cols=("grp",)).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["grp"], []).append(r["rank"])
+    assert set(per) == {"g0", "g1", "g2"}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per.values())
+
+
+def test_weighted_sample_tracks_weights_across_seeds(spark):
+    # one heavy item (w=30) vs 29 light items (w=1): across many
+    # seeds the heavy item must be drawn far more often than any
+    # light one (inclusion probability ~0.5 vs ~0.017 at k=1)
+    df = spark.createDataFrame(
+        [(0, 30.0)] + [(i, 1.0) for i in range(1, 30)],
+        "doc_id long, w double")
+    wins = 0
+    for seed in range(30):
+        got = weighted_sample(df, "w", k=1, seed=seed).first()["doc_id"]
+        wins += got == 0
+    # binomial(30, ~0.5): P(wins < 6) is ~1e-4; a uniform sampler
+    # (p ~ 1/30) reaches 6 with probability ~3e-4 — separable
+    assert wins >= 6
+
+
+def test_mad_outliers_inner_math_matches_sql_percentile(spark, views):
+    # the operator's F.percentile must agree with the SQL surface the
+    # oracle uses (exact interpolated median) on the real fixture
+    ev = spark.table("events")
+    got = mad_outliers(ev, value_col="value",
+                       group_cols=("event_type",),
+                       only_outliers=False) \
+        .select("event_type", "med_value").distinct().collect()
+    want = {r["event_type"]: r["m"] for r in spark.sql(
+        "SELECT event_type, percentile(value, 0.5) AS m FROM events "
+        "WHERE value IS NOT NULL GROUP BY event_type").collect()}
+    assert got and all(
+        math.isclose(r["med_value"], want[r["event_type"]],
+                     rel_tol=0, abs_tol=0) for r in got)
