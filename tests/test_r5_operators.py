@@ -107,6 +107,22 @@ def test_weighted_sample_tracks_weights_across_seeds(spark):
     assert wins >= 6
 
 
+def test_mad_outliers_sketch_tier_matches_exact_on_fixture(spark, views):
+    # the 100 TB tier (mergeable percentile_approx medians) must flag
+    # the same rows as the exact audit tier on the real fixture — MAD
+    # gating only needs the bulk of the distribution, so the sketch's
+    # bounded rank error cannot move the flag set at accuracy=10000
+    ev = spark.table("events")
+    exact = {r["event_id"] for r in mad_outliers(
+        ev, value_col="value", group_cols=("event_type",),
+        threshold=3.0).select("event_id").collect()}
+    sketch = {r["event_id"] for r in mad_outliers(
+        ev, value_col="value", group_cols=("event_type",),
+        threshold=3.0, approx_accuracy=10000)
+        .select("event_id").collect()}
+    assert exact and sketch == exact
+
+
 def test_mad_outliers_inner_math_matches_sql_percentile(spark, views):
     # the operator's F.percentile must agree with the SQL surface the
     # oracle uses (exact interpolated median) on the real fixture

@@ -105,6 +105,8 @@ EXTRA = [
     "q_event_paths",
     "q_gap_fill",
     "q_range_join",
+    "rollup_mad_outliers",
+    "curation_weighted_sample",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -162,11 +164,28 @@ def _scale_sim_knn_graph_ivf(spark, sf_dir):
                                     nlist=8, nprobe=2, max_iter=2)
 
 
+def _scale_mad_outliers(spark, sf_dir):
+    from pydin_spark.operators import rollup
+    entrymod._views(spark, sf_dir)
+    # sketch tier: mergeable percentile_approx medians (map-side
+    # combinable, fixed-size buffers). The gate's exact interpolated
+    # percentile buffers every group value in ONE aggregation buffer
+    # — with a handful of event types that is a near-serial
+    # O(n log n) sort with spill, measured 17.6x at 10x data. The
+    # exact form is the documented audit tier; this is the 100 TB
+    # configuration of the same operator.
+    return rollup.mad_outliers(
+        spark.table("events"), value_col="value",
+        group_cols=("event_type",), threshold=3.0,
+        approx_accuracy=10000)
+
+
 SCALE_VARIANTS = {
     "dedup_semantic": _scale_dedup_semantic,
     "sim_knn_graph": _scale_sim_knn_graph,
     "sim_knn_graph_ivf": _scale_sim_knn_graph_ivf,
     "curation_bloom_decontam": _scale_bloom_decontam,
+    "rollup_mad_outliers": _scale_mad_outliers,
 }
 
 #: full-scan-shaped: cost correctly tracks data volume (see module doc)
@@ -220,6 +239,8 @@ LINEAR_OK = {
     "q_event_paths",            # events scan + per-user sequence
     "q_gap_fill",               # events scan + per-key LOCF window
     "q_range_join",             # binned range join, events-sized
+    "rollup_mad_outliers",      # two events scans + group-key aggs
+    "curation_weighted_sample",  # corpus scan + one per-group window
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
