@@ -2184,6 +2184,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "n_chars", "rank")
 
     out["curation_weighted_sample"] = _curation_weighted_sample
+
+    def _c4_pages(spark, sf_dir):
+        # the fixture is single-space word soup — build line-structured
+        # pages deterministically so the C4 rules have something to
+        # cut (same construction in the oracle): lines of 8 words;
+        # terminal '.' on lines where (doc_id+i)%3 != 0; ' javascript'
+        # injected where (doc_id+i)%7 == 0; docs with doc_id%11 == 0
+        # get a '{ lorem ipsum }' trailer line (doc-level kill)
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        d = spark.table("documents")
+        toks = F.split(F.col("text"), " ")
+        nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                F.when((F.col("doc_id") + i) % 7 == 0,
+                       F.lit(" javascript")).otherwise(F.lit("")),
+                F.when((F.col("doc_id") + i) % 3 != 0,
+                       F.lit(".")).otherwise(F.lit(""))))
+        page = F.array_join(lines, "\n")
+        page = F.when(F.col("doc_id") % 11 == 0,
+                      F.concat(page, F.lit("\nsee { lorem ipsum }"))) \
+            .otherwise(page)
+        return d.select("doc_id", page.alias("text"))
+
+    def _text_c4_filter(spark, sf_dir):
+        # C4 rule set (Raffel et al.): >=5-word lines ending in
+        # terminal punctuation, no 'javascript' lines, no pages with
+        # 'lorem ipsum'/'{', >=3 surviving lines per page
+        return text.c4_line_filter(_c4_pages(spark, sf_dir))
+
+    out["text_c4_filter"] = _text_c4_filter
+
+    def _text_strip_markup(spark, sf_dir):
+        # markup injected deterministically (tags around every
+        # ' value ' token, trailing script/style/comment/entity
+        # gauntlet), then stripped; oracle runs the IDENTICAL
+        # MARKUP_PATTERNS / MARKUP_ENTITIES inventory (module
+        # constants interpolated into the SQL)
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        d = spark.table("documents")
+        marked = d.select("doc_id", F.concat(
+            F.lit('<div class="page">'),
+            F.replace(F.col("text"), F.lit(" value "),
+                      F.lit(" <b>value</b> ")),
+            F.lit('</div><script>var x = "<q>";</script>'
+                  '<style>p { c: red }</style><!-- hidden -->'
+                  ' 1 &lt; 2 &amp;&amp; 3 &gt; 0 A&nbsp;B &amp;lt;'))
+            .alias("text"))
+        return text.strip_markup(marked).select("doc_id", "text")
+
+    out["text_strip_markup"] = _text_strip_markup
+
+    def _text_top_ngrams(spark, sf_dir):
+        # corpus boilerplate mining: top-20 trigrams by document
+        # frequency, n-gram string as the deterministic tie-break
+        _views(spark, sf_dir)
+        return text.top_ngrams(spark.table("documents"), n=3, k=20)
+
+    out["text_top_ngrams"] = _text_top_ngrams
+
+    def _curation_det_shuffle(spark, sf_dir):
+        # reproducible training-export shuffle: md5-keyed shard (mod 8)
+        # + within-shard position — rerun/oracle draw the identical
+        # permutation
+        _views(spark, sf_dir)
+        return curation.deterministic_shuffle(
+            spark.table("documents"), n_shards=8
+        ).select("doc_id", "shard", "pos")
+
+    out["curation_det_shuffle"] = _curation_det_shuffle
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3591,6 +3665,106 @@ def oracle_sql() -> dict[str, str]:
                          AS rank
               FROM k)
         SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 40
+    """
+    # C4 line filtering over the same deterministic page construction
+    # as the Spark entry (8-word lines, '.' where (id+i)%3!=0,
+    # ' javascript' where %7==0, '{ lorem ipsum }' trailer where
+    # id%11==0), then the public C4 rules
+    out["text_c4_filter"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                  i -> array_to_string(
+                         t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ')
+                       || CASE WHEN (doc_id + i) % 7 = 0
+                               THEN ' javascript' ELSE '' END
+                       || CASE WHEN (doc_id + i) % 3 <> 0
+                               THEN '.' ELSE '' END) AS ls
+              FROM d),
+        pg AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN array_to_string(ls, chr(10)) || chr(10)
+                           || 'see { lorem ipsum }'
+                      ELSE array_to_string(ls, chr(10)) END AS text
+               FROM b),
+        docs AS (SELECT * FROM pg
+                 WHERE lower(text) NOT LIKE '%lorem ipsum%'
+                   AND lower(text) NOT LIKE '%{%'),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS l
+               FROM docs),
+        ln AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+                      l[CAST(i AS BIGINT)] AS line
+               FROM sp, unnest(range(1, len(l) + 1)) AS u(i)),
+        mk AS (SELECT doc_id, pos, line,
+                 (len(string_split(line, ' ')) >= 5
+                  AND substr(line, length(line), 1)
+                      IN ('.', '!', '?', '"', '''')
+                  AND lower(line) NOT LIKE '%javascript%') AS keep
+               FROM ln),
+        ag AS (SELECT doc_id,
+                 COUNT(*) AS n_lines,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                 string_agg(CASE WHEN keep THEN line END, chr(10)
+                            ORDER BY pos) AS text
+               FROM mk GROUP BY doc_id)
+        SELECT doc_id, text, n_lines, n_kept FROM ag
+        WHERE n_kept >= 3
+    """
+    # markup strip: IDENTICAL regex/entity inventory as the operator,
+    # interpolated from the module constants (one inventory by
+    # construction, the PII-oracle pattern)
+    _strip = "text"
+    for _pat in text.MARKUP_PATTERNS:
+        _strip = ("regexp_replace({}, '{}', ' ', 'g')"
+                  .format(_strip, _pat.replace("'", "''")))
+    for _ent, _rep in text.MARKUP_ENTITIES:
+        _strip = ("replace({}, '{}', '{}')"
+                  .format(_strip, _ent.replace("'", "''"),
+                          _rep.replace("'", "''")))
+    _strip = (r"trim(regexp_replace(" + _strip
+              + r", '[ \t\n\r\f]+', ' ', 'g'))")
+    out["text_strip_markup"] = f"""
+        WITH inj AS (SELECT doc_id,
+            '<div class="page">'
+            || replace(text, ' value ', ' <b>value</b> ')
+            || '</div><script>var x = "<q>";</script>'
+            || '<style>p {{ c: red }}</style><!-- hidden -->'
+            || ' 1 &lt; 2 &amp;&amp; 3 &gt; 0 A&nbsp;B &amp;lt;'
+                AS text
+          FROM documents)
+        SELECT doc_id, {_strip} AS text FROM inj
+    """
+    # corpus boilerplate mining: top-20 trigrams by document frequency
+    # (distinct per doc), n-gram string breaks ties
+    out["text_top_ngrams"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+               FROM d, unnest(range(1, len(t) - 1)) AS u(i)),
+        c AS (SELECT ngram, COUNT(*) AS doc_freq FROM sh GROUP BY ngram),
+        r AS (SELECT ngram, doc_freq,
+                     ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram)
+                         AS rank
+              FROM c)
+        SELECT ngram, doc_freq, rank FROM r WHERE rank <= 20
+    """
+    # deterministic shuffle-sharding: same md5 60-bit integer, mod 8
+    # shard, within-shard order by (hash, id)
+    out["curation_det_shuffle"] = f"""
+        WITH w AS (SELECT doc_id,
+                          md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+                   FROM documents),
+        h AS (SELECT doc_id, CAST({hex15} AS BIGINT) AS hh FROM w)
+        SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+               ROW_NUMBER() OVER (PARTITION BY hh % 8
+                                  ORDER BY hh, doc_id) AS pos
+        FROM h
     """
     return out
 

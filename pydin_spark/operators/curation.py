@@ -1054,3 +1054,49 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     win = Window.orderBy(F.desc("__key"), id_col)
     return (top.withColumn("rank", F.row_number().over(win))
             .drop("__key"))
+
+
+def deterministic_shuffle(df: DataFrame, n_shards: int,
+                          id_col: str = "doc_id",
+                          seed: int = 42) -> DataFrame:
+    """Reproducible corpus shuffle + shard assignment for training
+    export: every row gets a ``shard`` in [0, n_shards) and a ``pos``
+    (1-based order within its shard), both pure functions of
+    (id, seed) — the md5 60-bit integer the whole sampling family uses
+    (:func:`_hash_unit`), taken mod ``n_shards`` for the shard and as
+    the within-shard sort key for the order. Rerunning the pipeline,
+    retrying a task, or running the DuckDB oracle produces the
+    IDENTICAL shuffle — the property a training run needs for exact
+    resume/repro, which ``ORDER BY rand()`` destroys.
+
+    Hash-ordering a hash-sharded corpus is a uniform random
+    permutation of the corpus for any non-adversarial id space: docs
+    that were adjacent in the source interleave across shards, so
+    each shard is an unbiased corpus sample and within-shard order
+    carries no source locality — the decorrelation data loaders
+    assume when they stream shards sequentially.
+
+    Scale shape: ONE shuffle — the rank window partitions by shard,
+    so Spark exchanges on shard and sorts within each. A shard is also
+    the unit a single writer must emit in order, so the per-shard
+    task IS the export parallelism: size ``n_shards`` to the desired
+    output file count (hundreds-to-thousands at 100 TB), never a
+    handful. Write with
+    ``.repartition(n_shards, "shard").sortWithinPartitions("pos")``
+    partitioned by shard to land one ordered file per shard.
+
+    Output: the input columns plus (shard int, pos long).
+    """
+    if int(n_shards) < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                          F.lit(seed))), 1, 15), 16, 10).cast("long")
+    keyed = df.withColumn("__h", h) \
+        .withColumn("shard", (F.col("__h") % int(n_shards)).cast("int"))
+    from pyspark.sql import Window
+    win = (Window.partitionBy("shard")
+           .orderBy(F.col("__h"), F.col(id_col)))
+    return (keyed.withColumn("pos", F.row_number().over(win)
+                             .cast("long"))
+            .drop("__h"))

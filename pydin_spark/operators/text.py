@@ -1318,3 +1318,160 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
     others = [c for c in df.columns if c != text_col]
     return df.select(*others, _norm(F.col(text_col)).alias(text_col)) \
         .select(*df.columns)
+
+
+def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", sep: str = "\n",
+                   join_sep: str | None = None,
+                   min_words_per_line: int = 5,
+                   min_lines: int = 3,
+                   terminal_punct: tuple[str, ...] = (".", "!", "?",
+                                                      '"', "'"),
+                   line_badwords: tuple[str, ...] = ("javascript",),
+                   doc_badphrases: tuple[str, ...] = ("lorem ipsum",
+                                                      "{")) -> DataFrame:
+    """C4-style heuristic page cleaning (Raffel et al. 2020, the
+    public C4 rule set): per LINE, keep only lines that (a) have at
+    least ``min_words_per_line`` whitespace words, (b) end in a
+    terminal punctuation character, and (c) don't mention a badword
+    (``javascript`` in C4 — boilerplate tell); per DOCUMENT, drop any
+    page containing a ``doc_badphrases`` phrase (``lorem ipsum``,
+    ``{`` — template/code tells) and any page with fewer than
+    ``min_lines`` surviving lines. No reference counterpart (pydin has
+    no corpus-cleaning surface); engine extension for web-scale
+    training corpora, complementary to :func:`line_dedup` (which cuts
+    REPEATED lines; this cuts LOW-QUALITY lines by local rules only).
+
+    Output: (id, text, n_lines, n_kept) with the text rebuilt from
+    kept lines in original order — same contract as
+    :func:`line_dedup`; documents that fail a doc-level rule are
+    dropped entirely. The terminal-punctuation test is a single
+    trailing CHARACTER test (pass multi-char closers like ``.")`` as
+    extra tuple entries only if single chars — multi-char suffixes are
+    not supported); badword/phrase matching is case-insensitive
+    substring.
+
+    Scale shape: pure projection — posexplode + per-line column
+    predicates + one reassembly aggregate on the doc key. ONE shuffle
+    (the regroup); every rule is a JVM column op evaluated line-local,
+    no corpus-wide state, so cost is the scan. ``sep`` is a split
+    REGEX, ``join_sep`` the literal reassembly string (defaults to
+    ``sep``; pass explicitly when ``sep`` has metacharacters).
+    """
+    for p in terminal_punct:
+        if len(p) != 1:
+            raise ValueError("terminal_punct entries must be single "
+                             f"characters, got {p!r}")
+    low_text = F.lower(F.col(text_col))
+    doc_ok = ~_any_contains(low_text, doc_badphrases)
+    docs = df.where(doc_ok)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    low_line = F.lower(F.col("line"))
+    keep = ((F.size(F.split(F.col("line"), " "))
+             >= F.lit(int(min_words_per_line)))
+            & F.substring(F.col("line"), -1, 1).isin(*terminal_punct)
+            & ~_any_contains(low_line, line_badwords))
+    marked = lines.withColumn("__keep", keep)
+    out = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__keep"),
+                           F.struct("pos", "line")))).alias("__ls")))
+    text_out = F.array_join(
+        F.transform(F.col("__ls"), lambda s: s["line"]),
+        join_sep if join_sep is not None else sep)
+    return (out.where(F.col("n_kept") >= F.lit(int(min_lines)))
+            .select(F.col(id_col), text_out.alias(text_col),
+                    "n_lines", "n_kept"))
+
+
+def _any_contains(low_col: Column, phrases: tuple[str, ...]) -> Column:
+    """OR-fold of case-insensitive substring tests (phrases are
+    matched against an already-lowercased column)."""
+    cond = F.lit(False)
+    for p in phrases:
+        cond = cond | low_col.contains(p.lower())
+    return cond
+
+
+#: tag-strip regexes shared with the SQL oracle (RE2-compatible: no
+#: backreferences, lazy quantifiers + inline (?is) flags only)
+MARKUP_PATTERNS = (
+    r"(?is)<script[^>]*>.*?</script>",   # script blocks incl. content
+    r"(?is)<style[^>]*>.*?</style>",     # style blocks incl. content
+    r"(?s)<!--.*?-->",                   # comments
+    r"(?s)<[^>]+>",                      # any remaining tag
+)
+
+#: entity unescapes applied IN ORDER (&amp; last, standard decode order
+#: — decoding it first would double-decode &amp;lt;)
+MARKUP_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def strip_markup(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 collapse_whitespace: bool = True) -> DataFrame:
+    """HTML/XML markup removal: script/style blocks (including their
+    content), comments, and all remaining tags become spaces; the six
+    standard entities are decoded (``&amp;`` last, so ``&amp;lt;``
+    correctly yields the literal ``&lt;``); whitespace is optionally
+    collapsed to single spaces (ASCII rule, same as
+    :func:`normalize_text`). The crude-but-robust extraction tier of a
+    web pipeline — a real boilerplate extractor (trafilatura-class) is
+    a Python library call and belongs behind ``mapInPandas`` like the
+    multimodal codecs; THIS operator is the zero-Python scale path
+    that handles the bulk.
+
+    All patterns are RE2-compatible (no backreferences) so the DuckDB
+    oracle runs the IDENTICAL regex inventory (``MARKUP_PATTERNS`` /
+    ``MARKUP_ENTITIES`` are module constants shared with the oracle by
+    construction). Pure column ops: no shuffle, no Python, cost is the
+    scan; other columns pass through unchanged.
+    """
+    out = F.col(text_col)
+    for pat in MARKUP_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"[ \t\n\r\f]+", " "))
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, out.alias(text_col)).select(*df.columns)
+
+
+def top_ngrams(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 3,
+               k: int = 20) -> DataFrame:
+    """Corpus-level boilerplate mining: the ``k`` word ``n``-grams
+    appearing in the most DOCUMENTS (document frequency on the
+    distinct-per-doc shingle set — an n-gram repeated inside one doc
+    counts once), ranked by doc_freq descending with the n-gram string
+    as the deterministic tie-break. The standard first look at a new
+    web crawl: the top of this table IS the nav-bar/cookie-banner/
+    license-header inventory that :func:`line_dedup` and
+    :func:`remove_duplicate_spans` then cut.
+
+    Scale shape: shingle explode (scan-linear) → one count aggregate
+    with map-side combine (hot n-grams collapse per map task, the
+    shuffle is distinct-n-gram-sized) → global top-k via
+    orderBy+limit, which Spark executes as TakeOrdered: each partition
+    keeps its k best, the driver merges k·P candidate rows — no global
+    sort shuffle. Output: (ngram, doc_freq, rank), exactly k rows (or
+    fewer if the corpus has fewer distinct n-grams).
+    """
+    from pydin_spark.operators import dedup
+    counts = (dedup.word_shingles(df, id_col, text_col, n)
+              .groupBy("shingle")
+              .agg(F.count(F.lit(1)).alias("doc_freq")))
+    top = (counts.orderBy(F.desc("doc_freq"), F.asc("shingle"))
+           .limit(int(k)))
+    from pyspark.sql import Window
+    win = Window.orderBy(F.desc("doc_freq"), F.asc("shingle"))
+    return (top.withColumn("rank", F.row_number().over(win))
+            .select(F.col("shingle").alias("ngram"), "doc_freq", "rank"))

@@ -137,3 +137,123 @@ def test_mad_outliers_inner_math_matches_sql_percentile(spark, views):
     assert got and all(
         math.isclose(r["med_value"], want[r["event_type"]],
                      rel_tol=0, abs_tol=0) for r in got)
+
+
+# ---- round-5 second batch: C4 cleaning, markup strip, boilerplate
+# mining, deterministic shuffle-sharding ----
+
+from pydin_spark.operators.curation import deterministic_shuffle
+from pydin_spark.operators.text import (c4_line_filter, strip_markup,
+                                        top_ngrams)
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        # survives: 3 good lines (>=5 words, terminal punct)
+        (1, "the quick brown fox jumps high.\n"
+            "a lazy dog sleeps all day!\n"
+            "short line.\n"
+            "does the cat watch the birds?"),
+        # doc-level kill: contains lorem ipsum
+        (2, "this page is lorem ipsum filler text here.\n"
+            "another fine long sentence right here.\n"
+            "and one more good long line too."),
+        # doc-level kill: contains '{'
+        (3, "function f() { return 1; }\n"
+            "a perfectly fine long sentence here.\n"
+            "another perfectly fine long sentence.\n"
+            "and a third fine long sentence."),
+        # line-level: javascript line cut; only 2 good lines -> dropped
+        (4, "please enable javascript to view this page.\n"
+            "a good first content sentence here.\n"
+            "a good second content sentence here."),
+        # no terminal punctuation anywhere -> dropped
+        (5, "navigation home about contact privacy terms\n"
+            "copyright twenty twenty four all rights"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_line_filter_rules(pages):
+    out = {r["doc_id"]: r for r in c4_line_filter(pages).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    # 'short line.' has < 5 words -> cut; other three kept in order
+    assert r["n_lines"] == 4 and r["n_kept"] == 3
+    assert r["text"].split("\n") == [
+        "the quick brown fox jumps high.",
+        "a lazy dog sleeps all day!",
+        "does the cat watch the birds?"]
+
+
+def test_c4_line_filter_min_lines_knob(pages):
+    # with min_lines=2 the javascript page survives on its 2 good lines
+    out = {r["doc_id"] for r in
+           c4_line_filter(pages, min_lines=2).collect()}
+    assert out == {1, 4}
+
+
+def test_strip_markup_tags_entities_and_blocks(spark):
+    df = spark.createDataFrame(
+        [(1, '<p class="x">Hello <b>world</b></p>'
+             '<script type="t">var x = "<tag>";</script>'
+             '<style>p { color: red }</style>'
+             '<!-- note --> 5 &lt; 6 &amp;&amp; 7 &gt; 2, '
+             'A&nbsp;B &amp;lt;'),
+         (2, "no markup at all"),
+         (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in strip_markup(df).collect()}
+    assert got[1] == 'Hello world 5 < 6 && 7 > 2, A B &lt;'
+    assert got[2] == "no markup at all"
+    assert got[3] is None
+
+
+def test_strip_markup_preserves_other_columns(spark):
+    df = spark.createDataFrame([(1, "<i>x</i>", "en")],
+                               "doc_id long, text string, lang string")
+    r = strip_markup(df).first()
+    assert (r["doc_id"], r["text"], r["lang"]) == (1, "x", "en")
+    assert strip_markup(df).columns == ["doc_id", "text", "lang"]
+
+
+def test_top_ngrams_doc_frequency_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"),   # 'a b c' twice in one doc counts once
+         (2, "a b c x y z"),
+         (3, "x y z q r s")],
+        "doc_id long, text string")
+    out = top_ngrams(df, n=3, k=3).collect()
+    assert [(r["ngram"], r["doc_freq"], r["rank"]) for r in out] == [
+        ("a b c", 2, 1), ("x y z", 2, 2), ("b c a", 1, 3)]
+
+
+def test_deterministic_shuffle_partitions_and_order(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)],
+                               "doc_id long")
+    a = deterministic_shuffle(df, n_shards=8).collect()
+    b = deterministic_shuffle(df, n_shards=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"])
+                              for r in rows)
+    assert key(a) == key(b)          # reproducible
+    shards = {}
+    for r in a:
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    assert set(shards) == set(range(8))          # all shards populated
+    for poss in shards.values():                 # dense 1..n_s per shard
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # roughly uniform: no shard more than 2x fair share
+    assert max(len(v) for v in shards.values()) <= 2 * 200 / 8
+    # different seed -> different permutation
+    c = deterministic_shuffle(df, n_shards=8, seed=7).collect()
+    assert key(c) != key(a)
+
+
+def test_deterministic_shuffle_breaks_source_order(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rows = deterministic_shuffle(df, n_shards=4).collect()
+    first = sorted([r["doc_id"] for r in rows if r["shard"] == 0][:50])
+    # shard 0's ids are spread over the whole range, not a prefix
+    assert max(first) > 250

@@ -107,6 +107,10 @@ EXTRA = [
     "q_range_join",
     "rollup_mad_outliers",
     "curation_weighted_sample",
+    "text_c4_filter",
+    "text_strip_markup",
+    "text_top_ngrams",
+    "curation_det_shuffle",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -241,6 +245,10 @@ LINEAR_OK = {
     "q_range_join",             # binned range join, events-sized
     "rollup_mad_outliers",      # two events scans + group-key aggs
     "curation_weighted_sample",  # corpus scan + one per-group window
+    "text_c4_filter",           # line explode + one regroup shuffle
+    "text_strip_markup",        # pure column scan, zero shuffle
+    "text_top_ngrams",          # shingle explode + combine + TakeOrdered
+    "curation_det_shuffle",     # one shard-partitioned rank window
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
