@@ -3696,7 +3696,7 @@ def oracle_sql() -> dict[str, str]:
         sp AS (SELECT doc_id, string_split(text, chr(10)) AS l
                FROM docs),
         ln AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
-                      l[CAST(i AS BIGINT)] AS line
+                      trim(l[CAST(i AS BIGINT)]) AS line
                FROM sp, unnest(range(1, len(l) + 1)) AS u(i)),
         mk AS (SELECT doc_id, pos, line,
                  (len(string_split(line, ' ')) >= 5

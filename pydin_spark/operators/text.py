@@ -1345,11 +1345,14 @@ def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
     Output: (id, text, n_lines, n_kept) with the text rebuilt from
     kept lines in original order — same contract as
     :func:`line_dedup`; documents that fail a doc-level rule are
-    dropped entirely. The terminal-punctuation test is a single
-    trailing CHARACTER test (pass multi-char closers like ``.")`` as
-    extra tuple entries only if single chars — multi-char suffixes are
-    not supported); badword/phrase matching is case-insensitive
-    substring.
+    dropped entirely. Every line is space-trimmed before rule
+    evaluation and in the rebuilt text (the public C4 behavior —
+    markup stripping upstream leaves trailing spaces that would
+    otherwise fail the punctuation test on every mid-document line).
+    The terminal-punctuation test is a single trailing CHARACTER test
+    (pass multi-char closers like ``.")`` as extra tuple entries only
+    if single chars — multi-char suffixes are not supported);
+    badword/phrase matching is case-insensitive substring.
 
     Scale shape: pure projection — posexplode + per-line column
     predicates + one reassembly aggregate on the doc key. ONE shuffle
@@ -1368,6 +1371,11 @@ def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    # each line is space-trimmed BEFORE rule evaluation and in the
+    # rebuilt text — the public C4 behavior; without it, upstream
+    # markup stripping leaves trailing spaces that silently fail the
+    # terminal-punctuation test on every mid-document line
+    lines = lines.withColumn("line", F.trim(F.col("line")))
     low_line = F.lower(F.col("line"))
     keep = ((F.size(F.split(F.col("line"), " "))
              >= F.lit(int(min_words_per_line)))

@@ -227,3 +227,55 @@ def test_keep_top_fraction_approx_has_no_rank_window(spark, views):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_strip_markup_zero_shuffle_and_pruned_scan(spark, views):
+    from pydin_spark.operators import text
+    plan = plan_of(text.strip_markup(spark.table("documents")))
+    assert "Exchange" not in plan            # pure column scan
+    assert "BatchEvalPython" not in plan     # zero Python
+    assert "ArrowEvalPython" not in plan
+
+
+def test_c4_line_filter_single_regroup_exchange(spark, views):
+    from pydin_spark.operators import text
+    plan = plan_of(text.c4_line_filter(spark.table("documents")))
+    # one exchange: the doc-key regroup after the line explode; every
+    # rule is line-local (no corpus-wide join/broadcast)
+    assert plan.count(" Exchange (") == 1, plan
+    assert "Join" not in plan
+    assert "partial_count" in plan           # map-side partial agg
+
+
+def test_top_ngrams_take_ordered_not_global_sort(spark, views):
+    from pydin_spark.operators import text
+    plan = plan_of(text.top_ngrams(spark.table("documents"), n=3, k=20))
+    # global top-k must be TakeOrdered (per-partition k + driver merge)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the count agg combines map-side before the shuffle
+    assert "partial_count" in plan
+    # the only full sort is the 20-row window rank, which sits ABOVE
+    # TakeOrdered; no Exchange rangepartitioning (global sort) anywhere
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_deterministic_shuffle_single_exchange(spark, views):
+    from pydin_spark.operators import curation
+    plan = plan_of(curation.deterministic_shuffle(
+        spark.table("documents"), n_shards=8))
+    # one exchange on the shard key feeding the rank window; the md5
+    # keys are computed in the scan stage (no second pass)
+    assert plan.count(" Exchange (") == 1, plan
+    assert "Window" in plan
+
+
+def test_mad_outliers_sketch_tier_objecthashagg_free_merge(spark, views):
+    from pydin_spark.operators import rollup
+    sketch = plan_of(rollup.mad_outliers(
+        spark.table("events"), approx_accuracy=10000))
+    # both median aggregates have a partial (map-side) phase and the
+    # group-row joins back are broadcasts — no sort-merge join of the
+    # events table against itself
+    assert "partial_percentile_approx" in sketch, sketch
+    assert "BroadcastHashJoin" in sketch
+    assert "SortMergeJoin" not in sketch

@@ -187,6 +187,24 @@ def test_c4_line_filter_rules(pages):
         "does the cat watch the birds?"]
 
 
+def test_c4_line_filter_trims_lines_before_rules(spark):
+    # markup stripping upstream leaves trailing spaces on lines; the
+    # public C4 behavior is to strip each line before testing, so a
+    # line ending '. ' must still pass the terminal-punct rule and
+    # come back trimmed in the rebuilt text
+    df = spark.createDataFrame(
+        [(1, "  the quick brown fox jumps high.  \n"
+             " a lazy dog sleeps all day here. \n"
+             "does the cat watch the birds now?  ")],
+        "doc_id long, text string")
+    out = c4_line_filter(df).collect()
+    assert len(out) == 1 and out[0]["n_kept"] == 3
+    assert out[0]["text"].split("\n") == [
+        "the quick brown fox jumps high.",
+        "a lazy dog sleeps all day here.",
+        "does the cat watch the birds now?"]
+
+
 def test_c4_line_filter_min_lines_knob(pages):
     # with min_lines=2 the javascript page survives on its 2 good lines
     out = {r["doc_id"] for r in
