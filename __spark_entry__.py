@@ -2258,6 +2258,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "shard", "pos")
 
     out["curation_det_shuffle"] = _curation_det_shuffle
+
+    def _curation_profile_corr(spark, sf_dir):
+        # pairwise Pearson in ONE aggregate from exact quantized
+        # DECIMAL sums (order-independent, so the value is
+        # bit-identical across partitionings AND engines; 9 dp
+        # rounding is hash insurance only)
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        out = curation.profile_correlations(
+            spark.table("lineitem"),
+            ("l_discount", "l_extendedprice", "l_quantity"),
+            scale_digits=2)
+        return out.select(
+            "col_a", "col_b", "n",
+            F.round("mean_a", 9).alias("mean_a"),
+            F.round("mean_b", 9).alias("mean_b"),
+            F.round("corr", 9).alias("corr"))
+
+    out["curation_profile_corr"] = _curation_profile_corr
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3766,6 +3785,44 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY hh, doc_id) AS pos
         FROM h
     """
+    # pairwise Pearson from exact quantized DECIMAL sums — the SAME
+    # quantization, masks, and double expression order as the
+    # operator, so the value is bit-identical (9 dp = hash insurance)
+    _corr_pairs = [("l_discount", "l_extendedprice"),
+                   ("l_discount", "l_quantity"),
+                   ("l_extendedprice", "l_quantity")]
+    _corr_aggs = []
+    for _i, (_a, _b) in enumerate(_corr_pairs):
+        _m = f"({_a} IS NOT NULL AND {_b} IS NOT NULL)"
+        _qa = f"CAST(round({_a}*100.0) AS DECIMAL(18,0))"
+        _qb = f"CAST(round({_b}*100.0) AS DECIMAL(18,0))"
+        _corr_aggs.append(f"""
+           CAST(SUM(CASE WHEN {_m} THEN 1 ELSE 0 END) AS BIGINT) AS n_{_i},
+           SUM(CASE WHEN {_m} THEN {_qa} END) AS sx_{_i},
+           SUM(CASE WHEN {_m} THEN {_qb} END) AS sy_{_i},
+           SUM(CASE WHEN {_m} THEN {_qa}*{_qa} END) AS sxx_{_i},
+           SUM(CASE WHEN {_m} THEN {_qb}*{_qb} END) AS syy_{_i},
+           SUM(CASE WHEN {_m} THEN {_qa}*{_qb} END) AS sxy_{_i}""")
+    _corr_rows = []
+    for _i, (_a, _b) in enumerate(_corr_pairs):
+        _n = f"CAST(n_{_i} AS DOUBLE)"
+        _sx, _sy = f"CAST(sx_{_i} AS DOUBLE)", f"CAST(sy_{_i} AS DOUBLE)"
+        _sxx, _syy = f"CAST(sxx_{_i} AS DOUBLE)", f"CAST(syy_{_i} AS DOUBLE)"
+        _sxy = f"CAST(sxy_{_i} AS DOUBLE)"
+        _corr_rows.append(f"""
+        SELECT '{_a}' AS col_a, '{_b}' AS col_b, n_{_i} AS n,
+               ROUND({_sx} / nullif({_n}, CAST(0.0 AS DOUBLE))
+                     / 100.0, 9) AS mean_a,
+               ROUND({_sy} / nullif({_n}, CAST(0.0 AS DOUBLE))
+                     / 100.0, 9) AS mean_b,
+               ROUND(({_n} * {_sxy} - {_sx} * {_sy})
+                     / nullif(sqrt(({_n} * {_sxx} - {_sx} * {_sx})
+                                   * ({_n} * {_syy} - {_sy} * {_sy})),
+                              CAST(0.0 AS DOUBLE)), 9) AS corr
+        FROM g""")
+    out["curation_profile_corr"] = (
+        "WITH g AS (SELECT " + ",".join(_corr_aggs)
+        + " FROM lineitem) " + " UNION ALL ".join(_corr_rows))
     return out
 
 

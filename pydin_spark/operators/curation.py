@@ -1085,7 +1085,11 @@ def deterministic_shuffle(df: DataFrame, n_shards: int,
     ``.repartition(n_shards, "shard").sortWithinPartitions("pos")``
     partitioned by shard to land one ordered file per shard.
 
-    Output: the input columns plus (shard int, pos long).
+    Output: the input columns plus (shard int, pos long). ``id_col``
+    must be unique: rows sharing an id land in the same shard at
+    adjacent positions, and WHICH of them takes the earlier position
+    is not defined (the sort key (hash, id) ties) — dedup first, or
+    pass a composite key column.
     """
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
@@ -1100,3 +1104,80 @@ def deterministic_shuffle(df: DataFrame, n_shards: int,
     return (keyed.withColumn("pos", F.row_number().over(win)
                              .cast("long"))
             .drop("__h"))
+
+
+def profile_correlations(df: DataFrame, cols: tuple[str, ...],
+                         scale_digits: int = 2) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE
+    full-scan aggregate — the relationship half of :func:`profile`
+    (which is per-column): every unordered pair (a < b by name) gets
+    (col_a, col_b, n, mean_a, mean_b, corr), with ``n`` the
+    pairwise-complete row count (rows where either side is NULL are
+    excluded from that pair only, standard pairwise deletion).
+
+    Determinism at scale — the design decision worth reading: naive
+    ``F.corr`` accumulates doubles, and floating addition is
+    order-dependent, so the same data yields different last bits
+    under different partitionings (and can never hash-match a SQL
+    oracle). Instead each value is quantized to an integer at
+    ``scale_digits`` decimal places and accumulated in DECIMAL —
+    EXACT and order-independent, so the result is bit-identical
+    across partitionings, AQE re-plans, retries, and engines. The
+    closed-form correlation is then a fixed double expression over
+    those exact sums. For fixed-point business metrics (prices,
+    quantities, rates) quantization is lossless; for free-form
+    doubles it bounds the input error at 10^-scale_digits — raise
+    ``scale_digits`` as needed (values must stay within
+    ~10^(18-scale_digits) for the DECIMAL(18) intermediates).
+    Correlation is scale-invariant, so the quantization factor
+    cancels; means are descaled explicitly.
+
+    ``corr`` is NULL for a degenerate pair (either side constant on
+    the pairwise-complete rows — zero variance, correlation
+    undefined). Scale shape: ONE aggregate over the scan (map-side
+    partial combine, a single ~6·P-value row shuffles), then a
+    driver-free explode of the one result row into pair rows.
+    """
+    cols = sorted(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    factor = float(10 ** int(scale_digits))
+    q = {c: F.round(F.col(c) * F.lit(factor)).cast("decimal(18,0)")
+         for c in cols}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa, xb = F.when(both, q[a]), F.when(both, q[b])
+        p = f"{a}__{b}"
+        aggs += [
+            F.sum(both.cast("long")).alias(f"n_{p}"),
+            F.sum(xa).alias(f"sx_{p}"), F.sum(xb).alias(f"sy_{p}"),
+            F.sum(xa * xa).alias(f"sxx_{p}"),
+            F.sum(xb * xb).alias(f"syy_{p}"),
+            F.sum(xa * xb).alias(f"sxy_{p}"),
+        ]
+    one = df.agg(*aggs)
+
+    def pair_struct(a, b):
+        p = f"{a}__{b}"
+        n = F.col(f"n_{p}").cast("double")
+        sx = F.col(f"sx_{p}").cast("double")
+        sy = F.col(f"sy_{p}").cast("double")
+        sxx = F.col(f"sxx_{p}").cast("double")
+        syy = F.col(f"syy_{p}").cast("double")
+        sxy = F.col(f"sxy_{p}").cast("double")
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        corr = (n * sxy - sx * sy) / F.nullif(den, F.lit(0.0))
+        return F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"n_{p}").alias("n"),
+            (sx / F.nullif(n, F.lit(0.0)) / F.lit(factor))
+            .alias("mean_a"),
+            (sy / F.nullif(n, F.lit(0.0)) / F.lit(factor))
+            .alias("mean_b"),
+            corr.alias("corr"))
+
+    rows = F.explode(F.array(*[pair_struct(a, b) for a, b in pairs])) \
+        .alias("r")
+    return one.select(rows).select("r.*")

@@ -275,3 +275,63 @@ def test_deterministic_shuffle_breaks_source_order(spark):
     first = sorted([r["doc_id"] for r in rows if r["shard"] == 0][:50])
     # shard 0's ids are spread over the whole range, not a prefix
     assert max(first) > 250
+
+
+# ---- profile_correlations ----
+
+from pydin_spark.operators.curation import profile_correlations
+
+
+def test_profile_correlations_known_values(spark):
+    # y = 2x exactly -> corr 1; z = -x -> corr -1 with both
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -float(i)) for i in range(1, 11)],
+        "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r
+           for r in profile_correlations(df, ("x", "y", "z")).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert out[("x", "y")]["corr"] == pytest.approx(1.0)
+    assert out[("x", "z")]["corr"] == pytest.approx(-1.0)
+    assert out[("y", "z")]["corr"] == pytest.approx(-1.0)
+    assert out[("x", "y")]["n"] == 10
+    assert out[("x", "y")]["mean_a"] == pytest.approx(5.5)
+    assert out[("x", "y")]["mean_b"] == pytest.approx(11.0)
+
+
+def test_profile_correlations_pairwise_nulls_and_constant(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 7.0), (2.0, None, 7.0), (3.0, 2.0, 7.0),
+         (4.0, 9.0, None)],
+        "x double, y double, c double")
+    out = {(r["col_a"], r["col_b"]): r
+           for r in profile_correlations(df, ("x", "y", "c")).collect()}
+    # (x, y): rows 1, 3, 4 pairwise-complete
+    assert out[("x", "y")]["n"] == 3
+    # constant column -> zero variance -> corr NULL, means still real
+    assert out[("c", "x")]["corr"] is None
+    assert out[("c", "x")]["mean_a"] == pytest.approx(7.0)
+    assert out[("c", "x")]["n"] == 3
+
+
+def test_profile_correlations_matches_spark_corr(spark, views):
+    # on the real fixture the quantized exact-sum formulation must
+    # agree with Spark's native corr to quantization error
+    li = spark.table("lineitem")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           profile_correlations(
+               li, ("l_quantity", "l_extendedprice", "l_discount"),
+               scale_digits=2).collect()}
+    for (a, b), v in got.items():
+        native = li.agg(F.corr(a, b)).first()[0]
+        assert v == pytest.approx(native, abs=1e-6), (a, b)
+
+
+def test_profile_correlations_partitioning_invariant(spark):
+    # the determinism claim: identical BITS regardless of partitioning
+    import math
+    rows = [(float(i % 17) + 0.25, float((i * 7) % 23)) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "x double, y double").coalesce(1)
+    df32 = spark.createDataFrame(rows, "x double, y double").repartition(32)
+    c1 = profile_correlations(df1, ("x", "y")).first()["corr"]
+    c32 = profile_correlations(df32, ("x", "y")).first()["corr"]
+    assert math.isclose(c1, c32, rel_tol=0, abs_tol=0)

@@ -111,6 +111,7 @@ EXTRA = [
     "text_strip_markup",
     "text_top_ngrams",
     "curation_det_shuffle",
+    "curation_profile_corr",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -249,6 +250,7 @@ LINEAR_OK = {
     "text_strip_markup",        # pure column scan, zero shuffle
     "text_top_ngrams",          # shingle explode + combine + TakeOrdered
     "curation_det_shuffle",     # one shard-partitioned rank window
+    "curation_profile_corr",    # one scan aggregate, 18 partial sums
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
