@@ -335,3 +335,68 @@ def test_profile_correlations_partitioning_invariant(spark):
     c1 = profile_correlations(df1, ("x", "y")).first()["corr"]
     c32 = profile_correlations(df32, ("x", "y")).first()["corr"]
     assert math.isclose(c1, c32, rel_tol=0, abs_tol=0)
+
+
+# ---- streaming front door for the web-ingest chain ----
+
+def test_streaming_web_ingest_front_door(spark, tmp_path):
+    """Raw markup pages stream in: strip_markup runs as a STATELESS
+    transform on the unbounded stream itself (pure projection — legal
+    pre-watermark), C4 filtering + corpus-first line dedup run per
+    micro-batch through IncrementalLineDeduper's state, so a
+    boilerplate banner arriving in a LATER file is cut against the
+    state built from an earlier one."""
+    import json
+
+    from pydin_spark.operators.text import (IncrementalLineDeduper,
+                                            c4_line_filter, strip_markup)
+
+    banner = "home about products contact subscribe today."
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def page(body_lines):
+        return ("<html><body><p>" + banner + "</p>\n"
+                + "\n".join(f"<div>{ln}</div>" for ln in body_lines)
+                + '<script>var x = 1;</script></body></html>')
+
+    batch1 = [{"doc_id": i,
+               "text": page([f"unique content line number {i} here.",
+                             f"another fine sentence about topic {i}."])}
+              for i in range(1, 4)]
+    (land / "a.json").write_text(
+        "\n".join(json.dumps(d) for d in batch1))
+    batch2 = [{"doc_id": 10,
+               "text": page(["completely fresh second batch line here."])}]
+    (land / "b.json").write_text(
+        "\n".join(json.dumps(d) for d in batch2))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(land)))
+    clean = strip_markup(stream, collapse_whitespace=False)
+
+    inc = IncrementalLineDeduper(str(tmp_path / "state"), min_tokens=3)
+    out_path = str(tmp_path / "clean_docs")
+
+    def sink(batch_df, batch_id):
+        kept = c4_line_filter(batch_df, min_lines=1)
+        inc.ingest(kept.select("doc_id", "text"),
+                   rewritten_path=out_path)
+
+    q = (clean.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {1, 2, 3, 10}
+    # markup never reaches the state or the sink
+    assert all("<" not in t for t in got.values())
+    # the banner keeper is the first batch's smallest (id, pos)
+    assert banner in got[1]
+    assert banner not in got[2] and banner not in got[3]
+    # cross-BATCH dedup: doc 10 arrives later, loses the banner to
+    # state built from file a, keeps its own fresh line
+    assert banner not in got[10]
+    assert "completely fresh second batch line here." in got[10]
