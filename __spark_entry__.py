@@ -2266,11 +2266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounding is hash insurance only)
         from pyspark.sql import functions as F
         _views(spark, sf_dir)
-        out = curation.profile_correlations(
+        res = curation.profile_correlations(
             spark.table("lineitem"),
             ("l_discount", "l_extendedprice", "l_quantity"),
             scale_digits=2)
-        return out.select(
+        return res.select(
             "col_a", "col_b", "n",
             F.round("mean_a", 9).alias("mean_a"),
             F.round("mean_b", 9).alias("mean_b"),
@@ -3718,7 +3718,7 @@ def oracle_sql() -> dict[str, str]:
                       trim(l[CAST(i AS BIGINT)]) AS line
                FROM sp, unnest(range(1, len(l) + 1)) AS u(i)),
         mk AS (SELECT doc_id, pos, line,
-                 (len(string_split(line, ' ')) >= 5
+                 (len(string_split_regex(line, ' +')) >= 5
                   AND substr(line, length(line), 1)
                       IN ('.', '!', '?', '"', '''')
                   AND lower(line) NOT LIKE '%javascript%') AS keep

@@ -91,8 +91,11 @@ def main() -> None:
     #    one ordered file per shard, identical layout on rerun
     sharded = curation.deterministic_shuffle(
         deduped.where(F.length("text") > 0), n_shards=N_SHARDS)
+    # sort key leads with shard: the dynamic-partition writer needs
+    # ordering by the partition column, and its own inserted Sort is
+    # unstable under spill (would scramble pos within a shard)
     (sharded.repartition(N_SHARDS, "shard")
-     .sortWithinPartitions("pos")
+     .sortWithinPartitions("shard", "pos")
      .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
 
     out = spark.read.parquet(out_dir)

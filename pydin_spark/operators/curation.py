@@ -23,13 +23,20 @@ from pyspark.sql import DataFrame, functions as F
 from . import dedup, text
 
 
+def _hash60(col, seed: int):
+    """Deterministic 60-bit integer from md5 (md5 exists in DuckDB
+    too, so oracles reproduce it exactly): first 15 hex chars as a
+    long. The ONE hash construction the whole sampling family shares —
+    keep any change in lockstep with the oracle hex15 expansion in
+    __spark_entry__.py."""
+    return F.conv(F.substring(F.md5(F.concat_ws("#", col, F.lit(seed))),
+                              1, 15), 16, 10).cast("long")
+
+
 def _hash_unit(col, seed: int):
-    """Deterministic uniform double in [0,1) from md5 (md5 exists in
-    DuckDB too, so oracles reproduce the exact sample): first 15 hex
-    chars → 60-bit int / 2^60."""
-    h = F.conv(F.substring(F.md5(F.concat_ws("#", col, F.lit(seed))),
-                           1, 15), 16, 10).cast("double")
-    return h / F.lit(float(1 << 60))
+    """Deterministic uniform double in [0,1): :func:`_hash60` / 2^60."""
+    return (_hash60(col, seed).cast("double")
+            / F.lit(float(1 << 60)))
 
 
 def _strata(strata_col):
@@ -1081,9 +1088,14 @@ def deterministic_shuffle(df: DataFrame, n_shards: int,
     the unit a single writer must emit in order, so the per-shard
     task IS the export parallelism: size ``n_shards`` to the desired
     output file count (hundreds-to-thousands at 100 TB), never a
-    handful. Write with
-    ``.repartition(n_shards, "shard").sortWithinPartitions("pos")``
-    partitioned by shard to land one ordered file per shard.
+    handful. Write with ``.repartition(n_shards, "shard")
+    .sortWithinPartitions("shard", "pos")`` partitioned by shard to
+    land one ordered file per shard — the sort key MUST lead with
+    ``shard``: the dynamic-partition writer requires ordering by the
+    partition column and would otherwise insert its own
+    ``Sort(shard)`` above yours, which is not stable once it spills,
+    silently reordering rows within a shard at exactly the scale this
+    operator targets.
 
     Output: the input columns plus (shard int, pos long). ``id_col``
     must be unique: rows sharing an id land in the same shard at
@@ -1093,9 +1105,7 @@ def deterministic_shuffle(df: DataFrame, n_shards: int,
     """
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
-    h = F.conv(F.substring(
-        F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
-                          F.lit(seed))), 1, 15), 16, 10).cast("long")
+    h = _hash60(F.col(id_col).cast("string"), seed)
     keyed = df.withColumn("__h", h) \
         .withColumn("shard", (F.col("__h") % int(n_shards)).cast("int"))
     from pyspark.sql import Window

@@ -936,8 +936,11 @@ def mad_outliers(df: DataFrame, value_col: str = "value",
     no deviation; both engines' percentiles ignore NULLs).
 
     Scale shape: two aggregates on the group key and two
-    broadcast-sized joins back (one row per group); the table is
-    scanned twice. The medians come in two tiers:
+    broadcast-sized joins back (one row per group); the source is
+    scanned THREE times (median aggregate, MAD aggregate, and the
+    final scored projection — only the broadcast exchanges are
+    reused; cache the input first if the scan dominates). The medians
+    come in two tiers:
 
     - **exact tier** (default, the oracle/audit surface): exact
       interpolated medians via ``F.percentile`` — the same

@@ -1377,7 +1377,10 @@ def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
     # terminal-punctuation test on every mid-document line
     lines = lines.withColumn("line", F.trim(F.col("line")))
     low_line = F.lower(F.col("line"))
-    keep = ((F.size(F.split(F.col("line"), " "))
+    # word count splits on RUNS of spaces — strip_markup with
+    # collapse_whitespace=False leaves doubled spaces where tags were,
+    # and a single-space split would count the empty tokens as words
+    keep = ((F.size(F.split(F.col("line"), " +"))
              >= F.lit(int(min_words_per_line)))
             & F.substring(F.col("line"), -1, 1).isin(*terminal_punct)
             & ~_any_contains(low_line, line_badwords))

@@ -205,6 +205,19 @@ def test_c4_line_filter_trims_lines_before_rules(spark):
         "does the cat watch the birds now?"]
 
 
+def test_c4_line_filter_word_count_ignores_space_runs(spark):
+    # strip_markup(collapse_whitespace=False) leaves doubled spaces
+    # where tags sat; the min-words rule must count WORDS, not
+    # empty split tokens — 'go  x  now.' is 3 words, never 5
+    df = spark.createDataFrame(
+        [(1, "go  x  now.\n"
+             "a  real  sentence  with  six  words.")],
+        "doc_id long, text string")
+    out = c4_line_filter(df, min_lines=1).collect()
+    assert len(out) == 1 and out[0]["n_kept"] == 1
+    assert out[0]["text"] == "a  real  sentence  with  six  words."
+
+
 def test_c4_line_filter_min_lines_knob(pages):
     # with min_lines=2 the javascript page survives on its 2 good lines
     out = {r["doc_id"] for r in
