@@ -1,0 +1,101 @@
+"""Telemetry outlier screening — the MAD gate at three cost tiers.
+
+Run:  python examples/telemetry_screening.py
+
+The same robust screen (|value − median| > t·MAD per event type,
+``rollup.mad_outliers``) run the three ways a deployment grows into:
+
+1. EXACT tier — interpolated medians (``F.percentile``). The audit
+   surface and the oracle gate's operating point; buffers every group
+   value in one aggregation buffer, measured 17.6× wall at 10× data —
+   never the production path.
+2. SKETCH tier — ``approx_accuracy=N`` switches both medians to the
+   mergeable single-pass ``percentile_approx``. Same operator, 100 TB
+   configuration; the flag set is identical on this data (pinned by
+   test too).
+3. STATE-SERVED tier — the value median never touches the event
+   history at screen time: it is served by merging the per-bucket KLL
+   sketches of the STORED rollup (the ContinuousRollup family state
+   that the scheduler already refreshes incrementally), so the screen
+   reads K sketch rows + one deviation pass instead of two full
+   passes. The deviation median still needs one scan (MAD is a
+   two-level statistic; storing deviation sketches would pin them to
+   a stale center), so this tier halves the scan cost and keeps the
+   center consistent with the monitoring rollup everyone reads.
+
+Prints flag-set agreement and per-tier timings.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from pydin_spark import get_session, load_table
+from pydin_spark.operators import rollup
+
+SF_DIR = "/root/testdata/sf0.01"
+THRESHOLD = 3.0
+
+
+def flags(df):
+    return {r["event_id"] for r in df.select("event_id").collect()}
+
+
+def main() -> None:
+    spark = get_session("telemetry-screening", master="local[8]")
+    ev = load_table(spark, SF_DIR, "events")
+
+    t0 = time.time()
+    exact = flags(rollup.mad_outliers(ev, threshold=THRESHOLD))
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    sketch = flags(rollup.mad_outliers(ev, threshold=THRESHOLD,
+                                       approx_accuracy=10000))
+    t_sketch = time.time() - t0
+
+    # tier 3: value median served from the stored rollup's KLL
+    # sketches (merge per-bucket sketches per type — the event history
+    # is NOT rescanned for the center)
+    agg = rollup.rollup_aggregate(ev, bucket="1 hour",
+                                  quantile_col="value")
+    t0 = time.time()
+    med = (agg.groupBy("event_type")
+           .agg(F.kll_sketch_get_quantile_double(
+               F.kll_merge_agg_double("quantile_sketch"), F.lit(0.5))
+               .alias("med_value")))
+    dev = (ev.where(F.col("value").isNotNull())
+           .join(F.broadcast(med), ["event_type"]))
+    mad = (dev.groupBy("event_type")
+           .agg(F.percentile_approx(
+               F.abs(F.col("value") - F.col("med_value")),
+               F.lit(0.5), F.lit(10000)).alias("mad_value")))
+    served = (dev.join(F.broadcast(mad), ["event_type"])
+              .where(F.abs((F.col("value") - F.col("med_value"))
+                           / F.nullif(F.col("mad_value"), F.lit(0.0)))
+                     > THRESHOLD))
+    got_served = flags(served)
+    t_served = time.time() - t0
+
+    n = ev.count()
+    print(f"events: {n}; threshold {THRESHOLD} (~2 sigma)")
+    print(f"exact tier  : {len(exact):>4} flags  {t_exact:5.2f}s "
+          "(audit only)")
+    print(f"sketch tier : {len(sketch):>4} flags  {t_sketch:5.2f}s "
+          f"(agree: {sketch == exact})")
+    print(f"state-served: {len(got_served):>4} flags  {t_served:5.2f}s "
+          f"(jaccard vs exact: "
+          f"{len(got_served & exact) / max(len(got_served | exact), 1):.3f}"
+          ", center from stored sketches)")
+    assert sketch == exact
+    # the served tier uses sketch centers — identical bulk, so the
+    # flag sets must agree almost everywhere (never wildly diverge)
+    assert len(got_served & exact) / max(len(got_served | exact), 1) > 0.95
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

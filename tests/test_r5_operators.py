@@ -413,3 +413,27 @@ def test_streaming_web_ingest_front_door(spark, tmp_path):
     # state built from file a, keeps its own fresh line
     assert banner not in got[10]
     assert "completely fresh second batch line here." in got[10]
+
+
+def test_deterministic_shuffle_export_rerun_identical(spark, views,
+                                                      tmp_path):
+    """The operator's core claim driven through the real writer path:
+    two independent runs of shuffle -> repartition(shard) ->
+    sortWithinPartitions(shard, pos) -> partitionBy(shard) land
+    byte-equal ROW SEQUENCES per shard file, already in pos order."""
+    docs = spark.table("documents").select("doc_id", "text")
+    outs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    for out in outs:
+        (deterministic_shuffle(docs, n_shards=4)
+         .repartition(4, "shard")
+         .sortWithinPartitions("shard", "pos")
+         .write.partitionBy("shard").parquet(out))
+    for s in range(4):
+        runs = []
+        for out in outs:
+            rows = spark.read.parquet(f"{out}/shard={s}") \
+                .select("doc_id", "pos").collect()
+            runs.append([(r["doc_id"], r["pos"]) for r in rows])
+        assert runs[0] == runs[1] and len(runs[0]) > 0
+        # file order IS pos order (no re-sort needed by the loader)
+        assert [p for _, p in runs[0]] == sorted(p for _, p in runs[0])
