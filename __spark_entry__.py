@@ -2277,6 +2277,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("corr", 9).alias("corr"))
 
     out["curation_profile_corr"] = _curation_profile_corr
+
+    def _dedup_containment(spark, sf_dir):
+        # asymmetric containment (Broder): the fixture has no wrapped
+        # republications, so build them — every doc gets a +10000 twin
+        # with a 32-word wrapper appended (identical construction in
+        # the oracle). Each original is 100% contained in its twin.
+        # NOTE the frequency cap deletes the wrapper's own trigrams
+        # (df = corpus size), so capped twin sets gain only ~2 unique
+        # junction trigrams and most twins ALSO contain back at just
+        # under 1.0 — both directions are part of the expected result.
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        d = spark.table("documents")
+        wrapper = " ".join(f"wrapchunk{i}" for i in range(32))
+        wrapped = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" " + wrapper)).alias("text"))
+        corpus = d.select("doc_id", "text").unionByName(wrapped)
+        return dedup.containment_pairs(corpus, threshold=0.9)
+
+    out["dedup_containment"] = _dedup_containment
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3823,6 +3844,34 @@ def oracle_sql() -> dict[str, str]:
     out["curation_profile_corr"] = (
         "WITH g AS (SELECT " + ",".join(_corr_aggs)
         + " FROM lineitem) " + " UNION ALL ".join(_corr_rows))
+    # asymmetric containment over the same wrapped-twin construction
+    # (shared/|A| with the directed pair join; same frequency cap as
+    # the jaccard twin)
+    _wrapper = " ".join(f"wrapchunk{i}" for i in range(32))
+    out["dedup_containment"] = f"""
+        WITH base AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 10000, text || ' {_wrapper}'
+                      FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all
+                 GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id <> b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b, shared / sa.sz AS containment
+        FROM shared JOIN sizes sa ON sa.doc_id = id_a
+        WHERE shared / sa.sz >= 0.9
+    """
     return out
 
 

@@ -865,3 +865,53 @@ def pick_cluster_survivors(df: DataFrame, pairs: DataFrame,
     losers = (members.withColumn("rnk", F.row_number().over(w))
               .where(F.col("rnk") > 1).select(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.9,
+                      max_shingle_freq: int | None = 100) -> DataFrame:
+    """Asymmetric near-duplicate detection by n-gram CONTAINMENT
+    (Broder 1997): ``containment(a in b) = |A∩B| / |A|`` over distinct
+    word n-grams — how much of document *a* also appears in *b*. The
+    shape Jaccard structurally misses: an article republished inside a
+    much longer page has tiny Jaccard (the wrapper dilutes the union)
+    but containment ≈ 1, which is exactly the quote/subset/wrapped-
+    boilerplate case a training-corpus scrub needs to catch.
+
+    Output: (id_a, id_b, containment) — DIRECTED rows, a ≠ b, a's
+    n-grams contained in b at >= ``threshold``; both directions can
+    appear (and for true near-identical pairs both will). Docs with
+    fewer than ``n`` tokens have no n-grams and produce no rows, as in
+    every shingle operator here.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one
+    hashed-shingle explode (int64 keys), frequency cap, inverted-index
+    self-join bounded by Σ_shingle freq² (never |docs|²), one pair
+    aggregate, two size joins. The only change is the denominator:
+    |A| instead of the union, and no (a < b) ordering filter since
+    containment is directional.
+    """
+    shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("shingle")
+        shingles = (shingles
+                    .withColumn("df", F.count(F.lit(1)).over(w))
+                    .where(F.col("df") <= max_shingle_freq)
+                    .drop("df")
+                    .persist())
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    shared = (a.join(b, "shingle")
+              .where(F.col("id_a") != F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    out = (shared.join(sa, "id_a")
+           .withColumn("containment", F.col("shared") / F.col("sz_a"))
+           .where(F.col("containment") >= threshold)
+           .select("id_a", "id_b", "containment"))
+    return out

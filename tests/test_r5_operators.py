@@ -437,3 +437,53 @@ def test_deterministic_shuffle_export_rerun_identical(spark, views,
         assert runs[0] == runs[1] and len(runs[0]) > 0
         # file order IS pos order (no re-sort needed by the loader)
         assert [p for _, p in runs[0]] == sorted(p for _, p in runs[0])
+
+
+# ---- asymmetric containment dedup ----
+
+from pydin_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    inner = " ".join(f"w{i}" for i in range(20))          # the article
+    wrapper = " ".join(f"pad{i}" for i in range(80))      # long page
+    df = spark.createDataFrame(
+        [(1, inner), (2, inner + " " + wrapper), (3, wrapper + " tail x y")],
+        "doc_id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.9,
+                                       max_shingle_freq=None).collect()}
+    # doc 1 fully inside doc 2, directed
+    assert cont[(1, 2)] == pytest.approx(1.0)
+    assert (2, 1) not in cont                  # reverse is diluted
+    # Jaccard at the same strictness sees nothing: union is dominated
+    # by the wrapper
+    jac = ngram_jaccard_pairs(df, threshold=0.5,
+                              max_shingle_freq=None).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+
+def test_containment_no_self_pairs_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "xy zz")],
+        "doc_id long, text string")
+    rows = containment_pairs(df, threshold=0.9,
+                             max_shingle_freq=None).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # identical docs contain each other BOTH ways; never themselves;
+    # the 2-token doc has no trigrams and never appears
+    assert got == {(1, 2), (2, 1)}
+    assert all(r["containment"] == pytest.approx(1.0) for r in rows)
+
+
+def test_containment_frequency_cap_drops_stop_shingles(spark):
+    hot = "the quick brown"
+    rows = [(i, hot + f" unique{i} tail{i} end{i} stop{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares ONLY the hot prefix trigrams; capping them
+    # leaves no shared shingles at all
+    assert containment_pairs(df, threshold=0.1,
+                             max_shingle_freq=5).count() == 0
+    assert containment_pairs(df, threshold=0.1,
+                             max_shingle_freq=None).count() > 0

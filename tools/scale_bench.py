@@ -112,6 +112,7 @@ EXTRA = [
     "text_top_ngrams",
     "curation_det_shuffle",
     "curation_profile_corr",
+    "dedup_containment",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -185,7 +186,20 @@ def _scale_mad_outliers(spark, sf_dir):
         approx_accuracy=10000)
 
 
+def _scale_dedup_containment(spark, sf_dir):
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    # the GATE builds a wrapped-twin corpus (every doc + a twin
+    # containing it) so the oracle has guaranteed directed pairs —
+    # replayed at 10x that doubles the corpus with 100%-overlap pairs
+    # and measures the adversarial construction, not the engine. The
+    # production shape is containment over the corpus as it is.
+    return dedup.containment_pairs(spark.table("documents"),
+                                   threshold=0.9)
+
+
 SCALE_VARIANTS = {
+    "dedup_containment": _scale_dedup_containment,
     "dedup_semantic": _scale_dedup_semantic,
     "sim_knn_graph": _scale_sim_knn_graph,
     "sim_knn_graph_ivf": _scale_sim_knn_graph_ivf,
@@ -251,6 +265,7 @@ LINEAR_OK = {
     "text_top_ngrams",          # shingle explode + combine + TakeOrdered
     "curation_det_shuffle",     # one shard-partitioned rank window
     "curation_profile_corr",    # one scan aggregate, 18 partial sums
+    "dedup_containment",        # posting lists, same substrate as jaccard
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
