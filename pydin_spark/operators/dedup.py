@@ -77,6 +77,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
+                          n: int, max_shingle_freq: int | None):
+    """Shared substrate of the pairwise shingle operators
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): hashed
+    shingle posting lists with the hot-shingle frequency cap applied,
+    plus per-doc capped set sizes. Returns ``(shingles, sizes)``.
+
+    Persist discipline (tuned, keep in ONE place): the raw explode is
+    persisted first, then the capped set (which feeds the size
+    aggregate and both sides of the inverted-index self-join). The cap
+    is a window count — ONE shuffle on the shingle key that the
+    self-join reuses. A broadcast-anti-join alternative (hash-agg the
+    hot list, anti-join it) was A/B'd: ~20% faster on the sparse
+    fixture corpus but 1.4-2.8× SLOWER and unstable on a dense
+    50k-doc near-dup stress — it scans the posting table twice and
+    adds a broadcast build, which dominates exactly when postings are
+    big (PERF.md). Known memory trade: with a cap, both the raw and
+    capped posting lists sit in the block store until the session's
+    cache hygiene releases them — bench's inter-query clearCache is
+    the release point today.
+    """
+    shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("shingle")
+        shingles = (shingles
+                    .withColumn("df", F.count(F.lit(1)).over(w))
+                    .where(F.col("df") <= max_shingle_freq)
+                    .drop("df")
+                    .persist())
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    return shingles, sizes
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
@@ -88,27 +122,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     so complexity is Σ_shingle freq² — bounded by ``max_shingle_freq``
     (drop degenerate stop-shingles, standard at corpus scale).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Posting-list construction and persist discipline live in
+    :func:`_capped_posting_lists` (shared with containment).
     """
-    # persist the raw explode FIRST: the frequency cap reads it twice,
-    # and the capped set feeds three consumers. Shingles are hashed to
-    # int64 so every shuffle below moves 8-byte keys; the cap is a
-    # window count (ONE shuffle on the shingle key, reused by the
-    # inverted-index self-join). A broadcast-anti-join alternative
-    # (hash-agg the hot list, anti-join it) was A/B'd: ~20% faster on
-    # the sparse fixture corpus but 1.4-2.8× SLOWER and unstable on a
-    # dense 50k-doc near-dup stress — it scans the posting table twice
-    # and adds a broadcast build, which dominates exactly when postings
-    # are big. The single-pass window stays the default (PERF.md).
-    shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
-    if max_shingle_freq is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("shingle")
-        shingles = (shingles
-                    .withColumn("df", F.count(F.lit(1)).over(w))
-                    .where(F.col("df") <= max_shingle_freq)
-                    .drop("df")
-                    .persist())
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    shingles, sizes = _capped_posting_lists(df, id_col, text_col, n,
+                                            max_shingle_freq)
     a = shingles.select(F.col(id_col).alias("id_a"),
                         F.col("shingle"))
     b = shingles.select(F.col(id_col).alias("id_b"),
@@ -885,23 +903,17 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     fewer than ``n`` tokens have no n-grams and produce no rows, as in
     every shingle operator here.
 
-    Scale shape: identical to :func:`ngram_jaccard_pairs` — one
-    hashed-shingle explode (int64 keys), frequency cap, inverted-index
-    self-join bounded by Σ_shingle freq² (never |docs|²), one pair
-    aggregate, two size joins. The only change is the denominator:
-    |A| instead of the union, and no (a < b) ordering filter since
+    Scale shape: identical substrate to :func:`ngram_jaccard_pairs`
+    (shared :func:`_capped_posting_lists`) — one hashed-shingle
+    explode (int64 keys), frequency cap, inverted-index self-join
+    bounded by Σ_shingle freq² (never |docs|²), one pair aggregate,
+    then ONE size join (only |A| is needed for the directed
+    denominator). The other changes vs jaccard: denominator |A|
+    instead of the union, and no (a < b) ordering filter since
     containment is directional.
     """
-    shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
-    if max_shingle_freq is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("shingle")
-        shingles = (shingles
-                    .withColumn("df", F.count(F.lit(1)).over(w))
-                    .where(F.col("df") <= max_shingle_freq)
-                    .drop("df")
-                    .persist())
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    shingles, sizes = _capped_posting_lists(df, id_col, text_col, n,
+                                            max_shingle_freq)
     a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     shared = (a.join(b, "shingle")
