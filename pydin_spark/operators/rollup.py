@@ -990,3 +990,110 @@ def mad_outliers(df: DataFrame, value_col: str = "value",
         scored = scored.where(
             F.abs(F.col("robust_z")) > F.lit(float(threshold)))
     return scored
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the POINT-FREQUENCY member of the mergeable-sketch
+# family (HLL = distinct counts, KLL = quantiles, Theta = set algebra,
+# Misra-Gries = frequent items, Bloom = membership, CMS = "how many
+# times was this item seen?"). Unlike Misra-Gries (which keeps only the
+# top items), a CMS answers frequency queries for ANY item with a
+# one-sided error: estimate >= true count, and estimate <= true count
+# + eps*N with probability 1 - delta at width = e/eps, depth =
+# ln(1/delta). Counter-based, so it also supports weighted increments.
+# ---------------------------------------------------------------------------
+
+
+def cms_build(df: DataFrame, item_col: str, width: int = 1 << 12,
+              depth: int = 3, weight_col: str | None = None,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Build a Count-Min sketch of ``item_col``: rows (group…, row_j,
+    col_idx, cnt) — one counter per touched cell of the depth × width
+    matrix, where ``col_idx = md5(item '#' j) -> 60-bit -> mod width``
+    (the same deterministic hash family as :func:`bloom_build`, so an
+    oracle rebuilds the identical sketch, collisions and all).
+    ``weight_col`` makes increments weighted (e.g. bytes per URL
+    instead of hits); default weight 1.
+
+    Mergeable: sketches over shards/batches/groups combine by SUM per
+    cell (:func:`cms_merge`) — the 100 TB shape: counters accumulate
+    map-side (partial aggregation), the reduce moves at most
+    depth × width longs per group (~96 KiB at the 3 × 2^12 default),
+    and the finished sketch broadcasts to annotate ANY stream with
+    frequency estimates at zero probe-side shuffle
+    (:func:`cms_query`).
+
+    NULL items never count (SQL equality semantics, as in the Bloom
+    build); NULL probes read a NULL estimate.
+    """
+    ex = df.select(*group_cols,
+                   F.col(item_col).cast("string").alias("__it"),
+                   (F.col(weight_col).cast("long") if weight_col
+                    else F.lit(1).cast("long")).alias("__w"))
+    ex = ex.where(F.col("__it").isNotNull())
+    ex = ex.withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(depth)])))
+    pos = _bloom_positions(F.col("__it"), F.col("__j"), width)
+    return (ex.select(*group_cols, F.col("__j").alias("row_j"),
+                      pos.alias("col_idx"), F.col("__w"))
+            .groupBy(*group_cols, "row_j", "col_idx")
+            .agg(F.sum("__w").alias("cnt")))
+
+
+def cms_merge(sketches: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union Count-Min sketches built with the same (width, depth):
+    counters SUM per cell. The merged sketch is bit-identical to one
+    built from the concatenated input (sum is associative and the
+    hash family is deterministic), so merging carries no extra error —
+    the property that lets per-day / per-shard sketches roll up into
+    arbitrary windows. Merging different (width, depth) is undefined —
+    the caller owns that contract, as with every sketch here."""
+    return (sketches.groupBy(*group_cols, "row_j", "col_idx")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_query(df: DataFrame, cms: DataFrame, item_col: str,
+              width: int = 1 << 12, depth: int = 3,
+              out_col: str = "est_count",
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Annotate each row of ``df`` with the sketch's frequency
+    estimate for ``item_col``: min over the ``depth`` counters the
+    item hashes to (missing cell = 0 — the item was definitely never
+    counted there). The estimate is one-sided: >= the true count
+    always, and exact whenever no heavier item collided in all rows.
+
+    With ``group_cols``, ``cms`` holds one sketch per group and each
+    probe row is tested against ITS OWN group's sketch; a probe whose
+    group has no sketch reads 0.
+
+    Scale shape: ``depth`` broadcast hash joins of the ≤
+    groups × depth × width counter table onto the probe stream — NO
+    shuffle of ``df``, mirroring :func:`bloom_contains`: the probe
+    side stays a pure scan with codegen'd hash/min columns.
+    """
+    out = df
+    ests = []
+    for j in range(depth):
+        pos = _bloom_positions(F.col(item_col), F.lit(j), width)
+        w = cms.where(F.col("row_j") == j).select(
+            *[F.col(g).alias(f"__g{j}_{i}")
+              for i, g in enumerate(group_cols)],
+            F.col("col_idx").alias(f"__c{j}"),
+            F.col("cnt").alias(f"__n{j}"))
+        out = out.withColumn(f"__p{j}", pos)
+        cond = F.col(f"__p{j}") == F.col(f"__c{j}")
+        for i, g in enumerate(group_cols):
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__g{j}_{i}"))
+        out = out.join(F.broadcast(w), cond, "left")
+        ests.append(F.coalesce(F.col(f"__n{j}"), F.lit(0).cast("long")))
+    est = ests[0] if depth == 1 else F.least(*ests)
+    drop = [c for j in range(depth)
+            for c in (f"__p{j}", f"__c{j}", f"__n{j}")]
+    drop += [f"__g{j}_{i}" for j in range(depth)
+             for i in range(len(group_cols))]
+    # NULL probes get a NULL estimate (the item is not a value, so "0
+    # occurrences" would over-claim; SQL equality semantics)
+    return out.withColumn(
+        out_col,
+        F.when(F.col(item_col).isNotNull(), est)).drop(*drop)
