@@ -2298,6 +2298,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.containment_pairs(corpus, threshold=0.9)
 
     out["dedup_containment"] = _dedup_containment
+
+    def _dedup_edit(spark, sf_dir):
+        # edit-distance near-dup pairs: the fixture has no small-patch
+        # republications, so build them — every doc gets a +10000 twin
+        # with ' zz' appended (levenshtein 3; identical construction
+        # in the oracle). min_shared=5 demonstrates the candidate-
+        # shedding knob at full recall: a true <=4-edit pair shares
+        # nearly its whole shingle set.
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        d = spark.table("documents")
+        twins = d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" zz"))
+                         .alias("text"))
+        corpus = d.select("doc_id", "text").unionByName(twins)
+        return dedup.edit_dup_pairs(corpus, max_dist=4, min_shared=5)
+
+    out["dedup_edit"] = _dedup_edit
+
+    def _text_char_entropy(spark, sf_dir):
+        # per-doc character Shannon entropy (compressibility proxy)
+        # — two map-side-combined aggregates, shuffle bounded by
+        # docs x alphabet; entropy at the 6-dp string convention
+        _views(spark, sf_dir)
+        return text.char_entropy(spark.table("documents"))
+
+    out["text_char_entropy"] = _text_char_entropy
+
+    def _text_sentences(spark, sf_dir):
+        # sentence segmentation: lookaround-free terminator-run rule
+        # shared verbatim with the RE2 oracle; one posexplode
+        _views(spark, sf_dir)
+        return text.split_sentences(spark.table("documents"))
+
+    out["text_sentences"] = _text_sentences
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3871,6 +3906,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, shared / sa.sz AS containment
         FROM shared JOIN sizes sa ON sa.doc_id = id_a
         WHERE shared / sa.sz >= 0.9
+    """
+    # edit-distance dedup over the same twin construction: candidate
+    # rule = >=5 shared capped trigrams, then the length lower bound,
+    # then exact levenshtein <= 4
+    out["dedup_edit"] = """
+        WITH base AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 10000, text || ' zz'
+                      FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all
+                 GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id
+                 HAVING COUNT(*) >= 5)
+        SELECT id_a, id_b,
+               CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+        FROM cand
+        JOIN base ta ON ta.doc_id = id_a
+        JOIN base tb ON tb.doc_id = id_b
+        WHERE abs(len(ta.text) - len(tb.text)) <= 4
+          AND levenshtein(ta.text, tb.text) <= 4
+    """
+    # per-doc character entropy: H = ln(n) - sum(c ln c)/n over the
+    # char histogram; 6-dp string formatting is the inventory's
+    # standard exact-hash float convention (see text_bigram_lm)
+    out["text_char_entropy"] = """
+        WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                    FROM documents),
+        hist AS (SELECT doc_id, ch, COUNT(*) AS c
+                 FROM ch GROUP BY doc_id, ch),
+        d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                     SUM(c * ln(c)) AS clc
+              FROM hist GROUP BY doc_id)
+        SELECT doc_id, n_chars,
+               format('{:.6f}', CASE WHEN n_chars > 0
+                      THEN ln(n_chars) - clc / n_chars
+                      ELSE 0.0 END) AS entropy6
+        FROM d
+    """
+    # sentence segmentation: same lookaround-free pattern as the Spark
+    # side ('[^.!?]+[.!?]*'), trim + drop empties BEFORE indexing
+    out["text_sentences"] = """
+        WITH s AS (SELECT doc_id,
+                          list_filter(list_transform(
+                              regexp_extract_all(text,
+                                                 '[^.!?]+[.!?]*'),
+                              x -> trim(x)), x -> x <> '') AS sents
+                   FROM documents)
+        SELECT doc_id, CAST(i AS INTEGER) AS sent_idx,
+               sents[i] AS sentence,
+               CAST(len(string_split(sents[i], ' ')) AS INTEGER)
+                   AS n_words
+        FROM s, unnest(range(1, len(sents) + 1)) AS u(i)
     """
     return out
 

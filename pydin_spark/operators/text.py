@@ -1486,3 +1486,79 @@ def top_ngrams(df: DataFrame, id_col: str = "doc_id",
     win = Window.orderBy(F.desc("doc_freq"), F.asc("shingle"))
     return (top.withColumn("rank", F.row_number().over(win))
             .select(F.col("shingle").alias("ngram"), "doc_freq", "rank"))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic compressibility proxy for word-salad / binary-garbage /
+    keyboard-mash screening (low entropy = repeated filler, very high
+    entropy = random bytes; natural language sits in a narrow band).
+    Complements :func:`quality_score` (surface ratios) and
+    :func:`bigram_logprob` (corpus LM): entropy needs no corpus pass
+    and no token model, so it is the cheapest first gate.
+
+    Entropy in nats over the per-doc character histogram:
+    ``H = ln(n) - sum(c_i * ln(c_i)) / n`` where ``c_i`` counts each
+    distinct character and ``n = sum(c_i)``. Computed with two hash
+    aggregates: explode to (doc, char) with map-side combine — the
+    shuffle carries one row per DISTINCT (doc, char) pair (bounded by
+    docs x alphabet, NOT corpus characters) — then one row per doc.
+    Pure Column ops, no Python.
+
+    Output: (id, n_chars, entropy6) where ``entropy6`` is the entropy
+    formatted to 6 decimals (the inventory's standard exact-hash float
+    convention, same as :func:`bigram_logprob`). Empty texts yield
+    entropy 0.
+    """
+    chars = df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), "")).alias("ch"))
+    hist = (chars.groupBy(id_col, "ch")
+            .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (hist.groupBy(id_col)
+               .agg(F.sum("c").alias("n_chars"),
+                    F.sum(F.col("c").cast("double") *
+                          F.log(F.col("c").cast("double"))).alias("__clc")))
+    ent = (F.log(F.col("n_chars").cast("double")) -
+           F.col("__clc") / F.col("n_chars").cast("double"))
+    return per_doc.select(
+        F.col(id_col), F.col("n_chars"),
+        F.format_string("%.6f", F.when(F.col("n_chars") > 0, ent)
+                        .otherwise(F.lit(0.0))).alias("entropy6"))
+
+
+def split_sentences(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sentence segmentation: each document becomes one row per
+    sentence with a 1-based index — the grain perplexity filters,
+    quote detectors, and sentence-level dedup (RefinedWeb) work at.
+
+    Rule (shared verbatim with the SQL oracle): a sentence is a
+    maximal run of non-terminator characters plus its trailing
+    ``.!?`` run — ``regexp_extract_all(text, '[^.!?]+[.!?]*')`` —
+    trimmed, with empty fragments dropped BEFORE indexing so
+    ``sent_idx`` is contiguous over the kept sentences. The pattern is
+    deliberately lookaround-free: Java regex (Spark) and RE2 (DuckDB
+    / Go / Rust engines) agree on it character-for-character.
+
+    Scale shape: transform + filter on the extracted array, then ONE
+    posexplode — scan-linear, no shuffle, no Python; sentence rows
+    inherit the parent partition so downstream per-sentence ops start
+    co-located.
+
+    Output: (id, sent_idx, sentence, n_words).
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(r"[^.!?]+[.!?]*"), F.lit(0)),
+            lambda s: F.trim(s)),
+        lambda s: s != F.lit(""))
+    ex = df.select(F.col(id_col),
+                   F.posexplode(sents).alias("__i", "sentence"))
+    return ex.select(
+        F.col(id_col),
+        (F.col("__i") + F.lit(1)).cast("int").alias("sent_idx"),
+        F.col("sentence"),
+        F.size(F.split(F.col("sentence"), " ")).cast("int")
+        .alias("n_words"))
