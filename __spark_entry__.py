@@ -2333,6 +2333,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.split_sentences(spark.table("documents"))
 
     out["text_sentences"] = _text_sentences
+
+    def _curation_curriculum(spark, sf_dir):
+        # curriculum export: global (n_chars, doc_id) rank via the
+        # two-phase distributed prefix count (no single-task window),
+        # contiguous rank ranges as 7 shards + integer-exact pos
+        _views(spark, sf_dir)
+        return curation.curriculum_order(
+            spark.table("documents"), score_col="n_chars", n_shards=7)
+
+    out["curation_curriculum"] = _curation_curriculum
+
+    def _graph_pagerank(spark, sf_dir):
+        # centrality over the exact kNN graph (k=5): fixed-point
+        # BIGINT PageRank, 10 iterations — bit-identical across
+        # partitionings/engines, so the ITERATIVE algorithm is
+        # value-exact against the unrolled-CTE oracle
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        return graph.pagerank(g.select("src_id", "nbr_id"),
+                              src="src_id", dst="nbr_id")
+
+    out["graph_pagerank"] = _graph_pagerank
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3953,6 +3976,38 @@ def oracle_sql() -> dict[str, str]:
                       THEN ln(n_chars) - clc / n_chars
                       ELSE 0.0 END) AS entropy6
         FROM d
+    """
+    # PageRank over the exact kNN graph: the sim_knn_graph CTE chain
+    # (same k=5 edges) feeding the unrolled fixed-point recurrence
+    from pydin_spark.operators.graph import pagerank_oracle_sql
+    out["graph_pagerank"] = pagerank_oracle_sql("""
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        rk AS (SELECT src_id, nbr_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cosine DESC, nbr_id)
+                          AS rnk
+               FROM p),
+        edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
+                  WHERE rnk <= 5)""")
+    # curriculum ordering: same integer shard/pos arithmetic as the
+    # operator — shard = ((rk-1)*n) // N, pos = rk - shard boundary
+    out["curation_curriculum"] = """
+        WITH r AS (SELECT doc_id, n_chars,
+                          ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                              AS rk,
+                          COUNT(*) OVER () AS n
+                   FROM documents)
+        SELECT doc_id, n_chars, rk,
+               CAST((rk - 1) * 7 // n AS INTEGER) AS shard,
+               CAST(rk - (((rk - 1) * 7 // n) * n + 6) // 7
+                    AS INTEGER) AS pos
+        FROM r
     """
     # sentence segmentation: same lookaround-free pattern as the Spark
     # side ('[^.!?]+[.!?]*'), trim + drop empties BEFORE indexing

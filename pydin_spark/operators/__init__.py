@@ -2,4 +2,4 @@
 reference surface): dedup, similarity search, text analysis, multimodal
 column plumbing."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, graph, multimodal, similarity, text  # noqa: F401

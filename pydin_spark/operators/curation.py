@@ -1191,3 +1191,75 @@ def profile_correlations(df: DataFrame, cols: tuple[str, ...],
     rows = F.explode(F.array(*[pair_struct(a, b) for a, b in pairs])) \
         .alias("r")
     return one.select(rows).select("r.*")
+
+
+def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
+                     id_col: str = "doc_id",
+                     ascending: bool = True) -> DataFrame:
+    """Curriculum export ordering: global rank by a difficulty score
+    with contiguous rank ranges as shards — shard 0 holds the easiest
+    ``~N/n_shards`` rows, the last shard the hardest. The complement
+    of :func:`deterministic_shuffle` (which decorrelates): curriculum
+    training wants the CORRELATION, and it wants the exact same order
+    on every rerun, which ``(score, id)`` total ordering guarantees.
+
+    Scale shape — no global-window single task: ``repartitionByRange``
+    on the FULL sort key ``(score, id)`` (the unique id as secondary
+    range key makes partitions disjoint even on tied scores), then a
+    two-phase rank — per-partition row counts come back to the driver
+    (one number per partition, never row data), partition offsets go
+    out as a broadcast map, and the rank window partitions by the
+    range-partition id so every partition ranks in parallel. Shard
+    and within-shard position are pure integer arithmetic on the rank
+    (``shard = ((rk-1)*n) div N``), bit-identical across engines and
+    reruns.
+
+    Output: (id, score, rk, shard, pos) — rk 1-based global, pos
+    1-based within shard. Size ``n_shards`` to the export file count,
+    exactly as :func:`deterministic_shuffle` documents.
+    """
+    if int(n_shards) < 1:
+        raise ValueError("n_shards must be >= 1")
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    score = F.col(score_col)
+    ident = F.col(id_col)
+    order = ([score.asc(), ident.asc()] if ascending
+             else [score.desc(), ident.desc()])
+    part = (df.select(id_col, score_col)
+            .repartitionByRange(nparts, *order)
+            .sortWithinPartitions(*order)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist())
+    counts = {r["__pid"]: r["c"] for r in
+              part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    if not counts:
+        part.unpersist()
+        return (df.select(id_col, score_col)
+                .withColumn("rk", F.lit(0).cast("long"))
+                .withColumn("shard", F.lit(0).cast("int"))
+                .withColumn("pos", F.lit(0).cast("int"))
+                .where(F.lit(False)))
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[x for pid, off in offsets.items()
+          for x in (F.lit(pid), F.lit(off))])
+    from pyspark.sql import Window
+    win = Window.partitionBy("__pid").orderBy(*order)
+    ranked = (part
+              .withColumn("rk", (F.row_number().over(win).cast("long")
+                                 + omap[F.col("__pid")].cast("long")))
+              .drop("__pid"))
+    n = int(n_shards)
+    shard = F.expr(f"(rk - 1) * {n} div {total}")
+    boundary = F.expr(f"(shard * {total} + {n - 1}) div {n}")
+    out = (ranked.withColumn("shard", shard.cast("int"))
+           .withColumn("pos", (F.col("rk") - boundary).cast("int")))
+    out = out.localCheckpoint(eager=True)
+    part.unpersist()
+    return out
