@@ -2356,6 +2356,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               src="src_id", dst="nbr_id")
 
     out["graph_pagerank"] = _graph_pagerank
+
+    def _emb_project(spark, sf_dir):
+        # seeded ±1 random projection 64 -> 8: fixed-order sums are
+        # bit-identical across engines; %.6f CSV is the embedding
+        # family's hash convention
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        out = similarity.project_embeddings(
+            spark.table("embeddings"), out_dim=8, in_dim=64)
+        return out.select(
+            "vec_id",
+            F.array_join(F.transform("proj",
+                                     lambda x: F.format_string("%.6f", x)),
+                         ";").alias("proj_csv"))
+
+    out["emb_project"] = _emb_project
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -3967,15 +3983,25 @@ def oracle_sql() -> dict[str, str]:
         WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
                     FROM documents),
         hist AS (SELECT doc_id, ch, COUNT(*) AS c
-                 FROM ch GROUP BY doc_id, ch),
+                 FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
         d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
                      SUM(c * ln(c)) AS clc
               FROM hist GROUP BY doc_id)
         SELECT doc_id, n_chars,
-               format('{:.6f}', CASE WHEN n_chars > 0
-                      THEN ln(n_chars) - clc / n_chars
-                      ELSE 0.0 END) AS entropy6
+               format('{:.6f}', ln(n_chars) - clc / n_chars) AS entropy6
         FROM d
+    """
+    # seeded random projection: the same projection_signs matrix and
+    # left-associated sum order as the Spark side
+    from pydin_spark.operators.similarity import projection_oracle_expr
+    _proj = projection_oracle_expr(seed=42, out_dim=8, in_dim=64)
+    out["emb_project"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings)
+        SELECT vec_id,
+               array_to_string(list_transform({_proj},
+                   x -> format('{{:.6f}}', x)), ';') AS proj_csv
+        FROM v
     """
     # PageRank over the exact kNN graph: the sim_knn_graph CTE chain
     # (same k=5 edges) feeding the unrolled fixed-point recurrence

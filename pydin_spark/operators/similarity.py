@@ -1322,3 +1322,74 @@ def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", cosine.alias("cosine"))
             .where(F.col("cosine") >= F.lit(float(threshold))))
+
+
+def projection_signs(seed: int, out_dim: int, in_dim: int) -> list:
+    """Deterministic ±1 Achlioptas projection matrix, seeded by md5 —
+    ``signs[j][i]`` is the sign input dimension ``i`` contributes to
+    output dimension ``j``. A pure function of (seed, j, i), so any
+    engine (Spark operator, SQL oracle, a future serving layer) can
+    regenerate the identical matrix from the three integers instead of
+    shipping the matrix itself."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode())
+                      .hexdigest()[:8], 16) % 2 == 0 else -1
+             for i in range(in_dim)]
+            for j in range(out_dim)]
+
+
+def project_embeddings(df: DataFrame, out_dim: int = 8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       in_dim: int | None = None,
+                       seed: int = 42) -> DataFrame:
+    """Random ±1 projection (Achlioptas 2003 / JL) of an embedding
+    column down to ``out_dim`` — the dimensionality-reduction front
+    end for the ANN family: project once, then LSH-bucket / IVF-train
+    in the small space where distance computations are ``in_dim /
+    out_dim`` cheaper, re-scoring survivors with the full vectors.
+
+    Exactness contract: each output coordinate is the FIXED-ORDER
+    left-associated sum ``Σ_i cast(vec[i] as double) * signs[j][i]``
+    — multiplying by ±1.0 is exact in IEEE, and identical summation
+    order makes the doubles bit-identical across engines, so the
+    operator carries a value-exact oracle like everything else here.
+    The JL ``1/sqrt(out_dim)`` rescale is deliberately omitted:
+    cosine/rank downstream is scale-invariant and the literal would
+    add a rounding step.
+
+    Scale shape: pure Column arithmetic (out_dim × in_dim fused
+    multiply-adds per row inside whole-stage codegen) — no shuffle,
+    no Python, no driver traffic except the optional one-scalar
+    ``in_dim`` inference. Output: (id, proj array<double>).
+    """
+    if in_dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer in_dim from an empty frame")
+        in_dim = int(row["d"])
+    signs = projection_signs(seed, int(out_dim), int(in_dim))
+    comps = []
+    for j in range(int(out_dim)):
+        acc = None
+        for i in range(int(in_dim)):
+            term = (F.element_at(F.col(vec_col), i + 1).cast("double")
+                    * F.lit(float(signs[j][i])))
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def projection_oracle_expr(seed: int, out_dim: int, in_dim: int,
+                           arr: str = "e") -> str:
+    """SQL list expression mirroring :func:`project_embeddings`'s
+    fixed-order arithmetic over a DOUBLE[] column named ``arr`` —
+    compose into a DuckDB oracle. Same :func:`projection_signs`
+    matrix, same left-associated chain."""
+    signs = projection_signs(seed, int(out_dim), int(in_dim))
+    comps = []
+    for j in range(int(out_dim)):
+        comps.append(" + ".join(
+            f"{arr}[{i + 1}] * {float(signs[j][i])}"
+            for i in range(int(in_dim))))
+    return "[" + ", ".join(comps) + "]"

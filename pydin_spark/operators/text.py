@@ -1508,11 +1508,15 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
 
     Output: (id, n_chars, entropy6) where ``entropy6`` is the entropy
     formatted to 6 decimals (the inventory's standard exact-hash float
-    convention, same as :func:`bigram_logprob`). Empty texts yield
-    entropy 0.
+    convention, same as :func:`bigram_logprob`). Empty texts produce
+    NO row (char-splitting an empty string yields one empty fragment
+    in both engines — it is filtered, leaving nothing to histogram),
+    the same convention as every per-token operator here.
     """
-    chars = df.select(F.col(id_col),
-                      F.explode(F.split(F.col(text_col), "")).alias("ch"))
+    chars = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), ""))
+                       .alias("ch"))
+             .where(F.col("ch") != ""))
     hist = (chars.groupBy(id_col, "ch")
             .agg(F.count(F.lit(1)).alias("c")))
     per_doc = (hist.groupBy(id_col)
@@ -1523,8 +1527,7 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
            F.col("__clc") / F.col("n_chars").cast("double"))
     return per_doc.select(
         F.col(id_col), F.col("n_chars"),
-        F.format_string("%.6f", F.when(F.col("n_chars") > 0, ent)
-                        .otherwise(F.lit(0.0))).alias("entropy6"))
+        F.format_string("%.6f", ent).alias("entropy6"))
 
 
 def split_sentences(df: DataFrame, id_col: str = "doc_id",

@@ -1,0 +1,238 @@
+"""Round-6 operator additions: edit-distance dedup, char entropy,
+sentence segmentation, curriculum ordering, fixed-point PageRank,
+seeded random projection."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydin_spark.operators.curation import curriculum_order
+from pydin_spark.operators.dedup import edit_dup_pairs
+from pydin_spark.operators.graph import SCALE, pagerank
+from pydin_spark.operators.similarity import (project_embeddings,
+                                              projection_signs)
+from pydin_spark.operators.text import char_entropy, split_sentences
+
+
+# ---------------------------------------------------------------- text
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abab"), (4, "")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    # constant string -> 0; two equally likely chars -> ln 2
+    assert out[1]["entropy6"] == "0.000000"
+    assert out[1]["n_chars"] == 4
+    assert out[2]["entropy6"] == f"{math.log(2):.6f}"
+    assert out[3]["entropy6"] == f"{math.log(2):.6f}"
+    # empty text produces no row (per-token operator convention)
+    assert 4 not in out
+
+
+def test_char_entropy_matches_python_reference(spark):
+    texts = ["the quick brown fox", "zzzzzz zz", "a b c d e f g"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id int, text string")
+    got = {r["doc_id"]: r["entropy6"] for r in char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        hist = {}
+        for ch in t:
+            hist[ch] = hist.get(ch, 0) + 1
+        n = sum(hist.values())
+        h = math.log(n) - sum(c * math.log(c) for c in hist.values()) / n
+        assert got[i] == f"{h:.6f}"
+
+
+def test_split_sentences_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "One. Two two! Three?"),
+         (2, "No terminator here"),
+         (3, "Dots.. and !! runs. end"),
+         (4, "")],
+        "doc_id int, text string")
+    out = split_sentences(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_words"]))
+    assert by_doc[1] == [(1, "One.", 1), (2, "Two two!", 2),
+                         (3, "Three?", 1)]
+    # a text with no terminator is one sentence
+    assert by_doc[2] == [(1, "No terminator here", 3)]
+    # terminator runs attach to the preceding fragment — including a
+    # standalone '!!' run, which closes its own sentence
+    assert by_doc[3] == [(1, "Dots..", 1), (2, "and !!", 2),
+                         (3, "runs.", 1), (4, "end", 1)]
+    # empty text -> no rows, and indexes are contiguous everywhere
+    assert 4 not in by_doc
+    for sents in by_doc.values():
+        assert [i for i, _, _ in sents] == list(range(1, len(sents) + 1))
+
+
+# --------------------------------------------------------------- dedup
+
+@pytest.fixture()
+def edit_corpus(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),
+        (2, base + " zz"),              # dist 3 from 1
+        (3, base.replace("beta", "besa")),  # dist 1 from 1
+        (4, "completely different words entirely unrelated text here "
+            "nothing shared with the greek letter documents at all ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_edit_dup_pairs_finds_small_edits(edit_corpus):
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_dup_pairs(edit_corpus, max_dist=4).collect()}
+    assert out[(1, 2)] == 3
+    assert out[(1, 3)] == 1
+    assert (2, 3) in out  # zz-append vs 1-char patch: dist 4
+    assert not any(4 in p for p in out)
+
+
+def test_edit_dup_pairs_max_dist_and_length_prefilter(edit_corpus):
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_dup_pairs(edit_corpus, max_dist=1).collect()}
+    # only the 1-char patch survives; the +3-char twin is cut by the
+    # length lower bound before levenshtein even runs
+    assert out == {(1, 3): 1}
+
+
+def test_edit_dup_pairs_min_shared_keeps_true_pairs(edit_corpus):
+    # a true small-edit pair shares nearly every shingle, so an
+    # aggressive min_shared sheds nothing real
+    lo = set((r["id_a"], r["id_b"]) for r in
+             edit_dup_pairs(edit_corpus, max_dist=4,
+                            min_shared=1).collect())
+    hi = set((r["id_a"], r["id_b"]) for r in
+             edit_dup_pairs(edit_corpus, max_dist=4,
+                            min_shared=10).collect())
+    assert hi == lo
+
+
+# ------------------------------------------------------------ curation
+
+def test_curriculum_order_matches_local_sort(spark):
+    rows = [(i, float((i * 37) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, score double")
+    out = curriculum_order(df, score_col="score", n_shards=3,
+                           id_col="doc_id")
+    got = {r["doc_id"]: (r["rk"], r["shard"], r["pos"])
+           for r in out.collect()}
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    n, total = 3, len(rows)
+    for rk0, (i, _) in enumerate(ordered):
+        rk = rk0 + 1
+        shard = (rk - 1) * n // total
+        pos = rk - (shard * total + n - 1) // n
+        assert got[i] == (rk, shard, pos), i
+    # shards are contiguous rank ranges and near-equal sized
+    sizes = {}
+    for rk, shard, _ in got.values():
+        sizes[shard] = sizes.get(shard, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # pos restarts at 1 inside every shard
+    firsts = {}
+    for rk, shard, pos in sorted(got.values()):
+        firsts.setdefault(shard, pos)
+    assert all(p == 1 for p in firsts.values())
+
+
+def test_curriculum_order_descending_and_tiny(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 1.0)],
+                               "doc_id int, score double")
+    out = {r["doc_id"]: r["rk"] for r in
+           curriculum_order(df, "score", n_shards=10,
+                            ascending=False).collect()}
+    # descending: high scores first; ties broken by id DESC (the
+    # mirror of the ascending total order)
+    assert out == {2: 1, 1: 2, 3: 3}
+    empty = curriculum_order(df.where("score > 99"), "score", 4)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "score", "rk", "shard",
+                                  "pos"}
+
+
+# --------------------------------------------------------------- graph
+
+def _pagerank_reference(edges, damping=85, iterations=10):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {u: SCALE // n for u in nodes}
+    base = (100 - damping) * SCALE // (100 * n)
+    for _ in range(iterations):
+        s = {u: 0 for u in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {u: base + damping * s[u] // 100 for u in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_fixed_point(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["pr_fp"] for r in pagerank(df).collect()}
+    assert got == _pagerank_reference(edges)
+
+
+def test_pagerank_mass_and_dangling(spark):
+    # node 9 has only an in-edge: its mass leaks each iteration but
+    # it still receives base + damped inflow
+    edges = [(1, 2), (2, 1), (1, 9)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["pr_fp"] for r in pagerank(df).collect()}
+    assert got == _pagerank_reference(edges)
+    assert got[9] > 0
+    # total mass never exceeds SCALE (floor + dangling only lose)
+    assert sum(got.values()) <= SCALE
+
+
+def test_pagerank_validates_damping(spark):
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=101)
+
+
+# ---------------------------------------------------------- similarity
+
+def test_projection_matches_numpy(spark):
+    import numpy as np
+    rng = [[float(((i * 7 + j * 13) % 9) - 4) / 3 for j in range(16)]
+           for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["proj"] for r in
+           project_embeddings(df, out_dim=4, in_dim=16).collect()}
+    signs = np.array(projection_signs(42, 4, 16), dtype=float)
+    for i, v in enumerate(rng):
+        want = signs @ np.array(v)
+        assert np.allclose(out[i], want, rtol=0, atol=1e-12)
+
+
+def test_projection_signs_deterministic_and_balanced(spark):
+    a = projection_signs(42, 8, 64)
+    assert a == projection_signs(42, 8, 64)
+    assert a != projection_signs(43, 8, 64)
+    flat = [s for row in a for s in row]
+    assert set(flat) == {1, -1}
+    # md5 bits are balanced: the matrix is not degenerate
+    assert 0.3 < flat.count(1) / len(flat) < 0.7
+
+
+def test_projection_infers_dim_and_rejects_empty(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               "vec_id int, embedding array<double>")
+    out = project_embeddings(df, out_dim=2).collect()
+    assert len(out[0]["proj"]) == 2
+    with pytest.raises(ValueError):
+        project_embeddings(df.where("vec_id < 0"), out_dim=2)
