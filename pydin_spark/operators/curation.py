@@ -1195,7 +1195,8 @@ def profile_correlations(df: DataFrame, cols: tuple[str, ...],
 
 def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
                      id_col: str = "doc_id",
-                     ascending: bool = True) -> DataFrame:
+                     ascending: bool = True,
+                     checkpoint: bool = True) -> DataFrame:
     """Curriculum export ordering: global rank by a difficulty score
     with contiguous rank ranges as shards — shard 0 holds the easiest
     ``~N/n_shards`` rows, the last shard the hardest. The complement
@@ -1260,6 +1261,9 @@ def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
     boundary = F.expr(f"(shard * {total} + {n - 1}) div {n}")
     out = (ranked.withColumn("shard", shard.cast("int"))
            .withColumn("pos", (F.col("rk") - boundary).cast("int")))
-    out = out.localCheckpoint(eager=True)
-    part.unpersist()
+    if checkpoint:
+        # bounded-cache discipline (same as pack_sequences): release
+        # the range-partitioned frame behind a materialized result
+        out = out.localCheckpoint(eager=True)
+        part.unpersist()
     return out

@@ -28,7 +28,7 @@ SCALE = 10 ** 12
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: int = 85, iterations: int = 10,
-             id_out: str = "node") -> DataFrame:
+             id_out: str = "node", checkpoint: bool = True) -> DataFrame:
     """PageRank over an edge list, exact fixed-point semantics.
 
     ``r_0[u] = SCALE div N``; each iteration
@@ -78,7 +78,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      (F.lit(base).cast("long")
                       + F.expr(f"({d} * coalesce(__s, 0L)) div 100"))
                      .cast("long").alias("pr_fp")))
-        r = r.localCheckpoint(eager=True)
+        if checkpoint:
+            r = r.localCheckpoint(eager=True)
     return r
 
 

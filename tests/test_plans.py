@@ -279,3 +279,87 @@ def test_mad_outliers_sketch_tier_objecthashagg_free_merge(spark, views):
     assert "partial_percentile_approx" in sketch, sketch
     assert "BroadcastHashJoin" in sketch
     assert "SortMergeJoin" not in sketch
+
+
+def test_char_entropy_two_partial_aggregates_no_window(spark, views):
+    from pydin_spark.operators import text
+    plan = plan_of(text.char_entropy(spark.table("documents")))
+    # both histogram aggregates combine map-side, so the shuffle is
+    # bounded by docs x alphabet, never corpus characters
+    assert "partial_count" in plan, plan
+    assert "partial_sum" in plan
+    # no window, no join, no sort: pure two-stage hash aggregation
+    assert "Window" not in plan and "Join" not in plan
+    # only the doc/text columns are read
+    assert "ReadSchema" in plan and "n_chars" not in plan.split(
+        "ReadSchema")[1].split("\n")[0]
+
+
+def test_split_sentences_zero_shuffle_generate(spark, views):
+    from pydin_spark.operators import text
+    plan = plan_of(text.split_sentences(spark.table("documents")))
+    # scan-linear: one Generate (posexplode) in the scan stage — no
+    # exchange of any kind, sentences stay co-located with the parent
+    assert "Generate" in plan, plan
+    assert " Exchange (" not in plan
+
+
+def test_edit_dup_pairs_candidate_bounded_plan(spark, views):
+    from pydin_spark.operators import dedup
+    plan = plan_of(dedup.edit_dup_pairs(spark.table("documents"),
+                                        max_dist=4, min_shared=5))
+    # the pair join is an equi-join on the shingle key (posting lists),
+    # never a cartesian/nested-loop over documents
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # levenshtein runs AFTER the length lower bound in the same filter
+    # (cheap tier first); both appear as plan expressions
+    assert "levenshtein" in plan
+    # map-side partial phase on the shared-shingle count
+    assert "partial_count" in plan
+
+
+def test_curriculum_order_no_single_task_rank(spark, views):
+    from pydin_spark.operators import curation
+    # checkpoint=False exposes the real rank plan (the default cuts
+    # lineage, hiding it behind a checkpoint scan)
+    out = curation.curriculum_order(spark.table("documents"),
+                                    score_col="n_chars", n_shards=7,
+                                    checkpoint=False)
+    plan = plan_of(out)
+    # the global order arrives via RANGE partitioning + the per-
+    # partition rank window — never an Exchange SinglePartition
+    # (the single-task global window this operator exists to avoid)
+    assert "rangepartitioning" in plan, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    assert dict(out.dtypes)["shard"] == "int"
+    assert dict(out.dtypes)["pos"] == "int"
+    assert dict(out.dtypes)["rk"] == "bigint"
+
+
+def test_pagerank_iteration_plan_is_joins_not_cartesian(spark, views):
+    from pydin_spark.operators import graph
+    edges = spark.table("events").selectExpr(
+        "user_id as src", "cast(value as bigint) % 50 as dst").limit(200)
+    # checkpoint=False exposes one full iteration's plan
+    out = graph.pagerank(edges, iterations=1, checkpoint=False)
+    plan = plan_of(out)
+    # Pregel cost model: edge-keyed hash joins + map-side-combined
+    # sum — never a cartesian / nested-loop over nodes
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert dict(out.dtypes)["pr_fp"] == "bigint"
+
+
+def test_projection_zero_shuffle_codegen(spark, views):
+    from pydin_spark.operators import similarity
+    plan = plan_of(similarity.project_embeddings(
+        spark.table("embeddings"), out_dim=8, in_dim=64))
+    # pure per-row arithmetic: single codegen stage, no exchange, no
+    # Python evaluation anywhere
+    assert " Exchange (" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
