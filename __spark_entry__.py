@@ -2357,6 +2357,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["graph_pagerank"] = _graph_pagerank
 
+    def _graph_pagerank_seeded(spark, sf_dir):
+        # personalized (TrustRank-shaped) walk: teleport mass pinned
+        # to ten literal seed vectors; rank = proximity to the
+        # trusted set — same fixed-point arithmetic, same oracle form
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        return graph.pagerank(g.select("src_id", "nbr_id"),
+                              src="src_id", dst="nbr_id",
+                              seeds=list(range(10)))
+
+    out["graph_pagerank_seeded"] = _graph_pagerank_seeded
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -4021,6 +4034,23 @@ def oracle_sql() -> dict[str, str]:
                FROM p),
         edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
                   WHERE rnk <= 5)""")
+    # personalized variant: same kNN edges, teleport pinned to the
+    # ten literal seeds
+    out["graph_pagerank_seeded"] = pagerank_oracle_sql("""
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        rk AS (SELECT src_id, nbr_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cosine DESC, nbr_id)
+                          AS rnk
+               FROM p),
+        edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
+                  WHERE rnk <= 5)""", seeds=list(range(10)))
     # curriculum ordering: same integer shard/pos arithmetic as the
     # operator — shard = ((rk-1)*n) // N, pos = rk - shard boundary
     out["curation_curriculum"] = """

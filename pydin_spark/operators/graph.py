@@ -28,7 +28,8 @@ SCALE = 10 ** 12
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: int = 85, iterations: int = 10,
-             id_out: str = "node", checkpoint: bool = True) -> DataFrame:
+             id_out: str = "node", checkpoint: bool = True,
+             seeds: list | None = None) -> DataFrame:
     """PageRank over an edge list, exact fixed-point semantics.
 
     ``r_0[u] = SCALE div N``; each iteration
@@ -39,6 +40,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     count once per occurrence (pre-``distinct()`` the input if you
     want simple-graph semantics); dangling nodes (no out-edges)
     simply leak their mass, the standard simplification.
+
+    With ``seeds`` (a list of node ids) the walk is PERSONALIZED:
+    initial mass and the teleport term go only to the seeds
+    (``SCALE div len(seeds)`` each), so rank measures proximity to
+    the trusted set — the seeded-quality-propagation pattern
+    (Wikipedia/curated-domain seeds ranking a web link graph, the
+    TrustRank shape). Seed ids absent from the graph contribute
+    nothing (their share of mass never enters), which keeps the
+    arithmetic a pure function of the literal seed list — the same
+    list the SQL oracle embeds.
 
     Scale shape: per iteration ONE join of edges against the rank
     frame (both hash-partitioned on the node key, so consecutive
@@ -66,8 +77,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     ed = e.join(deg, "__src").localCheckpoint(eager=True)
     d = int(damping)
-    base = ((100 - d) * SCALE) // (100 * n)
-    r = nodes.withColumn("pr_fp", F.lit(SCALE // n).cast("long"))
+    if seeds is None:
+        base_col = F.lit(((100 - d) * SCALE) // (100 * n)).cast("long")
+        init_col = F.lit(SCALE // n).cast("long")
+    else:
+        if not seeds:
+            raise ValueError("seeds must be a non-empty list or None")
+        is_seed = F.col(id_out).isin(list(seeds))
+        base_col = F.when(
+            is_seed,
+            F.lit(((100 - d) * SCALE) // (100 * len(seeds)))
+        ).otherwise(F.lit(0)).cast("long")
+        init_col = F.when(is_seed, F.lit(SCALE // len(seeds))) \
+            .otherwise(F.lit(0)).cast("long")
+    r = nodes.withColumn("pr_fp", init_col)
     for _ in range(int(iterations)):
         contrib = (ed.join(r, ed["__src"] == r[id_out])
                    .select(F.col("__dst"),
@@ -75,7 +98,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         s = contrib.groupBy("__dst").agg(F.sum("__c").alias("__s"))
         r = (nodes.join(s, nodes[id_out] == s["__dst"], "left")
              .select(nodes[id_out],
-                     (F.lit(base).cast("long")
+                     (base_col
                       + F.expr(f"({d} * coalesce(__s, 0L)) div 100"))
                      .cast("long").alias("pr_fp")))
         if checkpoint:
@@ -85,7 +108,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
                         iterations: int = 10,
-                        id_out: str = "node") -> str:
+                        id_out: str = "node",
+                        seeds: list | None = None) -> str:
     """DuckDB twin of :func:`pagerank` as an unrolled CTE chain.
 
     ``edges_cte`` is a CTE list WITHOUT the leading ``WITH`` keyword,
@@ -94,17 +118,31 @@ def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
     back to BIGINT), so the comparison is value-exact, not
     approximate — the property that makes an ITERATIVE operator
     drivable by the same oracle gate as everything else.
+
+    ``seeds`` mirrors :func:`pagerank`'s personalization: init/teleport
+    mass conditional on membership in the literal id list.
     """
     d = int(damping)
-    base = f"({100 - d} * {SCALE} // (100 * nn.n))"
+    if seeds is None:
+        base = f"({100 - d} * {SCALE} // (100 * nn.n))"
+        init = f"{SCALE} // nn.n"
+    else:
+        if not seeds:
+            raise ValueError("seeds must be a non-empty list or None")
+        in_list = ", ".join(str(s) for s in seeds)
+        base = (f"(CASE WHEN n0.node IN ({in_list}) "
+                f"THEN {(100 - d) * SCALE // (100 * len(seeds))} "
+                f"ELSE 0 END)")
+        init = (f"CASE WHEN node IN ({in_list}) "
+                f"THEN {SCALE // len(seeds)} ELSE 0 END")
     parts = [edges_cte.rstrip().rstrip(",")]
     parts.append("""
         nodes AS (SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
         nn AS (SELECT COUNT(*) AS n FROM nodes),
         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-        it0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS r
-                FROM nodes CROSS JOIN nn)""".format(scale=SCALE))
+        it0 AS (SELECT node, CAST({init} AS BIGINT) AS r
+                FROM nodes CROSS JOIN nn)""".format(init=init))
     for t in range(int(iterations)):
         parts.append(f"""
         it{t + 1} AS (

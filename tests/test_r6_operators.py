@@ -161,19 +161,25 @@ def test_curriculum_order_descending_and_tiny(spark):
 
 # --------------------------------------------------------------- graph
 
-def _pagerank_reference(edges, damping=85, iterations=10):
+def _pagerank_reference(edges, damping=85, iterations=10, seeds=None):
     nodes = sorted({u for e in edges for u in e})
     n = len(nodes)
     deg = {}
     for s, _ in edges:
         deg[s] = deg.get(s, 0) + 1
-    r = {u: SCALE // n for u in nodes}
-    base = (100 - damping) * SCALE // (100 * n)
+    if seeds is None:
+        r = {u: SCALE // n for u in nodes}
+        base = {u: (100 - damping) * SCALE // (100 * n) for u in nodes}
+    else:
+        k = len(seeds)
+        r = {u: (SCALE // k if u in seeds else 0) for u in nodes}
+        base = {u: ((100 - damping) * SCALE // (100 * k)
+                    if u in seeds else 0) for u in nodes}
     for _ in range(iterations):
         s = {u: 0 for u in nodes}
         for a, b in edges:
             s[b] += r[a] // deg[a]
-        r = {u: base + damping * s[u] // 100 for u in nodes}
+        r = {u: base[u] + damping * s[u] // 100 for u in nodes}
     return r
 
 
@@ -194,6 +200,19 @@ def test_pagerank_mass_and_dangling(spark):
     assert got[9] > 0
     # total mass never exceeds SCALE (floor + dangling only lose)
     assert sum(got.values()) <= SCALE
+
+
+def test_pagerank_personalized_matches_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (4, 5), (5, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["pr_fp"] for r in
+           pagerank(df, seeds=[1, 3]).collect()}
+    assert got == _pagerank_reference(edges, seeds={1, 3})
+    # trusted-set proximity: seeds and their direct targets hold the
+    # mass; the far node holds the least
+    assert got[1] > got[5]
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=[])
 
 
 def test_pagerank_validates_damping(spark):

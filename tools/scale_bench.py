@@ -113,6 +113,13 @@ EXTRA = [
     "curation_det_shuffle",
     "curation_profile_corr",
     "dedup_containment",
+    # round 6 additions
+    "dedup_edit",
+    "text_char_entropy",
+    "text_sentences",
+    "curation_curriculum",
+    "graph_pagerank",
+    "emb_project",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -198,8 +205,32 @@ def _scale_dedup_containment(spark, sf_dir):
                                    threshold=0.9)
 
 
+def _scale_dedup_edit(spark, sf_dir):
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    # same reasoning as containment: the gate doubles the corpus with
+    # guaranteed 3-edit twins so the oracle has pairs to verify;
+    # production shape is the corpus as it is
+    return dedup.edit_dup_pairs(spark.table("documents"), max_dist=4,
+                                min_shared=5)
+
+
+def _scale_graph_pagerank(spark, sf_dir):
+    from pydin_spark.operators import graph, similarity
+    entrymod._views(spark, sf_dir)
+    # the gate ranks over the EXACT kNN graph (quadratic tier, needed
+    # for the all-pairs SQL oracle); the scale path builds edges with
+    # IVF-pruned probes — PageRank itself is edges-linear either way
+    g = similarity.ivf_knn_graph(spark.table("embeddings"), k=5,
+                                 nlist=8, nprobe=2, max_iter=2)
+    return graph.pagerank(g.select("src_id", "nbr_id"),
+                          src="src_id", dst="nbr_id")
+
+
 SCALE_VARIANTS = {
     "dedup_containment": _scale_dedup_containment,
+    "dedup_edit": _scale_dedup_edit,
+    "graph_pagerank": _scale_graph_pagerank,
     "dedup_semantic": _scale_dedup_semantic,
     "sim_knn_graph": _scale_sim_knn_graph,
     "sim_knn_graph_ivf": _scale_sim_knn_graph_ivf,
@@ -266,6 +297,12 @@ LINEAR_OK = {
     "curation_det_shuffle",     # one shard-partitioned rank window
     "curation_profile_corr",    # one scan aggregate, 18 partial sums
     "dedup_containment",        # posting lists, same substrate as jaccard
+    "dedup_edit",               # posting lists + bounded verify pairs
+    "text_char_entropy",        # char explode + two combine aggs
+    "text_sentences",           # scan-linear posexplode, zero shuffle
+    "curation_curriculum",      # corpus scan + one range shuffle
+    "graph_pagerank",           # edges-linear iterations (IVF edges)
+    "emb_project",              # pure per-row arithmetic scan
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
