@@ -2317,6 +2317,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dedup_edit"] = _dedup_edit
 
+    def _dedup_cross_corpus(spark, sf_dir):
+        # doc-level train/eval contamination: eval = docs 0..29;
+        # train = docs >= 30 plus ' zz' twins of docs 0..59 at +20000
+        # — twins of the eval docs are guaranteed hits, twins of
+        # train docs are train-internal (must NOT appear). Same
+        # full-recall LSH operating point as dedup_minhash_lsh, so
+        # the oracle is the exact cross-side jaccard join.
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        d = spark.table("documents")
+        ev = d.where("doc_id < 30").select("doc_id", "text")
+        twins = (d.where("doc_id < 60")
+                 .select((F.col("doc_id") + 20000).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" zz"))
+                         .alias("text")))
+        tr = d.where("doc_id >= 30").select("doc_id", "text") \
+            .unionByName(twins)
+        return dedup.cross_corpus_dups(ev, tr, threshold=0.9)
+
+    out["dedup_cross_corpus"] = _dedup_cross_corpus
+
     def _text_char_entropy(spark, sf_dir):
         # per-doc character Shannon entropy (compressibility proxy)
         # — two map-side-combined aggregates, shuffle bounded by
@@ -3988,6 +4009,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN base tb ON tb.doc_id = id_b
         WHERE abs(len(ta.text) - len(tb.text)) <= 4
           AND levenshtein(ta.text, tb.text) <= 4
+    """
+    # cross-corpus contamination: exact jaccard restricted to
+    # (eval-side, train-side) pairs over the same construction
+    out["dedup_cross_corpus"] = """
+        WITH ev AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 30),
+        tr AS (SELECT doc_id, text FROM documents WHERE doc_id >= 30
+               UNION ALL
+               SELECT doc_id + 20000, text || ' zz' FROM documents
+               WHERE doc_id < 60),
+        esh AS (SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM ev),
+                     unnest(range(1, len(t) - 1)) AS u(i)),
+        tsh AS (SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM tr),
+                     unnest(range(1, len(t) - 1)) AS u(i)),
+        es AS (SELECT doc_id, COUNT(*) AS sz FROM esh GROUP BY doc_id),
+        ts AS (SELECT doc_id, COUNT(*) AS sz FROM tsh GROUP BY doc_id),
+        shared AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+                          COUNT(*) AS shared
+                   FROM esh e JOIN tsh t ON e.sh = t.sh
+                   GROUP BY e.doc_id, t.doc_id)
+        SELECT eval_id, train_id,
+               shared / (es.sz + ts.sz - shared) AS jaccard
+        FROM shared
+        JOIN es ON es.doc_id = eval_id
+        JOIN ts ON ts.doc_id = train_id
+        WHERE shared / (es.sz + ts.sz - shared) >= CAST(0.9 AS DOUBLE)
     """
     # per-doc character entropy: H = ln(n) - sum(c ln c)/n over the
     # char histogram; 6-dp string formatting is the inventory's

@@ -1217,10 +1217,14 @@ def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
 
     Output: (id, score, rk, shard, pos) — rk 1-based global, pos
     1-based within shard. Size ``n_shards`` to the export file count,
-    exactly as :func:`deterministic_shuffle` documents.
+    exactly as :func:`deterministic_shuffle` documents. Rows with a
+    NULL score are DROPPED (engines disagree on NULL sort placement —
+    Spark first, standard SQL last — so a total order over NULLs
+    cannot be engine-portable; score the unknowns or filter first).
     """
     if int(n_shards) < 1:
         raise ValueError("n_shards must be >= 1")
+    df = df.where(F.col(score_col).isNotNull())
     spark = df.sparkSession
     nparts = spark.sparkContext.defaultParallelism
     score = F.col(score_col)

@@ -983,3 +983,48 @@ def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("dist", F.levenshtein("__ta", "__tb"))
             .where(F.col("dist") <= int(max_dist))
             .select("id_a", "id_b", "dist"))
+
+
+def cross_corpus_dups(eval_df: DataFrame, train_df: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, num_hashes: int = 64,
+                      bands: int = 16,
+                      threshold: float = 0.9) -> DataFrame:
+    """Doc-level cross-corpus contamination: near-duplicates of EVAL
+    documents inside the TRAIN corpus — the document-grain sibling of
+    :func:`~pydin_spark.operators.text.winnow_matches` (span grain)
+    and :func:`~pydin_spark.operators.curation.decontaminate`
+    (n-gram-overlap grain). Run before training: any eval doc with a
+    hit here is memorized, not generalized.
+
+    Mechanics: the two corpora union (ids MUST be unique across both
+    frames — remap first if they collide), flow through the standard
+    MinHash-LSH banding + exact-Jaccard verify
+    (:func:`minhash_lsh_pairs` — no new substrate), and only
+    cross-side pairs survive, re-oriented as (eval_id, train_id,
+    jaccard). Train-internal and eval-internal near-dups are someone
+    else's job (:func:`minhash_lsh_pairs` on that corpus alone).
+
+    Scale shape: identical to the underlying LSH (banded buckets,
+    candidate-bounded, constant-size signatures); the side filter is
+    two joins against id-only projections of the inputs, driven by
+    the PAIR table's size (tiny), not the corpora. At the published
+    operating point (64 hashes / 16 bands, threshold 0.9) banding
+    recall is full, so the result equals the exact cross-corpus
+    Jaccard join the oracle runs.
+    """
+    a = eval_df.select(F.col(id_col), F.col(text_col))
+    b = train_df.select(F.col(id_col), F.col(text_col))
+    pairs = minhash_lsh_pairs(a.unionByName(b), id_col, text_col, n,
+                              num_hashes, bands, threshold)
+    evals = a.select(F.col(id_col).alias("__eid"))
+    trains = b.select(F.col(id_col).alias("__tid"))
+    p1 = (pairs.join(evals, pairs["id_a"] == evals["__eid"])
+          .join(trains, pairs["id_b"] == trains["__tid"])
+          .select(F.col("id_a").alias("eval_id"),
+                  F.col("id_b").alias("train_id"), "jaccard"))
+    p2 = (pairs.join(evals, pairs["id_b"] == evals["__eid"])
+          .join(trains, pairs["id_a"] == trains["__tid"])
+          .select(F.col("id_b").alias("eval_id"),
+                  F.col("id_a").alias("train_id"), "jaccard"))
+    return p1.unionByName(p2)

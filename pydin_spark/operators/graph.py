@@ -66,7 +66,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     if not 0 <= int(damping) <= 100:
         raise ValueError("damping is an integer percent in [0, 100]")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    e = (edges.select(F.col(src).alias("__src"),
+                      F.col(dst).alias("__dst"))
+         .where(F.col("__src").isNotNull()
+                & F.col("__dst").isNotNull()))
     nodes = (e.select(F.col("__src").alias(id_out))
              .union(e.select(F.col("__dst").alias(id_out)))
              .distinct()

@@ -116,6 +116,27 @@ def test_edit_dup_pairs_min_shared_keeps_true_pairs(edit_corpus):
     assert hi == lo
 
 
+def test_cross_corpus_dups_cross_side_only(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon "
+            "phi chi psi omega one two three four five six")
+    other = ("totally unrelated corpus text about ships and harbors "
+             "with no overlap whatsoever in any trigram of the eval "
+             "side at all nothing shared here believe me truly")
+    ev = spark.createDataFrame([(1, base)], "doc_id int, text string")
+    tr = spark.createDataFrame(
+        [(100, base + " zz"),      # contamination hit
+         (101, other),             # clean
+         (102, other + " zz")],    # train-internal near-dup of 101
+        "doc_id int, text string")
+    from pydin_spark.operators.dedup import cross_corpus_dups
+    out = cross_corpus_dups(ev, tr, threshold=0.9).collect()
+    # only the eval->train hit appears; the 101~102 train-internal
+    # pair is invisible at this grain
+    assert [(r["eval_id"], r["train_id"]) for r in out] == [(1, 100)]
+    assert out[0]["jaccard"] > 0.9
+
+
 # ------------------------------------------------------------ curation
 
 def test_curriculum_order_matches_local_sort(spark):
@@ -157,6 +178,27 @@ def test_curriculum_order_descending_and_tiny(spark):
     assert empty.count() == 0
     assert set(empty.columns) == {"doc_id", "score", "rk", "shard",
                                   "pos"}
+
+
+def test_curriculum_order_drops_null_scores(spark):
+    # engines disagree on NULL sort placement, so NULL scores are
+    # excluded from the total order entirely
+    df = spark.createDataFrame([(1, 2.0), (2, None), (3, 1.0)],
+                               "doc_id int, score double")
+    out = {r["doc_id"]: r["rk"] for r in
+           curriculum_order(df, "score", 2).collect()}
+    assert out == {3: 1, 1: 2}
+
+
+def test_pagerank_ignores_null_endpoints(spark):
+    edges = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(edges + [(None, 1), (2, None)],
+                               "src int, dst int")
+    got = {r["node"]: r["pr_fp"] for r in pagerank(df).collect()}
+    # NULL endpoints contribute no edges and no nodes; keeping
+    # (2, NULL) would inflate 2's out-degree and dilute its real
+    # contribution, so the whole row is dropped
+    assert got == _pagerank_reference(edges)
 
 
 # --------------------------------------------------------------- graph

@@ -114,6 +114,7 @@ EXTRA = [
     "curation_profile_corr",
     "dedup_containment",
     # round 6 additions
+    "dedup_cross_corpus",
     "dedup_edit",
     "text_char_entropy",
     "text_sentences",
@@ -215,6 +216,19 @@ def _scale_dedup_edit(spark, sf_dir):
                                 min_shared=5)
 
 
+def _scale_dedup_cross_corpus(spark, sf_dir):
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    # production shape: a FIXED eval suite (same ids at every scale)
+    # against the growing train corpus — the gate's twin construction
+    # exists only so the oracle has guaranteed hits
+    docs = spark.table("documents")
+    return dedup.cross_corpus_dups(
+        docs.where("doc_id < 250").select("doc_id", "text"),
+        docs.where("doc_id >= 250").select("doc_id", "text"),
+        threshold=0.9)
+
+
 def _scale_graph_pagerank(spark, sf_dir):
     from pydin_spark.operators import graph, similarity
     entrymod._views(spark, sf_dir)
@@ -229,6 +243,7 @@ def _scale_graph_pagerank(spark, sf_dir):
 
 SCALE_VARIANTS = {
     "dedup_containment": _scale_dedup_containment,
+    "dedup_cross_corpus": _scale_dedup_cross_corpus,
     "dedup_edit": _scale_dedup_edit,
     "graph_pagerank": _scale_graph_pagerank,
     "dedup_semantic": _scale_dedup_semantic,
@@ -297,6 +312,7 @@ LINEAR_OK = {
     "curation_det_shuffle",     # one shard-partitioned rank window
     "curation_profile_corr",    # one scan aggregate, 18 partial sums
     "dedup_containment",        # posting lists, same substrate as jaccard
+    "dedup_cross_corpus",       # LSH banding, fixed eval side
     "dedup_edit",               # posting lists + bounded verify pairs
     "text_char_entropy",        # char explode + two combine aggs
     "text_sentences",           # scan-linear posexplode, zero shuffle
