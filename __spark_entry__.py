@@ -2406,6 +2406,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          ";").alias("proj_csv"))
 
     out["emb_project"] = _emb_project
+
+    def _emb_pq(spark, sf_dir):
+        # product quantization: 64 floats -> 8 one-byte codes with the
+        # deterministic hash codebook (exact k/1024 literals), plus
+        # the per-vector reconstruction error — the faiss IVF+PQ
+        # memory tier's encode/quality half. pq_train is the
+        # production codebook path (pytest-pinned); the hash codebook
+        # is what makes this gate value-exact.
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        book = similarity.pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+        out_df = similarity.pq_reconstruction_error(
+            spark.table("embeddings"), book)
+        return out_df.select(
+            "vec_id",
+            F.array_join(F.transform("code",
+                                     lambda c: c.cast("string")),
+                         ";").alias("code_csv"),
+            "err6")
+
+    out["emb_pq"] = _emb_pq
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -4069,6 +4090,12 @@ def oracle_sql() -> dict[str, str]:
                    x -> format('{{:.6f}}', x)), ';') AS proj_csv
         FROM v
     """
+    # product quantization: identical codebook literals, distance
+    # order, and first-min code rule as the Spark side
+    from pydin_spark.operators.similarity import (pq_codebook,
+                                                  pq_oracle_sql)
+    out["emb_pq"] = pq_oracle_sql(
+        pq_codebook(seed=42, m=8, ksub=16, dsub=8))
     # PageRank over the exact kNN graph: the sim_knn_graph CTE chain
     # (same k=5 edges) feeding the unrolled fixed-point recurrence
     from pydin_spark.operators.graph import pagerank_oracle_sql

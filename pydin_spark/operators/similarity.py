@@ -1393,3 +1393,185 @@ def projection_oracle_expr(seed: int, out_dim: int, in_dim: int,
             f"{arr}[{i + 1}] * {float(signs[j][i])}"
             for i in range(int(in_dim))))
     return "[" + ", ".join(comps) + "]"
+
+
+def pq_codebook(seed: int, m: int, ksub: int, dsub: int) -> list:
+    """Deterministic product-quantization codebook:
+    ``codebook[j][c][t]`` is centroid ``c`` of subspace ``j`` at
+    sub-dimension ``t``, drawn from the md5 hash of (seed, j, c, t)
+    onto the exact binary grid ``{-1024..1024}/1024`` — every value
+    has a terminating decimal expansion, so the literal text parses
+    to the IDENTICAL double in any engine (the same trick as
+    :func:`projection_signs`). A hash codebook quantizes with higher
+    distortion than a k-means-trained one (:func:`pq_train`); its
+    point is being a pure function of four integers, which is what
+    lets encode/decode/ADC carry value-exact SQL oracles."""
+    import hashlib
+
+    def val(j, c, t):
+        h = int(hashlib.md5(f"{seed}:{j}:{c}:{t}".encode())
+                .hexdigest()[:12], 16)
+        return (h % 2049 - 1024) / 1024.0
+
+    return [[[val(j, c, t) for t in range(dsub)]
+             for c in range(ksub)]
+            for j in range(m)]
+
+
+def pq_train(df: DataFrame, m: int = 8, ksub: int = 16,
+             vec_col: str = "embedding", seed: int = 42,
+             max_iter: int = 10) -> list:
+    """Train a PQ codebook: one MLlib k-means per subspace over the
+    corpus's subvectors — the production path (hash codebooks are the
+    oracle-able fallback; trained ones cut reconstruction error, see
+    the round-6 tests). Returns the same nested-list shape as
+    :func:`pq_codebook`. Training cost is m small k-means over
+    dsub-dim points; at 100 TB train on a sample, exactly like IVF.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("cannot train on an empty frame")
+    dim = int(dim_row["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    book = []
+    for j in range(m):
+        sub = df.select(array_to_vector(F.slice(
+            F.transform(F.col(vec_col), lambda v: v.cast("double")),
+            j * dsub + 1, dsub)).alias("features"))
+        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter).fit(sub)
+        book.append([[float(x) for x in c]
+                     for c in model.clusterCenters()])
+    return book
+
+
+def _pq_sub_dists(vec_col: str, book_j: list, j: int, dsub: int):
+    """Array of fixed-order squared distances from subspace ``j`` of
+    ``vec_col`` to each centroid in ``book_j``."""
+    dists = []
+    for cent in book_j:
+        acc = None
+        for t, cval in enumerate(cent):
+            e = (F.element_at(F.col(vec_col), j * dsub + t + 1)
+                 .cast("double") - F.lit(cval))
+            term = e * e
+            acc = term if acc is None else acc + term
+        dists.append(acc)
+    return F.array(*dists)
+
+
+def pq_encode(df: DataFrame, codebook: list,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encode: each vector becomes ``m`` small
+    integer codes — the 64-float embedding compresses to ``m`` bytes,
+    the memory tier that makes billion-vector ANN serving fit in RAM
+    (Jégou et al. 2011; the faiss IVF+PQ standard — compose with the
+    IVF family here for the full shape).
+
+    Exactness contract: per subspace, squared distances to every
+    centroid are FIXED-ORDER double sums and the code is the FIRST
+    index attaining the minimum (``array_position(d, array_min(d))``)
+    — bit-identical across engines when the codebook literals are
+    exact binary values (:func:`pq_codebook`) or shared verbatim
+    (:func:`pq_train` output embedded in both plans).
+
+    Scale shape: pure per-row arithmetic (m·ksub·dsub fused
+    multiply-adds inside codegen), zero shuffle, zero Python.
+    Output: (id, code array<int>, 0-based codes).
+    """
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    codes = []
+    for j in range(m):
+        d = _pq_sub_dists(vec_col, codebook[j], j, dsub)
+        codes.append((F.array_position(d, F.array_min(d)) - 1)
+                     .cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("code"))
+
+
+def pq_reconstruction_error(df: DataFrame, codebook: list,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Encode + decode in one pass and report per-vector squared
+    reconstruction error — the codebook-quality metric (trained vs
+    hash codebooks, distortion drift over corpus growth: rising error
+    is the PQ analogue of IVF's drift-triggered rebuild).
+
+    Same fixed-order arithmetic as :func:`pq_encode`; the error sums
+    ``(e_t - codebook[j][code_j][t])²`` over all dims in index order.
+    Output: (id, code, err6 string) — err formatted %.6f, the
+    inventory's float-hash convention.
+    """
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    enc = pq_encode(df.select(id_col, vec_col), codebook, id_col,
+                    vec_col)
+    joined = df.select(id_col, vec_col).join(enc, id_col)
+    err = None
+    for j in range(m):
+        # decode subspace j: pick centroid values by code via chained
+        # WHEN (ksub branches) so the expression stays engine-portable
+        for t in range(dsub):
+            cval = None
+            for c, cent in enumerate(codebook[j]):
+                cond = F.element_at(F.col("code"), j + 1) == c
+                cval = (F.when(cond, F.lit(cent[t])) if cval is None
+                        else cval.when(cond, F.lit(cent[t])))
+            e = (F.element_at(F.col(vec_col), j * dsub + t + 1)
+                 .cast("double") - cval)
+            term = e * e
+            err = term if err is None else err + term
+    return joined.select(F.col(id_col), F.col("code"),
+                         F.format_string("%.6f", err).alias("err6"))
+
+
+def pq_oracle_sql(codebook: list, table: str = "embeddings",
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`pq_encode` + :func:`pq_reconstruction_
+    error` with the codebook embedded as literals — same fixed-order
+    distance sums, same first-min code rule (``list_position`` of
+    ``list_min``), same (j outer, t inner) error accumulation order.
+    Returns (id, code_csv, err6)."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+
+    def dist_expr(j, c):
+        return " + ".join(
+            f"(e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
+            f" * (e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
+            for t in range(dsub))
+
+    dl_cols = ", ".join(
+        "[" + ", ".join(dist_expr(j, c)
+                        for c in range(len(codebook[j])))
+        + f"] AS dl{j}" for j in range(m))
+    code_cols = ", ".join(
+        f"CAST(list_position(dl{j}, list_min(dl{j})) - 1 AS INTEGER)"
+        f" AS c{j}" for j in range(m))
+    err_terms = []
+    for j in range(m):
+        for t in range(dsub):
+            case = ("CASE c{j} ".format(j=j)
+                    + " ".join(f"WHEN {c} THEN {cent[t]!r}"
+                               for c, cent in enumerate(codebook[j]))
+                    + " END")
+            err_terms.append(f"(e[{j * dsub + t + 1}] - {case}) * "
+                             f"(e[{j * dsub + t + 1}] - {case})")
+    err = " + ".join(err_terms)
+    code_csv = " || ';' || ".join(f"CAST(c{j} AS VARCHAR)"
+                                  for j in range(m))
+    return f"""
+        WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS e
+                   FROM {table}),
+        d AS (SELECT {id_col}, e, {dl_cols} FROM v),
+        c AS (SELECT {id_col}, e, {code_cols} FROM d)
+        SELECT {id_col}, {code_csv} AS code_csv,
+               format('{{:.6f}}', {err}) AS err6
+        FROM c
+    """

@@ -363,3 +363,15 @@ def test_projection_zero_shuffle_codegen(spark, views):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "codegen id" in plan
+
+
+def test_pq_encode_zero_shuffle_no_python(spark, views):
+    from pydin_spark.operators import similarity
+    book = similarity.pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+    plan = plan_of(similarity.pq_encode(spark.table("embeddings"),
+                                        book))
+    # encode is a pure per-row scan: m*ksub*dsub arithmetic inside
+    # the scan stage, no exchange, no Python evaluation
+    assert " Exchange (" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

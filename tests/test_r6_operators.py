@@ -297,3 +297,45 @@ def test_projection_infers_dim_and_rejects_empty(spark):
     assert len(out[0]["proj"]) == 2
     with pytest.raises(ValueError):
         project_embeddings(df.where("vec_id < 0"), out_dim=2)
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+    from pydin_spark.operators.similarity import pq_codebook, pq_encode
+    vecs = [[float(((i * 11 + t * 3) % 17) - 8) / 4 for t in range(16)]
+            for i in range(20)]
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "vec_id int, embedding array<double>")
+    book = pq_codebook(seed=7, m=4, ksub=8, dsub=4)
+    got = {r["vec_id"]: r["code"] for r in
+           pq_encode(df, book).collect()}
+    nb = np.array(book)  # (m, ksub, dsub)
+    for i, v in enumerate(vecs):
+        va = np.array(v).reshape(4, 4)
+        want = [int(np.argmin(((nb[j] - va[j]) ** 2).sum(axis=1)))
+                for j in range(4)]
+        assert got[i] == want, i
+
+
+def test_pq_train_beats_hash_codebook(spark, views):
+    from pydin_spark.operators.similarity import (
+        pq_codebook, pq_reconstruction_error, pq_train)
+    emb = spark.table("embeddings").limit(200)
+    trained = pq_train(emb, m=8, ksub=16, max_iter=5)
+    hashed = pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+
+    def total_err(book):
+        out = pq_reconstruction_error(emb, book)
+        return sum(float(r["err6"]) for r in out.collect())
+
+    # the whole point of training: materially lower distortion than
+    # the deterministic hash codebook at the same code budget
+    assert total_err(trained) < 0.7 * total_err(hashed)
+
+
+def test_pq_train_validates_divisibility(spark):
+    from pydin_spark.operators.similarity import pq_train
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError):
+        pq_train(df, m=2, ksub=2)

@@ -121,6 +121,7 @@ EXTRA = [
     "curation_curriculum",
     "graph_pagerank",
     "emb_project",
+    "emb_pq",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -319,6 +320,7 @@ LINEAR_OK = {
     "curation_curriculum",      # corpus scan + one range shuffle
     "graph_pagerank",           # edges-linear iterations (IVF edges)
     "emb_project",              # pure per-row arithmetic scan
+    "emb_pq",                   # per-row encode + id-join decode
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
