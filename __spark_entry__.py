@@ -2427,6 +2427,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "err6")
 
     out["emb_pq"] = _emb_pq
+
+    def _sim_topk_pq(spark, sf_dir):
+        # ADC search over the codes: the oracle verifies the
+        # APPROXIMATION itself (same fixed-order ADC sums, same
+        # (adist, nbr_id) rank), not a brute-force stand-in
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        book = similarity.pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+        qs = emb.where("vec_id < 10").selectExpr(
+            "vec_id AS query_id", "embedding")
+        out_df = similarity.pq_topk(emb, qs, book, k=5)
+        return out_df.select(
+            "query_id", "nbr_id",
+            F.format_string("%.6f", "adist").alias("adist6"), "rnk")
+
+    out["sim_topk_pq"] = _sim_topk_pq
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -4096,6 +4113,15 @@ def oracle_sql() -> dict[str, str]:
                                                   pq_oracle_sql)
     out["emb_pq"] = pq_oracle_sql(
         pq_codebook(seed=42, m=8, ksub=16, dsub=8))
+    # ADC top-k over the same codebook; adist formatted %.6f in a
+    # wrapper so both engines hash the same string
+    from pydin_spark.operators.similarity import pq_topk_oracle_sql
+    out["sim_topk_pq"] = (
+        "SELECT query_id, nbr_id, format('{:.6f}', adist) AS adist6, "
+        "rnk FROM ("
+        + pq_topk_oracle_sql(pq_codebook(seed=42, m=8, ksub=16,
+                                         dsub=8), k=5, n_queries=10)
+        + ")")
     # PageRank over the exact kNN graph: the sim_knn_graph CTE chain
     # (same k=5 edges) feeding the unrolled fixed-point recurrence
     from pydin_spark.operators.graph import pagerank_oracle_sql

@@ -1575,3 +1575,112 @@ def pq_oracle_sql(codebook: list, table: str = "embeddings",
                format('{{:.6f}}', {err}) AS err6
         FROM c
     """
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: list,
+            k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            query_id_col: str = "query_id",
+            codes: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ
+    codes (Jégou et al. 2011): the corpus is represented ONLY by its
+    ``m``-byte codes, each candidate distance is
+    ``Σ_j ||q_sub_j - codebook[j][code_j]||²`` — the serving tier
+    where a billion-vector index fits in executor memory. Compose
+    with :func:`ivf_topk`'s list pruning for the full IVF+PQ shape;
+    re-score survivors with true vectors when exactness matters.
+
+    Like :func:`cosine_topk`, the query set broadcasts (small by
+    contract); the corpus side never shuffles — the rank window
+    partitions by query id. Pass a pre-computed ``codes`` frame
+    (from :func:`pq_encode`, typically read from the stored index)
+    to skip re-encoding.
+
+    Determinism: ADC distances are fixed-order double sums over
+    codebook literals, ties rank by neighbor id — value-exact vs the
+    SQL twin, which verifies the APPROXIMATION itself, not a
+    brute-force stand-in. Output: (query_id, nbr_id, adist, rnk).
+    """
+    from pyspark.sql import functions as F2
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    if codes is None:
+        codes = pq_encode(corpus, codebook, id_col, vec_col)
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qv"))
+    pairs = (codes.select(F.col(id_col).alias("nbr_id"), "code")
+             .crossJoin(F2.broadcast(q))
+             .where(F.col("nbr_id") != F.col(query_id_col)))
+    dist = None
+    for j in range(m):
+        for t in range(dsub):
+            cval = None
+            for c, cent in enumerate(codebook[j]):
+                cond = F.element_at(F.col("code"), j + 1) == c
+                cval = (F.when(cond, F.lit(cent[t])) if cval is None
+                        else cval.when(cond, F.lit(cent[t])))
+            e = (F.element_at(F.col("__qv"), j * dsub + t + 1)
+                 .cast("double") - cval)
+            term = e * e
+            dist = term if dist is None else dist + term
+    scored = pairs.select(F.col(query_id_col), F.col("nbr_id"),
+                          dist.alias("adist"))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("adist").asc(), F.col("nbr_id")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+            .select(query_id_col, "nbr_id", "adist", "rnk"))
+
+
+def pq_topk_oracle_sql(codebook: list, k: int = 5, n_queries: int = 10,
+                       table: str = "embeddings",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`pq_topk` over the first ``n_queries``
+    ids of ``table`` — encode CTEs plus the identical (j outer, t
+    inner) ADC accumulation and (adist, nbr_id) rank rule. Verifies
+    the approximation value-exactly."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+
+    def dist_expr(j, c):
+        return " + ".join(
+            f"(e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
+            f" * (e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
+            for t in range(dsub))
+
+    dl_cols = ", ".join(
+        "[" + ", ".join(dist_expr(j, c)
+                        for c in range(len(codebook[j])))
+        + f"] AS dl{j}" for j in range(m))
+    code_cols = ", ".join(
+        f"CAST(list_position(dl{j}, list_min(dl{j})) - 1 AS INTEGER)"
+        f" AS c{j}" for j in range(m))
+    adc_terms = []
+    for j in range(m):
+        for t in range(dsub):
+            case = (f"CASE x.c{j} "
+                    + " ".join(f"WHEN {c} THEN {cent[t]!r}"
+                               for c, cent in enumerate(codebook[j]))
+                    + " END")
+            adc_terms.append(f"(q.e[{j * dsub + t + 1}] - {case}) * "
+                             f"(q.e[{j * dsub + t + 1}] - {case})")
+    adc = " + ".join(adc_terms)
+    return f"""
+        WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS e
+                   FROM {table}),
+        d AS (SELECT {id_col}, e, {dl_cols} FROM v),
+        x AS (SELECT {id_col}, {code_cols} FROM d),
+        q AS (SELECT {id_col} AS query_id, e FROM v
+              WHERE {id_col} < {int(n_queries)}),
+        s AS (SELECT q.query_id, x.{id_col} AS nbr_id,
+                     {adc} AS adist
+              FROM x CROSS JOIN q
+              WHERE x.{id_col} <> q.query_id),
+        r AS (SELECT query_id, nbr_id, adist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adist, nbr_id) AS rnk
+              FROM s)
+        SELECT query_id, nbr_id, adist, rnk FROM r
+        WHERE rnk <= {int(k)}
+    """

@@ -339,3 +339,52 @@ def test_pq_train_validates_divisibility(spark):
                                "vec_id int, embedding array<double>")
     with pytest.raises(ValueError):
         pq_train(df, m=2, ksub=2)
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import numpy as np
+    from pydin_spark.operators.similarity import (pq_codebook, pq_encode,
+                                                  pq_topk)
+    vecs = [[float(((i * 5 + t * 7) % 13) - 6) / 5 for t in range(16)]
+            for i in range(30)]
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "vec_id int, embedding array<double>")
+    book = pq_codebook(seed=3, m=4, ksub=8, dsub=4)
+    qs = df.where("vec_id < 3").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    got = {}
+    for r in pq_topk(df, qs, book, k=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["nbr_id"], r["adist"]))
+    nb = np.array(book)
+    va = np.array(vecs).reshape(30, 4, 4)
+    codes = [[int(np.argmin(((nb[j] - va[i][j]) ** 2).sum(axis=1)))
+              for j in range(4)] for i in range(30)]
+    for qid in range(3):
+        dists = []
+        for i in range(30):
+            if i == qid:
+                continue
+            d = sum(((va[qid][j] - nb[j][codes[i][j]]) ** 2).sum()
+                    for j in range(4))
+            dists.append((d, i))
+        want = sorted(dists)[:4]
+        have = sorted((d, i) for _, i, d in got[qid])
+        assert [i for _, i in want] == [i for _, i in have]
+        for (wd, _), (hd, _) in zip(want, have):
+            assert abs(wd - hd) < 1e-9
+
+
+def test_pq_topk_accepts_precomputed_codes(spark):
+    from pydin_spark.operators.similarity import (pq_codebook, pq_encode,
+                                                  pq_topk)
+    vecs = [(i, [float((i + t) % 5) for t in range(8)])
+            for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    book = pq_codebook(seed=1, m=2, ksub=4, dsub=4)
+    qs = df.where("vec_id = 0").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    direct = pq_topk(df, qs, book, k=3).collect()
+    stored = pq_topk(df, qs, book, k=3,
+                     codes=pq_encode(df, book)).collect()
+    assert sorted(map(str, direct)) == sorted(map(str, stored))

@@ -122,6 +122,7 @@ EXTRA = [
     "graph_pagerank",
     "emb_project",
     "emb_pq",
+    "sim_topk_pq",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -321,6 +322,7 @@ LINEAR_OK = {
     "graph_pagerank",           # edges-linear iterations (IVF edges)
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
+    "sim_topk_pq",              # ADC is corpus-linear per query
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
