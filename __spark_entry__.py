@@ -2444,6 +2444,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.format_string("%.6f", "adist").alias("adist6"), "rnk")
 
     out["sim_topk_pq"] = _sim_topk_pq
+
+    def _sim_topk_pq_stored(spark, sf_dir):
+        # the stored serving tier: PQ codes persisted under the index
+        # version, served by a FRESH object from codes alone — with
+        # the hash codebook the serve is value-exact vs the same ADC
+        # oracle as sim_topk_pq (stored ≡ direct ≡ SQL)
+        import shutil
+        import tempfile
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        q = emb.where("vec_id < 10").selectExpr("vec_id AS query_id",
+                                                "embedding")
+        book = similarity.pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+        scratch = tempfile.mkdtemp(prefix="pydin_pq_")
+        try:
+            idx = similarity.IVFIndex(scratch + "/ivf", nlist=4,
+                                      max_iter=2)
+            idx.build(emb)
+            idx.build_pq(spark, codebook=book)
+            served = similarity.IVFIndex(scratch + "/ivf", nlist=4)
+            out_df = served.query_pq(spark, q, k=5)
+            out_df = out_df.select(
+                "query_id", "nbr_id",
+                F.format_string("%.6f", "adist").alias("adist6"),
+                "rnk")
+            # materialize before the scratch dir disappears
+            return spark.createDataFrame(out_df.collect(),
+                                         out_df.schema)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["sim_topk_pq_stored"] = _sim_topk_pq_stored
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -4122,6 +4155,9 @@ def oracle_sql() -> dict[str, str]:
         + pq_topk_oracle_sql(pq_codebook(seed=42, m=8, ksub=16,
                                          dsub=8), k=5, n_queries=10)
         + ")")
+    # the stored serve is pinned value-identical to the direct path,
+    # so it shares the ADC oracle verbatim
+    out["sim_topk_pq_stored"] = out["sim_topk_pq"]
     # PageRank over the exact kNN graph: the sim_knn_graph CTE chain
     # (same k=5 edges) feeding the unrolled fixed-point recurrence
     from pydin_spark.operators.graph import pagerank_oracle_sql

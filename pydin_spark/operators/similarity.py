@@ -993,6 +993,70 @@ class IVFIndex:
             "append raced a rebuild on every attempt — pause the "
             "maintenance job or serialize ingest with rebuilds")
 
+    def build_pq(self, spark, m: int = 8, ksub: int = 16,
+                 codebook: list | None = None,
+                 max_iter: int = 10) -> dict:
+        """Attach PQ codes to the SERVING version — the memory tier of
+        the stored index (faiss IVF+PQ): ``versions/<vid>/pq/book``
+        (one row per (subspace, code) centroid) and ``pq/codes`` (one
+        m-byte code row per stored vector, encoded from the version's
+        own list files). Serving sessions then answer
+        :meth:`query_pq` from codes alone — ``m`` bytes/vector
+        resident instead of ``4·dim``.
+
+        ``codebook=None`` trains per-subspace k-means on the stored
+        corpus (:func:`pq_train`); pass :func:`pq_codebook` output for
+        the deterministic hash book (the oracle-able configuration).
+        PQ artifacts belong to ONE version: a ``rebuild`` publishes a
+        new vid without them, so the maintenance job should re-run
+        ``build_pq`` after any rebuild (same trigger as the graph
+        artifacts). Returns {"vid", "m", "ksub", "n_codes"}.
+        """
+        vid = self._current_vid(spark)
+        vdir = self._version_path(vid)
+        corpus = spark.read.parquet(f"{vdir}/lists")
+        if codebook is None:
+            codebook = pq_train(corpus, m=m, ksub=ksub, vec_col="cv",
+                                seed=self.seed, max_iter=max_iter)
+        rows = [(j, c, list(map(float, cent)))
+                for j, sub in enumerate(codebook)
+                for c, cent in enumerate(sub)]
+        spark.createDataFrame(
+            rows, "j int, c int, center array<double>") \
+            .repartition(1).write.mode("overwrite") \
+            .parquet(f"{vdir}/pq/book")
+        codes = pq_encode(corpus, codebook, self.id_col, "cv")
+        codes.write.mode("overwrite").parquet(f"{vdir}/pq/codes")
+        spark.catalog.refreshByPath(f"{vdir}/pq/codes")
+        n = spark.read.parquet(f"{vdir}/pq/codes").count()
+        return {"vid": vid, "m": len(codebook),
+                "ksub": len(codebook[0]), "n_codes": int(n)}
+
+    def pq_book(self, spark) -> list:
+        """The serving version's stored codebook as the nested-list
+        shape every pq_* function takes (driver-tiny: m·ksub rows)."""
+        vid = self._current_vid(spark)
+        rows = spark.read.parquet(
+            f"{self._version_path(vid)}/pq/book") \
+            .orderBy("j", "c").collect()
+        book: dict = {}
+        for r in rows:
+            book.setdefault(r["j"], []).append(list(r["center"]))
+        return [book[j] for j in sorted(book)]
+
+    def query_pq(self, spark, queries: DataFrame, k: int = 5) -> DataFrame:
+        """ADC top-k served from the STORED codes — no full vectors
+        read, no re-encoding: the billion-vector serving path.
+        Identical semantics to :func:`pq_topk` with ``codes=`` (same
+        fixed-order sums, same tie rule), so a stored serve is
+        value-exact against the direct computation AND the SQL twin.
+        """
+        vid = self._current_vid(spark)
+        codes = spark.read.parquet(f"{self._version_path(vid)}/pq/codes")
+        book = self.pq_book(spark)
+        return pq_topk(None, queries, book, k=k, id_col=self.id_col,
+                       vec_col=self.vec_col, codes=codes)
+
     def meta(self, spark) -> dict:
         """Stats of the serving version (vid, n_vectors,
         mean_residual) — the build-time baseline ``drift`` compares
@@ -1027,7 +1091,20 @@ class IVFIndex:
             d = self.drift(corpus, sample_fraction=sample_fraction)
             out["drift"] = d
             if d["drift_ratio"] > drift_threshold:
+                # PQ artifacts belong to one version: remember the
+                # serving codebook so the new version isn't published
+                # code-less (re-ENCODING is mandatory, re-TRAINING is
+                # a quality call left to the caller — the old book
+                # keeps serving continuity and its rising
+                # reconstruction error is the retrain signal)
+                import os
+                old_vdir = self._version_path(self._current_vid(spark))
+                old_book = (self.pq_book(spark)
+                            if os.path.isdir(f"{old_vdir}/pq/book")
+                            else None)
                 out["rebuilt"] = self.rebuild(corpus)
+                if old_book is not None:
+                    out["pq"] = self.build_pq(spark, codebook=old_book)
         import os
         vroot = f"{self.path}/versions"
         before = (len(os.listdir(vroot)) if os.path.isdir(vroot)

@@ -388,3 +388,60 @@ def test_pq_topk_accepts_precomputed_codes(spark):
     stored = pq_topk(df, qs, book, k=3,
                      codes=pq_encode(df, book)).collect()
     assert sorted(map(str, direct)) == sorted(map(str, stored))
+
+
+def test_stored_pq_serve_equals_direct(spark, views, tmp_path):
+    from pydin_spark.operators.similarity import (IVFIndex, pq_codebook,
+                                                  pq_topk)
+    emb = spark.table("embeddings").limit(100)
+    emb = spark.createDataFrame(emb.collect(), emb.schema)
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    book = pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(emb)
+    stats = idx.build_pq(spark, codebook=book)
+    assert stats["n_codes"] == 100 and stats["m"] == 8
+    served = IVFIndex(str(tmp_path / "ivf"), nlist=4)
+    got = served.query_pq(spark, q, k=4).collect()
+    want = pq_topk(emb, q, book, k=4).collect()
+    assert sorted(map(str, got)) == sorted(map(str, want))
+    # the stored book round-trips exactly
+    assert served.pq_book(spark) == book
+
+
+def test_stored_pq_trained_book_on_version_corpus(spark, views, tmp_path):
+    from pydin_spark.operators.similarity import IVFIndex
+    emb = spark.table("embeddings").limit(80)
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(emb)
+    stats = idx.build_pq(spark, m=8, ksub=8, max_iter=3)
+    assert stats["ksub"] == 8
+    book = idx.pq_book(spark)
+    assert len(book) == 8 and len(book[0]) == 8 and len(book[0][0]) == 8
+
+
+def test_maintain_reencodes_pq_after_drift_rebuild(spark, views,
+                                                   tmp_path):
+    from pyspark.sql import functions as F
+    from pydin_spark.operators.similarity import IVFIndex, pq_codebook
+    emb = spark.table("embeddings").limit(60)
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(emb)
+    book = pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+    idx.build_pq(spark, codebook=book)
+    # drifted corpus: shifted vectors force drift_ratio over any
+    # threshold; maintain must rebuild AND republish PQ codes from
+    # the remembered codebook
+    drifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") + 10.0)
+        .alias("embedding"))
+    out = idx.maintain(spark, corpus=drifted, drift_threshold=0.5)
+    assert "rebuilt" in out and "pq" in out
+    assert out["pq"]["n_codes"] == 60
+    # the new version serves codes immediately with the same book
+    assert idx.pq_book(spark) == book
+    q = drifted.where("vec_id < 2").selectExpr("vec_id AS query_id",
+                                               "embedding")
+    assert idx.query_pq(spark, q, k=3).count() == 6
