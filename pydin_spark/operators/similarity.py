@@ -1025,8 +1025,10 @@ class IVFIndex:
             rows, "j int, c int, center array<double>") \
             .repartition(1).write.mode("overwrite") \
             .parquet(f"{vdir}/pq/book")
-        codes = pq_encode(corpus, codebook, self.id_col, "cv")
-        codes.write.mode("overwrite").parquet(f"{vdir}/pq/codes")
+        codes = pq_encode(corpus, codebook, self.id_col, "cv",
+                          keep_cols=("list_id",))
+        codes.write.mode("overwrite").partitionBy("list_id") \
+            .parquet(f"{vdir}/pq/codes")
         spark.catalog.refreshByPath(f"{vdir}/pq/codes")
         n = spark.read.parquet(f"{vdir}/pq/codes").count()
         return {"vid": vid, "m": len(codebook),
@@ -1044,16 +1046,62 @@ class IVFIndex:
             book.setdefault(r["j"], []).append(list(r["center"]))
         return [book[j] for j in sorted(book)]
 
-    def query_pq(self, spark, queries: DataFrame, k: int = 5) -> DataFrame:
+    def query_pq(self, spark, queries: DataFrame, k: int = 5,
+                 nprobe: int | None = None) -> DataFrame:
         """ADC top-k served from the STORED codes — no full vectors
         read, no re-encoding: the billion-vector serving path.
         Identical semantics to :func:`pq_topk` with ``codes=`` (same
         fixed-order sums, same tie rule), so a stored serve is
         value-exact against the direct computation AND the SQL twin.
+
+        With ``nprobe`` set this is the full faiss IVF+PQ composition:
+        each query's candidate set is only the codes stored in its
+        ``nprobe`` nearest cells — the codes live PARTITIONED BY
+        ``list_id`` under the version, so the probe is partition
+        pruning on an m-bytes-per-vector table (``nprobe/nlist`` of
+        already-64×-compressed data). ``nprobe=None`` (or = nlist)
+        scans all codes, the exhaustive-ADC oracle point.
         """
         vid = self._current_vid(spark)
-        codes = spark.read.parquet(f"{self._version_path(vid)}/pq/codes")
+        vdir = self._version_path(vid)
+        codes = spark.read.parquet(f"{vdir}/pq/codes")
         book = self.pq_book(spark)
+        if nprobe is not None and int(nprobe) < self.nlist:
+            from pyspark.sql import functions as F2
+            centers = self._centers(spark, vdir)
+            qv = F.transform(F.col(self.vec_col),
+                             lambda v: v.cast("double"))
+            m = len(book)
+            dsub = len(book[0][0])
+            # per-query probe cells AND the ADC lookup table — both
+            # computed once per query row, before any join
+            probed = queries.select(
+                F.col("query_id"),
+                F.array(*[_pq_sub_dists(self.vec_col, book[j], j,
+                                        dsub) for j in range(m)])
+                .alias("__tab"),
+                F.explode(_nearest_lists(qv, int(nprobe), centers))
+                .alias("list_id"))
+            # per-query cell restriction: a code row pairs only with
+            # queries that probe its cell (equi-join on list_id of a
+            # broadcast query set — partition pruning does the rest)
+            pairs = (codes.select(F.col(self.id_col).alias("nbr_id"),
+                                  "code", "list_id")
+                     .join(F2.broadcast(probed), "list_id")
+                     .where(F.col("nbr_id") != F.col("query_id")))
+            dist = None
+            for j in range(m):
+                term = F.element_at(
+                    F.element_at(F.col("__tab"), j + 1),
+                    F.element_at(F.col("code"), j + 1) + 1)
+                dist = term if dist is None else dist + term
+            scored = pairs.select(F.col("query_id"), F.col("nbr_id"),
+                                  dist.alias("adist"))
+            w = (Window.partitionBy("query_id")
+                 .orderBy(F.col("adist").asc(), F.col("nbr_id")))
+            return (scored.withColumn("rnk", F.row_number().over(w))
+                    .where(F.col("rnk") <= int(k))
+                    .select("query_id", "nbr_id", "adist", "rnk"))
         return pq_topk(None, queries, book, k=k, id_col=self.id_col,
                        vec_col=self.vec_col, codes=codes)
 
@@ -1543,7 +1591,8 @@ def _pq_sub_dists(vec_col: str, book_j: list, j: int, dsub: int):
 
 def pq_encode(df: DataFrame, codebook: list,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              keep_cols: tuple = ()) -> DataFrame:
     """Product-quantization encode: each vector becomes ``m`` small
     integer codes — the 64-float embedding compresses to ``m`` bytes,
     the memory tier that makes billion-vector ANN serving fit in RAM
@@ -1559,7 +1608,9 @@ def pq_encode(df: DataFrame, codebook: list,
 
     Scale shape: pure per-row arithmetic (m·ksub·dsub fused
     multiply-adds inside codegen), zero shuffle, zero Python.
-    Output: (id, code array<int>, 0-based codes).
+    Output: (id, code array<int>, 0-based codes) plus any
+    ``keep_cols`` carried through (e.g. ``list_id`` so a stored
+    layout can partition codes by IVF cell).
     """
     m = len(codebook)
     dsub = len(codebook[0][0])
@@ -1568,7 +1619,8 @@ def pq_encode(df: DataFrame, codebook: list,
         d = _pq_sub_dists(vec_col, codebook[j], j, dsub)
         codes.append((F.array_position(d, F.array_min(d)) - 1)
                      .cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias("code"))
+    return df.select(F.col(id_col), F.array(*codes).alias("code"),
+                     *[F.col(c) for c in keep_cols])
 
 
 def pq_reconstruction_error(df: DataFrame, codebook: list,
@@ -1579,32 +1631,26 @@ def pq_reconstruction_error(df: DataFrame, codebook: list,
     hash codebooks, distortion drift over corpus growth: rising error
     is the PQ analogue of IVF's drift-triggered rebuild).
 
-    Same fixed-order arithmetic as :func:`pq_encode`; the error sums
-    ``(e_t - codebook[j][code_j][t])²`` over all dims in index order.
-    Output: (id, code, err6 string) — err formatted %.6f, the
-    inventory's float-hash convention.
+    Because the code IS the argmin, the reconstruction error needs no
+    decode at all: ``err = Σ_j min(dists_j)`` over the same
+    per-subspace distance arrays the encode computes — one pass, one
+    array_min per subspace, no join, no branching (the first draft
+    decoded through ksub-branch CASEs per dimension; this form is the
+    same value grouped per subspace and ~m·ksub× fewer branch
+    evaluations). Output: (id, code, err6 string) — err formatted
+    %.6f, the inventory's float-hash convention.
     """
     m = len(codebook)
     dsub = len(codebook[0][0])
-    enc = pq_encode(df.select(id_col, vec_col), codebook, id_col,
-                    vec_col)
-    joined = df.select(id_col, vec_col).join(enc, id_col)
-    err = None
+    codes, err = [], None
     for j in range(m):
-        # decode subspace j: pick centroid values by code via chained
-        # WHEN (ksub branches) so the expression stays engine-portable
-        for t in range(dsub):
-            cval = None
-            for c, cent in enumerate(codebook[j]):
-                cond = F.element_at(F.col("code"), j + 1) == c
-                cval = (F.when(cond, F.lit(cent[t])) if cval is None
-                        else cval.when(cond, F.lit(cent[t])))
-            e = (F.element_at(F.col(vec_col), j * dsub + t + 1)
-                 .cast("double") - cval)
-            term = e * e
-            err = term if err is None else err + term
-    return joined.select(F.col(id_col), F.col("code"),
-                         F.format_string("%.6f", err).alias("err6"))
+        d = _pq_sub_dists(vec_col, codebook[j], j, dsub)
+        codes.append((F.array_position(d, F.array_min(d)) - 1)
+                     .cast("int"))
+        term = F.array_min(d)
+        err = term if err is None else err + term
+    return df.select(F.col(id_col), F.array(*codes).alias("code"),
+                     F.format_string("%.6f", err).alias("err6"))
 
 
 def pq_oracle_sql(codebook: list, table: str = "embeddings",
@@ -1613,45 +1659,41 @@ def pq_oracle_sql(codebook: list, table: str = "embeddings",
     """DuckDB twin of :func:`pq_encode` + :func:`pq_reconstruction_
     error` with the codebook embedded as literals — same fixed-order
     distance sums, same first-min code rule (``list_position`` of
-    ``list_min``), same (j outer, t inner) error accumulation order.
-    Returns (id, code_csv, err6)."""
+    ``list_min``), and the same per-subspace error grouping
+    ``err = Σ_j list_min(dl_j)``. Returns (id, code_csv, err6)."""
     m = len(codebook)
-    dsub = len(codebook[0][0])
-
-    def dist_expr(j, c):
-        return " + ".join(
-            f"(e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
-            f" * (e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
-            for t in range(dsub))
 
     dl_cols = ", ".join(
-        "[" + ", ".join(dist_expr(j, c)
+        "[" + ", ".join(_pq_dist_sql(codebook, j, c)
                         for c in range(len(codebook[j])))
         + f"] AS dl{j}" for j in range(m))
     code_cols = ", ".join(
         f"CAST(list_position(dl{j}, list_min(dl{j})) - 1 AS INTEGER)"
         f" AS c{j}" for j in range(m))
-    err_terms = []
-    for j in range(m):
-        for t in range(dsub):
-            case = ("CASE c{j} ".format(j=j)
-                    + " ".join(f"WHEN {c} THEN {cent[t]!r}"
-                               for c, cent in enumerate(codebook[j]))
-                    + " END")
-            err_terms.append(f"(e[{j * dsub + t + 1}] - {case}) * "
-                             f"(e[{j * dsub + t + 1}] - {case})")
-    err = " + ".join(err_terms)
+    err = " + ".join(f"list_min(dl{j})" for j in range(m))
     code_csv = " || ';' || ".join(f"CAST(c{j} AS VARCHAR)"
                                   for j in range(m))
     return f"""
         WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS e
                    FROM {table}),
         d AS (SELECT {id_col}, e, {dl_cols} FROM v),
-        c AS (SELECT {id_col}, e, {code_cols} FROM d)
+        c AS (SELECT {id_col}, {code_cols}, {err} AS err FROM d)
         SELECT {id_col}, {code_csv} AS code_csv,
-               format('{{:.6f}}', {err}) AS err6
+               format('{{:.6f}}', err) AS err6
         FROM c
     """
+
+
+def _pq_dist_sql(codebook: list, j: int, c: int,
+                 arr: str = "e") -> str:
+    """Fixed-order SQL squared distance of subspace ``j`` of ``arr``
+    to centroid ``c`` — shared by every pq_* oracle builder so the
+    arithmetic text is identical everywhere."""
+    dsub = len(codebook[0][0])
+    return " + ".join(
+        f"({arr}[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
+        f" * ({arr}[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
+        for t in range(dsub))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: list,
@@ -1674,32 +1716,32 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: list,
     to skip re-encoding.
 
     Determinism: ADC distances are fixed-order double sums over
-    codebook literals, ties rank by neighbor id — value-exact vs the
-    SQL twin, which verifies the APPROXIMATION itself, not a
-    brute-force stand-in. Output: (query_id, nbr_id, adist, rnk).
+    codebook literals (grouped per subspace — the lookup-table form),
+    ties rank by neighbor id — value-exact vs the SQL twin, which
+    verifies the APPROXIMATION itself, not a brute-force stand-in.
+    The per-pair cost is the textbook ADC trick: the m×ksub distance
+    TABLE is computed once per query row, each candidate pays only
+    ``m`` array lookups (the first draft decoded centroids through
+    ksub-branch CASEs per pair — ~two orders of magnitude more
+    branch evaluations). Output: (query_id, nbr_id, adist, rnk).
     """
     from pyspark.sql import functions as F2
     m = len(codebook)
     dsub = len(codebook[0][0])
     if codes is None:
         codes = pq_encode(corpus, codebook, id_col, vec_col)
-    q = queries.select(F.col(query_id_col),
-                       F.col(vec_col).alias("__qv"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.array(*[_pq_sub_dists(vec_col, codebook[j], j, dsub)
+                  for j in range(m)]).alias("__tab"))
     pairs = (codes.select(F.col(id_col).alias("nbr_id"), "code")
              .crossJoin(F2.broadcast(q))
              .where(F.col("nbr_id") != F.col(query_id_col)))
     dist = None
     for j in range(m):
-        for t in range(dsub):
-            cval = None
-            for c, cent in enumerate(codebook[j]):
-                cond = F.element_at(F.col("code"), j + 1) == c
-                cval = (F.when(cond, F.lit(cent[t])) if cval is None
-                        else cval.when(cond, F.lit(cent[t])))
-            e = (F.element_at(F.col("__qv"), j * dsub + t + 1)
-                 .cast("double") - cval)
-            term = e * e
-            dist = term if dist is None else dist + term
+        term = F.element_at(F.element_at(F.col("__tab"), j + 1),
+                            F.element_at(F.col("code"), j + 1) + 1)
+        dist = term if dist is None else dist + term
     scored = pairs.select(F.col(query_id_col), F.col("nbr_id"),
                           dist.alias("adist"))
     w = (Window.partitionBy(query_id_col)
@@ -1714,41 +1756,30 @@ def pq_topk_oracle_sql(codebook: list, k: int = 5, n_queries: int = 10,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> str:
     """DuckDB twin of :func:`pq_topk` over the first ``n_queries``
-    ids of ``table`` — encode CTEs plus the identical (j outer, t
-    inner) ADC accumulation and (adist, nbr_id) rank rule. Verifies
-    the approximation value-exactly."""
+    ids of ``table`` — encode CTEs plus the identical lookup-table
+    ADC (per-subspace fixed-order sums, Σ_j table lookups) and
+    (adist, nbr_id) rank rule. Verifies the approximation
+    value-exactly."""
     m = len(codebook)
-    dsub = len(codebook[0][0])
-
-    def dist_expr(j, c):
-        return " + ".join(
-            f"(e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
-            f" * (e[{j * dsub + t + 1}] - {codebook[j][c][t]!r})"
-            for t in range(dsub))
 
     dl_cols = ", ".join(
-        "[" + ", ".join(dist_expr(j, c)
+        "[" + ", ".join(_pq_dist_sql(codebook, j, c)
                         for c in range(len(codebook[j])))
         + f"] AS dl{j}" for j in range(m))
     code_cols = ", ".join(
         f"CAST(list_position(dl{j}, list_min(dl{j})) - 1 AS INTEGER)"
         f" AS c{j}" for j in range(m))
-    adc_terms = []
-    for j in range(m):
-        for t in range(dsub):
-            case = (f"CASE x.c{j} "
-                    + " ".join(f"WHEN {c} THEN {cent[t]!r}"
-                               for c, cent in enumerate(codebook[j]))
-                    + " END")
-            adc_terms.append(f"(q.e[{j * dsub + t + 1}] - {case}) * "
-                             f"(q.e[{j * dsub + t + 1}] - {case})")
-    adc = " + ".join(adc_terms)
+    tab_cols = ", ".join(
+        "[" + ", ".join(_pq_dist_sql(codebook, j, c)
+                        for c in range(len(codebook[j])))
+        + f"] AS tl{j}" for j in range(m))
+    adc = " + ".join(f"q.tl{j}[x.c{j} + 1]" for j in range(m))
     return f"""
         WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS e
                    FROM {table}),
         d AS (SELECT {id_col}, e, {dl_cols} FROM v),
         x AS (SELECT {id_col}, {code_cols} FROM d),
-        q AS (SELECT {id_col} AS query_id, e FROM v
+        q AS (SELECT {id_col} AS query_id, {tab_cols} FROM v
               WHERE {id_col} < {int(n_queries)}),
         s AS (SELECT q.query_id, x.{id_col} AS nbr_id,
                      {adc} AS adist

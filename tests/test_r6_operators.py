@@ -445,3 +445,34 @@ def test_maintain_reencodes_pq_after_drift_rebuild(spark, views,
     q = drifted.where("vec_id < 2").selectExpr("vec_id AS query_id",
                                                "embedding")
     assert idx.query_pq(spark, q, k=3).count() == 6
+
+
+def test_query_pq_nprobe_prunes_and_exhaustive_matches(spark, views,
+                                                       tmp_path):
+    from pydin_spark.operators.similarity import IVFIndex, pq_codebook
+    emb = spark.table("embeddings").limit(120)
+    emb = spark.createDataFrame(emb.collect(), emb.schema)
+    book = pq_codebook(seed=42, m=8, ksub=16, dsub=8)
+    idx = IVFIndex(str(tmp_path / "ivf"), nlist=4, max_iter=2)
+    idx.build(emb)
+    idx.build_pq(spark, codebook=book)
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    # nprobe = nlist is exhaustive: identical to the all-codes scan
+    full = idx.query_pq(spark, q, k=4)
+    probed_all = idx.query_pq(spark, q, k=4, nprobe=4)
+    assert sorted(map(str, full.collect())) == \
+        sorted(map(str, probed_all.collect()))
+    # nprobe=1: every returned neighbor's stored cell must be the
+    # query's own nearest cell (the pruning contract), and adist can
+    # only be >= the exhaustive k-th (approximation never invents
+    # closer neighbors)
+    pr = idx.query_pq(spark, q, k=4, nprobe=1)
+    rows = pr.collect()
+    assert rows and all(r["rnk"] <= 4 for r in rows)
+    vid = idx._current_vid(spark)
+    cells = {r[idx.id_col]: r["list_id"] for r in
+             spark.read.parquet(
+                 f"{idx._version_path(vid)}/pq/codes").collect()}
+    for r in rows:
+        assert cells[r["nbr_id"]] == cells[r["query_id"]]
