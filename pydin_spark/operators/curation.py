@@ -1270,4 +1270,10 @@ def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
         # the range-partitioned frame behind a materialized result
         out = out.localCheckpoint(eager=True)
         part.unpersist()
+    else:
+        # plan-inspection mode: release the cache immediately — the
+        # caller's materialization recomputes the range partitioning,
+        # which is DETERMINISTIC on recompute (seeded range sampler +
+        # the unique id in the sort key), so offsets stay valid
+        part.unpersist()
     return out

@@ -132,7 +132,9 @@ def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
     else:
         if not seeds:
             raise ValueError("seeds must be a non-empty list or None")
-        in_list = ", ".join(str(s) for s in seeds)
+        in_list = ", ".join(
+            "'" + str(s).replace("'", "''") + "'"
+            if isinstance(s, str) else str(s) for s in seeds)
         base = (f"(CASE WHEN n0.node IN ({in_list}) "
                 f"THEN {(100 - d) * SCALE // (100 * len(seeds))} "
                 f"ELSE 0 END)")

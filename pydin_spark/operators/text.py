@@ -1512,6 +1512,15 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     NO row (char-splitting an empty string yields one empty fragment
     in both engines — it is filtered, leaving nothing to histogram),
     the same convention as every per-token operator here.
+
+    Known grain divergence, pinned here rather than hidden: Spark's
+    ``split`` counts UTF-16 code units, so characters outside the BMP
+    (emoji, musical symbols) count as TWO entries while
+    codepoint-based engines (DuckDB, most Rust/Go) count ONE. For BMP
+    text — the gate fixtures and the overwhelming mass of crawl text
+    — the engines agree exactly; corpora heavy in astral-plane
+    symbols should NFC-normalize first and treat the entropy as a
+    screening signal, not a cross-engine invariant.
     """
     chars = (df.select(F.col(id_col),
                        F.explode(F.split(F.col(text_col), ""))
