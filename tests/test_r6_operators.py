@@ -476,3 +476,52 @@ def test_query_pq_nprobe_prunes_and_exhaustive_matches(spark, views,
                  f"{idx._version_path(vid)}/pq/codes").collect()}
     for r in rows:
         assert cells[r["nbr_id"]] == cells[r["query_id"]]
+
+
+# ---- streaming front door for the quality-screen chain ----
+
+def test_streaming_entropy_screen_front_door(spark, tmp_path):
+    """Docs stream in; char_entropy runs per micro-batch as the
+    cheapest quality gate (no corpus pass, no token model — exactly
+    why it front-doors a stream), keepers land with their sentence
+    rows for downstream per-sentence ops. Both operators are pure
+    column/explode transforms, so the batch semantics carry to the
+    stream unchanged."""
+    import json
+
+    land = tmp_path / "land"
+    land.mkdir()
+    good = ("the quick brown fox jumps over the lazy dog. "
+            "a second varied sentence keeps the histogram broad.")
+    junk = "zzzz zzzz zzzz zzzz zzzz."          # near-zero entropy
+    (land / "a.json").write_text("\n".join(
+        json.dumps(d) for d in [{"doc_id": 1, "text": good},
+                                {"doc_id": 2, "text": junk}]))
+    (land / "b.json").write_text(json.dumps(
+        {"doc_id": 3, "text": good + " third batch flavor."}))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(land)))
+    out_docs = str(tmp_path / "kept")
+    out_sents = str(tmp_path / "sents")
+
+    def sink(batch_df, batch_id):
+        ent = char_entropy(batch_df)
+        kept = (batch_df.join(
+            ent.where("CAST(entropy6 AS DOUBLE) >= 2.0"), "doc_id"))
+        kept.select("doc_id", "text").write.mode("append") \
+            .parquet(out_docs)
+        split_sentences(kept.select("doc_id", "text")) \
+            .write.mode("append").parquet(out_sents)
+
+    q = (stream.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out_docs).collect()}
+    assert kept == {1, 3}          # the keyboard-mash doc is gone
+    sents = spark.read.parquet(out_sents)
+    assert sents.where("doc_id = 2").count() == 0
+    assert sents.where("doc_id = 1").count() == 2
+    assert sents.where("doc_id = 3").count() == 3
