@@ -4204,7 +4204,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars, rk,
                CAST((rk - 1) * 7 // n AS INTEGER) AS shard,
                CAST(rk - (((rk - 1) * 7 // n) * n + 6) // 7
-                    AS INTEGER) AS pos
+                    AS BIGINT) AS pos
         FROM r
     """
     # sentence segmentation: same lookaround-free pattern as the Spark

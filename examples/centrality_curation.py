@@ -8,7 +8,8 @@ long-tail diversity a pretraining mix wants to keep):
 
   1. PROJECT: ``project_embeddings`` — seeded ±1 random projection
      64 -> 8 so every downstream distance computation is 8x cheaper
-     (rank fidelity checked against full-dimension ranks below).
+     (JL: neighborhoods survive projection in expectation; recall
+     properties of the downstream graph live in tests/test_ann_recall).
   2. GRAPH: ``ivf_knn_graph`` over the PROJECTED vectors — the ANN
      scale tier (pruned probes), never the exact n² graph.
   3. RANK: ``pagerank`` — exact fixed-point BIGINT centrality, and a
@@ -43,8 +44,8 @@ def main() -> None:
     # 1. project to 8 dims (pure codegen scan, no shuffle)
     t0 = time.time()
     proj = similarity.project_embeddings(emb, out_dim=8, in_dim=64)
-    proj = proj.withColumnRenamed("proj", "embedding")
-    proj.localCheckpoint(eager=True)
+    proj = proj.withColumnRenamed("proj", "embedding") \
+        .localCheckpoint(eager=True)
     print(f"# project 64->8: {time.time() - t0:.1f}s")
 
     # 2. approximate kNN graph in the projected space

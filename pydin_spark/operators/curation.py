@@ -1244,7 +1244,7 @@ def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
         return (df.select(id_col, score_col)
                 .withColumn("rk", F.lit(0).cast("long"))
                 .withColumn("shard", F.lit(0).cast("int"))
-                .withColumn("pos", F.lit(0).cast("int"))
+                .withColumn("pos", F.lit(0).cast("long"))
                 .where(F.lit(False)))
     total = sum(counts.values())
     offsets, acc = {}, 0
@@ -1261,19 +1261,25 @@ def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
                                  + omap[F.col("__pid")].cast("long")))
               .drop("__pid"))
     n = int(n_shards)
-    shard = F.expr(f"(rk - 1) * {n} div {total}")
-    boundary = F.expr(f"(shard * {total} + {n - 1}) div {n}")
+    # L-suffixed literals: `shard * total` in INT arithmetic overflows
+    # once (n_shards-1)*total passes 2^31 — at the corpus sizes this
+    # operator targets that is the common case, and ANSI mode turns it
+    # into a crash at materialization. pos likewise stays BIGINT
+    # (a single shard can exceed 2^31 rows).
+    shard = F.expr(f"(rk - 1L) * {n}L div {total}L")
+    boundary = F.expr(f"(cast(shard as bigint) * {total}L + {n - 1}L) "
+                      f"div {n}L")
     out = (ranked.withColumn("shard", shard.cast("int"))
-           .withColumn("pos", (F.col("rk") - boundary).cast("int")))
+           .withColumn("pos", (F.col("rk") - boundary).cast("long")))
     if checkpoint:
         # bounded-cache discipline (same as pack_sequences): release
         # the range-partitioned frame behind a materialized result
         out = out.localCheckpoint(eager=True)
         part.unpersist()
-    else:
-        # plan-inspection mode: release the cache immediately — the
-        # caller's materialization recomputes the range partitioning,
-        # which is DETERMINISTIC on recompute (seeded range sampler +
-        # the unique id in the sort key), so offsets stay valid
-        part.unpersist()
+    # checkpoint=False is PLAN-INSPECTION mode: `part` must stay
+    # cached, because the collected offsets are only valid for the
+    # materialization that produced them — a recompute re-samples
+    # range boundaries under a fresh rdd id and would skew the ranks.
+    # Callers on this path read plans, not results, and release the
+    # cache themselves (spark.catalog.clearCache in the plan gates).
     return out

@@ -111,6 +111,25 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     return shingles, sizes
 
 
+def _shared_shingle_pairs(shingles: DataFrame, id_col: str,
+                          directed: bool = False) -> DataFrame:
+    """Candidate-pair stage shared by :func:`ngram_jaccard_pairs`,
+    :func:`containment_pairs` and :func:`edit_dup_pairs`: the
+    inverted-index self-join + shared-shingle count — (id_a, id_b,
+    shared). ``directed=True`` keeps both orientations (containment);
+    otherwise id_a < id_b. Keeping this in ONE place is what keeps
+    the three operators' documented candidate rule — and their SQL
+    oracles — from drifting apart."""
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    pred = (F.col("id_a") != F.col("id_b") if directed
+            else F.col("id_a") < F.col("id_b"))
+    return (a.join(b, "shingle")
+            .where(pred)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
@@ -127,14 +146,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     shingles, sizes = _capped_posting_lists(df, id_col, text_col, n,
                                             max_shingle_freq)
-    a = shingles.select(F.col(id_col).alias("id_a"),
-                        F.col("shingle"))
-    b = shingles.select(F.col(id_col).alias("id_b"),
-                        F.col("shingle"))
-    shared = (a.join(b, "shingle")
-              .where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("shared")))
+    shared = _shared_shingle_pairs(shingles, id_col)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (shared.join(sa, "id_a").join(sb, "id_b")
@@ -914,12 +926,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     shingles, sizes = _capped_posting_lists(df, id_col, text_col, n,
                                             max_shingle_freq)
-    a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    shared = (a.join(b, "shingle")
-              .where(F.col("id_a") != F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("shared")))
+    shared = _shared_shingle_pairs(shingles, id_col, directed=True)
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("sz").alias("sz_a"))
     out = (shared.join(sa, "id_a")
@@ -949,6 +956,17 @@ def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs share almost their whole shingle set, so even aggressive
     values keep full recall while shedding junk candidates.
 
+    CAP BLIND SPOT — read before trusting recall on heavy duplication:
+    a near-identical cluster LARGER than ``max_shingle_freq`` pushes
+    every one of its shingles over the cap, deleting the cluster's
+    whole posting family — its pairs become invisible despite tiny
+    edit distances. Run :func:`exact_dedup` first (it collapses
+    verbatim copies without any cap) and size ``max_shingle_freq``
+    above the largest surviving near-dup family you need to catch;
+    the cap exists to bound Σ freq² skew, not to define recall. Docs
+    with fewer than ``n`` tokens have no shingles and are likewise
+    unpairable even at distance 0.
+
     Verify tiers, cheapest first: (1) ``abs(len_a - len_b) <=
     max_dist`` — a LOWER BOUND on edit distance, a plain column filter
     that kills most candidates before any O(L²) work; (2) JVM
@@ -964,12 +982,7 @@ def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
                                         max_shingle_freq)
-    a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    cand = (a.join(b, "shingle")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
+    cand = (_shared_shingle_pairs(shingles, id_col)
             .where(F.col("shared") >= int(min_shared))
             .select("id_a", "id_b"))
     ta = df.select(F.col(id_col).alias("id_a"),
@@ -1015,8 +1028,10 @@ def cross_corpus_dups(eval_df: DataFrame, train_df: DataFrame,
     """
     a = eval_df.select(F.col(id_col), F.col(text_col))
     b = train_df.select(F.col(id_col), F.col(text_col))
+    owned: list = []
     pairs = minhash_lsh_pairs(a.unionByName(b), id_col, text_col, n,
-                              num_hashes, bands, threshold)
+                              num_hashes, bands, threshold,
+                              owned_frames=owned)
     evals = a.select(F.col(id_col).alias("__eid"))
     trains = b.select(F.col(id_col).alias("__tid"))
     p1 = (pairs.join(evals, pairs["id_a"] == evals["__eid"])
@@ -1027,4 +1042,10 @@ def cross_corpus_dups(eval_df: DataFrame, train_df: DataFrame,
           .join(trains, pairs["id_a"] == trains["__tid"])
           .select(F.col("id_b").alias("eval_id"),
                   F.col("id_a").alias("train_id"), "jaccard"))
-    return p1.unionByName(p2)
+    # a sweep loops this per eval suite: materialize, then release the
+    # LSH intermediates instead of pinning them for the session
+    # (pack_sequences' bounded-cache discipline)
+    out = p1.unionByName(p2).localCheckpoint(eager=True)
+    for f in owned:
+        f.unpersist()
+    return out

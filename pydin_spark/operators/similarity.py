@@ -1089,19 +1089,7 @@ class IVFIndex:
                                   "code", "list_id")
                      .join(F2.broadcast(probed), "list_id")
                      .where(F.col("nbr_id") != F.col("query_id")))
-            dist = None
-            for j in range(m):
-                term = F.element_at(
-                    F.element_at(F.col("__tab"), j + 1),
-                    F.element_at(F.col("code"), j + 1) + 1)
-                dist = term if dist is None else dist + term
-            scored = pairs.select(F.col("query_id"), F.col("nbr_id"),
-                                  dist.alias("adist"))
-            w = (Window.partitionBy("query_id")
-                 .orderBy(F.col("adist").asc(), F.col("nbr_id")))
-            return (scored.withColumn("rnk", F.row_number().over(w))
-                    .where(F.col("rnk") <= int(k))
-                    .select("query_id", "nbr_id", "adist", "rnk"))
+            return _adc_rank(pairs, m, k)
         return pq_topk(None, queries, book, k=k, id_col=self.id_col,
                        vec_col=self.vec_col, codes=codes)
 
@@ -1696,6 +1684,28 @@ def _pq_dist_sql(codebook: list, j: int, c: int,
         for t in range(dsub))
 
 
+def _adc_rank(pairs: DataFrame, m: int, k: int,
+              query_id_col: str = "query_id") -> DataFrame:
+    """Shared ADC tail of :func:`pq_topk` and
+    :meth:`IVFIndex.query_pq`: Σ_j table-lookup distance over a
+    (``__tab``, ``code``, ``nbr_id``) pair frame, then the
+    (adist asc, nbr_id) rank cut at ``k``. One implementation keeps
+    the stored-serve == direct == oracle equivalence a single piece
+    of code instead of two hand-synced copies."""
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.element_at(F.col("__tab"), j + 1),
+                            F.element_at(F.col("code"), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = pairs.select(F.col(query_id_col), F.col("nbr_id"),
+                          dist.alias("adist"))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("adist").asc(), F.col("nbr_id")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+            .select(query_id_col, "nbr_id", "adist", "rnk"))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: list,
             k: int = 5, id_col: str = "vec_id",
             vec_col: str = "embedding",
@@ -1737,18 +1747,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebook: list,
     pairs = (codes.select(F.col(id_col).alias("nbr_id"), "code")
              .crossJoin(F2.broadcast(q))
              .where(F.col("nbr_id") != F.col(query_id_col)))
-    dist = None
-    for j in range(m):
-        term = F.element_at(F.element_at(F.col("__tab"), j + 1),
-                            F.element_at(F.col("code"), j + 1) + 1)
-        dist = term if dist is None else dist + term
-    scored = pairs.select(F.col(query_id_col), F.col("nbr_id"),
-                          dist.alias("adist"))
-    w = (Window.partitionBy(query_id_col)
-         .orderBy(F.col("adist").asc(), F.col("nbr_id")))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= int(k))
-            .select(query_id_col, "nbr_id", "adist", "rnk"))
+    return _adc_rank(pairs, m, k, query_id_col)
 
 
 def pq_topk_oracle_sql(codebook: list, k: int = 5, n_queries: int = 10,

@@ -334,8 +334,11 @@ def test_curriculum_order_no_single_task_rank(spark, views):
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
     assert dict(out.dtypes)["shard"] == "int"
-    assert dict(out.dtypes)["pos"] == "int"
+    # pos/rk are BIGINT: a single shard can exceed 2^31 rows at the
+    # corpus sizes this operator targets
+    assert dict(out.dtypes)["pos"] == "bigint"
     assert dict(out.dtypes)["rk"] == "bigint"
+    spark.catalog.clearCache()  # plan-inspection mode leaves `part` cached
 
 
 def test_pagerank_iteration_plan_is_joins_not_cartesian(spark, views):
