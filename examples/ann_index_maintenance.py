@@ -96,6 +96,15 @@ def main() -> None:
     print(f"post-rebuild serving verified exact "
           f"({out.count()} rows); meta: {idx.meta(spark)}")
 
+    # memory tier: attach PQ codes to the serving version — ADC
+    # queries then read m bytes/vector (partitioned by cell, so
+    # nprobe prunes partitions of already-compressed data)
+    pq_stats = idx.build_pq(spark, m=8, ksub=16)
+    adc = served.query_pq(spark, q, k=3, nprobe=4)
+    print(f"pq tier: {pq_stats['n_codes']} codes "
+          f"(m={pq_stats['m']}, ksub={pq_stats['ksub']}); "
+          f"ADC sample: {adc.count()} rows")
+
 
 if __name__ == "__main__":
     main()
