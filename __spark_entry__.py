@@ -2365,6 +2365,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_curriculum"] = _curation_curriculum
 
+    def _curation_interleave(spark, sf_dir):
+        # mixture-scheduled export: 20 sources at weights 1..20,
+        # within-source curriculum by (n_chars, doc_id), global order
+        # via the stride key (rn - 0.5)/rate — every source appears
+        # at its rate from the first rows of the stream
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        rates = {f"src{i}": i + 1 for i in range(20)}
+        out_df = curation.interleave_by_rates(
+            spark.table("documents"), rates, order_col="n_chars",
+            n_shards=8)
+        return out_df.select(
+            "source", "doc_id",
+            F.format_string("%.6f", "mix_key").alias("mix_key6"),
+            "rk", "shard", "pos")
+
+    out["curation_interleave"] = _curation_interleave
+
     def _graph_pagerank(spark, sf_dir):
         # centrality over the exact kNN graph (k=5): fixed-point
         # BIGINT PageRank, 10 iterations — bit-identical across
@@ -4206,6 +4224,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(rk - (((rk - 1) * 7 // n) * n + 6) // 7
                     AS BIGINT) AS pos
         FROM r
+    """
+    # mixture-scheduled interleave: the key is ONE division of two
+    # exact integers — (W*(2rn-1)) / (2w) — so the double is
+    # bit-identical across engines (a normalized-rate float literal
+    # round-trips through DECIMAL here and lands one ulp off)
+    _w_case = ("CASE source "
+               + " ".join(f"WHEN 'src{i}' THEN {i + 1}"
+                          for i in range(20))
+               + " END")
+    out["curation_interleave"] = f"""
+        WITH rn AS (SELECT source, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY n_chars,
+                                                       doc_id) AS rn
+                    FROM documents),
+        k AS (SELECT source, doc_id,
+                     CAST(210 * (2 * rn - 1) AS DOUBLE)
+                     / CAST(2 * ({_w_case}) AS DOUBLE) AS key,
+                     source || chr(31) || CAST(doc_id AS VARCHAR)
+                         AS tie
+              FROM rn),
+        o AS (SELECT source, doc_id, key,
+                     ROW_NUMBER() OVER (ORDER BY key, tie) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM k)
+        SELECT source, doc_id, format('{{:.6f}}', key) AS mix_key6,
+               rk,
+               CAST((rk - 1) * 8 // n AS INTEGER) AS shard,
+               CAST(rk - (((rk - 1) * 8 // n) * n + 7) // 8
+                    AS BIGINT) AS pos
+        FROM o
     """
     # sentence segmentation: same lookaround-free pattern as the Spark
     # side ('[^.!?]+[.!?]*'), trim + drop empties BEFORE indexing

@@ -1283,3 +1283,104 @@ def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
     # Callers on this path read plans, not results, and release the
     # cache themselves (spark.catalog.clearCache in the plan gates).
     return out
+
+
+def interleave_by_rates(df: DataFrame, rates: dict,
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        order_col: str | None = None,
+                        n_shards: int = 8,
+                        checkpoint: bool = True) -> DataFrame:
+    """Deterministic mixture-scheduled export: one global training
+    order in which each source appears at its target RATE throughout
+    the stream (the weighted round-robin schedule), instead of
+    :func:`mixture_sample`'s in-aggregate-only rate guarantee. Docs
+    within a source keep a deterministic order -- ``order_col``
+    ascending (curriculum-style) or the md5 shuffle hash when
+    omitted.
+
+    Mechanics (shared verbatim with the SQL oracle): within-source
+    rank ``rn`` (1-based, ordered by the within-source key), then the
+    classic stride key ``(rn - 0.5) / rate`` -- source s's r-th doc
+    sits at virtual time r/rate, so sources interleave at their
+    rates from the very first rows. The global total order is
+    (key, source, id), realized by :func:`curriculum_order`'s
+    two-phase distributed rank (no single-task window), so the
+    output carries the same (rk, shard, pos) export columns.
+
+    ``rates`` maps source value -> positive weight (a source present
+    in the frame but missing from ``rates`` raises -- silence would
+    silently drop a domain from the training mix). Weights are
+    treated as EXACT rationals (``Fraction(str(w))``) and the key is
+    computed as ONE division of two exact integers,
+    ``(W * (2*rn - 1)) / (2 * w)`` -- mathematically identical to
+    ``(rn - 0.5) / (w / W)`` but bit-identical across engines, where
+    the naive normalized-rate form is not: a float rate literal
+    round-trips through DECIMAL in SQL engines and lands one ulp off,
+    which re-orders equal-key ties (observed, not hypothetical).
+    """
+    from fractions import Fraction
+    if not rates:
+        raise ValueError("rates must be a non-empty mapping")
+    fr = {k: Fraction(str(v)) for k, v in rates.items()}
+    if any(v <= 0 for v in fr.values()):
+        raise ValueError("rates must be positive")
+    den = 1
+    for v in fr.values():
+        den = den * v.denominator // __import__("math").gcd(
+            den, v.denominator)
+    wint = {k: int(v * den) for k, v in fr.items()}
+    big_w = sum(wint.values())
+    w_col = None
+    for s, w in wint.items():
+        cond = F.col(source_col) == s
+        w_col = (F.when(cond, F.lit(w)) if w_col is None
+                 else w_col.when(cond, F.lit(w)))
+    w_col = w_col.otherwise(F.lit(None).cast("long"))
+    from pyspark.sql import Window
+    if order_col is None:
+        inner = _hash_unit(F.col(id_col).cast("string"), 42)
+        w_src = Window.partitionBy(source_col).orderBy(
+            inner.asc(), F.col(id_col).asc())
+    else:
+        w_src = Window.partitionBy(source_col).orderBy(
+            F.col(order_col).asc(), F.col(id_col).asc())
+    unseen = [r[source_col] for r in
+              df.select(source_col).distinct().collect()
+              if r[source_col] not in wint]
+    if unseen:
+        raise ValueError(
+            f"sources {unseen!r} have no rate -- every source in the "
+            "frame must appear in rates")
+    keyed = (df.withColumn("__w", w_col)
+             .withColumn("__rn", F.row_number().over(w_src)
+                         .cast("long"))
+             .withColumn(
+                 "__key",
+                 (F.lit(int(big_w)).cast("long")
+                  * (F.lit(2).cast("long") * F.col("__rn") - F.lit(1)))
+                 .cast("double")
+                 / (F.lit(2).cast("long") * F.col("__w"))
+                 .cast("double")))
+    # total order by (key, source, id): curriculum_order ranks by
+    # (score, id), so fold source into a composite tiebreak id
+    # (U+001F separator -- ids must not contain it)
+    sep = "\x1f"
+    ordered = curriculum_order(
+        keyed.withColumn(
+            "__tie", F.concat_ws(sep,
+                                 F.col(source_col).cast("string"),
+                                 F.col(id_col).cast("string"))),
+        score_col="__key", n_shards=n_shards, id_col="__tie",
+        checkpoint=checkpoint)
+    src_type = df.schema[source_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    back = ordered.withColumn(
+        "__parts", F.split(F.col("__tie"), sep, 2))
+    return back.select(
+        F.element_at(F.col("__parts"), 1).cast(src_type)
+        .alias(source_col),
+        F.element_at(F.col("__parts"), 2).cast(id_type)
+        .alias(id_col),
+        F.col("__key").alias("mix_key"),
+        "rk", "shard", "pos")

@@ -525,3 +525,37 @@ def test_streaming_entropy_screen_front_door(spark, tmp_path):
     assert sents.where("doc_id = 2").count() == 0
     assert sents.where("doc_id = 1").count() == 2
     assert sents.where("doc_id = 3").count() == 3
+
+
+def test_interleave_by_rates_schedule(spark):
+    from pydin_spark.operators.curation import interleave_by_rates
+    rows = ([(f"a{i}", "a", float(i)) for i in range(30)]
+            + [(f"b{i}", "b", float(i)) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id string, source string, "
+                               "difficulty double")
+    out = interleave_by_rates(df, {"a": 3, "b": 1},
+                              order_col="difficulty", n_shards=4)
+    seq = [r["source"] for r in out.orderBy("rk").collect()]
+    # the 3:1 rate holds in every prefix, not just in aggregate:
+    # after any 4k rows, exactly 3k 'a' and k 'b'
+    for k in (4, 8, 20, 40):
+        assert seq[:k].count("a") == 3 * k // 4, seq[:k]
+    # within-source curriculum order is preserved
+    a_rows = [r for r in out.orderBy("rk").collect()
+              if r["source"] == "a"]
+    assert [r["doc_id"] for r in a_rows] == [f"a{i}" for i in range(30)]
+    # id type round-trips (string stays string), mix_key equals the
+    # normalized stride value
+    r0 = a_rows[0]
+    assert r0["doc_id"] == "a0" and isinstance(r0["doc_id"], str)
+    assert r0["mix_key"] == (1 - 0.5) / (3 / 4)
+
+
+def test_interleave_by_rates_validates(spark):
+    from pydin_spark.operators.curation import interleave_by_rates
+    df = spark.createDataFrame([("x", "a"), ("y", "c")],
+                               "doc_id string, source string")
+    with pytest.raises(ValueError):
+        interleave_by_rates(df, {"a": 1, "b": 1}).collect()
+    with pytest.raises(ValueError):
+        interleave_by_rates(df, {})

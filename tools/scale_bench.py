@@ -119,6 +119,7 @@ EXTRA = [
     "text_char_entropy",
     "text_sentences",
     "curation_curriculum",
+    "curation_interleave",
     "graph_pagerank",
     "emb_project",
     "emb_pq",
@@ -319,6 +320,7 @@ LINEAR_OK = {
     "text_char_entropy",        # char explode + two combine aggs
     "text_sentences",           # scan-linear posexplode, zero shuffle
     "curation_curriculum",      # corpus scan + one range shuffle
+    "curation_interleave",      # per-source window + one range shuffle
     "graph_pagerank",           # edges-linear iterations (IVF edges)
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
