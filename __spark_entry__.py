@@ -2355,6 +2355,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["text_sentences"] = _text_sentences
 
+    def _text_bigram_lm_stored(spark, sf_dir):
+        # the stored-LM path: train on EVEN docs in a scratch state
+        # dir, score ODD docs from a FRESH object (counts read from
+        # disk, never the training corpus) — CCNet's architecture.
+        # smoothing coalesces unseen bigrams/histories to 0.
+        import shutil
+        import tempfile
+        from pyspark.sql import functions as F
+        _views(spark, sf_dir)
+        d = spark.table("documents")
+        scratch = tempfile.mkdtemp(prefix="pydin_lm_")
+        try:
+            text.StoredBigramLM(scratch + "/lm").build(
+                d.where("doc_id % 2 = 0"))
+            served = text.StoredBigramLM(scratch + "/lm")
+            out_df = served.score(d.where("doc_id % 2 = 1"))
+            out_df = out_df.select(
+                "doc_id", "n_bigrams",
+                F.format_string("%.6f", "avg_logprob").alias("avg_lp6"))
+            return spark.createDataFrame(out_df.collect(),
+                                         out_df.schema)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["text_bigram_lm_stored"] = _text_bigram_lm_stored
+
     def _curation_curriculum(spark, sf_dir):
         # curriculum export: global (n_chars, doc_id) rank via the
         # two-phase distributed prefix count (no single-task window),
@@ -4224,6 +4250,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(rk - (((rk - 1) * 7 // n) * n + 6) // 7
                     AS BIGINT) AS pos
         FROM r
+    """
+    # stored bigram LM: train counts from even docs, smoothed scoring
+    # of odd docs with unseen bigrams/histories coalesced to 0
+    out["text_bigram_lm_stored"] = """
+        WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE doc_id % 2 = 0
+                      AND len(string_split(text, ' ')) >= 2),
+        trb AS (SELECT t[i] AS w1, t[i+1] AS w2
+                FROM tr, unnest(range(1, len(t))) AS u(i)),
+        v AS (SELECT COUNT(DISTINCT w) AS vs
+              FROM (SELECT unnest(t) AS w FROM tr)),
+        hist AS (SELECT w1, COUNT(*) AS c1 FROM trb GROUP BY w1),
+        pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM trb
+                 GROUP BY w1, w2),
+        sc AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents
+               WHERE doc_id % 2 = 1
+                 AND len(string_split(text, ' ')) >= 2),
+        scb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM sc, unnest(range(1, len(t))) AS u(i))
+        SELECT scb.doc_id, COUNT(*) AS n_bigrams,
+               format('{:.6f}',
+                      AVG(ln((COALESCE(pair.c2, 0)
+                              + CAST(0.5 AS DOUBLE))
+                             / (COALESCE(hist.c1, 0)
+                                + CAST(0.5 AS DOUBLE) * v.vs))))
+                   AS avg_lp6
+        FROM scb
+        LEFT JOIN pair ON pair.w1 = scb.w1 AND pair.w2 = scb.w2
+        LEFT JOIN hist ON hist.w1 = scb.w1
+        CROSS JOIN v
+        GROUP BY scb.doc_id
     """
     # mixture-scheduled interleave: the key is ONE division of two
     # exact integers — (W*(2rn-1)) / (2w) — so the double is

@@ -1574,3 +1574,183 @@ def split_sentences(df: DataFrame, id_col: str = "doc_id",
         F.col("sentence"),
         F.size(F.split(F.col("sentence"), " ")).cast("int")
         .alias("n_words"))
+
+
+class StoredBigramLM:
+    """Persisted bigram language model — the PERPLEXITY member of the
+    stored-state family (CCNet's quality architecture: train the LM
+    once on a reference corpus, score every new crawl batch against
+    it without ever rescanning the reference). State is three
+    append-only delta tables under ``path`` — ``vocab`` (w), ``hist``
+    (w1, c1), ``pair`` (w1, w2, c2) — plus a ``commits`` log; counts
+    are MERGEABLE (plain sums), so ``extend()`` appends a delta batch
+    and serving aggregates on read, exactly the
+    :class:`~pydin_spark.operators.rollup.ContinuousRollup`
+    pre-aggregate discipline.
+
+    Crash safety: each build/extend writes its rows tagged with a
+    batch id and lands ONE commit row last; readers semi-join on
+    committed ids, so a crashed writer leaves only invisible rows
+    (``maintain`` sweeps them and compacts deltas into one row per
+    key).
+
+    ``score(docs)`` is :func:`bigram_logprob`'s formula against the
+    STORED counts — ``ln((c2 + a) / (c1 + a*V))`` averaged per doc,
+    with unseen bigrams/histories coalesced to 0 (the smoothing's
+    whole point). Scoring a corpus against an LM trained on ITSELF
+    equals bigram_logprob exactly; that equivalence plus the
+    stored-vs-SQL gate (text_bigram_lm_stored) pins the state path.
+    """
+
+    def __init__(self, path: str, alpha: float = 0.5):
+        self.path = str(path).rstrip("/")
+        self.alpha = float(alpha)
+
+    def _commits_path(self):
+        return f"{self.path}/commits"
+
+    def _committed(self, spark):
+        try:
+            return (spark.read.parquet(self._commits_path())
+                    .select("batch_id"))
+        except Exception:  # noqa: BLE001 - no state yet
+            return None
+
+    def _read(self, spark, name: str) -> DataFrame:
+        commits = self._committed(spark)
+        if commits is None:
+            raise ValueError(
+                f"no stored LM at {self.path} — build() first")
+        rows = spark.read.parquet(f"{self.path}/{name}")
+        return rows.join(commits.hint("broadcast"), "batch_id") \
+            .drop("batch_id")
+
+    @staticmethod
+    def _bigrams(df: DataFrame, id_col: str, text_col: str):
+        toks = F.split(F.col(text_col), " ")
+        base = df.select(F.col(id_col), toks.alias("t")) \
+            .where(F.size("t") >= 2)
+        idx = F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+        return (base.select(
+            F.col(id_col),
+            F.explode(F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"))))
+            .alias("b"))
+            .select(F.col(id_col), F.col("b.w1"), F.col("b.w2")),
+            base)
+
+    def _write_batch(self, corpus: DataFrame, id_col: str,
+                     text_col: str, mode: str) -> dict:
+        import uuid
+        spark = corpus.sparkSession
+        bid = uuid.uuid4().hex
+        big, base = self._bigrams(corpus, id_col, text_col)
+        big = big.persist()
+        tag = F.lit(bid).alias("batch_id")
+        vocab = (base.select(F.explode("t").alias("w"))
+                 .distinct().select("w", tag))
+        hist = (big.groupBy("w1")
+                .agg(F.count(F.lit(1)).alias("c1")).select(
+                    "w1", "c1", tag))
+        pair = (big.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c2")).select(
+                    "w1", "w2", "c2", tag))
+        vocab.write.mode(mode).parquet(f"{self.path}/vocab")
+        hist.write.mode(mode).parquet(f"{self.path}/hist")
+        pair.write.mode(mode).parquet(f"{self.path}/pair")
+        big.unpersist()
+        # the commit row lands LAST — the batch is invisible until it
+        # does (and build's overwrite resets the log first)
+        spark.createDataFrame([(bid,)], "batch_id string") \
+            .repartition(1).write.mode(mode) \
+            .parquet(self._commits_path())
+        for name in ("vocab", "hist", "pair", "commits"):
+            spark.catalog.refreshByPath(f"{self.path}/{name}")
+        return {"batch_id": bid}
+
+    def build(self, corpus: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> dict:
+        """Train from scratch (overwrites any prior state)."""
+        return self._write_batch(corpus, id_col, text_col, "overwrite")
+
+    def extend(self, corpus: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> dict:
+        """Add a corpus batch to the LM — counts merge additively, so
+        extend(B) after build(A) serves the IDENTICAL model as
+        build(A+B) (pinned by test)."""
+        return self._write_batch(corpus, id_col, text_col, "append")
+
+    def vocab_size(self, spark) -> int:
+        return self._read(spark, "vocab").select("w").distinct().count()
+
+    def score(self, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+        """Per-doc smoothed bigram fluency against the stored counts.
+        Output: (id, n_bigrams, avg_logprob). Docs with < 2 tokens
+        produce no row (no bigrams), as in :func:`bigram_logprob`.
+        """
+        spark = docs.sparkSession
+        v = self.vocab_size(spark)
+        hist = self._read(spark, "hist").groupBy("w1") \
+            .agg(F.sum("c1").alias("c1"))
+        pair = self._read(spark, "pair").groupBy("w1", "w2") \
+            .agg(F.sum("c2").alias("c2"))
+        big, _ = self._bigrams(docs, id_col, text_col)
+        a = self.alpha
+        lp = F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(a))
+                   / (F.coalesce(F.col("c1"), F.lit(0))
+                      + F.lit(a * v)))
+        return (big.join(pair, ["w1", "w2"], "left")
+                .join(hist, "w1", "left")
+                .withColumn("lp", lp)
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                     F.avg("lp").alias("avg_logprob")))
+
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Stored-state upkeep (the ``maintain_states`` contract):
+        sweep uncommitted orphan rows, collapse the delta history to
+        one row per key once the commit log fragments, and compact
+        small files. Serve results are unchanged across the sweep
+        (sums of sums)."""
+        from ..functions.maintenance import compact_if_fragmented
+        out: dict[str, object] = {}
+        commits = self._committed(spark)
+        if commits is None:
+            return out
+        ids = [r["batch_id"] for r in commits.collect()]
+        if len(ids) > 1:
+            # collapse: aggregate committed rows into ONE new batch
+            import uuid
+            bid = uuid.uuid4().hex
+            tag = F.lit(bid).alias("batch_id")
+            vocab = (self._read(spark, "vocab").distinct()
+                     .select("w", tag).localCheckpoint(eager=True))
+            hist = (self._read(spark, "hist").groupBy("w1")
+                    .agg(F.sum("c1").alias("c1"))
+                    .select("w1", "c1", tag)
+                    .localCheckpoint(eager=True))
+            pair = (self._read(spark, "pair").groupBy("w1", "w2")
+                    .agg(F.sum("c2").alias("c2"))
+                    .select("w1", "w2", "c2", tag)
+                    .localCheckpoint(eager=True))
+            vocab.write.mode("overwrite").parquet(f"{self.path}/vocab")
+            hist.write.mode("overwrite").parquet(f"{self.path}/hist")
+            pair.write.mode("overwrite").parquet(f"{self.path}/pair")
+            spark.createDataFrame([(bid,)], "batch_id string") \
+                .repartition(1).write.mode("overwrite") \
+                .parquet(self._commits_path())
+            for name in ("vocab", "hist", "pair", "commits"):
+                spark.catalog.refreshByPath(f"{self.path}/{name}")
+            out["collapsed_batches"] = len(ids)
+        for name in ("vocab", "hist", "pair"):
+            res = compact_if_fragmented(
+                spark, f"{self.path}/{name}", max_files=max_files,
+                target_file_bytes=target_file_bytes)
+            if res:
+                out[name] = res
+        return out

@@ -559,3 +559,68 @@ def test_interleave_by_rates_validates(spark):
         interleave_by_rates(df, {"a": 1, "b": 1}).collect()
     with pytest.raises(ValueError):
         interleave_by_rates(df, {})
+
+
+# ---- StoredBigramLM: the perplexity member of the state family ----
+
+def test_stored_lm_extend_equals_full_build(spark, views, tmp_path):
+    from pydin_spark.operators.text import StoredBigramLM
+    d = spark.table("documents").limit(60)
+    a = d.where("doc_id % 3 = 0")
+    b = d.where("doc_id % 3 <> 0")
+    inc = StoredBigramLM(str(tmp_path / "inc"))
+    inc.build(a)
+    inc.extend(b)
+    full = StoredBigramLM(str(tmp_path / "full"))
+    full.build(d)
+    probe = spark.table("documents").where(
+        "doc_id >= 60 AND doc_id < 90")
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_bigrams"], f"{r['avg_logprob']:.9f}")
+        for r in df.collect())
+    assert key(inc.score(probe)) == key(full.score(probe))
+
+
+def test_stored_lm_self_score_equals_bigram_logprob(spark, views,
+                                                    tmp_path):
+    from pydin_spark.operators.text import StoredBigramLM, bigram_logprob
+    d = spark.table("documents").limit(40)
+    lm = StoredBigramLM(str(tmp_path / "lm"))
+    lm.build(d)
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_bigrams"], f"{r['avg_logprob']:.9f}")
+        for r in df.collect())
+    assert key(lm.score(d)) == key(bigram_logprob(d))
+
+
+def test_stored_lm_maintain_collapses_and_serves_identically(
+        spark, views, tmp_path):
+    from pydin_spark.operators.text import StoredBigramLM
+    d = spark.table("documents").limit(50)
+    lm = StoredBigramLM(str(tmp_path / "lm"))
+    lm.build(d.where("doc_id < 20"))
+    lm.extend(d.where("doc_id >= 20 AND doc_id < 35"))
+    lm.extend(d.where("doc_id >= 35"))
+    probe = spark.table("documents").where(
+        "doc_id >= 50 AND doc_id < 70")
+    before = sorted(map(str, lm.score(probe).collect()))
+    out = lm.maintain(spark)
+    assert out.get("collapsed_batches") == 3
+    # one committed batch remains; serve is bit-identical
+    assert lm._committed(spark).count() == 1
+    assert sorted(map(str, lm.score(probe).collect())) == before
+
+
+def test_stored_lm_in_unified_state_sweep(spark, views, tmp_path):
+    from pydin_spark.functions.maintenance import maintain_states
+    from pydin_spark.operators.text import StoredBigramLM
+    lm = StoredBigramLM(str(tmp_path / "lm"))
+    lm.build(spark.table("documents").limit(20))
+    lm.extend(spark.table("documents").limit(30))
+    res = maintain_states(spark, [lm])
+    key = f"StoredBigramLM[{lm.path}]"
+    assert key in res and res[key].get("collapsed_batches") == 2
+    # unbuilt state is a no-op, not an error
+    empty = StoredBigramLM(str(tmp_path / "none"))
+    res2 = maintain_states(spark, [empty])
+    assert res2[f"StoredBigramLM[{empty.path}]"] == {}

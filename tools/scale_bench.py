@@ -116,6 +116,7 @@ EXTRA = [
     # round 6 additions
     "dedup_cross_corpus",
     "dedup_edit",
+    "text_bigram_lm_stored",
     "text_char_entropy",
     "text_sentences",
     "curation_curriculum",
@@ -325,6 +326,7 @@ LINEAR_OK = {
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
+    "text_bigram_lm_stored",    # train scan + keyed score joins
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
