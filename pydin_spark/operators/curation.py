@@ -1318,6 +1318,10 @@ def interleave_by_rates(df: DataFrame, rates: dict,
     the naive normalized-rate form is not: a float rate literal
     round-trips through DECIMAL in SQL engines and lands one ulp off,
     which re-orders equal-key ties (observed, not hypothetical).
+    Keep weights to a few significant digits: the integer scale is
+    the weights' common denominator, and a weight like 0.123456789
+    inflates it (and the BIGINT numerator) a billion-fold for no
+    schedule-visible difference.
     """
     from fractions import Fraction
     if not rates:

@@ -1694,6 +1694,11 @@ class StoredBigramLM:
         """
         spark = docs.sparkSession
         v = self.vocab_size(spark)
+        if v == 0:
+            raise ValueError(
+                f"stored LM at {self.path} has an empty vocabulary — "
+                "build()/extend() with a non-empty corpus first "
+                "(scoring would divide by alpha*0)")
         hist = self._read(spark, "hist").groupBy("w1") \
             .agg(F.sum("c1").alias("c1"))
         pair = self._read(spark, "pair").groupBy("w1", "w2") \
