@@ -26,6 +26,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -2150,9 +2151,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below): per word, chars + </w>, then each merge rewrites
         # adjacent (l, r) -> lr left-to-right, which is exactly
         # non-overlapping string replace over delimiter-wrapped
-        # symbols — the oracle's formulation
+        # symbols — the oracle's formulation.  The gate projects the
+        # tokens array through concat_ws — the driver's canonicalizer
+        # (pandas sort_values) cannot hash list cells, and " " is an
+        # unambiguous separator because every token derives from a
+        # space-SPLIT word (no token can contain a space).  Same
+        # array-free convention the other 159 queries follow.
         _views(spark, sf_dir)
-        return text.bpe_tokenize(spark.table("documents"), BPE_MERGES)
+        toks = text.bpe_tokenize(spark.table("documents"), BPE_MERGES)
+        return toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tokens").alias("tokens_str"),
+            "n_tokens")
 
     out["text_bpe_apply"] = _text_bpe_apply
 
@@ -4367,7 +4377,8 @@ def _bpe_apply_oracle_sql(merges) -> str:
         agg AS (SELECT doc_id, flatten(list(toks ORDER BY i)) AS tokens
                 FROM enc GROUP BY doc_id)
         SELECT d.doc_id,
-               COALESCE(agg.tokens, CAST([] AS VARCHAR[])) AS tokens,
+               COALESCE(array_to_string(agg.tokens, ' '), '')
+                   AS tokens_str,
                CAST(COALESCE(len(agg.tokens), 0) AS INT) AS n_tokens
         FROM d LEFT JOIN agg USING (doc_id)
     """
