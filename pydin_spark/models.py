@@ -29,6 +29,7 @@ import gzip as _gzip
 import os
 import re
 import shutil
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -1138,6 +1139,9 @@ class Select(Model, Extractable):
     def __init__(self, source_name=None, text: str | None = None,
                  path: str | None = None, columns: list[str] | None = None,
                  alias: str | None = None, parallel: int | None = None,
+                 partition_column: str | None = None,
+                 lower_bound=None, upper_bound=None,
+                 predicates: list[str] | None = None,
                  **kwargs):
         super().__init__(source_name=source_name, **kwargs)
         self.text = text
@@ -1145,6 +1149,19 @@ class Select(Model, Extractable):
         self.columns = columns
         self.alias = alias
         self.parallel = parallel
+        #: JDBC read-parallelism spec. The reference maps ``parallel=n``
+        #: to an Oracle ``/*+ parallel(n) */`` hint
+        #: (reference models.py:921-936); Spark's equivalent is a
+        #: partitioned read, which for a ``query`` source needs either
+        #: a numeric/date ``partition_column`` (with optional explicit
+        #: ``lower_bound``/``upper_bound`` — derived with a MIN/MAX probe
+        #: when omitted) or explicit ``predicates`` (one WHERE clause per
+        #: partition). With neither, ``parallel`` on a Database source is
+        #: a single-connection read and extract() warns loudly.
+        self.partition_column = partition_column
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+        self.predicates = predicates
 
     @property
     def query(self) -> str:
@@ -1192,17 +1209,76 @@ class Select(Model, Extractable):
                     .option("query", self.query).load().schema)
         return self.spark.sql(self.query).schema
 
+    def _extract_jdbc(self, source: Database) -> DataFrame:
+        """Partition-aware JDBC read for a SQL SELECT.
+
+        Spark's ``query`` option is inherently single-partition (it
+        rejects ``partitionColumn``), so a parallel read wraps the
+        SELECT as a derived table ``(query) pydin_select`` and scans it
+        via ``dbtable`` — the same stride-partitioned read ``Table``
+        uses (parity: reference ``models.py:921-936``, where
+        ``parallel=n`` becomes an Oracle ``/*+ parallel(n) */`` hint).
+        Priority: explicit ``predicates`` (one WHERE clause = one
+        partition = one connection) > ``partition_column`` with bounds
+        (MIN/MAX-probed over the query when not given) > plain
+        single-connection read, warning loudly if ``parallel`` was
+        requested but could not be honored.
+        """
+        base = (self.spark.read.format("jdbc")
+                .options(**source.options())
+                .option("fetchsize", self.chunk_size))
+        # no AS before the correlation name: Oracle rejects it, every
+        # other dialect (Derby/Postgres/MySQL) accepts the bare form
+        subquery = f"({self.query}) pydin_select"
+        if self.predicates:
+            opts = source.options(
+                fetchsize=str(self.chunk_size))
+            url = opts.pop("url")
+            return self.spark.read.jdbc(
+                url=url, table=subquery,
+                predicates=list(self.predicates), properties=opts)
+        if self.parallel and self.partition_column:
+            lo, hi = self.lower_bound, self.upper_bound
+            if lo is None or hi is None:
+                # one-row MIN/MAX probe over the query itself — the
+                # price of stride-partitioning without known bounds;
+                # cheap on any indexed/partitioned source column
+                # the aliases matter: unaliased aggregates get
+                # driver-assigned positional labels (Derby: "1"/"2")
+                # that Spark then re-requests as quoted columns
+                row = (self.spark.read.format("jdbc")
+                       .options(**source.options())
+                       .option("query",
+                               f"SELECT MIN({self.partition_column}) "
+                               "AS pydin_lo, "
+                               f"MAX({self.partition_column}) "
+                               "AS pydin_hi "
+                               f"FROM ({self.query}) pydin_bounds")
+                       .load().collect()[0])
+                lo = lo if lo is not None else row[0]
+                hi = hi if hi is not None else row[1]
+            if lo is not None and hi is not None:
+                return (base.option("dbtable", subquery)
+                        .option("partitionColumn", self.partition_column)
+                        .option("numPartitions", self.parallel)
+                        .option("lowerBound", str(lo))
+                        .option("upperBound", str(hi))
+                        .load())
+        if self.parallel:
+            warnings.warn(
+                f"Select(parallel={self.parallel}) on a JDBC source "
+                "reads over a SINGLE connection: a `query` read cannot "
+                "be stride-partitioned without `partition_column` "
+                "(+ optional bounds) or explicit `predicates`. "
+                "Pass one of those to parallelize the read.",
+                stacklevel=3)
+        return base.option("query", self.query).load()
+
     def extract(self) -> DataFrame:
         source = self.source
         try:
             if isinstance(source, Database):
-                reader = (self.spark.read.format("jdbc")
-                          .options(**source.options())
-                          .option("query", self.query)
-                          .option("fetchsize", self.chunk_size))
-                if self.parallel:
-                    reader = reader.option("numPartitions", self.parallel)
-                df = reader.load()
+                df = self._extract_jdbc(source)
             else:
                 df = self.spark.sql(self.query)
         except Exception as exc:

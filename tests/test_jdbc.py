@@ -62,6 +62,90 @@ def test_jdbc_watermark_and_query_pushdown(spark, views, jdbc_registry):
                           "AND o_orderkey > 50").count()
 
 
+def test_select_parallel_partitions_jdbc_read(spark, views, jdbc_registry):
+    """`Select(parallel=n, partition_column=...)` must produce a real
+    stride-partitioned JDBC read (reference parity: models.py:921-936
+    maps parallel=n to an Oracle parallel hint) — not the silent
+    single-connection read the bare `query` option gives."""
+    Pipeline(
+        Select(text="SELECT o_orderkey, o_totalprice FROM orders "
+                    "WHERE o_orderkey <= 200"),
+        Table(source_name="warehouse", table_name="ORDERS_PAR"),
+        spark=spark, registry=jdbc_registry).run()
+    expected = spark.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey <= 200").first()[0]
+
+    # bounds probed with MIN/MAX when not given
+    sel = Select(source_name="warehouse",
+                 text='SELECT * FROM ORDERS_PAR',
+                 parallel=4, partition_column='"o_orderkey"')
+    sel.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
+    df = sel.extract()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == expected
+
+    # explicit bounds skip the probe
+    sel2 = Select(source_name="warehouse",
+                  text='SELECT * FROM ORDERS_PAR',
+                  parallel=3, partition_column='"o_orderkey"',
+                  lower_bound=1, upper_bound=200)
+    sel2.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
+    df2 = sel2.extract()
+    assert df2.rdd.getNumPartitions() == 3
+    assert df2.count() == expected
+
+
+def test_select_predicates_partition_jdbc_read(spark, views, jdbc_registry):
+    """Explicit `predicates` give one partition (= one connection) per
+    WHERE clause — the mod-partitioning escape hatch for non-numeric or
+    skewed partition columns."""
+    Pipeline(
+        Select(text="SELECT o_orderkey, o_totalprice FROM orders "
+                    "WHERE o_orderkey <= 200"),
+        Table(source_name="warehouse", table_name="ORDERS_PRED"),
+        spark=spark, registry=jdbc_registry).run()
+    sel = Select(source_name="warehouse",
+                 text='SELECT * FROM ORDERS_PRED',
+                 predicates=['MOD("o_orderkey", 2) = 0',
+                             'MOD("o_orderkey", 2) = 1'])
+    sel.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
+    df = sel.extract()
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == spark.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey <= 200").first()[0]
+
+
+def test_select_parallel_without_column_warns(spark, views, jdbc_registry):
+    """parallel=n with no partition spec cannot be honored on a JDBC
+    `query` read — it must warn instead of silently reading on one
+    connection while claiming parallelism."""
+    sel = Select(source_name="warehouse",
+                 text='SELECT * FROM ORDERS_PAR', parallel=8)
+    sel.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
+    with pytest.warns(UserWarning, match="SINGLE connection"):
+        df = sel.extract()
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_table_jdbc_partitioned_write(spark, views, jdbc_registry):
+    """The JDBC writer opens one connection per input partition; a
+    repartitioned frame must land whole through the multi-connection
+    path (each partition issues its own batched INSERTs)."""
+    p = Pipeline(spark=spark, registry=jdbc_registry)
+    src = Select(text="SELECT o_orderkey, o_totalprice FROM orders "
+                      "WHERE o_orderkey <= 400")
+    src.pipeline = p
+    df = src.extract().repartition(4)
+    assert df.rdd.getNumPartitions() == 4
+    sink = Table(source_name="warehouse", table_name="ORDERS_MC")
+    sink.pipeline = p
+    sink.load(df)
+    back = Table(source_name="warehouse", table_name="ORDERS_MC")
+    back.pipeline = p
+    assert back.extract().count() == spark.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey <= 400").first()[0]
+
+
 def test_jdbc_cleanup_truncate(spark, views, jdbc_registry):
     def run():
         Pipeline(Select(text="SELECT n_nationkey, n_name FROM nation"),
