@@ -20,10 +20,32 @@ below any ranking-relevant difference.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 #: fixed-point scale: 1.0 of rank mass == 10^12 units
 SCALE = 10 ** 12
+
+
+@contextmanager
+def _aqe_off(spark):
+    """Disable AQE for a materialization. AdaptiveSparkPlanExec
+    reports UnknownPartitioning to ``localCheckpoint``, so a frame
+    checkpointed under AQE loses its hash partitioning and every
+    downstream join re-shuffles it; with AQE off for the eager
+    checkpoint the LogicalRDD keeps ``hashpartitioning(key, n)`` and
+    the planner elides the per-iteration exchanges (verified: one
+    Exchange per iteration — the contribution sum — instead of
+    three). AQE's runtime re-planning has nothing to offer these
+    fixed-shape, fixed-count iteration queries."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -51,11 +73,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     arithmetic a pure function of the literal seed list — the same
     list the SQL oracle embeds.
 
-    Scale shape: per iteration ONE join of edges against the rank
-    frame (both hash-partitioned on the node key, so consecutive
-    iterations reuse the shuffle) and one map-side-combined sum —
-    shuffle bytes track edges, never nodes², exactly Pregel's cost
-    model. Lineage is cut every iteration (``localCheckpoint``) so
+    Scale shape: the two corpus-sized static frames are hash-
+    partitioned ONCE up front — edges(+outdeg) on ``src``, nodes on
+    the id — and materialized (``localCheckpoint`` preserves the
+    partitioning in the resulting LogicalRDD), so per iteration the
+    edge table NEVER reshuffles: the edges⋈rank join and the
+    nodes⋈sums join each read a pre-partitioned side, and the only
+    full shuffle left is the map-side-combined contribution sum
+    (edge-sized in, node-sized out — Pregel's floor). Rank frames are
+    node-sized; re-aligning one of those is the cheap side of every
+    join. Lineage is cut every iteration (``localCheckpoint``) so
     iteration N's plan does not replay iterations 1..N-1 — without
     this the plan doubles per round and the driver, not the data,
     becomes the bottleneck. Driver traffic is one scalar (N).
@@ -70,15 +97,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       F.col(dst).alias("__dst"))
          .where(F.col("__src").isNotNull()
                 & F.col("__dst").isNotNull()))
-    nodes = (e.select(F.col("__src").alias(id_out))
-             .union(e.select(F.col("__dst").alias(id_out)))
-             .distinct()
-             .localCheckpoint(eager=True))
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
-    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = e.join(deg, "__src").localCheckpoint(eager=True)
+    # one up-front hash partitioning of the static frames, reused by
+    # every iteration's joins (localCheckpoint's LogicalRDD keeps the
+    # outputPartitioning visible to the planner)
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _aqe_off(spark):
+        nodes = (e.select(F.col("__src").alias(id_out))
+                 .union(e.select(F.col("__dst").alias(id_out)))
+                 .distinct()
+                 .repartition(nparts, id_out)
+                 .localCheckpoint(eager=True))
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
+        deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+        ed = (e.join(deg, "__src")
+              .repartition(nparts, "__src")
+              .localCheckpoint(eager=True))
     d = int(damping)
     if seeds is None:
         base_col = F.lit(((100 - d) * SCALE) // (100 * n)).cast("long")
@@ -105,7 +141,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       + F.expr(f"({d} * coalesce(__s, 0L)) div 100"))
                      .cast("long").alias("pr_fp")))
         if checkpoint:
-            r = r.localCheckpoint(eager=True)
+            # AQE-off checkpoint so r keeps hash(node, nparts): the
+            # next iteration's edges⋈rank and nodes⋈sums joins then
+            # run exchange-free against the pre-partitioned statics —
+            # the per-iteration shuffle is ONLY the contribution sum
+            with _aqe_off(spark):
+                r = r.localCheckpoint(eager=True)
     return r
 
 

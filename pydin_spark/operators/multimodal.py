@@ -10,6 +10,15 @@ The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
 environment — decode bodies are stubbed behind ``NotImplementedError``
 or a deterministic fake (``fake=True``), while the Spark-side plumbing
 (schema, batch iteration, partition sizing) is real and tested.
+
+Pluggable-decoder seam: every real-path operator takes a ``decoder=``
+callable (payload ``bytes`` → pixel ``ndarray``, or for video
+``(payload, every_ms)`` → ``[(ts_ms, frame_bytes), ...]``). The
+callable is pickled into the Arrow stage with the closure — the ONLY
+portable injection point, since ``mapInPandas`` bodies run in separate
+worker processes where driver-side ``sys.modules`` patching never
+arrives. With no decoder given, the image path tries PIL and raises a
+clear plug-point error when absent.
 """
 
 from __future__ import annotations
@@ -47,20 +56,38 @@ def read_assets(spark, path: str) -> DataFrame:
                  F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
 
 
-def _decode_image(payload: bytes):  # pragma: no cover - env lacks codecs
-    raise NotImplementedError(
-        "image decode requires PIL/opencv, not present in this container; "
-        "plug the real decoder here — the surrounding plumbing is complete")
+def _decode_image(payload: bytes, decoder=None):
+    """Decode ``payload`` to a 2-D (or H×W×C) pixel ndarray.
+
+    ``decoder`` is the pluggable seam — any picklable
+    ``bytes -> ndarray`` callable. Without one, tries PIL (grayscale
+    decode); when PIL is absent from the environment this is the
+    documented plug-point error, not a silent fake.
+    """
+    if decoder is not None:
+        return decoder(payload)
+    try:  # pragma: no cover - env lacks codecs
+        import io
+
+        import numpy as np
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv, not present in this "
+            "container; pass decoder= (bytes -> ndarray) to plug one "
+            "in — the surrounding plumbing is complete") from None
 
 
 def extract_features(assets: DataFrame, dim: int = 8,
-                     fake: bool = True) -> DataFrame:
+                     fake: bool = True, decoder=None) -> DataFrame:
     """Per-asset feature vector via Arrow-batched mapInPandas.
 
     ``fake=True`` derives a deterministic pseudo-feature from the payload
     bytes (length + rolling byte sums) so the distributed plumbing is
-    exercised end-to-end without codecs; ``fake=False`` calls the real
-    decoder stub (raises until a codec is plugged in).
+    exercised end-to-end without codecs; ``fake=False`` decodes real
+    pixels through ``decoder`` (or PIL when installed) and emits
+    ``dim`` per-chunk pixel means — the same Arrow path either way.
     """
 
     def featurize(batches):
@@ -73,13 +100,18 @@ def extract_features(assets: DataFrame, dim: int = 8,
                 nbytes.append(len(buf))
                 if fake:
                     arr = np.frombuffer(buf, dtype=np.uint8)
-                    if arr.size == 0:
-                        feats.append([0.0] * dim)
-                    else:
-                        chunks = np.array_split(arr.astype(np.float64), dim)
-                        feats.append([float(c.sum() % 997) for c in chunks])
                 else:
-                    feats.append(_decode_image(buf))
+                    arr = np.asarray(
+                        _decode_image(buf, decoder)).ravel()
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                elif fake:
+                    chunks = np.array_split(arr.astype(np.float64), dim)
+                    feats.append([float(c.sum() % 997) for c in chunks])
+                else:
+                    chunks = np.array_split(arr.astype(np.float64), dim)
+                    feats.append([float(c.mean()) if c.size else 0.0
+                                  for c in chunks])
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
@@ -91,14 +123,17 @@ def extract_features(assets: DataFrame, dim: int = 8,
 
 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
-                  fake: bool = True) -> DataFrame:
+                  fake: bool = True, decoder=None) -> DataFrame:
     """Image-resize plumbing: per-asset output payload of the target
     size with updated metadata.
 
     ``fake=True`` produces a deterministic byte-resampled payload of
     exactly ``width*height`` bytes (index-stretched from the source
     bytes) so batch shape, output schema, and metadata rewriting are
-    exercised without PIL; plug the real decoder at the marked call.
+    exercised without PIL; ``fake=False`` decodes real pixels through
+    ``decoder``/PIL and nearest-neighbor resamples them to
+    ``height×width`` (pure numpy index math — no codec needed for the
+    resample itself).
     """
 
     def resize(batches):
@@ -110,7 +145,18 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
             for payload in pdf["payload"]:
                 buf = bytes(payload or b"")
                 if not fake:
-                    _decode_image(buf)  # real path: PIL resize here
+                    px = np.asarray(_decode_image(buf, decoder))
+                    if px.ndim > 2:  # collapse channels to grayscale
+                        px = px.mean(axis=-1)
+                    px = np.atleast_2d(px)
+                    if px.size == 0:
+                        payloads.append(bytes(target))
+                        continue
+                    ri = (np.arange(height) * px.shape[0]) // height
+                    ci = (np.arange(width) * px.shape[1]) // width
+                    payloads.append(
+                        px[np.ix_(ri, ci)].astype(np.uint8).tobytes())
+                    continue
                 if not buf:
                     payloads.append(bytes(target))
                     continue
@@ -138,12 +184,15 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000,
-                  fake: bool = True) -> DataFrame:
+                  fake: bool = True, decoder=None) -> DataFrame:
     """Frame-sampling plumbing for video assets: one output row per
     sampled frame with (asset_id, frame_no, ts_ms, frame binary).
 
     With ``fake=True`` emits deterministic slices of the payload as
-    pseudo-frames (real decoder = ffmpeg, stubbed out in this container).
+    pseudo-frames. ``fake=False`` drives the pluggable video seam:
+    ``decoder(payload, every_ms)`` must return an iterable of
+    ``(ts_ms, frame_bytes)`` (the ffmpeg adapter's contract); without
+    a decoder the real path raises the plug-point error.
     """
 
     def sample(batches):
@@ -154,9 +203,20 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000,
             for asset_id, payload, duration in zip(
                     pdf["asset_id"], pdf["payload"],
                     pdf["meta"].map(lambda m: (m or {}).get("duration_ms"))):
-                if not fake:
-                    raise NotImplementedError("video decode needs ffmpeg")
                 buf = bytes(payload or b"")
+                if not fake:
+                    if decoder is None:
+                        raise NotImplementedError(
+                            "video decode needs ffmpeg; pass decoder= "
+                            "((payload, every_ms) -> [(ts_ms, bytes)])"
+                            " to plug one in")
+                    for i, (ts, frame) in enumerate(
+                            decoder(buf, every_ms)):
+                        rows["asset_id"].append(asset_id)
+                        rows["frame_no"].append(i)
+                        rows["ts_ms"].append(int(ts))
+                        rows["frame"].append(bytes(frame))
+                    continue
                 total = int(duration or 3000)
                 for i, ts in enumerate(range(0, total, every_ms)):
                     lo = (i * 16) % max(len(buf), 1)

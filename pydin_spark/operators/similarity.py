@@ -1047,7 +1047,8 @@ class IVFIndex:
         return [book[j] for j in sorted(book)]
 
     def query_pq(self, spark, queries: DataFrame, k: int = 5,
-                 nprobe: int | None = None) -> DataFrame:
+                 nprobe: int | None = None,
+                 query_id_col: str = "query_id") -> DataFrame:
         """ADC top-k served from the STORED codes — no full vectors
         read, no re-encoding: the billion-vector serving path.
         Identical semantics to :func:`pq_topk` with ``codes=`` (same
@@ -1076,7 +1077,7 @@ class IVFIndex:
             # per-query probe cells AND the ADC lookup table — both
             # computed once per query row, before any join
             probed = queries.select(
-                F.col("query_id"),
+                F.col(query_id_col),
                 F.array(*[_pq_sub_dists(self.vec_col, book[j], j,
                                         dsub) for j in range(m)])
                 .alias("__tab"),
@@ -1088,10 +1089,11 @@ class IVFIndex:
             pairs = (codes.select(F.col(self.id_col).alias("nbr_id"),
                                   "code", "list_id")
                      .join(F2.broadcast(probed), "list_id")
-                     .where(F.col("nbr_id") != F.col("query_id")))
-            return _adc_rank(pairs, m, k)
+                     .where(F.col("nbr_id") != F.col(query_id_col)))
+            return _adc_rank(pairs, m, k, query_id_col)
         return pq_topk(None, queries, book, k=k, id_col=self.id_col,
-                       vec_col=self.vec_col, codes=codes)
+                       vec_col=self.vec_col, query_id_col=query_id_col,
+                       codes=codes)
 
     def meta(self, spark) -> dict:
         """Stats of the serving version (vid, n_vectors,
@@ -1132,12 +1134,14 @@ class IVFIndex:
                 # code-less (re-ENCODING is mandatory, re-TRAINING is
                 # a quality call left to the caller — the old book
                 # keeps serving continuity and its rising
-                # reconstruction error is the retrain signal)
-                import os
-                old_vdir = self._version_path(self._current_vid(spark))
-                old_book = (self.pq_book(spark)
-                            if os.path.isdir(f"{old_vdir}/pq/book")
-                            else None)
+                # reconstruction error is the retrain signal).
+                # Detection is attempt-the-read, not os.path — the
+                # index path may live on an object store where local
+                # stat calls always say "absent"
+                try:
+                    old_book = self.pq_book(spark)
+                except Exception:  # noqa: BLE001 - no PQ on this version
+                    old_book = None
                 out["rebuilt"] = self.rebuild(corpus)
                 if old_book is not None:
                     out["pq"] = self.build_pq(spark, codebook=old_book)
@@ -1486,11 +1490,25 @@ def project_embeddings(df: DataFrame, out_dim: int = 8,
     for j in range(int(out_dim)):
         acc = None
         for i in range(int(in_dim)):
-            term = (F.element_at(F.col(vec_col), i + 1).cast("double")
+            # try_element_at so a short vector can't throw the opaque
+            # ANSI index error before the loud guard below evaluates;
+            # for well-formed rows it is element_at exactly
+            term = (F.try_element_at(F.col(vec_col), F.lit(i + 1))
+                    .cast("double")
                     * F.lit(float(signs[j][i])))
             acc = term if acc is None else acc + term
         comps.append(acc)
-    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+    # ragged guard: a vector shorter than in_dim would otherwise
+    # silently produce NULL proj components — fail LOUDLY instead
+    # (mirrors word_shingles' short-doc guard). raise_error is
+    # codegen-side: zero cost on the well-formed path, no extra pass.
+    short = F.size(F.col(vec_col)) < int(in_dim)
+    checked_id = F.when(short, F.raise_error(F.concat(
+        F.lit(f"project_embeddings: {vec_col} shorter than "
+              f"in_dim={int(in_dim)} at {id_col}="),
+        F.col(id_col).cast("string")))).otherwise(F.col(id_col))
+    return df.select(checked_id.alias(id_col),
+                     F.array(*comps).alias("proj"))
 
 
 def projection_oracle_expr(seed: int, out_dim: int, in_dim: int,

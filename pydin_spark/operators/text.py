@@ -1590,9 +1590,17 @@ class StoredBigramLM:
 
     Crash safety: each build/extend writes its rows tagged with a
     batch id and lands ONE commit row last; readers semi-join on
-    committed ids, so a crashed writer leaves only invisible rows
+    committed ids, so a crashed ``extend`` leaves only invisible rows
     (``maintain`` sweeps them and compacts deltas into one row per
-    key).
+    key). The OVERWRITE paths (``build``, ``maintain``'s collapse)
+    destroy previously-committed rows by construction, so they reset
+    the commit log to EMPTY first: a crash mid-overwrite reads as
+    "no committed state" (score() refuses on the empty vocabulary)
+    rather than as stale commit ids pointing at vanished batches —
+    the state can be lost to a crash there, but never served wrong,
+    and a later ``maintain`` can never collapse-and-commit an empty
+    read over surviving data files (it additionally refuses that
+    collapse outright).
 
     ``score(docs)`` is :func:`bigram_logprob`'s formula against the
     STORED counts — ``ln((c2 + a) / (c1 + a*V))`` averaged per doc,
@@ -1642,10 +1650,23 @@ class StoredBigramLM:
             .select(F.col(id_col), F.col("b.w1"), F.col("b.w2")),
             base)
 
+    def _reset_commits(self, spark) -> None:
+        """Overwrite the commit log with ZERO rows. Run before any
+        overwrite of the data tables: between this and the final
+        commit row, readers see "no committed state" — never stale
+        ids pointing at batches the overwrite has already vaporized.
+        """
+        spark.createDataFrame([], "batch_id string") \
+            .repartition(1).write.mode("overwrite") \
+            .parquet(self._commits_path())
+        spark.catalog.refreshByPath(self._commits_path())
+
     def _write_batch(self, corpus: DataFrame, id_col: str,
                      text_col: str, mode: str) -> dict:
         import uuid
         spark = corpus.sparkSession
+        if mode == "overwrite":
+            self._reset_commits(spark)
         bid = uuid.uuid4().hex
         big, base = self._bigrams(corpus, id_col, text_col)
         big = big.persist()
@@ -1663,9 +1684,11 @@ class StoredBigramLM:
         pair.write.mode(mode).parquet(f"{self.path}/pair")
         big.unpersist()
         # the commit row lands LAST — the batch is invisible until it
-        # does (and build's overwrite resets the log first)
+        # does. On the overwrite path the log was already reset to
+        # EMPTY before the data overwrites above, so this append is
+        # the atomic visibility flip for build() too.
         spark.createDataFrame([(bid,)], "batch_id string") \
-            .repartition(1).write.mode(mode) \
+            .repartition(1).write.mode("append") \
             .parquet(self._commits_path())
         for name in ("vocab", "hist", "pair", "commits"):
             spark.catalog.refreshByPath(f"{self.path}/{name}")
@@ -1729,7 +1752,10 @@ class StoredBigramLM:
             return out
         ids = [r["batch_id"] for r in commits.collect()]
         if len(ids) > 1:
-            # collapse: aggregate committed rows into ONE new batch
+            # collapse: aggregate committed rows into ONE new batch.
+            # The checkpoints are EAGER — the committed state is fully
+            # materialized off the parquet files before anything below
+            # touches them.
             import uuid
             bid = uuid.uuid4().hex
             tag = F.lit(bid).alias("batch_id")
@@ -1743,11 +1769,30 @@ class StoredBigramLM:
                     .agg(F.sum("c2").alias("c2"))
                     .select("w1", "w2", "c2", tag)
                     .localCheckpoint(eager=True))
+            if (vocab.isEmpty()
+                    and not spark.read.parquet(
+                        f"{self.path}/vocab").isEmpty()):
+                # commit log and data files disagree (e.g. a log
+                # restored from elsewhere, or pre-fix state from a
+                # crashed overwrite): collapsing would commit an EMPTY
+                # LM over surviving data — refuse rather than destroy
+                raise ValueError(
+                    f"stored LM at {self.path}: commit log names "
+                    f"{len(ids)} batches but none of their rows exist "
+                    "in the data files, which are non-empty — "
+                    "refusing to collapse (it would commit an empty "
+                    "LM over surviving data). Rebuild with build() "
+                    "or repair the commit log.")
+            # overwrite sequencing: empty the commit log FIRST, then
+            # overwrite data, then land the one commit row — a crash
+            # anywhere between reads as "no committed state", never
+            # as stale ids over vanished batches
+            self._reset_commits(spark)
             vocab.write.mode("overwrite").parquet(f"{self.path}/vocab")
             hist.write.mode("overwrite").parquet(f"{self.path}/hist")
             pair.write.mode("overwrite").parquet(f"{self.path}/pair")
             spark.createDataFrame([(bid,)], "batch_id string") \
-                .repartition(1).write.mode("overwrite") \
+                .repartition(1).write.mode("append") \
                 .parquet(self._commits_path())
             for name in ("vocab", "hist", "pair", "commits"):
                 spark.catalog.refreshByPath(f"{self.path}/{name}")
