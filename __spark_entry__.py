@@ -2445,6 +2445,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["graph_pagerank_seeded"] = _graph_pagerank_seeded
 
+    def _graph_label_prop(spark, sf_dir):
+        # soft communities over the exact kNN graph: synchronous LPA
+        # with the most-frequent-then-smallest tie order — a pure
+        # function of the edge list, so the ITERATIVE community
+        # algorithm is value-exact against the unrolled-CTE oracle
+        # (the pagerank trick applied to label dynamics)
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        return graph.label_propagation(g.select("src_id", "nbr_id"),
+                                       src="src_id", dst="nbr_id",
+                                       iterations=5)
+
+    out["graph_label_prop"] = _graph_label_prop
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -4247,6 +4262,24 @@ def oracle_sql() -> dict[str, str]:
                FROM p),
         edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
                   WHERE rnk <= 5)""", seeds=list(range(10)))
+    # label propagation over the same kNN edges: unrolled synchronous
+    # rounds with the identical most-frequent-then-smallest tie order
+    from pydin_spark.operators.graph import lpa_oracle_sql
+    out["graph_label_prop"] = lpa_oracle_sql("""
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        rk AS (SELECT src_id, nbr_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cosine DESC, nbr_id)
+                          AS rnk
+               FROM p),
+        edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
+                  WHERE rnk <= 5)""", iterations=5)
     # curriculum ordering: same integer shard/pos arithmetic as the
     # operator — shard = ((rk-1)*n) // N, pos = rk - shard boundary
     out["curation_curriculum"] = """

@@ -97,6 +97,22 @@ def main() -> None:
         _hygiene(spark)
     register_tables(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM region").collect()
+    # calibration probe (VERDICT r5 #6): a fixed pure-Spark query whose
+    # cost is all engine overhead — zero builder code. Its median
+    # travels with the JSON so environmental drift (a loaded machine
+    # doubling every number, as happened to the r5 driver bench) is
+    # self-evident: compare calibration_sec across BENCH files before
+    # reading anything into the query deltas.
+    cal_samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        spark.range(0, 10_000_000, 1, 32).selectExpr(
+            "sum(id * 2) AS s", "count(*) AS n").collect()
+        cal_samples.append(round(time.time() - t0, 3))
+    calibration = round(statistics.median(cal_samples), 3)
+    print(f"# calibration: median {calibration}s of {cal_samples}",
+          file=sys.stderr)
+    _hygiene(spark)
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -120,6 +136,8 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "raw": raw,
+        "calibration_sec": calibration,
+        "calibration_raw": cal_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -150,6 +150,122 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return r
 
 
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iterations: int = 5,
+                      id_out: str = "node", undirected: bool = True,
+                      checkpoint: bool = True) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) —
+    community detection over an edge list, exact deterministic
+    semantics. Complements :func:`~pydin_spark.operators.dedup.
+    connected_components` (hard reachability closure) with SOFT
+    communities: densely linked regions separate even when a bridge
+    edge connects them, the grain a curation pipeline wants for
+    per-community sampling caps or domain-cluster boosts.
+
+    ``label_0[u] = u``; each round every node adopts the most frequent
+    label among its (in-)neighbors, ties broken by SMALLEST label,
+    nodes with no neighbors keep their label. The classic algorithm is
+    run-order-dependent (asynchronous updates, random tie-breaks);
+    this form is synchronous with a total tie order, so a FIXED
+    iteration count is a pure function of the edge list — bit-
+    identical across partitionings AND engines, which is what lets a
+    community algorithm carry a value-exact unrolled-CTE oracle
+    (:func:`lpa_oracle_sql`), exactly :func:`pagerank`'s trick.
+    ``undirected=True`` (default) symmetrizes the edge list first —
+    label frequency then counts both directions, the standard LPA
+    reading of an undirected graph.
+
+    Scale shape: the same pre-partitioned statics as :func:`pagerank`
+    (edges on ``src``, nodes/labels on the id, AQE-off checkpoints so
+    the planner sees the partitioning) — per iteration the edge table
+    never reshuffles; the two shuffles that remain are the
+    (node, label) frequency count (edge-sized in, ≤edge-sized out)
+    and the per-node argmax window (label-frame-sized, ≤ nodes ×
+    live labels). Synchronous LPA may oscillate on bipartite-ish
+    structures rather than converge — fixed ``iterations`` is the
+    contract, not a convergence test.
+
+    Output: (``id_out``, label) — label is the community
+    representative's node id.
+    """
+    e = (edges.select(F.col(src).alias("__src"),
+                      F.col(dst).alias("__dst"))
+         .where(F.col("__src").isNotNull()
+                & F.col("__dst").isNotNull()))
+    if undirected:
+        e = e.union(e.select(F.col("__dst").alias("__src"),
+                             F.col("__src").alias("__dst")))
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _aqe_off(spark):
+        ed = e.repartition(nparts, "__src").localCheckpoint(eager=True)
+        nodes = (e.select(F.col("__src").alias(id_out))
+                 .union(e.select(F.col("__dst").alias(id_out)))
+                 .distinct()
+                 .repartition(nparts, id_out)
+                 .localCheckpoint(eager=True))
+    from pyspark.sql import Window
+    r = nodes.withColumn("label", F.col(id_out))
+    w = Window.partitionBy("__dst").orderBy(F.col("__c").desc(),
+                                            F.col("label").asc())
+    for _ in range(int(iterations)):
+        msgs = (ed.join(r, ed["__src"] == r[id_out])
+                .select(F.col("__dst"), F.col("label")))
+        cnt = (msgs.groupBy("__dst", "label")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        best = (cnt.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("__dst"), F.col("label").alias("__new")))
+        r = (r.join(best, r[id_out] == best["__dst"], "left")
+             .select(r[id_out],
+                     F.coalesce(F.col("__new"), r["label"])
+                     .alias("label")))
+        if checkpoint:
+            with _aqe_off(spark):
+                r = r.localCheckpoint(eager=True)
+    return r
+
+
+def lpa_oracle_sql(edges_cte: str, iterations: int = 5,
+                   id_out: str = "node",
+                   undirected: bool = True) -> str:
+    """DuckDB twin of :func:`label_propagation` as an unrolled CTE
+    chain — same most-frequent-then-smallest rule, same synchronous
+    update, textually identical tie order, so the comparison is
+    value-exact. ``edges_cte`` ends in a CTE named ``edges(src, dst)``
+    (the :func:`pagerank_oracle_sql` convention)."""
+    parts = [edges_cte.rstrip().rstrip(",")]
+    sym = ("SELECT src, dst FROM edges WHERE src IS NOT NULL AND "
+           "dst IS NOT NULL")
+    if undirected:
+        sym += (" UNION ALL SELECT dst, src FROM edges "
+                "WHERE src IS NOT NULL AND dst IS NOT NULL")
+    parts.append(f"""
+        e2 AS ({sym}),
+        nodes AS (SELECT src AS node FROM e2
+                  UNION SELECT dst FROM e2),
+        it0 AS (SELECT node, node AS label FROM nodes)""")
+    for t in range(int(iterations)):
+        parts.append(f"""
+        b{t} AS (SELECT e.dst AS node, it{t}.label AS label,
+                        COUNT(*) AS c
+                 FROM e2 e JOIN it{t} ON it{t}.node = e.src
+                 GROUP BY e.dst, it{t}.label),
+        w{t} AS (SELECT node, label,
+                        ROW_NUMBER() OVER (PARTITION BY node
+                                           ORDER BY c DESC, label ASC)
+                            AS rn
+                 FROM b{t}),
+        it{t + 1} AS (SELECT p.node,
+                             COALESCE(v.label, p.label) AS label
+                      FROM it{t} p
+                      LEFT JOIN (SELECT node, label FROM w{t}
+                                 WHERE rn = 1) v ON v.node = p.node)""")
+    final = (f"SELECT node AS {id_out}, label "
+             f"FROM it{int(iterations)}")
+    return "WITH " + ",".join(parts) + " " + final
+
+
 def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
                         iterations: int = 10,
                         id_out: str = "node",

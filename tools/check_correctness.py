@@ -62,14 +62,24 @@ def values_close(a, b):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # optional: --json PATH writes a machine-readable artifact of this
+    # run (feeds tools/freshness.py's staleness accounting — a full
+    # local run is verification evidence on par with a driver window)
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_session("correctness", extra_conf={
         "spark.driver.memory": "16g"})
     con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, str] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -81,10 +91,12 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
+            results[name] = "fail"
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = "rows"
             continue
         try:
             res = con.execute(oracles[name])
@@ -93,6 +105,7 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
+            results[name] = "fail"
             continue
         status = []
         if len(s_rows) != len(d_rows):
@@ -118,9 +131,26 @@ def main():
         if status:
             print(f"FAIL  {name}: " + "; ".join(status))
             failures.append(name)
+            results[name] = "fail"
         else:
             print(f"OK    {name}: {len(s_rows)} rows exact-match "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = "ok"
+    if json_path:
+        import json as _json
+        artifact = {"sf_dir": sf_dir,
+                    "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+                    "results": results}
+        # subset runs MERGE into an existing artifact (same contract
+        # as scale_bench) — a full run still replaces every entry
+        if only and os.path.exists(json_path):
+            with open(json_path) as f:
+                prev = _json.load(f)
+            prev["results"].update(results)
+            prev["ts"] = artifact["ts"]
+            artifact = prev
+        with open(json_path, "w") as f:
+            _json.dump(artifact, f, indent=1)
     print(f"\n{len(failures)} failures" + (": " + ", ".join(failures)
                                            if failures else ""))
     sys.exit(1 if failures else 0)

@@ -113,7 +113,9 @@ EXTRA = [
     "curation_det_shuffle",
     "curation_profile_corr",
     "dedup_containment",
-    # round 6 additions
+    # round 6/7 additions
+    "dedup_jaccard_zipf",
+    "dedup_containment_zipf",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -233,6 +235,53 @@ def _scale_dedup_cross_corpus(spark, sf_dir):
         threshold=0.9)
 
 
+_ZIPF_DOCS: dict = {}
+
+
+def _zipf_documents(spark, sf_dir):
+    """Zipf-skewed dedup corpus (VERDICT r5 #7): prepend a boilerplate
+    header whose tier follows a geometric distribution — tier 0 on
+    ~50% of docs, tier 1 on 25%, ... — plus a constant prefix shared
+    by 100% of docs (the nav-bar/cookie-banner shape). The hot
+    shingles' document frequency scales WITH the corpus, so an
+    uncapped inverted-index self-join would grow quadratically at 10x;
+    the max_shingle_freq cap must shed those postings for the measured
+    ratio to stay candidate-bounded. Checkpointed per sf_dir so the
+    construction is untimed."""
+    if sf_dir in _ZIPF_DOCS:
+        return _ZIPF_DOCS[sf_dir]
+    from pyspark.sql import functions as F
+    docs = spark.table("documents")
+    b = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1024))
+    tier = F.floor(F.log2(F.lit(1024.0) / (b + 1).cast("double")))
+    boiler = F.concat(
+        F.lit("shared boilerplate navigation header menu login "
+              "subscribe cookies privacy terms tier "),
+        tier.cast("string"))
+    out = (docs.select(
+        "doc_id",
+        F.concat(boiler, F.lit(" "), F.col("text")).alias("text"))
+        .localCheckpoint(eager=True))
+    _ZIPF_DOCS[sf_dir] = out
+    return out
+
+
+def _scale_dedup_jaccard_zipf(spark, sf_dir):
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(_zipf_documents(spark, sf_dir),
+                                     threshold=0.5,
+                                     max_shingle_freq=100)
+
+
+def _scale_dedup_containment_zipf(spark, sf_dir):
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    return dedup.containment_pairs(_zipf_documents(spark, sf_dir),
+                                   threshold=0.9,
+                                   max_shingle_freq=100)
+
+
 _PAGERANK_EDGES: dict = {}
 
 
@@ -256,6 +305,8 @@ def _scale_graph_pagerank(spark, sf_dir):
 
 
 SCALE_VARIANTS = {
+    "dedup_jaccard_zipf": _scale_dedup_jaccard_zipf,
+    "dedup_containment_zipf": _scale_dedup_containment_zipf,
     "dedup_containment": _scale_dedup_containment,
     "dedup_cross_corpus": _scale_dedup_cross_corpus,
     "dedup_edit": _scale_dedup_edit,
@@ -326,6 +377,8 @@ LINEAR_OK = {
     "curation_det_shuffle",     # one shard-partitioned rank window
     "curation_profile_corr",    # one scan aggregate, 18 partial sums
     "dedup_containment",        # posting lists, same substrate as jaccard
+    "dedup_jaccard_zipf",       # cap sheds the Zipf head; bounded postings
+    "dedup_containment_zipf",   # same substrate under the same skew
     "dedup_cross_corpus",       # LSH banding, fixed eval side
     "dedup_edit",               # posting lists + bounded verify pairs
     "text_char_entropy",        # char explode + two combine aggs
