@@ -924,6 +924,28 @@ OPERATOR_ORACLES: dict[str, str] = {
               FROM pairs) t
         WHERE rnk <= 5
     """,
+    # hard negatives: the bruteforce shape plus the label inequality
+    # and the false-negative cosine cap; NULL labels drop under SQL
+    # <> semantics in both engines
+    "sim_hard_negatives": """
+        WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                          embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS nbr_id, label AS nl,
+                     embedding::DOUBLE[] AS cv FROM embeddings),
+        pairs AS (
+            SELECT q.query_id, c.nbr_id,
+                   list_dot_product(c.cv, q.qv)
+                   / (sqrt(list_dot_product(c.cv, c.cv))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+            FROM c, q
+            WHERE c.nbr_id <> q.query_id AND c.nl <> q.ql)
+        SELECT query_id, nbr_id, cosine, rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, nbr_id) AS rnk
+              FROM pairs WHERE cosine <= 0.98) t
+        WHERE rnk <= 5
+    """,
     "sim_cosine_dup": """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1482,7 +1504,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_dup_pairs(spark.table("embeddings"),
                                            threshold=0.4)
 
+    def _sim_hard_negatives(spark, sf_dir):
+        # contrastive-training pair mining: nearest DIFFERENT-label
+        # vectors per query, with the 0.98 false-negative cap — the
+        # brute exact tier (broadcast queries, corpus unshuffled)
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        queries_df = emb.where("vec_id < 10").selectExpr(
+            "vec_id AS query_id", "embedding", "label")
+        return similarity.hard_negatives(emb, queries_df, k=5,
+                                         max_cosine=0.98)
+
     out["sim_topk_bruteforce"] = _emb_topk
+    out["sim_hard_negatives"] = _sim_hard_negatives
     out["sim_cosine_dup"] = _emb_dup
     out["sim_topk_lsh"] = _q_sim_topk_lsh
     out["sim_topk_ivf"] = _q_sim_topk_ivf
@@ -2400,6 +2434,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.table("documents"), score_col="n_chars", n_shards=7)
 
     out["curation_curriculum"] = _curation_curriculum
+
+    def _curation_snapshot_diff(spark, sf_dir):
+        # crawl-refresh delta: old = the corpus; new = deletions
+        # (doc_id % 7 = 0), whitespace-only churn (% 3 = 0 — must
+        # read UNCHANGED under the normalized fingerprint), content
+        # changes (% 5 = 0), and additions (+100000 ids). Both
+        # engines construct the identical snapshots
+        _views(spark, sf_dir)
+        old = spark.table("documents").select("doc_id", "text")
+        new = spark.sql("""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat(text, ' refreshed update')
+                        WHEN doc_id % 3 = 0
+                        THEN concat('  ',
+                                    regexp_replace(text, ' ', '  '))
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   concat('brand new page ', doc_id) AS text
+            FROM documents WHERE doc_id % 11 = 0
+        """)
+        return curation.snapshot_diff(old, new)
+
+    out["curation_snapshot_diff"] = _curation_snapshot_diff
+
+    def _text_vocab_coverage(spark, sf_dir):
+        # token coverage curve: top-100 tokens by occurrence + each
+        # one's cumulative share of all occurrences — exact integer
+        # cumsum, ONE int/int division for the share (bit-identical
+        # across engines), TakeOrdered not a global sort
+        _views(spark, sf_dir)
+        return text.vocab_coverage(spark.table("documents"), k=100)
+
+    out["text_vocab_coverage"] = _text_vocab_coverage
+
+    def _text_extract_urls(spark, sf_dir):
+        # domain curation front end: plant two deterministic URLs per
+        # doc (the fixture corpus has none), extract + lowercase the
+        # authority, flag a literal blocklist — pure scan, no shuffle
+        _views(spark, sf_dir)
+        docs = spark.sql("""
+            SELECT doc_id,
+                   concat(text, ' see https://Site', doc_id % 13,
+                          '.example.com/page/', doc_id,
+                          ' and http://cdn', doc_id % 7,
+                          '.assets.net/x?y=1') AS text
+            FROM documents
+        """)
+        return text.extract_urls(
+            docs, blocklist=["site3.example.com", "cdn2.assets.net"])
+
+    out["text_extract_urls"] = _text_extract_urls
 
     def _curation_interleave(spark, sf_dir):
         # mixture-scheduled export: 20 sources at weights 1..20,
@@ -4293,6 +4381,87 @@ def oracle_sql() -> dict[str, str]:
                CAST(rk - (((rk - 1) * 7 // n) * n + 6) // 7
                     AS BIGINT) AS pos
         FROM r
+    """
+    # URL extraction: same planted construction, same RE2-portable
+    # pattern, authority lowercased, literal blocklist membership
+    out["text_extract_urls"] = r"""
+        WITH d AS (SELECT doc_id,
+                          concat(text, ' see https://Site',
+                                 doc_id % 13, '.example.com/page/',
+                                 doc_id, ' and http://cdn',
+                                 doc_id % 7, '.assets.net/x?y=1')
+                              AS text
+                   FROM documents),
+        u AS (SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+', 0)) AS url
+              FROM d)
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+                   AS domain,
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+                   IN ('site3.example.com', 'cdn2.assets.net')
+                   AS blocked
+        FROM u
+    """
+    # vocab coverage: exact BIGINT cumulative count; the share is one
+    # division of two exact integers (HUGEINT sum cast back first).
+    # Spark's row_number is INT — CAST the oracle's to match dtypes
+    out["text_vocab_coverage"] = r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents),
+        t2 AS (SELECT token FROM toks WHERE token <> ''),
+        counts AS (SELECT token, COUNT(*) AS cnt FROM t2
+                   GROUP BY token),
+        total AS (SELECT COUNT(*) AS tot FROM t2),
+        top AS (SELECT token, cnt,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                                               token ASC) AS INTEGER)
+                           AS rank
+                FROM counts ORDER BY cnt DESC, token ASC LIMIT 100)
+        SELECT rank, token, cnt,
+               CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS DOUBLE) / tot
+                   AS cum_share
+        FROM top CROSS JOIN total
+    """
+    # snapshot diff: identical snapshot construction (DuckDB needs the
+    # explicit 'g' flag where Spark's regexp_replace is global by
+    # default — the fingerprint normalizes \s+ either way), identical
+    # normalized-md5 equivalence, one FULL OUTER join on the id
+    out["curation_snapshot_diff"] = r"""
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat(text, ' refreshed update')
+                        WHEN doc_id % 3 = 0
+                        THEN concat('  ',
+                                    regexp_replace(text, ' ', '  ',
+                                                   'g'))
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   concat('brand new page ', doc_id) AS text
+            FROM documents WHERE doc_id % 11 = 0),
+        of AS (SELECT doc_id,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS old_fp
+               FROM old),
+        nf AS (SELECT doc_id,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS new_fp
+               FROM new)
+        SELECT COALESCE(of.doc_id, nf.doc_id) AS doc_id,
+               CASE WHEN of.doc_id IS NULL THEN 'added'
+                    WHEN nf.doc_id IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_fp, new_fp
+        FROM of FULL OUTER JOIN nf ON of.doc_id = nf.doc_id
     """
     # stored bigram LM: train counts from even docs, smoothed scoring
     # of odd docs with unseen bigrams/histories coalesced to 0

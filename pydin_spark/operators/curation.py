@@ -1193,6 +1193,42 @@ def profile_correlations(df: DataFrame, cols: tuple[str, ...],
     return one.select(rows).select("r.*")
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-refresh delta between two snapshots (the crawl-recrawl
+    bookkeeping every continuously-trained corpus needs): per id,
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, different normalized fingerprint), ``unchanged``. Content
+    equality is :func:`~pydin_spark.operators.text.fingerprint`'s
+    md5 over whitespace-normalized lowercased text — byte-churn that
+    doesn't change the normalized content (re-wrapped whitespace) is
+    NOT a change, the same equivalence exact_dedup already uses, so
+    diff-then-dedup pipelines agree on what "same document" means.
+
+    Scale shape: two fingerprint scans (32-byte keys, never full
+    text) + ONE full-outer equi-join on the id — shuffle bytes track
+    ids+hashes, not corpus text. Filter ``status <> 'unchanged'``
+    downstream to process the delta; all four statuses are returned
+    so refresh-rate reporting is one aggregation away.
+    Output: (id, status, old_fp, new_fp).
+    """
+    of = text.fingerprint(old, id_col, text_col).select(
+        F.col(id_col).alias("__id"),
+        F.col("fingerprint").alias("old_fp"))
+    nf = text.fingerprint(new, id_col, text_col).select(
+        F.col(id_col).alias("__id"),
+        F.col("fingerprint").alias("new_fp"))
+    joined = of.join(nf, "__id", "full_outer")
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") == F.col("new_fp"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return joined.select(F.col("__id").alias(id_col),
+                         status.alias("status"), "old_fp", "new_fp")
+
+
 def curriculum_order(df: DataFrame, score_col: str, n_shards: int,
                      id_col: str = "doc_id",
                      ascending: bool = True,

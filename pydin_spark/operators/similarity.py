@@ -86,6 +86,55 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id_col, "nbr_id", "cosine", "rnk"))
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id",
+                   max_cosine: float | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the ``k`` most-cosine-similar corpus vectors
+    whose ``label_col`` DIFFERS from the query's — near in embedding
+    space, different class, exactly the pairs a triplet/InfoNCE loss
+    learns most from (Schroff et al. 2015's "hard" tier).
+
+    ``max_cosine`` (e.g. 0.95) optionally drops negatives ABOVE the
+    cap — the standard false-negative guard: a different-label vector
+    at near-duplicate similarity is usually label noise, and training
+    against it as a negative poisons the metric space.
+
+    Scale shape: :func:`cosine_topk`'s exact tier — the query set
+    broadcasts, the corpus never shuffles, the label inequality rides
+    the same broadcast join predicate, and the rank window partitions
+    by query id. For corpus-sized query sets use the IVF/LSH siblings
+    to generate candidates, then apply the same label filter.
+    Output: (query_id, nbr_id, cosine, rnk), rnk over the FILTERED
+    candidate set. Reference surface: engine extension (the reference
+    has no vector ops); gate ``sim_hard_negatives``.
+    """
+    c = corpus.select(F.col(id_col).alias("nbr_id"),
+                      F.col(label_col).alias("__nl"),
+                      F.transform(F.col(vec_col),
+                                  lambda v: v.cast("double")).alias("cv"))
+    q = queries.select(F.col(query_id_col),
+                       F.col(label_col).alias("__ql"),
+                       F.transform(F.col(vec_col),
+                                   lambda v: v.cast("double")).alias("qv"))
+    pairs = c.join(F.broadcast(q),
+                   (F.col("nbr_id") != F.col(query_id_col))
+                   & (F.col("__nl") != F.col("__ql")))
+    scored = pairs.select(
+        F.col(query_id_col), F.col("nbr_id"),
+        (_dot(F.col("cv"), F.col("qv"))
+         / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+    if max_cosine is not None:
+        scored = scored.where(F.col("cosine") <= float(max_cosine))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select(query_id_col, "nbr_id", "cosine", "rnk"))
+
+
 def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       query_id_col: str = "query_id") -> DataFrame:

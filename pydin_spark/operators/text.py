@@ -1488,6 +1488,84 @@ def top_ngrams(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("shingle").alias("ngram"), "doc_freq", "rank"))
 
 
+def extract_urls(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 blocklist: list[str] | None = None) -> DataFrame:
+    """Per-document URL inventory: one row per ``http(s)://`` URL
+    occurrence with its registrable host — the front end of
+    domain-level curation (blocklists, per-domain caps, link-graph
+    construction). With ``blocklist`` (a list of exact domain
+    strings), adds ``blocked`` — the membership flag a crawl filter
+    keys on; the list rides the plan as a literal array (broadcast by
+    value), so the probe is a pure column scan.
+
+    The pattern ``https?://[^\\s]+`` is lookaround-free (RE2-portable,
+    the strip_markup discipline) and deliberately greedy-simple: URL
+    grammar edge cases (trailing punctuation, brackets) are kept
+    verbatim rather than half-normalized — canonicalization is a
+    separate, deliberate step. The domain is the authority up to the
+    first ``/``, ``?`` or ``#``, lowercased; ports kept.
+
+    Scale shape: regexp_extract_all + one explode, zero shuffle,
+    whole-stage codegen. Output: (id, url, domain[, blocked]).
+    """
+    urls = F.expr(
+        f"regexp_extract_all({text_col}, 'https?://[^\\\\s]+', 0)")
+    out = (df.select(F.col(id_col), F.explode(urls).alias("url"))
+           .withColumn(
+               "domain",
+               F.lower(F.regexp_extract(
+                   F.col("url"), r"^https?://([^/?#]+)", 1))))
+    if blocklist is not None:
+        out = out.withColumn(
+            "blocked",
+            F.col("domain").isin([d.lower() for d in blocklist]))
+    return out
+
+
+def vocab_coverage(df: DataFrame, k: int = 100,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Token coverage curve: the top-``k`` whitespace tokens by corpus
+    OCCURRENCE count (not doc frequency) with each token's cumulative
+    share of all token occurrences — the tokenizer/vocab-sizing
+    diagnostic ("the top 100 tokens cover 38% of the corpus"; where
+    the curve flattens is where a vocab stops paying for itself).
+    Empty tokens from runs of whitespace are dropped in both engines.
+
+    Scale shape: token explode → ONE count aggregate with map-side
+    combine (shuffle is distinct-token-sized) and a 1-row total; the
+    global top-k is orderBy+limit = TakeOrdered (per-partition k,
+    driver merges k·P rows), and the cumulative window runs over the
+    already-materialized k rows — a k-row single partition by
+    construction, never a corpus-sized one.
+
+    Exactness: cumulative count is an exact BIGINT sum; the share is
+    ONE division of two exact integers — bit-identical across engines
+    (the curation_interleave lesson). Output: (rank, token, cnt,
+    cum_share).
+    """
+    toks = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    total = (toks.groupBy()
+             .agg(F.count(F.lit(1)).alias("__total")))
+    top = (counts.orderBy(F.desc("cnt"), F.asc("token"))
+           .limit(int(k)))
+    from pyspark.sql import Window
+    win = (Window.orderBy(F.desc("cnt"), F.asc("token"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("token"))))
+            .withColumn("cum_cnt", F.sum("cnt").over(win))
+            .select("rank", "token", "cnt",
+                    (F.col("cum_cnt").cast("double")
+                     / F.col("__total")).alias("cum_share")))
+
+
 def char_entropy(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Character-distribution Shannon entropy per document — the

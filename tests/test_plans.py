@@ -378,3 +378,59 @@ def test_pq_encode_zero_shuffle_no_python(spark, views):
     assert " Exchange (" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_lpa_iteration_single_exchange_no_cartesian(spark, views):
+    from pydin_spark.operators import graph
+    edges = spark.table("events").selectExpr(
+        "user_id as src", "cast(value as bigint) % 50 as dst").limit(200)
+    out = graph.label_propagation(edges, iterations=1, checkpoint=False)
+    plan = plan_of(out)
+    # the label-frequency count is the only corpus shuffle; the argmax
+    # window runs over the (node, label) frame; never a nested loop
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_hard_negatives_broadcast_queries_corpus_unshuffled(spark, views):
+    from pydin_spark.operators import similarity
+    emb = spark.table("embeddings")
+    q = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding", "label")
+    plan = plan_of(similarity.hard_negatives(emb, q, k=5))
+    # the exact tier's contract: queries broadcast, the corpus side
+    # reaches the scorer without an Exchange below the rank window
+    assert "BroadcastExchange" in plan
+    head = plan.split("Window")[0]
+    assert head.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_snapshot_diff_fingerprint_join_prunes_text(spark, views):
+    from pydin_spark.operators import curation
+    docs = spark.table("documents").select("doc_id", "text")
+    plan = plan_of(curation.snapshot_diff(docs, docs))
+    # the full-outer join moves (id, 32-byte md5), never document text
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    join_section = plan.split("SortMergeJoin")[-1]
+    assert "text" not in dict(
+        curation.snapshot_diff(docs, docs).dtypes), "no text column out"
+
+
+def test_extract_urls_zero_shuffle_generate(spark, views):
+    from pydin_spark.operators import text as text_ops
+    plan = plan_of(text_ops.extract_urls(
+        spark.table("documents"), blocklist=["x.example.com"]))
+    assert " Exchange (" not in plan, plan
+    assert "Generate" in plan  # the explode
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_take_ordered_not_global_sort(spark, views):
+    from pydin_spark.operators import text as text_ops
+    plan = plan_of(text_ops.vocab_coverage(spark.table("documents"),
+                                           k=50))
+    # global top-k must be TakeOrdered (per-partition k, driver merge)
+    # and the count aggregate must have a map-side partial phase
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan

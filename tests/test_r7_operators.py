@@ -1,0 +1,181 @@
+"""Round-7 operator tests: label propagation, hard-negative mining,
+snapshot diff, vocab coverage, URL extraction."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pydin_spark.operators import curation, similarity, text
+from pydin_spark.operators.graph import label_propagation, lpa_oracle_sql
+
+
+# ---- label propagation ----
+
+def _lpa_edges(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_lpa_matches_unrolled_oracle(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (7, 8), (9, 9)]
+    out = sorted(tuple(r) for r in label_propagation(
+        _lpa_edges(spark, edges), iterations=5).collect())
+    sql = lpa_oracle_sql(
+        "edges(src, dst) AS (VALUES "
+        + ", ".join(f"({a},{b})" for a, b in edges) + ")",
+        iterations=5)
+    oracle = sorted(tuple(r) for r in
+                    duckdb.connect().execute(sql).fetchall())
+    assert out == oracle
+
+
+def test_lpa_separates_bridged_triangles(spark):
+    # two triangles joined by ONE bridge edge: connected_components
+    # would merge them; LPA keeps two communities
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    labels = {r["node"]: r["label"] for r in label_propagation(
+        _lpa_edges(spark, edges), iterations=5).collect()}
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[4] == labels[5] == labels[6]
+    assert labels[1] != labels[4]
+
+
+def test_lpa_directed_and_null_edges(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None), (None, 3)],
+        "src long, dst long")
+    out = {r["node"]: r["label"]
+           for r in label_propagation(df, iterations=3,
+                                      undirected=False).collect()}
+    # NULL-endpoint edges dropped: node 3 never enters the graph.
+    # A directed 2-cycle OSCILLATES under synchronous updates (the
+    # documented contract): after 3 (odd) rounds labels are swapped —
+    # deterministically so
+    assert out == {1: 2, 2: 1}
+
+
+def test_lpa_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(df, iterations=2).count() == 0
+
+
+# ---- hard negatives ----
+
+@pytest.fixture()
+def labeled_vecs(spark):
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.99, 0.14], 0),
+        (3, [0.98, 0.2], 1), (4, [0.0, 1.0], 1),
+        (5, [0.97, 0.24], 2), (6, [-1.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_hard_negatives_excludes_same_label(spark, labeled_vecs):
+    q = labeled_vecs.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding", "label")
+    out = similarity.hard_negatives(labeled_vecs, q, k=3).collect()
+    nbrs = [r["nbr_id"] for r in out]
+    # 2 and 6 share label 0 with the query: never negatives
+    assert 2 not in nbrs and 6 not in nbrs
+    # hardest different-label neighbors first
+    assert nbrs[0] == 3 and nbrs[1] == 5
+    assert [r["rnk"] for r in out] == [1, 2, 3]
+
+
+def test_hard_negatives_max_cosine_guard(spark, labeled_vecs):
+    q = labeled_vecs.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding", "label")
+    capped = similarity.hard_negatives(labeled_vecs, q, k=3,
+                                       max_cosine=0.95).collect()
+    # vecs 3 (cos 0.9798) and 5 (cos 0.9707) read as likely false
+    # negatives above the cap: dropped, ranks re-close over survivors
+    nbrs = [r["nbr_id"] for r in capped]
+    assert nbrs == [4]
+    assert [r["rnk"] for r in capped] == [1]
+
+
+def test_hard_negatives_null_label_dropped(spark):
+    rows = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], None),
+            (3, [0.8, 0.2], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    q = df.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding", "label")
+    nbrs = [r["nbr_id"] for r in
+            similarity.hard_negatives(df, q, k=3).collect()]
+    assert nbrs == [3]  # NULL <> 0 is NULL: row 2 drops, SQL semantics
+
+
+# ---- snapshot diff ----
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  intact"),
+         (4, "to be removed")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta CHANGED"), (2, "gamma delta"),
+         (3, "kept intact"),  # whitespace-only churn: unchanged
+         (5, "brand new")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in curation.snapshot_diff(old, new).collect()}
+    assert out == {1: "changed", 2: "unchanged", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_fp_columns(spark):
+    old = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "y")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            curation.snapshot_diff(old, new).collect()}
+    assert rows[1]["status"] == "removed" and rows[1]["new_fp"] is None
+    assert rows[2]["status"] == "added" and rows[2]["old_fp"] is None
+
+
+# ---- vocab coverage ----
+
+def test_vocab_coverage_known_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a  b")],  # a:4 b:3 c:1, total 8
+        "doc_id long, text string")
+    rows = text.vocab_coverage(df, k=2).collect()
+    assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == \
+        [(1, "a", 4), (2, "b", 3)]
+    assert rows[0]["cum_share"] == 4 / 8
+    assert rows[1]["cum_share"] == 7 / 8
+
+
+def test_vocab_coverage_tie_break_and_monotone(spark, views):
+    rows = text.vocab_coverage(spark.table("documents"), k=50).collect()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert (a["cnt"], b["token"]) >= (b["cnt"], a["token"]) or \
+            a["cnt"] > b["cnt"] or (a["cnt"] == b["cnt"]
+                                    and a["token"] < b["token"])
+
+
+# ---- URL extraction ----
+
+def test_extract_urls_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [(1, "go to https://A.Example.com/x?q=1 or "
+             "http://b.example.com:8080/y now"),
+         (2, "no urls here"),
+         (3, "tail https://c.example.com/z.")],
+        "doc_id long, text string")
+    out = text.extract_urls(df, blocklist=["a.example.com"]).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc
+    d1 = {r["domain"]: r for r in by_doc[1]}
+    assert set(d1) == {"a.example.com", "b.example.com:8080"}
+    assert d1["a.example.com"]["blocked"] is True
+    assert d1["b.example.com:8080"]["blocked"] is False
+    # trailing punctuation kept verbatim (canonicalization is separate)
+    assert by_doc[3][0]["url"].endswith("/z.")

@@ -116,6 +116,11 @@ EXTRA = [
     # round 6/7 additions
     "dedup_jaccard_zipf",
     "dedup_containment_zipf",
+    "graph_label_prop",
+    "sim_hard_negatives",
+    "curation_snapshot_diff",
+    "text_vocab_coverage",
+    "text_extract_urls",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -304,7 +309,38 @@ def _scale_graph_pagerank(spark, sf_dir):
                           src="src_id", dst="nbr_id")
 
 
+def _scale_graph_label_prop(spark, sf_dir):
+    from pydin_spark.operators import graph
+    entrymod._views(spark, sf_dir)
+    # same reasoning as pagerank: rank over cached IVF-pruned edges so
+    # this row measures LPA's own scaling (edge build has its own row)
+    if sf_dir not in _PAGERANK_EDGES:
+        from pydin_spark.operators import similarity
+        g = similarity.ivf_knn_graph(spark.table("embeddings"), k=5,
+                                     nlist=8, nprobe=2, max_iter=2)
+        _PAGERANK_EDGES[sf_dir] = (g.select("src_id", "nbr_id")
+                                   .localCheckpoint(eager=True))
+    return graph.label_propagation(_PAGERANK_EDGES[sf_dir],
+                                   src="src_id", dst="nbr_id",
+                                   iterations=5)
+
+
+def _scale_snapshot_diff(spark, sf_dir):
+    from pydin_spark.operators import curation
+    entrymod._views(spark, sf_dir)
+    # production shape: the corpus against itself with modular churn —
+    # the gate's construction already IS the production shape, reused
+    docs = spark.table("documents").select("doc_id", "text")
+    new = spark.sql("""
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                            THEN concat(text, ' u') ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0""")
+    return curation.snapshot_diff(docs, new)
+
+
 SCALE_VARIANTS = {
+    "graph_label_prop": _scale_graph_label_prop,
+    "curation_snapshot_diff": _scale_snapshot_diff,
     "dedup_jaccard_zipf": _scale_dedup_jaccard_zipf,
     "dedup_containment_zipf": _scale_dedup_containment_zipf,
     "dedup_containment": _scale_dedup_containment,
@@ -386,6 +422,10 @@ LINEAR_OK = {
     "curation_curriculum",      # corpus scan + one range shuffle
     "curation_interleave",      # per-source window + one range shuffle
     "graph_pagerank",           # edges-linear iterations (IVF edges)
+    "graph_label_prop",         # edges-linear rounds (IVF edges)
+    "curation_snapshot_diff",   # two fingerprint scans + one id join
+    "text_vocab_coverage",      # token explode + combine + TakeOrdered
+    "text_extract_urls",        # pure regexp scan, zero shuffle
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
@@ -426,7 +466,10 @@ def run_suite(spark, sf_dir: str, names) -> dict[str, float]:
     queries = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
-        fn = SCALE_VARIANTS.get(name, queries[name])
+        # .get(name) or ... — the dict-default form evaluates
+        # queries[name] eagerly, which KeyErrors on synthetic rows
+        # (zipf fixtures) that exist only as scale variants
+        fn = SCALE_VARIANTS.get(name) or queries[name]
         tag = " (scale tier)" if name in SCALE_VARIANTS else ""
         out[name] = timed(lambda: fn(spark, sf_dir).count())
         _hygiene(spark)
