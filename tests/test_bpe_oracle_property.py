@@ -58,7 +58,9 @@ def test_bpe_oracle_sql_matches_reference_loop(docs):
     con.executemany("INSERT INTO documents VALUES (?, ?)",
                     list(enumerate(docs)))
     sql = entry.oracle_sql()["text_bpe_apply"]
-    got = {r[0]: (list(r[1]), r[2])
+    # the gate stringifies the token array (concat_ws ' ' — the
+    # driver canonicalizer can't hash list cells); '' means no tokens
+    got = {r[0]: (r[1].split(" ") if r[1] else [], r[2])
            for r in con.execute(sql).fetchall()}
     for i, text in enumerate(docs):
         want = ref_encode(text)
