@@ -2489,6 +2489,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["text_extract_urls"] = _text_extract_urls
 
+    def _text_quality_bundle(spark, sf_dir):
+        # the composed curation recipe: Gopher ∧ language allowlist ∧
+        # exact-dup survivorship with per-rule flags + reasons string
+        # — integer/exact signals only, so the conjunction is
+        # value-exact (entropy/LM scores deliberately excluded)
+        _views(spark, sf_dir)
+        return text.quality_bundle(spark.table("documents"),
+                                   langs=("en", "und"))
+
+    out["text_quality_bundle"] = _text_quality_bundle
+
     def _curation_interleave(spark, sf_dir):
         # mixture-scheduled export: 20 sources at weights 1..20,
         # within-source curriculum by (n_chars, doc_id), global order
@@ -4381,6 +4392,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(rk - (((rk - 1) * 7 // n) * n + 6) // 7
                     AS BIGINT) AS pos
         FROM r
+    """
+    # quality bundle: the gopher/language/dedup CTEs composed — same
+    # rule text as their standalone oracles, conjunction + reasons
+    out["text_quality_bundle"] = r"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        b AS (SELECT doc_id, text, toks,
+                     [toks[i] || ' ' || toks[i+1]
+                      FOR i IN range(1, len(toks))] AS bg
+              FROM t),
+        m AS (SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     length(replace(text, ' ', '')) / len(toks)
+                         AS mean_word_len,
+                     len(list_filter(toks, x -> x IN ('#', '...', '…')))
+                         / len(toks) AS symbol_ratio,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','a','of','and','in','to','is']))
+                         AS n_stop_types,
+                     CASE WHEN len(bg) > 0
+                          THEN (len(bg) - len(list_distinct(bg)))
+                               / len(bg)
+                          ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+              FROM b),
+        g AS (SELECT doc_id,
+                     COALESCE(n_tokens >= 30 AND n_tokens <= 100000
+                              AND mean_word_len >= CAST(2.0 AS DOUBLE)
+                              AND mean_word_len <= CAST(10.0 AS DOUBLE)
+                              AND symbol_ratio <= CAST(0.1 AS DOUBLE)
+                              AND n_stop_types >= 2
+                              AND dup_2gram_frac
+                                  <= CAST(0.25 AS DOUBLE), FALSE)
+                         AS pass_gopher
+              FROM m),
+        s AS (SELECT doc_id,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','of','and','value','data'))) AS score_en,
+               len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','nicht'))) AS score_de,
+               len(list_filter(toks, x -> x IN
+                   ('le','la','les','et','une'))) AS score_fr,
+               len(list_filter(toks, x -> x IN
+                   ('el','la','los','y','una'))) AS score_es
+              FROM t),
+        l AS (SELECT doc_id,
+                     (CASE WHEN greatest(score_en, score_de, score_fr,
+                                         score_es) = 0 THEN 'und'
+                           WHEN score_en = greatest(score_en, score_de,
+                                score_fr, score_es) THEN 'en'
+                           WHEN score_de = greatest(score_en, score_de,
+                                score_fr, score_es) THEN 'de'
+                           WHEN score_fr = greatest(score_en, score_de,
+                                score_fr, score_es) THEN 'fr'
+                           ELSE 'es' END) IN ('en', 'und') AS pass_lang
+              FROM s),
+        fp AS (SELECT doc_id,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS f
+               FROM documents),
+        surv AS (SELECT fp.doc_id, fp.doc_id = mn.keep_id AS pass_dedup
+                 FROM fp JOIN (SELECT f, MIN(doc_id) AS keep_id
+                               FROM fp GROUP BY f) mn USING (f))
+        SELECT d.doc_id, pass_gopher, pass_lang, pass_dedup,
+               (pass_gopher AND pass_lang AND pass_dedup) AS keep,
+               COALESCE(array_to_string(list_filter(
+                   [CASE WHEN NOT pass_gopher THEN 'gopher' END,
+                    CASE WHEN NOT pass_lang THEN 'lang' END,
+                    CASE WHEN NOT pass_dedup THEN 'duplicate' END],
+                   x -> x IS NOT NULL), ','), '') AS reasons
+        FROM documents d
+        JOIN g USING (doc_id) JOIN l USING (doc_id)
+        JOIN surv USING (doc_id)
     """
     # URL extraction: same planted construction, same RE2-portable
     # pattern, authority lowercased, literal blocklist membership

@@ -270,6 +270,58 @@ def gopher_quality_filter(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_bundle(df: DataFrame, langs: tuple = ("en",),
+                   id_col: str = "doc_id",
+                   text_col: str = "text",
+                   **gopher_kwargs) -> DataFrame:
+    """The RedPajama/Dolma-shaped curation RECIPE as one composed
+    verdict: Gopher quality rules ∧ language allowlist ∧ exact-
+    duplicate survivorship, with per-rule flags and a ``reasons``
+    string (comma-joined failed-rule tags) so pipelines can re-weight
+    or audit instead of hard-filtering. This is the operator a user
+    actually runs over a fresh crawl; the pieces stay independently
+    available (and independently gated).
+
+    Composition chooses only integer/exact signals (token counts,
+    int-ratio comparisons, marker argmax, md5-min survivorship) so
+    the composed verdict carries a value-exact SQL oracle — entropy
+    and LM scores are deliberately NOT in the conjunction (their raw
+    doubles are engine-identical only to the last ulp; thresholding
+    them could flip a row — score with them separately and weight).
+
+    Scale shape: three scans of the doc table (gopher/language are
+    pure column math on the same scan; the fingerprint pass shuffles
+    a 32-byte key once) + id-keyed joins. Output: (id, pass_gopher,
+    pass_lang, pass_dedup, keep, reasons).
+    """
+    g = gopher_quality_filter(df, id_col, text_col, **gopher_kwargs) \
+        .select(F.col(id_col),
+                F.coalesce(F.col("keep"), F.lit(False))
+                .alias("pass_gopher"))
+    lang = language_id(df, id_col, text_col).select(
+        F.col(id_col),
+        F.col("pred_lang").isin(list(langs)).alias("pass_lang"))
+    fp = fingerprint(df, id_col, text_col)
+    surv = (fp.join(fp.groupBy("fingerprint")
+                    .agg(F.min(id_col).alias("__keep_id")),
+                    "fingerprint")
+            .select(F.col(id_col),
+                    (F.col(id_col) == F.col("__keep_id"))
+                    .alias("pass_dedup")))
+    out = (df.select(F.col(id_col))
+           .join(g, id_col).join(lang, id_col).join(surv, id_col))
+    keep = (F.col("pass_gopher") & F.col("pass_lang")
+            & F.col("pass_dedup"))
+    reasons = F.concat_ws(",", F.filter(F.array(
+        F.when(~F.col("pass_gopher"), F.lit("gopher")),
+        F.when(~F.col("pass_lang"), F.lit("lang")),
+        F.when(~F.col("pass_dedup"), F.lit("duplicate"))),
+        lambda x: x.isNotNull()))
+    return out.select(id_col, "pass_gopher", "pass_lang",
+                      "pass_dedup", keep.alias("keep"),
+                      reasons.alias("reasons"))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,

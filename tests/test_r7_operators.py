@@ -179,3 +179,30 @@ def test_extract_urls_and_blocklist(spark):
     assert d1["b.example.com:8080"]["blocked"] is False
     # trailing punctuation kept verbatim (canonicalization is separate)
     assert by_doc[3][0]["url"].endswith("/z.")
+
+
+# ---- quality bundle ----
+
+def test_quality_bundle_flags_and_reasons(spark):
+    long_en = ("the data value of the pipeline is that the data and "
+               "the value keep growing while the data is in the " 
+               "pipeline and the value is of the data and more text "
+               "here to pass the minimum token count easily")
+    df = spark.createDataFrame(
+        [(1, long_en), (2, long_en),                 # 2 = exact dup of 1
+         (3, "der die das und nicht " * 10),         # German
+         (4, "too short")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.quality_bundle(df, langs=("en",)).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[2]["pass_dedup"] is False and \
+        out[2]["reasons"] == "duplicate"
+    assert out[3]["pass_lang"] is False and "lang" in out[3]["reasons"]
+    assert out[4]["pass_gopher"] is False and \
+        "gopher" in out[4]["reasons"]
+    # reasons list every failed rule, comma-joined in rule order
+    assert all("," not in out[i]["reasons"] or
+               out[i]["reasons"].split(",") ==
+               [t for t in ("gopher", "lang", "duplicate")
+                if t in out[i]["reasons"]] for i in out)

@@ -121,6 +121,7 @@ EXTRA = [
     "curation_snapshot_diff",
     "text_vocab_coverage",
     "text_extract_urls",
+    "text_quality_bundle",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -426,6 +427,7 @@ LINEAR_OK = {
     "curation_snapshot_diff",   # two fingerprint scans + one id join
     "text_vocab_coverage",      # token explode + combine + TakeOrdered
     "text_extract_urls",        # pure regexp scan, zero shuffle
+    "text_quality_bundle",      # three doc scans + 32-byte dedup join
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
