@@ -2500,6 +2500,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["text_quality_bundle"] = _text_quality_bundle
 
+    def _curation_snapshot_stored(spark, sf_dir):
+        # the STORED registry path of snapshot_diff: register the old
+        # snapshot in scratch state, diff the refreshed snapshot from
+        # a FRESH object (fingerprints read from disk — the old corpus
+        # is never rescanned); pinned identical to the one-shot diff,
+        # so it shares that oracle verbatim
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        old = spark.table("documents").select("doc_id", "text")
+        new = spark.sql("""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat(text, ' refreshed update')
+                        WHEN doc_id % 3 = 0
+                        THEN concat('  ',
+                                    regexp_replace(text, ' ', '  '))
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   concat('brand new page ', doc_id) AS text
+            FROM documents WHERE doc_id % 11 = 0
+        """)
+        scratch = tempfile.mkdtemp(prefix="pydin_snap_")
+        try:
+            curation.StoredSnapshot(scratch + "/reg").apply(old)
+            served = curation.StoredSnapshot(scratch + "/reg")
+            out_df = served.diff(new)
+            return spark.createDataFrame(out_df.collect(),
+                                         out_df.schema)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["curation_snapshot_stored"] = _curation_snapshot_stored
+
     def _curation_interleave(spark, sf_dir):
         # mixture-scheduled export: 20 sources at weights 1..20,
         # within-source curriculum by (n_chars, doc_id), global order
@@ -4546,6 +4582,9 @@ def oracle_sql() -> dict[str, str]:
                old_fp, new_fp
         FROM of FULL OUTER JOIN nf ON of.doc_id = nf.doc_id
     """
+    # the stored registry serves the IDENTICAL diff — shares the
+    # one-shot oracle verbatim
+    out["curation_snapshot_stored"] = out["curation_snapshot_diff"]
     # stored bigram LM: train counts from even docs, smoothed scoring
     # of odd docs with unseen bigrams/histories coalesced to 0
     out["text_bigram_lm_stored"] = """

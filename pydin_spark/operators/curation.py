@@ -1424,3 +1424,172 @@ def interleave_by_rates(df: DataFrame, rates: dict,
         .alias(id_col),
         F.col("__key").alias("mix_key"),
         "rk", "shard", "pos")
+
+
+class StoredSnapshot:
+    """Persisted corpus registry — :func:`snapshot_diff` for a
+    refreshing corpus: register a snapshot once, then diff every
+    recrawl against STORED fingerprints without rereading the old
+    corpus. The eighth member of the stored-state family
+    (:func:`~pydin_spark.functions.maintenance.maintain_states`
+    contract, the commit-log discipline of
+    :class:`~pydin_spark.operators.text.StoredBigramLM`).
+
+    State under ``path``: ``fps/`` — (id, fingerprint, batch, seq)
+    APPEND-only rows; a document's CURRENT fingerprint is the row
+    from its newest committed batch (``max_by(fp, seq)``), a NULL
+    fingerprint is a tombstone (the doc left the corpus); ``commits/``
+    — (batch, seq), one row per committed apply, written LAST so a
+    crashed writer's rows stay invisible. ``maintain()`` collapses
+    the history to one row per live doc with the overwrite sequencing
+    proven on StoredBigramLM (commit log reset FIRST; refuse an
+    empty collapse over surviving data).
+
+    Exactness: ``diff(new)`` after ``apply(old)`` is pinned
+    row-identical to the one-shot ``snapshot_diff(old, new)`` (gate
+    ``curation_snapshot_stored`` shares the one-shot oracle). Per-
+    refresh cost: one fingerprint scan of the NEW snapshot + one
+    id-keyed join against doc-count-sized state — the old corpus
+    text is never read again.
+    """
+
+    def __init__(self, path: str, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.path = str(path).rstrip("/")
+        self.id_col, self.text_col = id_col, text_col
+
+    def _has_state(self, spark) -> bool:
+        try:
+            spark.read.parquet(f"{self.path}/commits").schema
+            return True
+        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
+            msg = f"{type(exc).__name__}: {exc}"
+            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                    or "Unable to infer schema" in msg):
+                return False
+            raise
+
+    def _next_seq(self, spark) -> int:
+        if not self._has_state(spark):
+            return 0
+        row = spark.read.parquet(f"{self.path}/commits") \
+            .agg(F.max("seq")).first()
+        return 0 if row[0] is None else int(row[0]) + 1
+
+    def current(self, spark) -> DataFrame:
+        """Committed registry: (id, fingerprint) of every live doc."""
+        if not self._has_state(spark):
+            return spark.createDataFrame(
+                [], f"{self.id_col} long, fingerprint string")
+        fps = spark.read.parquet(f"{self.path}/fps")
+        commits = spark.read.parquet(f"{self.path}/commits") \
+            .select("batch", "seq")
+        live = (fps.drop("seq").join(F.broadcast(commits), "batch")
+                .groupBy(self.id_col)
+                .agg(F.max_by("fingerprint", "seq").alias("fingerprint")))
+        return live.where(F.col("fingerprint").isNotNull())
+
+    def diff(self, new: DataFrame, full: bool = True) -> DataFrame:
+        """Status of every doc in ``new`` vs the stored registry —
+        (id, status, old_fp, new_fp), exactly :func:`snapshot_diff`'s
+        contract. ``full=True`` reads ``new`` as the COMPLETE next
+        snapshot (stored docs absent from it are ``removed``);
+        ``full=False`` reads it as a partial batch (no removals)."""
+        spark = new.sparkSession
+        id_col = self.id_col
+        of = self.current(spark).select(
+            F.col(id_col).alias("__id"),
+            F.col("fingerprint").alias("old_fp"))
+        nf = text.fingerprint(new, id_col, self.text_col).select(
+            F.col(id_col).alias("__id"),
+            F.col("fingerprint").alias("new_fp"))
+        joined = nf.join(of, "__id", "full_outer" if full else "left")
+        status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+                  .when(F.col("new_fp").isNull(), F.lit("removed"))
+                  .when(F.col("old_fp") == F.col("new_fp"),
+                        F.lit("unchanged"))
+                  .otherwise(F.lit("changed")))
+        return joined.select(F.col("__id").alias(id_col),
+                             status.alias("status"),
+                             "old_fp", "new_fp")
+
+    def apply(self, new: DataFrame, full: bool = True) -> dict:
+        """Diff ``new`` against the registry, then land the delta:
+        added/changed docs append their new fingerprint, removed docs
+        (full snapshots only) append a tombstone; ONE commit row
+        lands last. Returns per-status counts."""
+        import uuid
+        spark = new.sparkSession
+        id_col = self.id_col
+        d = self.diff(new, full=full).localCheckpoint(eager=True)
+        counts = {r["status"]: r["n"] for r in
+                  d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        batch = uuid.uuid4().hex
+        seq = self._next_seq(spark)
+        delta = d.where(F.col("status").isin("added", "changed",
+                                             "removed")).select(
+            F.col(id_col),
+            F.when(F.col("status") != "removed", F.col("new_fp"))
+            .alias("fingerprint"),
+            F.lit(batch).alias("batch"), F.lit(seq).alias("seq"))
+        delta.write.mode("append").parquet(f"{self.path}/fps")
+        spark.createDataFrame([(batch, seq)],
+                              "batch string, seq long") \
+            .repartition(1).write.mode("append") \
+            .parquet(f"{self.path}/commits")
+        for name in ("fps", "commits"):
+            spark.catalog.refreshByPath(f"{self.path}/{name}")
+        return {s: counts.get(s, 0)
+                for s in ("added", "removed", "changed", "unchanged")}
+
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Stored-state upkeep: collapse the append history to one
+        row per LIVE doc once the commit log fragments, sweep
+        uncommitted orphans, compact small files. Serving is
+        unchanged across the sweep (latest-per-doc of a single batch
+        is itself)."""
+        from ..functions.maintenance import compact_if_fragmented
+        out: dict[str, object] = {}
+        if not self._has_state(spark):
+            return out
+        commits = spark.read.parquet(f"{self.path}/commits")
+        n_batches = commits.count()
+        if n_batches > 1:
+            live = self.current(spark).localCheckpoint(eager=True)
+            if (live.isEmpty()
+                    and not spark.read.parquet(
+                        f"{self.path}/fps").isEmpty()):
+                raise ValueError(
+                    f"stored snapshot at {self.path}: commit log "
+                    f"names {n_batches} batches but no committed "
+                    "live rows exist while the data files are "
+                    "non-empty — refusing to collapse (it would "
+                    "commit an empty registry over surviving data). "
+                    "Re-apply a full snapshot or repair the log.")
+            import uuid
+            batch = uuid.uuid4().hex
+            # overwrite sequencing (the StoredBigramLM discipline):
+            # empty the log FIRST, then the data, then one commit row
+            spark.createDataFrame([], "batch string, seq long") \
+                .repartition(1).write.mode("overwrite") \
+                .parquet(f"{self.path}/commits")
+            (live.select(self.id_col, "fingerprint",
+                         F.lit(batch).alias("batch"),
+                         F.lit(0).cast("long").alias("seq"))
+             .write.mode("overwrite").parquet(f"{self.path}/fps"))
+            spark.createDataFrame([(batch, 0)],
+                                  "batch string, seq long") \
+                .repartition(1).write.mode("append") \
+                .parquet(f"{self.path}/commits")
+            for name in ("fps", "commits"):
+                spark.catalog.refreshByPath(f"{self.path}/{name}")
+            out["collapsed_batches"] = n_batches
+        res = compact_if_fragmented(
+            spark, f"{self.path}/fps", max_files=max_files,
+            target_file_bytes=target_file_bytes)
+        if res:
+            out["fps"] = res
+        return out

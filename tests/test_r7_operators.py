@@ -206,3 +206,73 @@ def test_quality_bundle_flags_and_reasons(spark):
                out[i]["reasons"].split(",") ==
                [t for t in ("gopher", "lang", "duplicate")
                 if t in out[i]["reasons"]] for i in out)
+
+
+# ---- stored snapshot registry ----
+
+def _snap_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stored_snapshot_matches_one_shot(spark, tmp_path):
+    old = _snap_docs(spark, [(1, "a b"), (2, "c d"), (3, "e f")])
+    new = _snap_docs(spark, [(1, "a b"), (2, "c d CHANGED"),
+                             (4, "new doc")])
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"))
+    counts = reg.apply(old)
+    assert counts == {"added": 3, "removed": 0, "changed": 0,
+                      "unchanged": 0}
+    stored = sorted(map(tuple,
+                        curation.StoredSnapshot(str(tmp_path / "reg"))
+                        .diff(new).collect()))
+    oneshot = sorted(map(tuple,
+                         curation.snapshot_diff(old, new).collect()))
+    assert stored == oneshot
+
+
+def test_stored_snapshot_incremental_refresh_and_tombstones(
+        spark, tmp_path):
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"))
+    reg.apply(_snap_docs(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # refresh: 2 changes, 3 leaves, 4 arrives
+    c = reg.apply(_snap_docs(spark, [(1, "a"), (2, "b2"), (4, "d")]))
+    assert c == {"added": 1, "removed": 1, "changed": 1,
+                 "unchanged": 1}
+    live = {r["doc_id"] for r in reg.current(spark).collect()}
+    assert live == {1, 2, 4}  # 3 tombstoned
+    # partial batch (full=False): absent docs are NOT removals
+    d = reg.diff(_snap_docs(spark, [(2, "b2"), (5, "x")]), full=False)
+    st = {r["doc_id"]: r["status"] for r in d.collect()}
+    assert st == {2: "unchanged", 5: "added"}
+
+
+def test_stored_snapshot_maintain_collapses_and_serves(spark, tmp_path):
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"))
+    reg.apply(_snap_docs(spark, [(1, "a"), (2, "b")]))
+    reg.apply(_snap_docs(spark, [(1, "a"), (2, "b2"), (3, "c")]))
+    before = sorted(map(tuple, reg.current(spark).collect()))
+    out = reg.maintain(spark)
+    assert out.get("collapsed_batches") == 2
+    after = sorted(map(tuple, reg.current(spark).collect()))
+    assert after == before
+    # crash shape: an emptied commit log reads as no state; maintain
+    # is a no-op, a fresh full apply recovers
+    spark.createDataFrame([], "batch string, seq long") \
+        .repartition(1).write.mode("overwrite") \
+        .parquet(f"{reg.path}/commits")
+    spark.catalog.refreshByPath(f"{reg.path}/commits")
+    assert reg.current(spark).count() == 0
+    assert "collapsed_batches" not in reg.maintain(spark)
+
+
+def test_stored_snapshot_in_unified_sweep(spark, tmp_path):
+    from pydin_spark.functions.maintenance import maintain_states
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"))
+    reg.apply(_snap_docs(spark, [(1, "a")]))
+    reg.apply(_snap_docs(spark, [(1, "a"), (2, "b")]))
+    res = maintain_states(spark, [reg])
+    key = f"StoredSnapshot[{reg.path}]"
+    assert key in res and res[key].get("collapsed_batches") == 2
+    empty = curation.StoredSnapshot(str(tmp_path / "none"))
+    assert maintain_states(spark, [empty])[
+        f"StoredSnapshot[{empty.path}]"] == {}

@@ -122,6 +122,7 @@ EXTRA = [
     "text_vocab_coverage",
     "text_extract_urls",
     "text_quality_bundle",
+    "curation_snapshot_stored",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -428,6 +429,7 @@ LINEAR_OK = {
     "text_vocab_coverage",      # token explode + combine + TakeOrdered
     "text_extract_urls",        # pure regexp scan, zero shuffle
     "text_quality_bundle",      # three doc scans + 32-byte dedup join
+    "curation_snapshot_stored",  # new-snapshot scan + id-keyed state join
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
