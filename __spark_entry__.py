@@ -2536,6 +2536,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_snapshot_stored"] = _curation_snapshot_stored
 
+    def _curation_dist_drift(spark, sf_dir):
+        # refresh-QA drift check: doc-length distributions of the two
+        # id-parity halves, 100-char bins — per-bin chi-square and TV
+        # terms are fixed expressions over exact counts (9-dp
+        # formatted for the hash, like the float convention)
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        out_df = curation.dist_drift(
+            docs.where("doc_id % 2 = 0").select("n_chars"),
+            docs.where("doc_id % 2 = 1").select("n_chars"),
+            "n_chars", bin_width=100.0)
+        return out_df.select(
+            "bin", "cnt_a", "cnt_b",
+            F.format_string("%.9f", "share_a").alias("share_a9"),
+            F.format_string("%.9f", "share_b").alias("share_b9"),
+            F.format_string("%.9f", "chi2_term").alias("chi2_term9"),
+            F.format_string("%.9f", "tvd_term").alias("tvd_term9"))
+
+    out["curation_dist_drift"] = _curation_dist_drift
+
     def _curation_interleave(spark, sf_dir):
         # mixture-scheduled export: 20 sources at weights 1..20,
         # within-source curriculum by (n_chars, doc_id), global order
@@ -4585,6 +4605,46 @@ def oracle_sql() -> dict[str, str]:
     # the stored registry serves the IDENTICAL diff — shares the
     # one-shot oracle verbatim
     out["curation_snapshot_stored"] = out["curation_snapshot_diff"]
+    # distribution drift: same fixed-width bins, same pooled-expected
+    # chi-square / TV terms as single fixed expressions over counts
+    out["curation_dist_drift"] = """
+        WITH av AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        bv AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0)
+                           AS BIGINT) AS bin,
+                      COUNT(*) AS cnt_a
+               FROM av WHERE n_chars IS NOT NULL GROUP BY 1),
+        cb AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0)
+                           AS BIGINT) AS bin,
+                      COUNT(*) AS cnt_b
+               FROM bv WHERE n_chars IS NOT NULL GROUP BY 1),
+        j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+                     COALESCE(cnt_a, 0) AS cnt_a,
+                     COALESCE(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+                     CAST(SUM(cnt_b) AS BIGINT) AS nb FROM j)
+        SELECT bin, cnt_a, cnt_b,
+               format('{:.9f}', CAST(cnt_a AS DOUBLE) / na) AS share_a9,
+               format('{:.9f}', CAST(cnt_b AS DOUBLE) / nb) AS share_b9,
+               format('{:.9f}',
+                      (cnt_a - na * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                     / (na + nb)))
+                      * (cnt_a - na * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                       / (na + nb)))
+                      / (na * (CAST(cnt_a + cnt_b AS DOUBLE)
+                               / (na + nb)))
+                      + (cnt_b - nb * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                       / (na + nb)))
+                      * (cnt_b - nb * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                       / (na + nb)))
+                      / (nb * (CAST(cnt_a + cnt_b AS DOUBLE)
+                               / (na + nb)))) AS chi2_term9,
+               format('{:.9f}', abs(CAST(cnt_a AS DOUBLE) / na
+                                    - CAST(cnt_b AS DOUBLE) / nb))
+                   AS tvd_term9
+        FROM j CROSS JOIN t
+    """
     # stored bigram LM: train counts from even docs, smoothed scoring
     # of odd docs with unseen bigrams/histories coalesced to 0
     out["text_bigram_lm_stored"] = """

@@ -1593,3 +1593,64 @@ class StoredSnapshot:
         if res:
             out["fps"] = res
         return out
+
+
+def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
+               bin_width: float = 1.0) -> DataFrame:
+    """Distribution drift between two corpora over a numeric column —
+    the training-data QA check a refresh pipeline runs before
+    accepting a recrawl ("did document lengths / quality scores /
+    token counts shift?"). Values are fixed-width binned
+    (``floor(v / bin_width)``), and the output is PER-BIN evidence:
+    exact counts, each side's share, the bin's chi-square contribution
+    and total-variation term. Σ chi2_term is the classic two-sample
+    chi-square statistic; 0.5 · Σ tvd_term is total-variation
+    distance — left to the consumer so the per-bin shape (WHERE the
+    drift lives) stays visible, and so every emitted float is a FIXED
+    expression over exact integers (single divisions, no order-
+    dependent float accumulation) — bit-identical across engines,
+    hence oracle-gateable.
+
+    NULL values are excluded on both sides (they carry no position in
+    the distribution; count them separately if missingness drift
+    matters). Scale shape: one count aggregate per side (map-side
+    combined, bin-count-sized shuffles), a full-outer bin join, and
+    1-row totals broadcast. Output: (bin, cnt_a, cnt_b, share_a,
+    share_b, chi2_term, tvd_term) ordered by bin via the caller.
+    """
+    w = float(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def binned(df, cnt_name):
+        return (df.where(F.col(value_col).isNotNull())
+                .select(F.floor(F.col(value_col).cast("double") / w)
+                        .cast("long").alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias(cnt_name)))
+
+    ca = binned(a, "cnt_a")
+    cb = binned(b, "cnt_b")
+    joined = (ca.join(cb, "bin", "full_outer")
+              .select("bin",
+                      F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    totals = joined.groupBy().agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb"))
+    j = joined.crossJoin(F.broadcast(totals))
+    # expected counts under the pooled distribution; every float op
+    # below is a fixed per-row expression over exact ints
+    pooled = (F.col("cnt_a") + F.col("cnt_b")).cast("double") \
+        / (F.col("__na") + F.col("__nb"))
+    e_a = F.col("__na") * pooled
+    e_b = F.col("__nb") * pooled
+    chi2 = ((F.col("cnt_a") - e_a) * (F.col("cnt_a") - e_a) / e_a
+            + (F.col("cnt_b") - e_b) * (F.col("cnt_b") - e_b) / e_b)
+    tvd = F.abs(F.col("cnt_a").cast("double") / F.col("__na")
+                - F.col("cnt_b").cast("double") / F.col("__nb"))
+    return j.select("bin", "cnt_a", "cnt_b",
+                    (F.col("cnt_a").cast("double") / F.col("__na"))
+                    .alias("share_a"),
+                    (F.col("cnt_b").cast("double") / F.col("__nb"))
+                    .alias("share_b"),
+                    chi2.alias("chi2_term"), tvd.alias("tvd_term"))

@@ -276,3 +276,36 @@ def test_stored_snapshot_in_unified_sweep(spark, tmp_path):
     empty = curation.StoredSnapshot(str(tmp_path / "none"))
     assert maintain_states(spark, [empty])[
         f"StoredSnapshot[{empty.path}]"] == {}
+
+
+# ---- distribution drift ----
+
+def test_dist_drift_identical_distributions(spark):
+    a = _snap_docs(spark, [(i, "x") for i in range(10)]) \
+        .selectExpr("doc_id % 3 AS v")
+    out = curation.dist_drift(a, a, "v", bin_width=1.0).collect()
+    assert all(r["chi2_term"] == 0.0 and r["tvd_term"] == 0.0
+               for r in out)
+    assert sum(r["cnt_a"] for r in out) == 10
+
+
+def test_dist_drift_known_values(spark):
+    # a: 4 in bin0, 0 in bin1; b: 0 in bin0, 4 in bin1 -> max drift
+    a = spark.createDataFrame([(0.1,), (0.2,), (0.3,), (0.4,)], "v double")
+    b = spark.createDataFrame([(1.1,), (1.2,), (1.3,), (1.4,)], "v double")
+    rows = {r["bin"]: r for r in
+            curation.dist_drift(a, b, "v", bin_width=1.0).collect()}
+    assert set(rows) == {0, 1}
+    # pooled share 0.5 each; e = 2; chi2_term = (4-2)^2/2 + (0-2)^2/2 = 4
+    assert rows[0]["chi2_term"] == 4.0 and rows[1]["chi2_term"] == 4.0
+    assert rows[0]["tvd_term"] == 1.0  # |4/4 - 0/4|
+    # TVD = 0.5 * (1 + 1) = 1: fully disjoint distributions
+
+
+def test_dist_drift_null_and_validation(spark):
+    a = spark.createDataFrame([(1.0,), (None,)], "v double")
+    b = spark.createDataFrame([(1.0,)], "v double")
+    out = curation.dist_drift(a, b, "v").collect()
+    assert len(out) == 1 and out[0]["cnt_a"] == 1  # NULL excluded
+    with pytest.raises(ValueError, match="positive"):
+        curation.dist_drift(a, b, "v", bin_width=0)

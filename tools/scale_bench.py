@@ -123,6 +123,7 @@ EXTRA = [
     "text_extract_urls",
     "text_quality_bundle",
     "curation_snapshot_stored",
+    "curation_dist_drift",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -430,6 +431,7 @@ LINEAR_OK = {
     "text_extract_urls",        # pure regexp scan, zero shuffle
     "text_quality_bundle",      # three doc scans + 32-byte dedup join
     "curation_snapshot_stored",  # new-snapshot scan + id-keyed state join
+    "curation_dist_drift",      # two count aggs + bin join, bin-sized
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
