@@ -1193,6 +1193,19 @@ def profile_correlations(df: DataFrame, cols: tuple[str, ...],
     return one.select(rows).select("r.*")
 
 
+def _presence_fp(df: DataFrame, id_col: str, text_col: str):
+    """Fingerprints for snapshot bookkeeping: NULL text coalesces to
+    '' BEFORE hashing, because here a NULL fingerprint means THE DOC
+    IS ABSENT (snapshot_diff's join semantics, StoredSnapshot's
+    tombstone encoding) — md5(NULL)=NULL would make a present
+    NULL-text doc read as missing and re-classify 'added' forever."""
+    return text.fingerprint(
+        df.select(F.col(id_col),
+                  F.coalesce(F.col(text_col), F.lit(""))
+                  .alias(text_col)),
+        id_col, text_col)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
@@ -1213,10 +1226,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     so refresh-rate reporting is one aggregation away.
     Output: (id, status, old_fp, new_fp).
     """
-    of = text.fingerprint(old, id_col, text_col).select(
+    of = _presence_fp(old, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         F.col("fingerprint").alias("old_fp"))
-    nf = text.fingerprint(new, id_col, text_col).select(
+    nf = _presence_fp(new, id_col, text_col).select(
         F.col(id_col).alias("__id"),
         F.col("fingerprint").alias("new_fp"))
     joined = of.join(nf, "__id", "full_outer")
@@ -1477,11 +1490,15 @@ class StoredSnapshot:
             .agg(F.max("seq")).first()
         return 0 if row[0] is None else int(row[0]) + 1
 
-    def current(self, spark) -> DataFrame:
-        """Committed registry: (id, fingerprint) of every live doc."""
+    def current(self, spark, id_type: str = "long") -> DataFrame:
+        """Committed registry: (id, fingerprint) of every live doc.
+        ``id_type`` shapes only the PRE-STATE empty frame (there is no
+        stored schema to read yet); ``diff``/``apply`` pass the new
+        snapshot's actual id type so non-bigint ids (URLs, hashes)
+        join correctly from the first refresh."""
         if not self._has_state(spark):
             return spark.createDataFrame(
-                [], f"{self.id_col} long, fingerprint string")
+                [], f"{self.id_col} {id_type}, fingerprint string")
         fps = spark.read.parquet(f"{self.path}/fps")
         commits = spark.read.parquet(f"{self.path}/commits") \
             .select("batch", "seq")
@@ -1498,10 +1515,11 @@ class StoredSnapshot:
         ``full=False`` reads it as a partial batch (no removals)."""
         spark = new.sparkSession
         id_col = self.id_col
-        of = self.current(spark).select(
+        id_type = new.schema[id_col].dataType.simpleString()
+        of = self.current(spark, id_type=id_type).select(
             F.col(id_col).alias("__id"),
             F.col("fingerprint").alias("old_fp"))
-        nf = text.fingerprint(new, id_col, self.text_col).select(
+        nf = _presence_fp(new, id_col, self.text_col).select(
             F.col(id_col).alias("__id"),
             F.col("fingerprint").alias("new_fp"))
         joined = nf.join(of, "__id", "full_outer" if full else "left")
@@ -1558,17 +1576,23 @@ class StoredSnapshot:
         commits = spark.read.parquet(f"{self.path}/commits")
         n_batches = commits.count()
         if n_batches > 1:
-            live = self.current(spark).localCheckpoint(eager=True)
-            if (live.isEmpty()
-                    and not spark.read.parquet(
-                        f"{self.path}/fps").isEmpty()):
+            fps = spark.read.parquet(f"{self.path}/fps")
+            # corruption test on COMMITTED rows (tombstones included):
+            # an all-tombstoned registry is legitimately live-empty
+            # and must still collapse; zero committed rows over
+            # non-empty data files is the corrupt shape
+            committed = fps.join(
+                F.broadcast(commits.select("batch")), "batch",
+                "left_semi")
+            if committed.isEmpty() and not fps.isEmpty():
                 raise ValueError(
                     f"stored snapshot at {self.path}: commit log "
-                    f"names {n_batches} batches but no committed "
-                    "live rows exist while the data files are "
-                    "non-empty — refusing to collapse (it would "
-                    "commit an empty registry over surviving data). "
-                    "Re-apply a full snapshot or repair the log.")
+                    f"names {n_batches} batches but none of their "
+                    "rows exist while the data files are non-empty "
+                    "— refusing to collapse (it would commit an "
+                    "empty registry over surviving data). Re-apply "
+                    "a full snapshot or repair the log.")
+            live = self.current(spark).localCheckpoint(eager=True)
             import uuid
             batch = uuid.uuid4().hex
             # overwrite sequencing (the StoredBigramLM discipline):
@@ -1613,10 +1637,14 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
 
     NULL values are excluded on both sides (they carry no position in
     the distribution; count them separately if missingness drift
-    matters). Scale shape: one count aggregate per side (map-side
-    combined, bin-count-sized shuffles), a full-outer bin join, and
-    1-row totals broadcast. Output: (bin, cnt_a, cnt_b, share_a,
-    share_b, chi2_term, tvd_term) ordered by bin via the caller.
+    matters). A side with ZERO non-NULL values has no distribution to
+    compare — the plan fails loudly (codegen-side raise_error, the
+    project_embeddings discipline) instead of emitting the div-by-0
+    NULLs/ANSI errors a silent path would. Scale shape: one count
+    aggregate per side (map-side combined, bin-count-sized shuffles),
+    a full-outer bin join, and 1-row totals broadcast. Output: (bin,
+    cnt_a, cnt_b, share_a, share_b, chi2_term, tvd_term) ordered by
+    bin via the caller.
     """
     w = float(bin_width)
     if w <= 0:
@@ -1639,18 +1667,33 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
         F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb"))
     j = joined.crossJoin(F.broadcast(totals))
     # expected counts under the pooled distribution; every float op
-    # below is a fixed per-row expression over exact ints
-    pooled = (F.col("cnt_a") + F.col("cnt_b")).cast("double") \
-        / (F.col("__na") + F.col("__nb"))
+    # below is a fixed per-row expression over exact ints.
+    # try_divide everywhere a guarded-empty side would divide by 0 —
+    # under ANSI mode a plain `/` would raise the opaque
+    # DIVIDE_BY_ZERO before the loud guard below evaluates (the
+    # project_embeddings lesson); on valid rows try_divide ≡ divide
+    # bit-for-bit, so the oracle keeps plain `/`
+    pooled = F.try_divide(
+        (F.col("cnt_a") + F.col("cnt_b")).cast("double"),
+        F.col("__na") + F.col("__nb"))
     e_a = F.col("__na") * pooled
     e_b = F.col("__nb") * pooled
-    chi2 = ((F.col("cnt_a") - e_a) * (F.col("cnt_a") - e_a) / e_a
-            + (F.col("cnt_b") - e_b) * (F.col("cnt_b") - e_b) / e_b)
-    tvd = F.abs(F.col("cnt_a").cast("double") / F.col("__na")
-                - F.col("cnt_b").cast("double") / F.col("__nb"))
+    chi2 = (F.try_divide((F.col("cnt_a") - e_a)
+                         * (F.col("cnt_a") - e_a), e_a)
+            + F.try_divide((F.col("cnt_b") - e_b)
+                           * (F.col("cnt_b") - e_b), e_b))
+    share_a = F.try_divide(F.col("cnt_a").cast("double"),
+                           F.col("__na"))
+    share_b = F.try_divide(F.col("cnt_b").cast("double"),
+                           F.col("__nb"))
+    tvd = F.abs(share_a - share_b)
+    empty_side = (F.col("__na") == 0) | (F.col("__nb") == 0)
+    j = j.withColumn(
+        "bin",
+        F.when(empty_side, F.raise_error(F.lit(
+            f"dist_drift: a side has zero non-NULL {value_col} "
+            "values — no distribution to compare")))
+        .otherwise(F.col("bin")))
     return j.select("bin", "cnt_a", "cnt_b",
-                    (F.col("cnt_a").cast("double") / F.col("__na"))
-                    .alias("share_a"),
-                    (F.col("cnt_b").cast("double") / F.col("__nb"))
-                    .alias("share_b"),
+                    share_a.alias("share_a"), share_b.alias("share_b"),
                     chi2.alias("chi2_term"), tvd.alias("tvd_term"))

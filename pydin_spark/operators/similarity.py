@@ -1186,11 +1186,21 @@ class IVFIndex:
                 # reconstruction error is the retrain signal).
                 # Detection is attempt-the-read, not os.path — the
                 # index path may live on an object store where local
-                # stat calls always say "absent"
+                # stat calls always say "absent". Classify, don't
+                # blanket: only ABSENCE means "this version has no
+                # PQ"; a transient read error must surface, not
+                # silently publish a code-less rebuild
                 try:
                     old_book = self.pq_book(spark)
-                except Exception:  # noqa: BLE001 - no PQ on this version
-                    old_book = None
+                except Exception as exc:  # noqa: BLE001 - classify below
+                    msg = f"{type(exc).__name__}: {exc}"
+                    if ("PATH_NOT_FOUND" in msg
+                            or "Path does not exist" in msg
+                            or "UNABLE_TO_INFER_SCHEMA" in msg
+                            or "Unable to infer schema" in msg):
+                        old_book = None
+                    else:
+                        raise
                 out["rebuilt"] = self.rebuild(corpus)
                 if old_book is not None:
                     out["pq"] = self.build_pq(spark, codebook=old_book)

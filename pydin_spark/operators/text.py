@@ -1586,11 +1586,12 @@ def vocab_coverage(df: DataFrame, k: int = 100,
     Empty tokens from runs of whitespace are dropped in both engines.
 
     Scale shape: token explode → ONE count aggregate with map-side
-    combine (shuffle is distinct-token-sized) and a 1-row total; the
-    global top-k is orderBy+limit = TakeOrdered (per-partition k,
-    driver merges k·P rows), and the cumulative window runs over the
-    already-materialized k rows — a k-row single partition by
-    construction, never a corpus-sized one.
+    combine (shuffle is distinct-token-sized); the 1-row total is the
+    SUM of those counts (distinct-token-sized input — the corpus is
+    scanned exactly once); the global top-k is orderBy+limit =
+    TakeOrdered (per-partition k, driver merges k·P rows), and the
+    cumulative window runs over the already-materialized k rows — a
+    k-row single partition by construction, never a corpus-sized one.
 
     Exactness: cumulative count is an exact BIGINT sum; the share is
     ONE division of two exact integers — bit-identical across engines
@@ -1600,10 +1601,13 @@ def vocab_coverage(df: DataFrame, k: int = 100,
     toks = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
                       .alias("token"))
             .where(F.col("token") != ""))
+    # materialize the (distinct-token-sized) counts once: the total
+    # and the top-k both read it — without this each branch would
+    # re-run the corpus explode (one full extra scan at 100 TB)
     counts = (toks.groupBy("token")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    total = (toks.groupBy()
-             .agg(F.count(F.lit(1)).alias("__total")))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=True))
+    total = counts.groupBy().agg(F.sum("cnt").alias("__total"))
     top = (counts.orderBy(F.desc("cnt"), F.asc("token"))
            .limit(int(k)))
     from pyspark.sql import Window

@@ -309,3 +309,53 @@ def test_dist_drift_null_and_validation(spark):
     assert len(out) == 1 and out[0]["cnt_a"] == 1  # NULL excluded
     with pytest.raises(ValueError, match="positive"):
         curation.dist_drift(a, b, "v", bin_width=0)
+
+
+# ---- round-7 self-review regression pins ----
+
+def test_stored_snapshot_string_ids(spark, tmp_path):
+    """A registry over non-bigint ids (URLs) must work from the very
+    first refresh — the pre-state empty frame takes the NEW snapshot's
+    id type (review fix: it was hardcoded long)."""
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"), id_col="url")
+    old = spark.createDataFrame(
+        [("http://a", "x"), ("http://b", "y")], "url string, text string")
+    assert reg.apply(old)["added"] == 2
+    d = reg.diff(spark.createDataFrame(
+        [("http://a", "x"), ("http://c", "z")],
+        "url string, text string"))
+    st = {r["url"]: r["status"] for r in d.collect()}
+    assert st == {"http://a": "unchanged", "http://b": "removed",
+                  "http://c": "added"}
+
+
+def test_stored_snapshot_all_tombstoned_still_maintains(spark, tmp_path):
+    """A legitimately decommissioned corpus (every doc tombstoned)
+    must still collapse — the corruption guard tests COMMITTED rows,
+    not live docs (review fix)."""
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"))
+    reg.apply(_snap_docs(spark, [(1, "a"), (2, "b")]))
+    c = reg.apply(spark.createDataFrame([], "doc_id long, text string"))
+    assert c["removed"] == 2
+    assert reg.current(spark).count() == 0
+    out = reg.maintain(spark)
+    assert out.get("collapsed_batches") == 2
+    assert reg.current(spark).count() == 0
+
+
+def test_snapshot_diff_null_text_is_present(spark):
+    """NULL text is a PRESENT document with empty content — without
+    the coalesce it fingerprinted to NULL and read as absent,
+    re-classifying 'added' forever (review fix)."""
+    old = spark.createDataFrame([(1, None), (2, "x")],
+                                "doc_id long, text string")
+    st = {r["doc_id"]: r["status"] for r in
+          curation.snapshot_diff(old, old).collect()}
+    assert st == {1: "unchanged", 2: "unchanged"}
+
+
+def test_dist_drift_empty_side_fails_loudly(spark):
+    a = spark.createDataFrame([(1.0,)], "v double")
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(Exception, match="zero non-NULL"):
+        curation.dist_drift(a, empty, "v").collect()

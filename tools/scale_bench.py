@@ -290,40 +290,37 @@ def _scale_dedup_containment_zipf(spark, sf_dir):
                                    max_shingle_freq=100)
 
 
-_PAGERANK_EDGES: dict = {}
+_IVF_EDGES: dict = {}
+
+
+def _ivf_edges(spark, sf_dir):
+    """IVF-pruned kNN edges, built + checkpointed ONCE per sf_dir —
+    shared by every graph-iteration scale row so each row measures
+    ITS algorithm, not the edge build (which has its own measured
+    row, sim_knn_graph_ivf)."""
+    if sf_dir not in _IVF_EDGES:
+        from pydin_spark.operators import similarity
+        g = similarity.ivf_knn_graph(spark.table("embeddings"), k=5,
+                                     nlist=8, nprobe=2, max_iter=2)
+        _IVF_EDGES[sf_dir] = (g.select("src_id", "nbr_id")
+                              .localCheckpoint(eager=True))
+    return _IVF_EDGES[sf_dir]
 
 
 def _scale_graph_pagerank(spark, sf_dir):
-    from pydin_spark.operators import graph, similarity
+    from pydin_spark.operators import graph
     entrymod._views(spark, sf_dir)
     # the gate ranks over the EXACT kNN graph (quadratic tier, needed
-    # for the all-pairs SQL oracle); the scale path builds edges with
-    # IVF-pruned probes — PageRank itself is edges-linear either way.
-    # The edge build is cached per sf_dir (checkpointed) so this row
-    # measures PAGERANK's scaling; graph construction has its own
-    # measured row (sim_knn_graph_ivf) — timing it twice here would
-    # blur which operator moved when the ratio does.
-    if sf_dir not in _PAGERANK_EDGES:
-        g = similarity.ivf_knn_graph(spark.table("embeddings"), k=5,
-                                     nlist=8, nprobe=2, max_iter=2)
-        _PAGERANK_EDGES[sf_dir] = (g.select("src_id", "nbr_id")
-                                   .localCheckpoint(eager=True))
-    return graph.pagerank(_PAGERANK_EDGES[sf_dir],
+    # for the all-pairs SQL oracle); the scale path ranks the shared
+    # IVF-pruned edges — PageRank itself is edges-linear either way
+    return graph.pagerank(_ivf_edges(spark, sf_dir),
                           src="src_id", dst="nbr_id")
 
 
 def _scale_graph_label_prop(spark, sf_dir):
     from pydin_spark.operators import graph
     entrymod._views(spark, sf_dir)
-    # same reasoning as pagerank: rank over cached IVF-pruned edges so
-    # this row measures LPA's own scaling (edge build has its own row)
-    if sf_dir not in _PAGERANK_EDGES:
-        from pydin_spark.operators import similarity
-        g = similarity.ivf_knn_graph(spark.table("embeddings"), k=5,
-                                     nlist=8, nprobe=2, max_iter=2)
-        _PAGERANK_EDGES[sf_dir] = (g.select("src_id", "nbr_id")
-                                   .localCheckpoint(eager=True))
-    return graph.label_propagation(_PAGERANK_EDGES[sf_dir],
+    return graph.label_propagation(_ivf_edges(spark, sf_dir),
                                    src="src_id", dst="nbr_id",
                                    iterations=5)
 
