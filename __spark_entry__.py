@@ -2556,6 +2556,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_dist_drift"] = _curation_dist_drift
 
+    def _curation_domain_cap(spark, sf_dir):
+        # the per-domain diversity cap as the REAL composed operator
+        # over URL-planted docs: primary domain -> bundle keepers ->
+        # blocklist -> exactly-3 per domain by the md5 draw
+        _views(spark, sf_dir)
+        docs = spark.sql("""
+            SELECT doc_id,
+                   concat(text, ' see https://Site', doc_id % 13,
+                          '.example.com/page/', doc_id,
+                          ' and http://cdn', doc_id % 7,
+                          '.assets.net/x?y=1') AS text
+            FROM documents
+        """)
+        return curation.domain_capped_corpus(
+            docs, k_per_domain=3, langs=("en", "und"),
+            blocklist=("site3.example.com", "cdn2.assets.net"))
+
+    out["curation_domain_cap"] = _curation_domain_cap
+
     def _curation_interleave(spark, sf_dir):
         # mixture-scheduled export: 20 sources at weights 1..20,
         # within-source curriculum by (n_chars, doc_id), global order
@@ -4451,7 +4470,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # quality bundle: the gopher/language/dedup CTEs composed — same
     # rule text as their standalone oracles, conjunction + reasons
-    out["text_quality_bundle"] = r"""
+    _bundle_sql = r"""
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                    FROM documents),
         b AS (SELECT doc_id, text, toks,
@@ -4520,6 +4539,54 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN g USING (doc_id) JOIN l USING (doc_id)
         JOIN surv USING (doc_id)
+    """
+    out["text_quality_bundle"] = _bundle_sql
+
+    def _bundle_sql_from(rel: str) -> str:
+        # the bundle verdict over any doc-shaped relation: every
+        # `FROM documents` in the template swaps to the relation
+        # (t / fp CTEs + the final join) — composition reuses the
+        # rule text instead of hand-syncing a second copy
+        return _bundle_sql.replace("FROM documents", f"FROM {rel}")
+
+    # domain-capped curation chain: the bundle verdict NESTED as a
+    # CTE over the SAME planted docs the operator sees, primary
+    # domain = authority of the lexicographically first URL,
+    # blocklist drop, exactly-k per domain by the shared md5 draw
+    # (same hex15 expansion as curation_exact_k)
+    out["curation_domain_cap"] = f"""
+        WITH pd AS (SELECT doc_id,
+                      concat(text, ' see https://Site', doc_id % 13,
+                             '.example.com/page/', doc_id,
+                             ' and http://cdn', doc_id % 7,
+                             '.assets.net/x?y=1') AS text
+               FROM documents),
+        bundle AS ({_bundle_sql_from("pd")}),
+        u AS (SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\\s]+', 0)) AS url
+              FROM pd),
+        p AS (SELECT doc_id, MIN(url) AS url FROM u GROUP BY doc_id),
+        dom AS (SELECT doc_id,
+                       lower(regexp_extract(url,
+                             '^https?://([^/?#]+)', 1)) AS domain
+                FROM p),
+        base AS (SELECT b.doc_id, dom.domain
+                 FROM bundle b JOIN dom USING (doc_id)
+                 WHERE b.keep AND dom.domain NOT IN
+                       ('site3.example.com', 'cdn2.assets.net')),
+        h AS (SELECT doc_id, domain,
+                     md5(CAST(doc_id AS VARCHAR) || '#42') AS m
+              FROM base),
+        uu AS (SELECT doc_id, domain,
+                      CAST({hex15} AS DOUBLE)
+                      / 1152921504606846976.0 AS u
+               FROM h),
+        r AS (SELECT doc_id, domain,
+                     ROW_NUMBER() OVER (PARTITION BY domain
+                                        ORDER BY u ASC, doc_id) AS rn
+              FROM uu)
+        SELECT doc_id, domain FROM r WHERE rn <= 3
     """
     # URL extraction: same planted construction, same RE2-portable
     # pattern, authority lowercased, literal blocklist membership

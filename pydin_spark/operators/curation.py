@@ -1697,3 +1697,41 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
     return j.select("bin", "cnt_a", "cnt_b",
                     share_a.alias("share_a"), share_b.alias("share_b"),
                     chi2.alias("chi2_term"), tvd.alias("tvd_term"))
+
+
+def domain_capped_corpus(df: DataFrame, k_per_domain: int = 3,
+                         langs: tuple = ("en",),
+                         blocklist: tuple = (),
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         seed: int = 42) -> DataFrame:
+    """The domain-diversity curation chain as ONE operator:
+    ``extract_urls`` → primary domain per doc → ``quality_bundle``
+    keepers → blocklist drop → ``sample_exact_k`` per domain — the
+    standard guard against a handful of mega-domains dominating a
+    crawl mix (per-domain caps are how C4/RefinedWeb-style corpora
+    bound single-site mass).
+
+    Primary domain = the authority of the doc's lexicographically
+    FIRST extracted URL (deterministic; docs with no URL drop — a
+    crawl doc always carries at least its own). The cap is the
+    md5-draw exactly-k primitive, so the kept subset is stable across
+    runs, partitionings, and engines. Every stage is an existing
+    gated operator; the composition itself is gate
+    ``curation_domain_cap``. Output: (id, domain), ≤ k per domain.
+    """
+    urls = text.extract_urls(df, id_col, text_col)
+    primary = (urls.groupBy(id_col)
+               .agg(F.min("url").alias("url"))
+               .select(F.col(id_col),
+                       F.lower(F.regexp_extract(
+                           F.col("url"), r"^https?://([^/?#]+)", 1))
+                       .alias("domain")))
+    kept = (text.quality_bundle(df, langs, id_col, text_col)
+            .where("keep").select(id_col))
+    base = kept.join(primary, id_col)
+    if blocklist:
+        base = base.where(~F.col("domain").isin(
+            [d.lower() for d in blocklist]))
+    return sample_exact_k(base, k_per_domain, strata_col="domain",
+                          id_col=id_col, seed=seed)

@@ -359,3 +359,35 @@ def test_dist_drift_empty_side_fails_loudly(spark):
     empty = spark.createDataFrame([(None,)], "v double")
     with pytest.raises(Exception, match="zero non-NULL"):
         curation.dist_drift(a, empty, "v").collect()
+
+
+# ---- domain-capped curation chain ----
+
+def test_domain_capped_corpus_chain(spark):
+    long_en = ("the data value of the pipeline is that the data and "
+               "the value keep growing while the data is in the "
+               "pipeline and the value is of the data and more text "
+               "here to pass the minimum token count easily")
+    rows = [(i, long_en + f" unique{i} see https://d{i % 2}.example.com/p")
+            for i in range(1, 9)]
+    rows.append((9, "too short https://d0.example.com/p"))
+    rows.append((10, long_en + " unique10 https://bad.example.com/x"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.domain_capped_corpus(
+        df, k_per_domain=2, langs=("en",),
+        blocklist=("bad.example.com",))
+    got = [(r["doc_id"], r["domain"]) for r in out.collect()]
+    domains = {}
+    for _id, dom in got:
+        domains.setdefault(dom, []).append(_id)
+    # cap honored per domain; quality + blocklist drops applied
+    assert set(domains) <= {"d0.example.com", "d1.example.com"}
+    assert all(len(v) <= 2 for v in domains.values())
+    assert 9 not in [i for i, _ in got]    # gopher-failed
+    assert 10 not in [i for i, _ in got]   # blocklisted domain
+    # deterministic across reruns
+    again = [(r["doc_id"], r["domain"]) for r in
+             curation.domain_capped_corpus(
+                 df, k_per_domain=2, langs=("en",),
+                 blocklist=("bad.example.com",)).collect()]
+    assert sorted(got) == sorted(again)

@@ -124,6 +124,7 @@ EXTRA = [
     "text_quality_bundle",
     "curation_snapshot_stored",
     "curation_dist_drift",
+    "curation_domain_cap",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -429,6 +430,7 @@ LINEAR_OK = {
     "text_quality_bundle",      # three doc scans + 32-byte dedup join
     "curation_snapshot_stored",  # new-snapshot scan + id-keyed state join
     "curation_dist_drift",      # two count aggs + bin join, bin-sized
+    "curation_domain_cap",      # three doc scans + per-domain rank window
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
