@@ -1532,15 +1532,22 @@ class StoredSnapshot:
                              status.alias("status"),
                              "old_fp", "new_fp")
 
-    def apply(self, new: DataFrame, full: bool = True) -> dict:
+    def apply(self, new: DataFrame, full: bool = True,
+              delta_path: str | None = None) -> dict:
         """Diff ``new`` against the registry, then land the delta:
         added/changed docs append their new fingerprint, removed docs
         (full snapshots only) append a tombstone; ONE commit row
-        lands last. Returns per-status counts."""
+        lands last. With ``delta_path`` the materialized diff rows
+        append there BEFORE the state writes — a crash between sink
+        and commit replays against pre-batch state and re-derives the
+        same delta (at-least-once to the sink, exactly-once to the
+        state). Returns per-status counts."""
         import uuid
         spark = new.sparkSession
         id_col = self.id_col
         d = self.diff(new, full=full).localCheckpoint(eager=True)
+        if delta_path is not None:
+            d.write.mode("append").parquet(delta_path)
         counts = {r["status"]: r["n"] for r in
                   d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
                   .collect()}
@@ -1561,6 +1568,35 @@ class StoredSnapshot:
             spark.catalog.refreshByPath(f"{self.path}/{name}")
         return {s: counts.get(s, 0)
                 for s in ("added", "removed", "changed", "unchanged")}
+
+    def apply_stream(self, stream_df: DataFrame, checkpoint: str,
+                     delta_path: str | None = None,
+                     trigger_once: bool = True,
+                     maintain_every: int | None = 20):
+        """Streaming front door: every micro-batch diffs against the
+        stored registry as a PARTIAL snapshot (``full=False`` — a
+        micro-batch never asserts corpus-wide absence) and lands its
+        added/changed rows. With ``delta_path`` the batch's diff rows
+        (id, status, old_fp, new_fp) append there BEFORE the state
+        commit — the IncrementalLineDeduper replay contract: a crash
+        between sink and commit replays the batch against pre-batch
+        state and re-derives the same delta (at-least-once to the
+        sink, exactly-once to the state). ``maintain_every`` bounds
+        the commit log by collapsing periodically. Returns the
+        started StreamingQuery."""
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply(batch_df, full=False, delta_path=delta_path)
+            if maintain_every and batch_id > 0 \
+                    and batch_id % maintain_every == 0:
+                self.maintain(batch_df.sparkSession)
+
+        writer = (stream_df.writeStream
+                  .foreachBatch(_sink)
+                  .outputMode("update")
+                  .option("checkpointLocation", checkpoint))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def maintain(self, spark, max_files: int = 64,
                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:

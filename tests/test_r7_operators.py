@@ -391,3 +391,37 @@ def test_domain_capped_corpus_chain(spark):
                  df, k_per_domain=2, langs=("en",),
                  blocklist=("bad.example.com",)).collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_stored_snapshot_streaming_front_door(spark, tmp_path):
+    """apply_stream: each micro-batch diffs as a PARTIAL snapshot
+    against the registry, the delta lands before the state commit,
+    and the final registry equals the batch-API result."""
+    import json
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": f"doc {i} body"})
+        for i in range(3)))
+    (land / "b.json").write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": "doc 1 body"}),      # unchanged
+        json.dumps({"doc_id": 2, "text": "doc 2 CHANGED"}),
+        json.dumps({"doc_id": 7, "text": "late arrival"})]))
+
+    reg = curation.StoredSnapshot(str(tmp_path / "reg"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(land)))
+    q = reg.apply_stream(stream, str(tmp_path / "ckpt"),
+                         delta_path=str(tmp_path / "delta"))
+    q.awaitTermination(120)
+
+    live = {r["doc_id"] for r in reg.current(spark).collect()}
+    assert live == {0, 1, 2, 7}  # partial batches never remove
+    delta = spark.read.parquet(str(tmp_path / "delta"))
+    by = {(r["doc_id"], r["status"]) for r in delta.collect()}
+    assert (7, "added") in by and (2, "changed") in by \
+        and (1, "unchanged") in by
+    # a follow-up FULL apply still works on stream-built state
+    counts = reg.apply(spark.createDataFrame(
+        [(1, "doc 1 body")], "doc_id long, text string"))
+    assert counts["removed"] == 3 and counts["unchanged"] == 1
