@@ -2471,6 +2471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["text_vocab_coverage"] = _text_vocab_coverage
 
+    def _text_token_fertility(spark, sf_dir):
+        # per-(source, lang) tokenizer budget: exact BIGINT totals,
+        # ratio = ONE int/int division (raw double, bit-identical)
+        _views(spark, sf_dir)
+        return text.token_fertility(spark.table("documents"),
+                                    group_cols=("source", "lang"))
+
+    out["text_token_fertility"] = _text_token_fertility
+
     def _text_extract_urls(spark, sf_dir):
         # domain curation front end: plant two deterministic URLs per
         # doc (the fixture corpus has none), extract + lowercase the
@@ -4609,6 +4618,24 @@ def oracle_sql() -> dict[str, str]:
                    IN ('site3.example.com', 'cdn2.assets.net')
                    AS blocked
         FROM u
+    """
+    # token fertility: exact totals per (source, lang); DuckDB's
+    # len(list_filter(...)) token count matches Spark's size(filter)
+    # on the same \s+ split with empties dropped
+    out["text_token_fertility"] = r"""
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                   AS n_chars,
+               CAST(SUM(len(list_filter(
+                        string_split_regex(COALESCE(text, ''), '\s+'),
+                        x -> x <> ''))) AS BIGINT) AS n_tokens,
+               CAST(CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                    AS DOUBLE)
+               / CAST(SUM(len(list_filter(
+                        string_split_regex(COALESCE(text, ''), '\s+'),
+                        x -> x <> ''))) AS BIGINT) AS chars_per_token
+        FROM documents GROUP BY source, lang
     """
     # vocab coverage: exact BIGINT cumulative count; the share is one
     # division of two exact integers (HUGEINT sum cast back first).

@@ -50,6 +50,35 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def token_fertility(df: DataFrame, group_cols: tuple = ("source",),
+                    text_col: str = "text") -> DataFrame:
+    """Tokenizer-budget diagnostic per group (source/lang/domain):
+    corpus-exact character and whitespace-token totals with their
+    ratio — "fertility" (chars per token) is the first number a
+    tokenizer plan needs per language/source (a BPE trained on
+    low-fertility English pays ~2× tokens on high-fertility scripts;
+    the per-group table shows WHERE the token budget actually goes).
+
+    Exactness: both totals are BIGINT sums; the ratio is ONE division
+    of two exact integers (bit-identical across engines). Empty/NULL
+    texts count zero on both totals. Scale shape: one scan, one
+    map-side-combined aggregate on the (small) group key. Output:
+    (group_cols..., n_docs, n_chars, n_tokens, chars_per_token).
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+    n_tok = F.size(F.filter(toks, lambda t: t != ""))
+    agg = (df.groupBy(*[F.col(c) for c in group_cols])
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length(F.coalesce(F.col(text_col),
+                                          F.lit(""))))
+                .alias("n_chars"),
+                F.sum(n_tok).alias("n_tokens")))
+    return agg.select(
+        *group_cols, "n_docs", "n_chars", "n_tokens",
+        F.try_divide(F.col("n_chars").cast("double"),
+                     F.col("n_tokens")).alias("chars_per_token"))
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, lexical diversity, stopword mass.

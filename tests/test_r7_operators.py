@@ -425,3 +425,18 @@ def test_stored_snapshot_streaming_front_door(spark, tmp_path):
     counts = reg.apply(spark.createDataFrame(
         [(1, "doc 1 body")], "doc_id long, text string"))
     assert counts["removed"] == 3 and counts["unchanged"] == 1
+
+
+def test_token_fertility_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd", "w"), (2, "abcdef", "w"), (3, None, "x"),
+         (4, "a  b", "x")],
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r for r in
+            text.token_fertility(df, group_cols=("source",)).collect()}
+    # w: chars 5+6=11, tokens 2+1=3
+    assert rows["w"]["n_chars"] == 11 and rows["w"]["n_tokens"] == 3
+    assert rows["w"]["chars_per_token"] == 11 / 3
+    # x: NULL text counts zero; "a  b" is 2 tokens (empties dropped)
+    assert rows["x"]["n_docs"] == 2
+    assert rows["x"]["n_chars"] == 4 and rows["x"]["n_tokens"] == 2

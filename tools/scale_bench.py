@@ -125,6 +125,7 @@ EXTRA = [
     "curation_snapshot_stored",
     "curation_dist_drift",
     "curation_domain_cap",
+    "text_token_fertility",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -431,6 +432,7 @@ LINEAR_OK = {
     "curation_snapshot_stored",  # new-snapshot scan + id-keyed state join
     "curation_dist_drift",      # two count aggs + bin join, bin-sized
     "curation_domain_cap",      # three doc scans + per-domain rank window
+    "text_token_fertility",     # one scan, group-key combine agg
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
