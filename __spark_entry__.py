@@ -2480,6 +2480,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["text_token_fertility"] = _text_token_fertility
 
+    def _text_sentence_chunks(spark, sf_dir):
+        # sentence-intact RAG chunks: cumulative-words rule
+        # floor(words_before / capacity). The fixture corpus is
+        # single-sentence, so the gate plants a period after every
+        # 7th word (identically in both engines — note Spark's
+        # transform index is 0-based, DuckDB's 1-based) and chunks
+        # at capacity 16 so real multi-chunk regrouping is exercised
+        _views(spark, sf_dir)
+        docs = spark.sql("""
+            SELECT doc_id,
+                   array_join(transform(split(text, ' '),
+                              (w, i) -> CASE WHEN (i + 1) % 7 = 0
+                                        THEN concat(w, '.')
+                                        ELSE w END), ' ') AS text
+            FROM documents
+        """)
+        return text.sentence_chunks(docs, capacity=16)
+
+    out["text_sentence_chunks"] = _text_sentence_chunks
+
     def _text_extract_urls(spark, sf_dir):
         # domain curation front end: plant two deterministic URLs per
         # doc (the fixture corpus has none), extract + lowercase the
@@ -4817,6 +4837,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(string_split(sents[i], ' ')) AS INTEGER)
                    AS n_words
         FROM s, unnest(range(1, len(sents) + 1)) AS u(i)
+    """
+    # sentence-intact chunks: planted periods (every 7th word; DuckDB
+    # lambda index is 1-based where Spark's is 0-based), the same
+    # sentence CTE, cumulative rule floor(words_before / 16)
+    out["text_sentence_chunks"] = """
+        WITH pd AS (SELECT doc_id,
+                           array_to_string(list_transform(
+                               string_split(text, ' '),
+                               (w, i) -> CASE WHEN i % 7 = 0
+                                         THEN concat(w, '.')
+                                         ELSE w END), ' ') AS text
+                    FROM documents),
+        s AS (SELECT doc_id,
+                          list_filter(list_transform(
+                              regexp_extract_all(text,
+                                                 '[^.!?]+[.!?]*'),
+                              x -> trim(x)), x -> x <> '') AS sents
+                   FROM pd),
+        e AS (SELECT doc_id, CAST(i AS INTEGER) AS sent_idx,
+                     sents[i] AS sentence,
+                     CAST(len(string_split(sents[i], ' ')) AS INTEGER)
+                         AS n_words
+              FROM s, unnest(range(1, len(sents) + 1)) AS u(i)),
+        c AS (SELECT doc_id, sent_idx, sentence, n_words,
+                     CAST(COALESCE(SUM(n_words) OVER (
+                              PARTITION BY doc_id ORDER BY sent_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) // 16 AS INTEGER)
+                         AS chunk_idx
+              FROM e)
+        SELECT doc_id, chunk_idx,
+               string_agg(sentence, ' ' ORDER BY sent_idx) AS text,
+               CAST(COUNT(*) AS INTEGER) AS n_sentences,
+               CAST(SUM(n_words) AS BIGINT) AS n_words
+        FROM c GROUP BY doc_id, chunk_idx
     """
     return out
 

@@ -1739,6 +1739,47 @@ def split_sentences(df: DataFrame, id_col: str = "doc_id",
         .alias("n_words"))
 
 
+def sentence_chunks(df: DataFrame, capacity: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sentence-boundary-aware chunking — the RAG/packing prep that
+    :func:`chunk_text` (fixed token windows) can't give: chunks never
+    split a sentence. Rule (deterministic, shared verbatim with the
+    SQL twin): sentence ``s`` lands in chunk
+    ``floor(words_before_s / capacity)`` — a chunk closes once the
+    words before the next sentence fill its capacity, so chunks
+    average ``capacity`` words and may overflow by at most their last
+    sentence (the price of the sentence-intact contract; an
+    over-capacity single sentence owns the span it fills). Compared
+    to greedy reset-at-boundary packing this cumulative rule is
+    window-expressible (no sequential scan), which is what makes it
+    both distributed-cheap and oracle-exact.
+
+    Scale shape: :func:`split_sentences`' zero-shuffle explode, one
+    running-sum window + one regroup on the SAME (id) key — two
+    id-keyed shuffles total, corpus-linear. Output: (id, chunk_idx,
+    text, n_sentences, n_words).
+    """
+    if int(capacity) <= 0:
+        raise ValueError("capacity must be positive")
+    from pyspark.sql import Window
+    s = split_sentences(df, id_col, text_col)
+    w = (Window.partitionBy(id_col).orderBy("sent_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = s.withColumn(
+        "chunk_idx",
+        F.floor(F.coalesce(F.sum("n_words").over(w), F.lit(0))
+                / F.lit(int(capacity))).cast("int"))
+    return (c.groupBy(id_col, "chunk_idx")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("sent_idx", "sentence"))),
+                    lambda x: x["sentence"]), " ").alias("text"),
+                F.count(F.lit(1)).cast("int").alias("n_sentences"),
+                F.sum("n_words").cast("bigint").alias("n_words")))
+
+
 class StoredBigramLM:
     """Persisted bigram language model — the PERPLEXITY member of the
     stored-state family (CCNet's quality architecture: train the LM

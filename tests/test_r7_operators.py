@@ -440,3 +440,27 @@ def test_token_fertility_known_values(spark):
     # x: NULL text counts zero; "a  b" is 2 tokens (empties dropped)
     assert rows["x"]["n_docs"] == 2
     assert rows["x"]["n_chars"] == 4 and rows["x"]["n_tokens"] == 2
+
+
+def test_sentence_chunks_rule_and_integrity(spark):
+    # 4 sentences of 3/4/5/2 words, capacity 6:
+    # cum_before = 0,3,7,12 -> chunks 0,0,1,2
+    df = spark.createDataFrame(
+        [(1, "one two three. a b c d! e f g h i? end now.")],
+        "doc_id long, text string")
+    rows = {r["chunk_idx"]: r for r in
+            text.sentence_chunks(df, capacity=6).collect()}
+    assert rows[0]["text"] == "one two three. a b c d!"
+    assert rows[0]["n_sentences"] == 2 and rows[0]["n_words"] == 7
+    assert rows[1]["text"] == "e f g h i?"
+    assert rows[2]["text"] == "end now."
+    # chunks rebuild the full sentence stream in order
+    assert " ".join(rows[i]["text"] for i in sorted(rows)) == \
+        "one two three. a b c d! e f g h i? end now."
+
+
+def test_sentence_chunks_validation_and_empty(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert text.sentence_chunks(df, capacity=8).count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        text.sentence_chunks(df, capacity=0)

@@ -126,6 +126,7 @@ EXTRA = [
     "curation_dist_drift",
     "curation_domain_cap",
     "text_token_fertility",
+    "text_sentence_chunks",
     "dedup_cross_corpus",
     "dedup_edit",
     "text_bigram_lm_stored",
@@ -433,6 +434,7 @@ LINEAR_OK = {
     "curation_dist_drift",      # two count aggs + bin join, bin-sized
     "curation_domain_cap",      # three doc scans + per-domain rank window
     "text_token_fertility",     # one scan, group-key combine agg
+    "text_sentence_chunks",     # explode + two id-keyed shuffles
     "emb_project",              # pure per-row arithmetic scan
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
