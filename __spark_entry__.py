@@ -2648,6 +2648,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["graph_pagerank_seeded"] = _graph_pagerank_seeded
 
+    def _graph_pagerank_weighted(spark, sf_dir):
+        # affinity-weighted walk: mass leaves each vector along its
+        # kNN edges in proportion to integer rank weights (nearest
+        # neighbor weighs 5 … 5th weighs 1) — contribution
+        # (r*w) div W_src, still pure BIGINT, still value-exact
+        from pyspark.sql import functions as F2
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        e = g.select("src_id", "nbr_id",
+                     (F2.lit(6) - F2.col("rnk")).cast("long")
+                     .alias("w"))
+        return graph.pagerank(e, src="src_id", dst="nbr_id",
+                              weight_col="w")
+
+    out["graph_pagerank_weighted"] = _graph_pagerank_weighted
+
     def _graph_label_prop(spark, sf_dir):
         # soft communities over the exact kNN graph: synchronous LPA
         # with the most-frequent-then-smallest tie order — a pure
@@ -4465,6 +4482,24 @@ def oracle_sql() -> dict[str, str]:
                FROM p),
         edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
                   WHERE rnk <= 5)""", seeds=list(range(10)))
+    # weighted walk over the same kNN edges: integer rank weights
+    # (6 - rnk), contribution (r*w) // W_src — same unrolled chain
+    out["graph_pagerank_weighted"] = pagerank_oracle_sql("""
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        rk AS (SELECT src_id, nbr_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cosine DESC, nbr_id)
+                          AS rnk
+               FROM p),
+        edges AS (SELECT src_id AS src, nbr_id AS dst,
+                         CAST(6 - rnk AS BIGINT) AS w
+                  FROM rk WHERE rnk <= 5)""", weighted=True)
     # label propagation over the same kNN edges: unrolled synchronous
     # rounds with the identical most-frequent-then-smallest tie order
     from pydin_spark.operators.graph import lpa_oracle_sql

@@ -51,7 +51,8 @@ def _aqe_off(spark):
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              damping: int = 85, iterations: int = 10,
              id_out: str = "node", checkpoint: bool = True,
-             seeds: list | None = None) -> DataFrame:
+             seeds: list | None = None,
+             weight_col: str | None = None) -> DataFrame:
     """PageRank over an edge list, exact fixed-point semantics.
 
     ``r_0[u] = SCALE div N``; each iteration
@@ -62,6 +63,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     count once per occurrence (pre-``distinct()`` the input if you
     want simple-graph semantics); dangling nodes (no out-edges)
     simply leak their mass, the standard simplification.
+
+    With ``weight_col`` the walk is WEIGHTED: mass leaves ``v`` along
+    each edge in proportion to its positive INTEGER weight —
+    ``contribution = (r[v] * w_uv) div W_v`` with ``W_v = Σ w`` over
+    ``v``'s out-edges. Integer weights keep the recurrence in BIGINT
+    (value-exact oracle preserved); quantize float affinities (e.g.
+    cosine) onto an integer grid first, which is also what bounds the
+    product: ``r[v] * w`` must stay under 2^63 — with ranks ≤ 10^12
+    that allows weights up to ~9×10^6, far above any useful grid.
+    Non-positive or NULL weights are rejected loudly (dropping them
+    would silently rewrite the graph).
 
     With ``seeds`` (a list of node ids) the walk is PERSONALIZED:
     initial mass and the teleport term go only to the seeds
@@ -93,8 +105,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     if not 0 <= int(damping) <= 100:
         raise ValueError("damping is an integer percent in [0, 100]")
+    if weight_col is None:
+        w_expr = F.lit(1).cast("long")
+    else:
+        # reject bad weights LOUDLY (codegen-side, zero cost on the
+        # valid path) — silently dropping them rewrites the graph
+        w_expr = F.when(
+            F.col(weight_col).isNull() | (F.col(weight_col) <= 0),
+            F.raise_error(F.lit(
+                f"pagerank: {weight_col} must be a positive integer "
+                "on every edge (quantize float affinities first)"))
+        ).otherwise(F.col(weight_col).cast("long"))
     e = (edges.select(F.col(src).alias("__src"),
-                      F.col(dst).alias("__dst"))
+                      F.col(dst).alias("__dst"),
+                      w_expr.alias("__w"))
          .where(F.col("__src").isNotNull()
                 & F.col("__dst").isNotNull()))
     # one up-front hash partitioning of the static frames, reused by
@@ -111,7 +135,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         n = nodes.count()
         if n == 0:
             return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
-        deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+        deg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
         ed = (e.join(deg, "__src")
               .repartition(nparts, "__src")
               .localCheckpoint(eager=True))
@@ -133,7 +157,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     for _ in range(int(iterations)):
         contrib = (ed.join(r, ed["__src"] == r[id_out])
                    .select(F.col("__dst"),
-                           F.expr("pr_fp div __deg").alias("__c")))
+                           F.expr("(pr_fp * __w) div __deg")
+                           .alias("__c")))
         s = contrib.groupBy("__dst").agg(F.sum("__c").alias("__s"))
         r = (nodes.join(s, nodes[id_out] == s["__dst"], "left")
              .select(nodes[id_out],
@@ -269,18 +294,23 @@ def lpa_oracle_sql(edges_cte: str, iterations: int = 5,
 def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
                         iterations: int = 10,
                         id_out: str = "node",
-                        seeds: list | None = None) -> str:
+                        seeds: list | None = None,
+                        weighted: bool = False) -> str:
     """DuckDB twin of :func:`pagerank` as an unrolled CTE chain.
 
     ``edges_cte`` is a CTE list WITHOUT the leading ``WITH`` keyword,
-    ending in a CTE named ``edges(src, dst)``. The recurrence is textually the
+    ending in a CTE named ``edges(src, dst)`` (or
+    ``edges(src, dst, w)`` with integer weights when
+    ``weighted=True``). The recurrence is textually the
     same integer arithmetic as the Spark side (HUGEINT sums are cast
     back to BIGINT), so the comparison is value-exact, not
     approximate — the property that makes an ITERATIVE operator
     drivable by the same oracle gate as everything else.
 
     ``seeds`` mirrors :func:`pagerank`'s personalization: init/teleport
-    mass conditional on membership in the literal id list.
+    mass conditional on membership in the literal id list;
+    ``weighted`` mirrors ``weight_col``: per-edge contribution
+    ``(r * w) // W_src`` with ``W_src = Σ w``.
     """
     d = int(damping)
     if seeds is None:
@@ -297,14 +327,19 @@ def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
                 f"ELSE 0 END)")
         init = (f"CASE WHEN node IN ({in_list}) "
                 f"THEN {SCALE // len(seeds)} ELSE 0 END")
+    deg_expr = ("CAST(SUM(w) AS BIGINT)" if weighted
+                else "COUNT(*)")
+    contrib = ("CAST((it{t}.r * e.w) AS BIGINT) // dg.deg"
+               if weighted else "it{t}.r // dg.deg")
     parts = [edges_cte.rstrip().rstrip(",")]
     parts.append("""
         nodes AS (SELECT src AS node FROM edges
                   UNION SELECT dst FROM edges),
         nn AS (SELECT COUNT(*) AS n FROM nodes),
-        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        deg AS (SELECT src, {deg} AS deg FROM edges GROUP BY src),
         it0 AS (SELECT node, CAST({init} AS BIGINT) AS r
-                FROM nodes CROSS JOIN nn)""".format(init=init))
+                FROM nodes CROSS JOIN nn)""".format(init=init,
+                                                    deg=deg_expr))
     for t in range(int(iterations)):
         parts.append(f"""
         it{t + 1} AS (
@@ -314,7 +349,7 @@ def pagerank_oracle_sql(edges_cte: str, damping: int = 85,
                         AS BIGINT) AS r
             FROM nodes n0 CROSS JOIN nn
             LEFT JOIN (SELECT e.dst AS node,
-                              SUM(it{t}.r // dg.deg) AS s
+                              SUM({contrib.format(t=t)}) AS s
                        FROM edges e
                        JOIN it{t} ON it{t}.node = e.src
                        JOIN deg dg ON dg.src = e.src

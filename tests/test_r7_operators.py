@@ -464,3 +464,28 @@ def test_sentence_chunks_validation_and_empty(spark):
     assert text.sentence_chunks(df, capacity=8).count() == 0
     with pytest.raises(ValueError, match="positive"):
         text.sentence_chunks(df, capacity=0)
+
+
+def test_weighted_pagerank_oracle_and_semantics(spark):
+    import duckdb
+    from pydin_spark.operators.graph import pagerank, pagerank_oracle_sql
+    edges = [(1, 2, 3), (2, 3, 1), (1, 3, 7), (3, 1, 2), (4, 1, 5),
+             (2, 4, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = sorted(tuple(r) for r in
+                 pagerank(df, weight_col="w", iterations=6).collect())
+    sql = pagerank_oracle_sql(
+        "edges(src, dst, w) AS (VALUES "
+        + ", ".join(f"({a},{b},{w})" for a, b, w in edges) + ")",
+        iterations=6, weighted=True)
+    assert out == sorted(tuple(r) for r in
+                         duckdb.connect().execute(sql).fetchall())
+    # all-equal weights == unweighted walk exactly
+    eq = spark.createDataFrame([(a, b, 9) for a, b, _ in edges],
+                               "src long, dst long, w long")
+    assert sorted(map(tuple, pagerank(eq, weight_col="w").collect())) \
+        == sorted(map(tuple, pagerank(eq).collect()))
+    # bad weights fail loudly instead of silently rewriting the graph
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="positive integer"):
+        pagerank(bad, weight_col="w", iterations=1).collect()

@@ -117,6 +117,7 @@ EXTRA = [
     "dedup_jaccard_zipf",
     "dedup_containment_zipf",
     "graph_label_prop",
+    "graph_pagerank_weighted",
     "sim_hard_negatives",
     "curation_snapshot_diff",
     "text_vocab_coverage",
@@ -320,6 +321,32 @@ def _scale_graph_pagerank(spark, sf_dir):
                           src="src_id", dst="nbr_id")
 
 
+def _scale_graph_pagerank_weighted(spark, sf_dir):
+    from pydin_spark.operators import graph
+    from pyspark.sql import functions as F
+    entrymod._views(spark, sf_dir)
+    e = _ivf_edges_ranked(spark, sf_dir)
+    return graph.pagerank(e, src="src_id", dst="nbr_id",
+                          weight_col="w")
+
+
+_IVF_EDGES_RANKED: dict = {}
+
+
+def _ivf_edges_ranked(spark, sf_dir):
+    """Shared IVF edges WITH integer rank weights (6 - rnk)."""
+    if sf_dir not in _IVF_EDGES_RANKED:
+        from pyspark.sql import functions as F
+        from pydin_spark.operators import similarity
+        g = similarity.ivf_knn_graph(spark.table("embeddings"), k=5,
+                                     nlist=8, nprobe=2, max_iter=2)
+        _IVF_EDGES_RANKED[sf_dir] = (
+            g.select("src_id", "nbr_id",
+                     (F.lit(6) - F.col("rnk")).cast("long").alias("w"))
+            .localCheckpoint(eager=True))
+    return _IVF_EDGES_RANKED[sf_dir]
+
+
 def _scale_graph_label_prop(spark, sf_dir):
     from pydin_spark.operators import graph
     entrymod._views(spark, sf_dir)
@@ -343,6 +370,7 @@ def _scale_snapshot_diff(spark, sf_dir):
 
 SCALE_VARIANTS = {
     "graph_label_prop": _scale_graph_label_prop,
+    "graph_pagerank_weighted": _scale_graph_pagerank_weighted,
     "curation_snapshot_diff": _scale_snapshot_diff,
     "dedup_jaccard_zipf": _scale_dedup_jaccard_zipf,
     "dedup_containment_zipf": _scale_dedup_containment_zipf,
@@ -426,6 +454,7 @@ LINEAR_OK = {
     "curation_interleave",      # per-source window + one range shuffle
     "graph_pagerank",           # edges-linear iterations (IVF edges)
     "graph_label_prop",         # edges-linear rounds (IVF edges)
+    "graph_pagerank_weighted",  # same Pregel floor, weighted deg
     "curation_snapshot_diff",   # two fingerprint scans + one id join
     "text_vocab_coverage",      # token explode + combine + TakeOrdered
     "text_extract_urls",        # pure regexp scan, zero shuffle
