@@ -2680,6 +2680,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["graph_label_prop"] = _graph_label_prop
 
+    def _graph_triangles(spark, sf_dir):
+        # density signal over the exact kNN graph: degree-ordered
+        # wedge enumeration (O(m^1.5)), per-node triangle counts and
+        # local clustering coefficient — the lcc float is ONE division
+        # of exact BIGINTs, so it hashes exactly (%.6f convention)
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        out_df = graph.triangles(g.select("src_id", "nbr_id"),
+                                 src="src_id", dst="nbr_id")
+        return out_df.select(
+            "node", "deg", "tri_cnt",
+            F.format_string("%.6f", "lcc").alias("lcc6"))
+
+    out["graph_triangles"] = _graph_triangles
+
+    def _graph_kcore(spark, sf_dir):
+        # cohesion backbone: synchronous 4-core peel, 8 fixed rounds —
+        # a pure function of the edge list, so the iterative peel
+        # carries a value-exact unrolled-CTE oracle. The plain kNN
+        # graph is degree-regular (min undirected degree = k, so any
+        # core either keeps everything or unravels to nothing);
+        # varying per-node out-degree by id (rnk <= 1 + src % 8)
+        # makes the peel non-trivial: ~12% of nodes cascade out and
+        # the rest stabilize before round 8 at both gate scales
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=8)
+        e = g.where(F.col("rnk") <= 1 + F.col("src_id") % 8)
+        return graph.kcore(e.select("src_id", "nbr_id"), k=4,
+                           rounds=8, src="src_id", dst="nbr_id")
+
+    out["graph_kcore"] = _graph_kcore
+
+    def _dedup_soft_weights(spark, sf_dir):
+        # SoftDeDup: every doc kept, weight 1/cluster_size over the
+        # transitive near-dup closure (exact pair method so the
+        # recursive-CTE oracle sees identical clusters); weight is ONE
+        # exact-int division -> %.6f hashes exactly
+        _views(spark, sf_dir)
+        out_df = dedup.soft_dedup_weights(
+            spark.table("documents"), threshold=0.2,
+            max_shingle_freq=100, method="exact")
+        return out_df.select(
+            "doc_id", "cluster_size",
+            F.format_string("%.6f", "weight").alias("weight6"))
+
+    out["dedup_soft_weights"] = _dedup_soft_weights
+
+    def _curation_dist_drift_ks(spark, sf_dir):
+        # KS view of the same refresh-QA drift check: per-bin
+        # empirical CDFs (running exact counts over the bin-bounded
+        # frame, one division each) and their gap |cdf_a - cdf_b|,
+        # whose max is the two-sample KS statistic
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        out_df = curation.dist_drift(
+            docs.where("doc_id % 2 = 0").select("n_chars"),
+            docs.where("doc_id % 2 = 1").select("n_chars"),
+            "n_chars", bin_width=100.0, cumulative=True)
+        return out_df.select(
+            "bin", "cnt_a", "cnt_b",
+            F.format_string("%.9f", "cdf_a").alias("cdf_a9"),
+            F.format_string("%.9f", "cdf_b").alias("cdf_b9"),
+            F.format_string("%.9f", "ks_term").alias("ks_term9"))
+
+    out["curation_dist_drift_ks"] = _curation_dist_drift_ks
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -3222,6 +3290,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, component,
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
+    """
+    # SoftDeDup weights: the dedup_clusters closure (same recursive
+    # CTE, same 0.2/100 operating point) joined back to ALL docs —
+    # singletons size 1; weight = ONE double division of exact ints
+    out["dedup_soft_weights"] = """
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM shared
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE shared / (sa.sz + sb.sz - shared)
+                        >= CAST(0.2 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component
+                 FROM reach GROUP BY id),
+        csz AS (SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY component) AS sz
+                FROM comp)
+        SELECT d.doc_id,
+               CAST(COALESCE(csz.sz, 1) AS BIGINT) AS cluster_size,
+               format('{:.6f}', CAST(1.0 AS DOUBLE)
+                                / CAST(COALESCE(csz.sz, 1) AS DOUBLE))
+                   AS weight6
+        FROM documents d LEFT JOIN csz ON csz.doc_id = d.doc_id
     """
     # TF-IDF top terms: smoothed idf, ties by term; score serialized
     # %.6f (same convention as the embedding queries)
@@ -4518,6 +4626,39 @@ def oracle_sql() -> dict[str, str]:
                FROM p),
         edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
                   WHERE rnk <= 5)""", iterations=5)
+    # triangle census over the same kNN edges: the oracle enumerates
+    # naively (triple join, a < b < c) — count is enumeration-order-
+    # independent, so Spark's degree-ordered DAG needs no mirroring;
+    # lcc is ONE exact-int division, %.6f per the float convention
+    from pydin_spark.operators.graph import (triangles_oracle_sql,
+                                             kcore_oracle_sql)
+    _knn_edges_cte = """
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings),
+        p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        rk AS (SELECT src_id, nbr_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cosine DESC, nbr_id)
+                          AS rnk
+               FROM p),
+        edges AS (SELECT src_id AS src, nbr_id AS dst FROM rk
+                  WHERE rnk <= 5)"""
+    out["graph_triangles"] = (
+        "SELECT node, deg, tri_cnt, format('{:.6f}', lcc) AS lcc6 "
+        "FROM (" + triangles_oracle_sql(_knn_edges_cte) + ")")
+    # 4-core peel, 8 unrolled synchronous rounds — textually the same
+    # degree-threshold rule per round as the Spark loop; per-node
+    # out-degree varies by id (rnk <= 1 + src % 8) so the peel is
+    # non-trivial (see the gate comment)
+    out["graph_kcore"] = kcore_oracle_sql(
+        _knn_edges_cte.replace(
+            "WHERE rnk <= 5)",
+            "WHERE rnk <= 1 + src_id % 8)"),
+        k=4, rounds=8)
     # curriculum ordering: same integer shard/pos arithmetic as the
     # operator — shard = ((rk-1)*n) // N, pos = rk - shard boundary
     out["curation_curriculum"] = """
@@ -4793,6 +4934,39 @@ def oracle_sql() -> dict[str, str]:
                                     - CAST(cnt_b AS DOUBLE) / nb))
                    AS tvd_term9
         FROM j CROSS JOIN t
+    """
+    # KS view of the same drift check: running exact counts over the
+    # bin-bounded frame, one division each side, gap = |cdf_a - cdf_b|
+    out["curation_dist_drift_ks"] = """
+        WITH av AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        bv AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0)
+                           AS BIGINT) AS bin,
+                      COUNT(*) AS cnt_a
+               FROM av WHERE n_chars IS NOT NULL GROUP BY 1),
+        cb AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0)
+                           AS BIGINT) AS bin,
+                      COUNT(*) AS cnt_b
+               FROM bv WHERE n_chars IS NOT NULL GROUP BY 1),
+        j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+                     COALESCE(cnt_a, 0) AS cnt_a,
+                     COALESCE(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+                     CAST(SUM(cnt_b) AS BIGINT) AS nb FROM j),
+        w AS (SELECT bin, cnt_a, cnt_b,
+                     CAST(SUM(cnt_a) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) / na AS cdf_a,
+                     CAST(SUM(cnt_b) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) / nb AS cdf_b
+              FROM j CROSS JOIN t)
+        SELECT bin, cnt_a, cnt_b,
+               format('{:.9f}', cdf_a) AS cdf_a9,
+               format('{:.9f}', cdf_b) AS cdf_b9,
+               format('{:.9f}', abs(cdf_a - cdf_b)) AS ks_term9
+        FROM w
     """
     # stored bigram LM: train counts from even docs, smoothed scoring
     # of odd docs with unseen bigrams/histories coalesced to 0

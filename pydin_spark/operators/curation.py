@@ -1656,7 +1656,8 @@ class StoredSnapshot:
 
 
 def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
-               bin_width: float = 1.0) -> DataFrame:
+               bin_width: float = 1.0,
+               cumulative: bool = False) -> DataFrame:
     """Distribution drift between two corpora over a numeric column —
     the training-data QA check a refresh pipeline runs before
     accepting a recrawl ("did document lengths / quality scores /
@@ -1681,6 +1682,20 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
     a full-outer bin join, and 1-row totals broadcast. Output: (bin,
     cnt_a, cnt_b, share_a, share_b, chi2_term, tvd_term) ordered by
     bin via the caller.
+
+    ``cumulative=True`` adds the Kolmogorov–Smirnov view: per-bin
+    empirical CDFs ``cdf_a``/``cdf_b`` (running BIGINT count up
+    through the bin, ONE division by the side total — exact) and
+    ``ks_term = |cdf_a − cdf_b|`` whose MAX over bins is the
+    two-sample KS statistic — the location-sensitive complement to
+    chi-square (a uniform small shift across many bins barely moves
+    χ², but the CDF gap accumulates). The running sums are a global
+    window ordered by bin: that window runs on the BINNED frame,
+    whose row count is bounded by value-range/bin_width — bins, not
+    documents — so the single-partition window is over a frame that
+    is small by construction (≤ thousands of rows for any sane
+    binning), never corpus-sized; the corpus-sized work stays in the
+    two count aggregates.
     """
     w = float(bin_width)
     if w <= 0:
@@ -1730,9 +1745,23 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
             f"dist_drift: a side has zero non-NULL {value_col} "
             "values — no distribution to compare")))
         .otherwise(F.col("bin")))
-    return j.select("bin", "cnt_a", "cnt_b",
-                    share_a.alias("share_a"), share_b.alias("share_b"),
-                    chi2.alias("chi2_term"), tvd.alias("tvd_term"))
+    out = j.select("bin", "cnt_a", "cnt_b",
+                   share_a.alias("share_a"), share_b.alias("share_b"),
+                   chi2.alias("chi2_term"), tvd.alias("tvd_term"),
+                   "__na", "__nb")
+    if cumulative:
+        from pyspark.sql import Window
+        w = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cdf_a = F.try_divide(F.sum("cnt_a").over(w).cast("double"),
+                             F.col("__na"))
+        cdf_b = F.try_divide(F.sum("cnt_b").over(w).cast("double"),
+                             F.col("__nb"))
+        out = (out.withColumn("cdf_a", cdf_a)
+               .withColumn("cdf_b", cdf_b)
+               .withColumn("ks_term",
+                           F.abs(F.col("cdf_a") - F.col("cdf_b"))))
+    return out.drop("__na", "__nb")
 
 
 def domain_capped_corpus(df: DataFrame, k_per_domain: int = 3,

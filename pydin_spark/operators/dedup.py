@@ -415,6 +415,50 @@ def dup_clusters(df: DataFrame, id_col: str = "doc_id",
     return comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       threshold: float = 0.5,
+                       max_shingle_freq: int | None = 100,
+                       method: str = "auto",
+                       auto_minhash_above: int = 100_000) -> DataFrame:
+    """Soft deduplication: keep EVERY document but down-weight
+    duplicate clusters so each cluster contributes one document's
+    worth of sampling mass — ``weight = 1 / cluster_size`` (SoftDeDup,
+    He et al. 2024 reweighting instead of removal; the weights feed
+    :func:`~pydin_spark.operators.curation.sample_weighted` or a
+    trainer's example-weight column). Removal (``drop_near_dups``)
+    loses the information that a document was heavily duplicated —
+    often itself a quality signal; reweighting preserves the corpus
+    while flattening duplicate mass.
+
+    Clusters are the transitive closure from :func:`dup_clusters`
+    (same pair method/threshold knobs); every document NOT in any
+    near-dup pair is its own singleton — size 1, weight 1.0. The
+    weight is ONE division of exact BIGINTs, bit-identical across
+    engines (the lcc/dist_drift float convention), so the operator is
+    value-exact against its SQL oracle.
+
+    Scale shape: the pair/component cost is :func:`dup_clusters`'s
+    (LSH-banded above ``auto_minhash_above``); on top of it, one
+    node-sized left join back to the corpus ids — nothing else.
+
+    Output: (``id_col``, cluster_size BIGINT, weight DOUBLE), one row
+    per input document.
+    """
+    clusters = dup_clusters(df, id_col, text_col, n, threshold,
+                            max_shingle_freq, method,
+                            auto_minhash_above) \
+        .select(id_col, "cluster_size")
+    out = (df.select(id_col).join(clusters, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("cluster_size", F.lit(1)).cast("long")
+                   .alias("cluster_size")))
+    return out.withColumn(
+        "weight",
+        F.try_divide(F.lit(1.0),
+                     F.col("cluster_size").cast("double")))
+
+
 def _simhash_bits(hash_fn: str) -> int:
     """Signature width per token-hash choice: xxhash64 gives 64 bits;
     the cross-engine md5 variant uses the first 15 hex chars = 60 bits

@@ -251,6 +251,224 @@ def label_propagation(edges: DataFrame, src: str = "src",
     return r
 
 
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst",
+              id_out: str = "node") -> DataFrame:
+    """Exact triangle counting + local clustering coefficient over an
+    edge list — the density signal a curation pipeline reads off a
+    similarity graph: a vector whose kNN neighborhood is itself
+    densely interconnected sits in a redundant semantic region (the
+    SemDeDup-prunable mass), while low-LCC nodes are bridges/outliers
+    worth oversampling. Also the standard spam/cohesion feature on
+    web link graphs.
+
+    Semantics: the graph is read as UNDIRECTED and SIMPLE — edges are
+    canonicalized to (min, max), self-loops and duplicates dropped.
+    ``tri_cnt[u]`` = number of unordered triangles containing ``u``;
+    ``lcc[u] = 2·tri / (deg·(deg−1))`` for ``deg ≥ 2`` else 0.0 — a
+    single division of exact BIGINTs, so the float is bit-identical
+    across engines (the dist_drift convention) and the whole output
+    carries a value-exact SQL oracle (:func:`triangles_oracle_sql`).
+
+    Scale shape — degree-ordered wedge enumeration (Schank & Wagner
+    2005; the MapReduce form is Cohen 2009, also GraphX's
+    TriangleCount): each canonical edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are pairs
+    of out-neighbors in that DAG, and a triangle is counted exactly
+    once — at its minimum-rank vertex. Orientation bounds per-node
+    out-degree by O(√m), so wedge volume is O(m^{3/2}) instead of the
+    naive Σdeg² (which a single hub node blows up quadratically).
+    Shuffles: canonical distinct, one degree aggregate, the wedge
+    self-join co-partitioned on the pivot, one closing-edge equi-join
+    on the (lo, hi) pair, and the final per-node count — all on
+    id-sized keys, no cartesian anywhere.
+
+    Output: (``id_out``, deg BIGINT, tri_cnt BIGINT, lcc DOUBLE) —
+    one row per node of the canonical graph (isolated inputs with
+    only self-loops vanish with their edges).
+    """
+    e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+         .where(F.col("__s").isNotNull() & F.col("__d").isNotNull()
+                & (F.col("__s") != F.col("__d"))))
+    canon = (e.select(F.least("__s", "__d").alias("__a"),
+                      F.greatest("__s", "__d").alias("__b"))
+             .distinct())
+    deg = (canon.select(F.col("__a").alias(id_out))
+           .unionAll(canon.select(F.col("__b").alias(id_out)))
+           .groupBy(id_out).agg(F.count(F.lit(1)).alias("deg")))
+    # orient each canonical edge from the lower-(deg, id) endpoint:
+    # u -> v with rank(u) < rank(v); ranks totally ordered, so the
+    # DAG is well-defined and every triangle has a unique source
+    ce = (canon
+          .join(deg.select(F.col(id_out).alias("__a"),
+                           F.col("deg").alias("__da")), "__a")
+          .join(deg.select(F.col(id_out).alias("__b"),
+                           F.col("deg").alias("__db")), "__b"))
+    lower_first = (F.col("__da") < F.col("__db")) | \
+        ((F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b")))
+    dag = ce.select(
+        F.when(lower_first, F.col("__a")).otherwise(F.col("__b"))
+        .alias("__u"),
+        F.when(lower_first, F.col("__b")).otherwise(F.col("__a"))
+        .alias("__v"))
+    # wedges at the pivot: unordered out-neighbor pairs, id-canonical
+    # (lo, hi) so the closing lookup hits the canonical edge set
+    x, y = dag.alias("x"), dag.alias("y")
+    wedge = (x.join(y, (F.col("x.__u") == F.col("y.__u"))
+                    & (F.col("x.__v") < F.col("y.__v")))
+             .select(F.col("x.__u").alias("__u"),
+                     F.col("x.__v").alias("__lo"),
+                     F.col("y.__v").alias("__hi")))
+    tri = wedge.join(canon, (wedge["__lo"] == canon["__a"])
+                     & (wedge["__hi"] == canon["__b"]))
+    per_node = (tri.select(F.explode(F.array("__u", "__lo", "__hi"))
+                           .alias(id_out))
+                .groupBy(id_out).agg(F.count(F.lit(1)).alias("tri_cnt")))
+    out = (deg.join(per_node, id_out, "left")
+           .select(F.col(id_out), F.col("deg"),
+                   F.coalesce("tri_cnt", F.lit(0)).cast("long")
+                   .alias("tri_cnt")))
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.try_divide((2 * F.col("tri_cnt")).cast("double"),
+                     (F.col("deg") * (F.col("deg") - 1)).cast("double"))
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("lcc", lcc)
+
+
+def triangles_oracle_sql(edges_cte: str, id_out: str = "node") -> str:
+    """DuckDB twin of :func:`triangles`. The oracle enumerates
+    triangles naively — three canonical-edge joins with a < b < c (the
+    id order IS a valid enumeration: e1=(a,b), e2=(b,c), e3=(a,c)) —
+    because triangle COUNT is enumeration-order-independent, so the
+    Spark side is free to use the degree-ordered DAG while the twin
+    stays obviously-correct SQL. ``edges_cte`` ends in a CTE named
+    ``edges(src, dst)`` (the :func:`pagerank_oracle_sql` convention).
+    """
+    parts = [edges_cte.rstrip().rstrip(",")]
+    parts.append(f"""
+        c AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                              GREATEST(src, dst) AS b
+              FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL
+                AND src <> dst),
+        dg AS (SELECT {id_out}, COUNT(*) AS deg
+               FROM (SELECT a AS {id_out} FROM c
+                     UNION ALL SELECT b FROM c)
+               GROUP BY {id_out}),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM c e1
+                JOIN c e2 ON e2.a = e1.b
+                JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pn AS (SELECT {id_out}, COUNT(*) AS tri_cnt
+               FROM (SELECT x AS {id_out} FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri)
+               GROUP BY {id_out})""")
+    final = f"""
+        SELECT dg.{id_out}, dg.deg,
+               COALESCE(pn.tri_cnt, 0) AS tri_cnt,
+               CASE WHEN dg.deg >= 2
+                    THEN CAST(2 * COALESCE(pn.tri_cnt, 0) AS DOUBLE)
+                         / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+                    ELSE 0.0 END AS lcc
+        FROM dg LEFT JOIN pn ON pn.{id_out} = dg.{id_out}"""
+    return "WITH " + ",".join(parts) + " " + final
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 10,
+          src: str = "src", dst: str = "dst",
+          id_out: str = "node", checkpoint: bool = True) -> DataFrame:
+    """k-core membership after a FIXED number of synchronous peel
+    rounds — the cohesion filter of graph curation: the k-core is the
+    maximal subgraph where every node keeps ≥ k neighbors, the
+    standard way to separate a similarity graph's dense backbone from
+    its sparse periphery (keep the periphery for diversity, cap the
+    core) and to strip spam tendrils off a web link graph.
+
+    Semantics: the graph is undirected and simple (canonical (min,
+    max) edges, no self-loops). Round t removes every node whose
+    degree in the CURRENT subgraph is < k, together with its edges —
+    all removals in a round are simultaneous, so a fixed ``rounds`` is
+    a pure function of the edge list (the pagerank/LPA trick), which
+    is what carries the value-exact unrolled-CTE oracle
+    (:func:`kcore_oracle_sql`). Peeling is monotone: once the
+    subgraph stabilizes, further rounds are no-ops, so ``rounds``
+    large enough = the true k-core; too small = an upper bound that
+    only ever shrinks toward it (never wrong nodes added).
+
+    Scale shape: per round one map-side-combined degree aggregate
+    (edge-sized in, node-sized out) and two semi-joins of the edge
+    frame against the node-sized survivor set — no wedge blow-up, no
+    window. Lineage cut per round (``localCheckpoint``), AQE held off
+    around the cut so the edge frame keeps its hash partitioning on
+    the join key across rounds (the :func:`pagerank` discipline).
+
+    Output: (``id_out``, core_deg BIGINT) — surviving nodes with
+    their degree inside the surviving subgraph (``core_deg >= k``
+    once stable).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+         .where(F.col("__s").isNotNull() & F.col("__d").isNotNull()
+                & (F.col("__s") != F.col("__d"))))
+    canon = (e.select(F.least("__s", "__d").alias("__a"),
+                      F.greatest("__s", "__d").alias("__b"))
+             .distinct())
+    sym = canon.select(F.col("__a").alias("__u"), F.col("__b").alias("__v")) \
+        .unionAll(canon.select(F.col("__b").alias("__u"),
+                               F.col("__a").alias("__v")))
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _aqe_off(spark):
+        cur = sym.repartition(nparts, "__u").localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        deg = cur.groupBy("__u").agg(F.count(F.lit(1)).alias("__dg"))
+        keep = deg.where(F.col("__dg") >= int(k)).select("__u")
+        cur = (cur.join(keep, "__u", "left_semi")
+               .join(keep.select(F.col("__u").alias("__v")),
+                     "__v", "left_semi"))
+        if checkpoint:
+            with _aqe_off(spark):
+                cur = (cur.repartition(nparts, "__u")
+                       .localCheckpoint(eager=True))
+    return (cur.groupBy(F.col("__u").alias(id_out))
+            .agg(F.count(F.lit(1)).alias("core_deg")))
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 2, rounds: int = 10,
+                     id_out: str = "node") -> str:
+    """DuckDB twin of :func:`kcore` as an unrolled CTE chain — same
+    canonicalization, same synchronous peel, textually the same
+    degree-threshold rule per round. ``edges_cte`` ends in a CTE named
+    ``edges(src, dst)``.
+
+    Each round references the previous edge frame TWICE (degree count
+    + survivor filter), so the edge CTEs are marked ``MATERIALIZED`` —
+    without it DuckDB inlines them and the unrolled chain expands to
+    2^rounds copies of the base scan (observed: fd exhaustion at 8
+    rounds over a parquet-backed edge list)."""
+    parts = [edges_cte.rstrip().rstrip(",")]
+    parts.append("""
+        c AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                              GREATEST(src, dst) AS b
+              FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL
+                AND src <> dst),
+        e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM c
+               UNION ALL SELECT b, a FROM c)""")
+    for t in range(int(rounds)):
+        parts.append(f"""
+        d{t} AS (SELECT u, COUNT(*) AS dg FROM e{t} GROUP BY u),
+        s{t} AS (SELECT u FROM d{t} WHERE dg >= {int(k)}),
+        e{t + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{t} e
+                     JOIN s{t} a ON a.u = e.u
+                     JOIN s{t} b ON b.u = e.v)""")
+    final = (f"SELECT u AS {id_out}, COUNT(*) AS core_deg "
+             f"FROM e{int(rounds)} GROUP BY u")
+    return "WITH " + ",".join(parts) + " " + final
+
+
 def lpa_oracle_sql(edges_cte: str, iterations: int = 5,
                    id_out: str = "node",
                    undirected: bool = True) -> str:

@@ -445,3 +445,33 @@ def test_vocab_coverage_take_ordered_not_global_sort(spark, views):
     # the checkpointed stage, not here
     assert "TakeOrderedAndProject" in plan, plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_triangles_degree_ordered_no_cartesian(spark, views):
+    from pydin_spark.operators import graph
+    edges = spark.table("events").selectExpr(
+        "user_id as src", "cast(value as bigint) % 50 as dst").limit(200)
+    plan = plan_of(graph.triangles(edges))
+    # wedge pivot + closing-edge lookup are equi-joins over the DAG,
+    # never a nested loop over node pairs; the per-node census has a
+    # map-side partial phase
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    dtypes = dict(graph.triangles(edges).dtypes)
+    assert dtypes["tri_cnt"] == "bigint" and dtypes["lcc"] == "double"
+
+
+def test_kcore_round_is_agg_plus_semi_joins(spark, views):
+    from pydin_spark.operators import graph
+    edges = spark.table("events").selectExpr(
+        "user_id as src", "cast(value as bigint) % 50 as dst").limit(200)
+    # checkpoint=False exposes one peel round's plan
+    plan = plan_of(graph.kcore(edges, k=2, rounds=1, checkpoint=False))
+    # per round: one map-side-combined degree count + two SEMI joins
+    # against the node-sized survivor set — never an outer/inner join
+    # materializing edge x node, never a nested loop
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan
+    assert "partial_count" in plan

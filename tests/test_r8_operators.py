@@ -1,0 +1,185 @@
+"""Round-8 operator tests: triangle census, k-core peel, soft-dedup
+weights, KS drift view."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pydin_spark.operators import curation, dedup
+from pydin_spark.operators.graph import (kcore, kcore_oracle_sql,
+                                         triangles,
+                                         triangles_oracle_sql)
+
+
+def _edges(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _values_cte(edges):
+    return ("edges(src, dst) AS (VALUES "
+            + ", ".join(f"({a}, {b})" for a, b in edges) + ")")
+
+
+# ---- triangles ----
+
+def test_triangles_known_graph(spark):
+    # two triangles sharing edge (2,3) plus a pendant at node 1:
+    # {1,2,3} and {2,3,4}
+    edges = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (5, 1)]
+    out = {r["node"]: (r["deg"], r["tri_cnt"], r["lcc"])
+           for r in triangles(_edges(spark, edges)).collect()}
+    assert out[1] == (3, 1, pytest.approx(1 / 3))
+    assert out[2] == (3, 2, pytest.approx(2 / 3))
+    assert out[3] == (3, 2, pytest.approx(2 / 3))
+    assert out[4] == (2, 1, 1.0)
+    assert out[5] == (1, 0, 0.0)
+
+
+def test_triangles_canonicalization(spark):
+    # reversed duplicates and self-loops change nothing: the census
+    # runs on the canonical simple graph
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 1), (1, 1), (2, 2), (1, 2)]
+    a = sorted(tuple(r) for r in triangles(_edges(spark, base)).collect())
+    b = sorted(tuple(r) for r in triangles(_edges(spark, noisy)).collect())
+    assert a == b
+    assert all(r[2] == 1 for r in a)  # every node in the one triangle
+
+
+def test_triangles_matches_oracle(spark):
+    # quadratic-residue digraph + a planted clique: hits the
+    # tie-breaking path of the degree ordering (equal degrees)
+    edges = ([(i, (i * i) % 11) for i in range(2, 11)]
+             + [(1, 2), (2, 3), (1, 3), (20, 21)])
+    out = sorted(
+        (r["node"], r["deg"], r["tri_cnt"], round(r["lcc"], 9))
+        for r in triangles(_edges(spark, edges)).collect())
+    sql = triangles_oracle_sql(_values_cte(edges))
+    oracle = sorted((n, d, t, round(l, 9)) for n, d, t, l in
+                    duckdb.connect().execute(sql).fetchall())
+    assert out == oracle
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    assert triangles(_edges(spark, [])).count() == 0
+    star = [(0, i) for i in range(1, 6)]  # no triangle through a star
+    out = triangles(_edges(spark, star)).collect()
+    assert all(r["tri_cnt"] == 0 for r in out)
+    hub = {r["node"]: r for r in out}[0]
+    assert hub["deg"] == 5 and hub["lcc"] == 0.0
+
+
+# ---- k-core ----
+
+def test_kcore_clique_with_tail(spark):
+    # 4-clique {1..4} + tail 4-5-6: the 3-core is exactly the clique,
+    # and every survivor keeps degree 3 inside it
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    out = {r["node"]: r["core_deg"]
+           for r in kcore(_edges(spark, edges), k=3, rounds=5).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_rounds_monotone_to_empty(spark):
+    # a path unravels one node per round from each end under k=2;
+    # more rounds only ever shrink the survivor set, and the true
+    # 2-core of a path is empty
+    edges = [(i, i + 1) for i in range(1, 8)]
+    r1 = {r["node"] for r in
+          kcore(_edges(spark, edges), k=2, rounds=1).collect()}
+    r3 = {r["node"] for r in
+          kcore(_edges(spark, edges), k=2, rounds=3).collect()}
+    assert r3 <= r1 and len(r3) < len(r1)
+    assert kcore(_edges(spark, edges), k=2, rounds=10).count() == 0
+
+
+def test_kcore_k1_is_stable(spark):
+    # after canonicalization every node has degree >= 1, so k=1 peels
+    # nothing regardless of rounds
+    edges = [(1, 2), (3, 4), (4, 5)]
+    out = kcore(_edges(spark, edges), k=1, rounds=4)
+    assert out.count() == 5
+
+
+def test_kcore_matches_oracle(spark):
+    edges = ([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+              (4, 5), (5, 6), (6, 7), (7, 5)]
+             + [(i, i + 1) for i in range(10, 16)])
+    out = sorted(tuple(r) for r in
+                 kcore(_edges(spark, edges), k=2, rounds=6).collect())
+    sql = kcore_oracle_sql(_values_cte(edges), k=2, rounds=6)
+    oracle = sorted(tuple(r) for r in
+                    duckdb.connect().execute(sql).fetchall())
+    assert out == oracle
+
+
+def test_kcore_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        kcore(_edges(spark, [(1, 2)]), k=0)
+
+
+# ---- soft-dedup weights ----
+
+def test_soft_dedup_weights_planted_twins(spark):
+    # three identical docs, two identical docs, one singleton:
+    # cluster sizes 3/2/1, weights 1/3, 1/2, 1 — and EVERY doc stays
+    rows = [(1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee ff"),
+            (3, "aa bb cc dd ee ff"), (4, "gg hh ii jj kk ll"),
+            (5, "gg hh ii jj kk ll"), (6, "mm nn oo pp qq rr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_size"], r["weight"])
+           for r in dedup.soft_dedup_weights(
+               df, threshold=0.5, method="exact").collect()}
+    assert len(out) == 6
+    for d in (1, 2, 3):
+        assert out[d] == (3, pytest.approx(1 / 3))
+    for d in (4, 5):
+        assert out[d] == (2, 0.5)
+    assert out[6] == (1, 1.0)
+    # each cluster contributes one document's worth of mass
+    assert sum(w for _, w in out.values()) == pytest.approx(3.0)
+
+
+def test_soft_dedup_weights_no_dups_all_ones(spark):
+    rows = [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.soft_dedup_weights(df, method="exact").collect()
+    assert len(out) == 5
+    assert all(r["cluster_size"] == 1 and r["weight"] == 1.0
+               for r in out)
+
+
+# ---- KS drift view ----
+
+def test_dist_drift_ks_terms(spark):
+    a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]],
+                              "x double")
+    b = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]],
+                              "x double")
+    out = (curation.dist_drift(a, b, "x", bin_width=1.0,
+                               cumulative=True)
+           .orderBy("bin").collect())
+    # both CDFs end at exactly 1.0 (running exact counts / total)
+    assert out[-1]["cdf_a"] == 1.0 and out[-1]["cdf_b"] == 1.0
+    # KS statistic: at bin 2, cdf_a = 0.5 and cdf_b = 0.0
+    assert max(r["ks_term"] for r in out) == pytest.approx(0.5)
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[2]["cdf_a"] == 0.5 and by_bin[2]["cdf_b"] == 0.0
+
+
+def test_dist_drift_plain_has_no_cdf_columns(spark):
+    a = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    b = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    cols = curation.dist_drift(a, b, "x").columns
+    assert "cdf_a" not in cols and "ks_term" not in cols
+    assert cols == ["bin", "cnt_a", "cnt_b", "share_a", "share_b",
+                    "chi2_term", "tvd_term"]
+
+
+def test_dist_drift_identical_sides_ks_zero(spark):
+    a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 5.0]],
+                              "x double")
+    out = curation.dist_drift(a, a, "x", bin_width=1.0,
+                              cumulative=True).collect()
+    assert all(r["ks_term"] == 0.0 for r in out)
