@@ -2714,6 +2714,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["graph_kcore"] = _graph_kcore
 
+    def _graph_hits(spark, sf_dir):
+        # hubs & authorities over the DIRECTED kNN edges: integer L1
+        # normalization each half-step (units of 1e-6) — the fourth
+        # iterative operator with a value-exact unrolled-CTE oracle
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        return graph.hits(g.select("src_id", "nbr_id"),
+                          src="src_id", dst="nbr_id", iterations=5)
+
+    out["graph_hits"] = _graph_hits
+
+    def _graph_degree_hist(spark, sf_dir):
+        # graph QA profile: power-of-two degree buckets computed by
+        # binary-string length (no float logs), exact counts/extrema
+        from pydin_spark.operators import graph, similarity
+        _views(spark, sf_dir)
+        g = similarity.knn_graph(spark.table("embeddings"), k=5)
+        return graph.degree_histogram(g.select("src_id", "nbr_id"),
+                                      src="src_id", dst="nbr_id")
+
+    out["graph_degree_hist"] = _graph_degree_hist
+
     def _dedup_soft_weights(spark, sf_dir):
         # SoftDeDup: every doc kept, weight 1/cluster_size over the
         # transitive near-dup closure (exact pair method so the
@@ -2747,6 +2770,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.format_string("%.9f", "ks_term").alias("ks_term9"))
 
     out["curation_dist_drift_ks"] = _curation_dist_drift_ks
+
+    def _text_ccnet_buckets(spark, sf_dir):
+        # CCNet head/middle/tail: corpus-LM fluency per doc, score
+        # quantized to exact BIGINT (floor(avg_logprob·1e6) — same
+        # tolerance class as the %.6f hash convention), then exact
+        # global rank -> tertile buckets via the curriculum substrate
+        # (bucket 0 = most fluent = "head")
+        _views(spark, sf_dir)
+        scored = text.bigram_logprob(spark.table("documents"))
+        q = scored.select(
+            "doc_id",
+            F.floor(F.col("avg_logprob") * F.lit(1000000.0))
+            .cast("long").alias("nlp_q"))
+        out_df = curation.curriculum_order(q, score_col="nlp_q",
+                                           n_shards=3,
+                                           ascending=False)
+        return out_df.select("doc_id", "nlp_q", "rk",
+                             F.col("shard").alias("bucket"))
+
+    out["text_ccnet_buckets"] = _text_ccnet_buckets
+
+    def _curation_epoch_plan(spark, sf_dir):
+        # the pretraining mix table: 10 listed sources at weights
+        # 1..10, 1M-token budget — target shares and milli-epochs in
+        # pure BIGINT; unlisted sources excluded by contract
+        _views(spark, sf_dir)
+        weights = {f"src{i}": i + 1 for i in range(10)}
+        return curation.epoch_plan(spark.table("documents"), weights,
+                                   budget_tokens=1_000_000)
+
+    out["curation_epoch_plan"] = _curation_epoch_plan
 
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
@@ -3783,6 +3837,58 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN v
         GROUP BY big.doc_id
     """
+    # CCNet tertiles: the text_bigram_lm scoring CTEs, score quantized
+    # to BIGINT (floor(avg·1e6)), ranked (nlp_q DESC, doc_id DESC) —
+    # the curriculum ascending=False tie order — bucket = (rk-1)*3//n
+    out["text_ccnet_buckets"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t FROM t WHERE len(t) >= 2),
+        big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM b, unnest(range(1, len(t))) AS u(i)),
+        v AS (SELECT COUNT(DISTINCT w) AS vs
+              FROM (SELECT unnest(t) AS w FROM b)),
+        hist AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM big
+                 GROUP BY w1, w2),
+        sc AS (SELECT big.doc_id,
+                      CAST(floor(AVG(ln((pair.c2 + CAST(0.5 AS DOUBLE))
+                                        / (hist.c1 + CAST(0.5 AS DOUBLE)
+                                           * v.vs)))
+                                 * CAST(1000000 AS DOUBLE))
+                           AS BIGINT) AS nlp_q
+               FROM big
+               JOIN pair ON pair.w1 = big.w1 AND pair.w2 = big.w2
+               JOIN hist ON hist.w1 = big.w1
+               CROSS JOIN v
+               GROUP BY big.doc_id),
+        r AS (SELECT doc_id, nlp_q,
+                     ROW_NUMBER() OVER (ORDER BY nlp_q DESC,
+                                        doc_id DESC) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM sc)
+        SELECT doc_id, nlp_q, rk,
+               CAST((rk - 1) * 3 // n AS INTEGER) AS bucket
+        FROM r
+    """
+    # epoch planner: listed sources only (the mix table is the
+    # contract), exact BIGINT shares — Σw(1..10) = 55
+    out["curation_epoch_plan"] = """
+        WITH w(source, weight) AS (VALUES """ + ", ".join(
+        f"('src{i}', {i + 1})" for i in range(10)) + """),
+        a AS (SELECT d.source, COUNT(*) AS n_docs,
+                     CAST(SUM(len(string_split(d.text, ' ')))
+                          AS BIGINT) AS tokens
+              FROM documents d JOIN w ON w.source = d.source
+              GROUP BY d.source)
+        SELECT a.source, a.n_docs, a.tokens,
+               CAST(w.weight AS BIGINT) AS weight,
+               CAST((w.weight * 1000000) // 55 AS BIGINT)
+                   AS target_tokens,
+               CAST(((w.weight * 1000000) // 55) * 1000 // a.tokens
+                    AS BIGINT) AS epochs_milli
+        FROM a JOIN w ON w.source = a.source
+    """
     # winnowing fingerprints (k=5, w=4): min over the fixed-width
     # hex(hash)+pos key per sliding window — md5 60-bit hash family, so
     # DuckDB recomputes the identical fingerprint set
@@ -4659,6 +4765,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rnk <= 5)",
             "WHERE rnk <= 1 + src_id % 8)"),
         k=4, rounds=8)
+    # HITS over the directed kNN edges: unrolled half-steps with the
+    # identical integer L1 normalization (HUGEINT intermediates cast
+    # back); degree histogram: binary-string-length buckets
+    from pydin_spark.operators.graph import (degree_histogram_oracle_sql,
+                                             hits_oracle_sql)
+    out["graph_hits"] = hits_oracle_sql(_knn_edges_cte, iterations=5)
+    out["graph_degree_hist"] = degree_histogram_oracle_sql(
+        _knn_edges_cte)
     # curriculum ordering: same integer shard/pos arithmetic as the
     # operator — shard = ((rk-1)*n) // N, pos = rk - shard boundary
     out["curation_curriculum"] = """

@@ -1655,6 +1655,66 @@ class StoredSnapshot:
         return out
 
 
+def epoch_plan(df: DataFrame, weights: dict, budget_tokens: int,
+               source_col: str = "source",
+               text_col: str = "text",
+               token_col: str | None = None) -> DataFrame:
+    """Data-mixing epoch planner: given a token budget and target
+    mixture weights, how many times must each source be repeated
+    (or how hard subsampled) to hit its share? The planning step
+    behind every published pretraining mix (LLaMA/Pile-style tables
+    of "source, weight, epochs"): target share first, then epochs =
+    target / available, >1000 milli-epochs meaning the source
+    repeats, <1000 meaning it is subsampled.
+
+    All arithmetic is exact BIGINT: ``target_tokens = (budget · w)
+    div Σw`` over the listed sources, ``epochs_milli = (target · 1000)
+    div tokens`` — value-exact across engines, no float shares.
+    Only sources present in ``weights`` are planned (the mix table IS
+    the contract; unlisted sources are excluded from Σw and output).
+    A listed source with zero available tokens fails loudly
+    (raise_error) — a mix that names an empty source is a config bug,
+    not a zero row. Token counts come from ``token_col`` if given,
+    else whitespace tokens of ``text_col`` (the
+    :func:`~pydin_spark.operators.text.token_stats` convention).
+
+    Scale shape: ONE corpus scan into a source-keyed combine
+    aggregate (rows out = len(weights)), then pure per-row literal
+    arithmetic. Output: (source, n_docs, tokens, weight,
+    target_tokens, epochs_milli) — all BIGINT.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if int(budget_tokens) <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("every mixture weight must be a positive "
+                         "integer")
+    total_w = sum(int(w) for w in weights.values())
+    tok = (F.col(token_col).cast("long") if token_col
+           else F.size(F.split(F.col(text_col), " ")).cast("long"))
+    wmap = F.create_map(*[x for s, w in sorted(weights.items())
+                          for x in (F.lit(s), F.lit(int(w)))])
+    agg = (df.where(F.col(source_col).isin(list(weights)))
+           .groupBy(F.col(source_col).alias("source"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(tok).alias("tokens")))
+    b = int(budget_tokens)
+    planned = agg.select(
+        "source", "n_docs",
+        F.when(F.col("tokens") <= 0, F.raise_error(F.lit(
+            "epoch_plan: a listed source has zero tokens — fix the "
+            "mix table or the corpus")))
+        .otherwise(F.col("tokens")).cast("long").alias("tokens"),
+        wmap[F.col("source")].cast("long").alias("weight"))
+    return planned.select(
+        "source", "n_docs", "tokens", "weight",
+        F.expr(f"(weight * {b}L) div {total_w}L").cast("long")
+        .alias("target_tokens"),
+        F.expr(f"((weight * {b}L) div {total_w}L) * 1000L div tokens")
+        .cast("long").alias("epochs_milli"))
+
+
 def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
                bin_width: float = 1.0,
                cumulative: bool = False) -> DataFrame:

@@ -251,6 +251,247 @@ def label_propagation(edges: DataFrame, src: str = "src",
     return r
 
 
+#: HITS fixed-point scale: 1.0 of hub/authority mass == 10^6 units.
+#: Smaller than the PageRank SCALE because one HITS step multiplies a
+#: degree-summed score by the scale again — the overflow bound is
+#: max_degree * HITS_SCALE^2 < 2^63, i.e. max in/out degree < ~9.2e6
+#: at 10^6 (any real web/kNN graph after the usual hub capping).
+HITS_SCALE = 10 ** 6
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 10, id_out: str = "node",
+         checkpoint: bool = True) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    list, exact fixed-point semantics — the link-analysis complement
+    to :func:`pagerank` for crawl curation: authorities are the pages
+    good hubs point at (content worth keeping), hubs are the pages
+    that point at good authorities (directories/link farms — worth
+    capping). On a citation or reference graph the split separates
+    primary sources from surveys.
+
+    Arithmetic: scores live in BIGINT units of 1e-6
+    (:data:`HITS_SCALE`); each iteration computes
+    ``auth'[v] = Σ_{(u,v)} hub[u]`` then L1-normalizes in integers —
+    ``auth[v] = (auth'[v] * SCALE) div Σ auth'`` — and symmetrically
+    ``hub'[u] = Σ_{(u,v)} auth[v]`` with its own normalization.
+    Floating HITS is summation-order-dependent; this form is
+    bit-identical across partitionings AND engines (the
+    :func:`pagerank` trick), so the value-exact unrolled-CTE oracle
+    (:func:`hits_oracle_sql`) applies. Overflow bound: the product
+    ``score * SCALE`` is at most ``max_degree * SCALE²``, so the
+    recurrence stays inside BIGINT for max degree < ~9.2e6 — fail
+    territory only for uncapped mega-hubs, which a curation graph
+    caps anyway. Both normalization totals are 1-row aggregates
+    broadcast back (the dist_drift discipline) — no driver loop.
+
+    Scale shape: the edge frame is hash-partitioned once per
+    direction (on ``src`` for the hub→auth pass, on ``dst`` for
+    auth→hub) and checkpointed; per iteration the two corpus-sized
+    shuffles are the two map-side-combined sums — node-sized frames
+    re-align cheaply, lineage cut per round.
+
+    Output: (``id_out``, auth_fp BIGINT, hub_fp BIGINT) — each
+    column sums to ≤ SCALE with floor leakage only. Nodes with no
+    in-edges have auth 0; no out-edges, hub 0.
+    """
+    e = (edges.select(F.col(src).alias("__src"),
+                      F.col(dst).alias("__dst"))
+         .where(F.col("__src").isNotNull()
+                & F.col("__dst").isNotNull()))
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _aqe_off(spark):
+        nodes = (e.select(F.col("__src").alias(id_out))
+                 .union(e.select(F.col("__dst").alias(id_out)))
+                 .distinct()
+                 .repartition(nparts, id_out)
+                 .localCheckpoint(eager=True))
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("auth_fp", F.lit(0).cast("long")) \
+                        .withColumn("hub_fp", F.lit(0).cast("long"))
+        e_by_src = (e.repartition(nparts, "__src")
+                    .localCheckpoint(eager=True))
+        e_by_dst = (e.repartition(nparts, "__dst")
+                    .localCheckpoint(eager=True))
+    # uniform start: every node hub = SCALE div n (mirrors pagerank's
+    # init; the first authority pass immediately reweights)
+    r = nodes.withColumn("hub_fp",
+                         F.lit(HITS_SCALE // n).cast("long"))
+
+    def _normalize(scores, col):
+        total = scores.groupBy().agg(
+            F.sum(col).alias("__tot"))
+        return (scores.crossJoin(F.broadcast(total))
+                .select(F.col(id_out),
+                        F.expr(f"CASE WHEN __tot > 0 THEN "
+                               f"({col} * {HITS_SCALE}) div __tot "
+                               f"ELSE 0 END").cast("long").alias(col)))
+
+    auth = None
+    for _ in range(int(iterations)):
+        raw_auth = (e_by_src.join(r, e_by_src["__src"] == r[id_out])
+                    .groupBy(F.col("__dst").alias(id_out))
+                    .agg(F.sum("hub_fp").alias("auth_fp")))
+        auth_all = (nodes.join(raw_auth, id_out, "left")
+                    .select(F.col(id_out),
+                            F.coalesce("auth_fp", F.lit(0))
+                            .cast("long").alias("auth_fp")))
+        auth = _normalize(auth_all, "auth_fp")
+        raw_hub = (e_by_dst.join(auth,
+                                 e_by_dst["__dst"] == auth[id_out])
+                   .groupBy(F.col("__src").alias(id_out))
+                   .agg(F.sum("auth_fp").alias("hub_fp")))
+        hub_all = (nodes.join(raw_hub, id_out, "left")
+                   .select(F.col(id_out),
+                           F.coalesce("hub_fp", F.lit(0))
+                           .cast("long").alias("hub_fp")))
+        r = _normalize(hub_all, "hub_fp")
+        if checkpoint:
+            with _aqe_off(spark):
+                r = r.localCheckpoint(eager=True)
+                auth = auth.localCheckpoint(eager=True)
+    return (nodes.join(auth, id_out, "left")
+            .join(r, id_out, "left")
+            .select(F.col(id_out),
+                    F.coalesce("auth_fp", F.lit(0)).cast("long")
+                    .alias("auth_fp"),
+                    F.coalesce("hub_fp", F.lit(0)).cast("long")
+                    .alias("hub_fp")))
+
+
+def hits_oracle_sql(edges_cte: str, iterations: int = 10,
+                    id_out: str = "node") -> str:
+    """DuckDB twin of :func:`hits` as an unrolled CTE chain — same
+    integer L1 normalization each half-step (HUGEINT sums/products
+    cast back to BIGINT), so the comparison is value-exact.
+    ``edges_cte`` ends in a CTE named ``edges(src, dst)``. Every
+    score CTE is referenced more than once downstream, so they are
+    MATERIALIZED (the :func:`kcore_oracle_sql` lesson — DuckDB
+    inlines plain CTEs and the chain goes exponential)."""
+    s = HITS_SCALE
+    parts = [edges_cte.rstrip().rstrip(",")]
+    parts.append(f"""
+        ed AS MATERIALIZED (SELECT src, dst FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL),
+        nodes AS MATERIALIZED (SELECT src AS node FROM ed
+                  UNION SELECT dst FROM ed),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        h0 AS MATERIALIZED (SELECT node,
+                   CAST({s} // nn.n AS BIGINT) AS hub
+              FROM nodes CROSS JOIN nn)""")
+    for t in range(int(iterations)):
+        parts.append(f"""
+        ra{t} AS MATERIALIZED (
+            SELECT n0.node,
+                   CAST(COALESCE(s.s, 0) AS BIGINT) AS a
+            FROM nodes n0
+            LEFT JOIN (SELECT e.dst AS node, SUM(h{t}.hub) AS s
+                       FROM ed e JOIN h{t} ON h{t}.node = e.src
+                       GROUP BY e.dst) s ON s.node = n0.node),
+        ta{t} AS (SELECT CAST(SUM(a) AS BIGINT) AS tot FROM ra{t}),
+        a{t} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN ta{t}.tot > 0
+                        THEN CAST((CAST(a AS HUGEINT) * {s})
+                                  // ta{t}.tot AS BIGINT)
+                        ELSE 0 END AS auth
+            FROM ra{t} CROSS JOIN ta{t}),
+        rh{t} AS MATERIALIZED (
+            SELECT n0.node,
+                   CAST(COALESCE(s.s, 0) AS BIGINT) AS h
+            FROM nodes n0
+            LEFT JOIN (SELECT e.src AS node, SUM(a{t}.auth) AS s
+                       FROM ed e JOIN a{t} ON a{t}.node = e.dst
+                       GROUP BY e.src) s ON s.node = n0.node),
+        th{t} AS (SELECT CAST(SUM(h) AS BIGINT) AS tot FROM rh{t}),
+        h{t + 1} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN th{t}.tot > 0
+                        THEN CAST((CAST(h AS HUGEINT) * {s})
+                                  // th{t}.tot AS BIGINT)
+                        ELSE 0 END AS hub
+            FROM rh{t} CROSS JOIN th{t})""")
+    last = int(iterations) - 1
+    final = (f"SELECT n0.node AS {id_out}, "
+             f"COALESCE(a{last}.auth, 0) AS auth_fp, "
+             f"COALESCE(h{last + 1}.hub, 0) AS hub_fp "
+             f"FROM nodes n0 "
+             f"LEFT JOIN a{last} ON a{last}.node = n0.node "
+             f"LEFT JOIN h{last + 1} ON h{last + 1}.node = n0.node")
+    return "WITH " + ",".join(parts) + " " + final
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Degree-distribution profile of an edge list (read undirected/
+    simple, the :func:`triangles` canonicalization) — the first
+    QA glance at any similarity or link graph: a power-law tail that
+    shouldn't be there (an uncapped hub) or a missing one (a kNN
+    graph that lost its mutual edges) shows up here before any
+    iterative algorithm is run.
+
+    Buckets are powers of two (``bucket = floor(log2(deg))`` exactly,
+    computed by BIGINT comparison — no float log, so the bucketing is
+    engine-exact): bucket 0 holds degree 1, bucket 1 degrees 2-3,
+    bucket 2 degrees 4-7, … . Output per bucket: node count, min/max
+    degree seen, and exact total degree (BIGINT).
+
+    Scale shape: one distinct, one degree aggregate, one 64-row-max
+    bucket aggregate — all map-side combined.
+    """
+    e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+         .where(F.col("__s").isNotNull() & F.col("__d").isNotNull()
+                & (F.col("__s") != F.col("__d"))))
+    canon = (e.select(F.least("__s", "__d").alias("__a"),
+                      F.greatest("__s", "__d").alias("__b"))
+             .distinct())
+    deg = (canon.select(F.col("__a").alias("node"))
+           .unionAll(canon.select(F.col("__b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # floor(log2(deg)) in pure integer arithmetic: the bit length of
+    # deg minus one. Spark has no BIGINT bit-length function that
+    # DuckDB shares, but 63 - bit of highest set = ... simplest
+    # engine-exact form: length of the binary string minus 1 — both
+    # engines render bin() of a positive BIGINT identically.
+    bucket = (F.length(F.conv(F.col("deg").cast("string"), 10, 2))
+              - 1).cast("int")
+    return (deg.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("deg").alias("min_deg"),
+                 F.max("deg").alias("max_deg"),
+                 F.sum("deg").alias("total_deg")))
+
+
+def degree_histogram_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_histogram`. The power-of-two
+    bucket is the binary-string length minus one on both engines
+    (Spark ``conv(deg, 10, 2)`` ≡ DuckDB ``bin(deg)`` — both minimal,
+    no leading zeros), so the bucketing never touches float logs.
+    ``edges_cte`` ends in a CTE named ``edges(src, dst)``."""
+    parts = [edges_cte.rstrip().rstrip(",")]
+    parts.append("""
+        c AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                              GREATEST(src, dst) AS b
+              FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL
+                AND src <> dst),
+        dg AS (SELECT node, COUNT(*) AS deg
+               FROM (SELECT a AS node FROM c
+                     UNION ALL SELECT b FROM c)
+               GROUP BY node)""")
+    final = """
+        SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+               COUNT(*) AS n_nodes,
+               MIN(deg) AS min_deg,
+               MAX(deg) AS max_deg,
+               CAST(SUM(deg) AS BIGINT) AS total_deg
+        FROM dg GROUP BY 1"""
+    return "WITH " + ",".join(parts) + " " + final
+
+
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst",
               id_out: str = "node") -> DataFrame:
     """Exact triangle counting + local clustering coefficient over an

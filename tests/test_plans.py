@@ -475,3 +475,29 @@ def test_kcore_round_is_agg_plus_semi_joins(spark, views):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan, plan
     assert "partial_count" in plan
+
+
+def test_hits_iteration_joins_not_cartesian(spark, views):
+    from pydin_spark.operators import graph
+    edges = spark.table("events").selectExpr(
+        "user_id as src", "cast(value as bigint) % 50 as dst").limit(200)
+    plan = plan_of(graph.hits(edges, iterations=1, checkpoint=False))
+    # two map-side-combined sums per iteration + 1-row total
+    # broadcasts — never a nested loop over node pairs
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan
+    dtypes = dict(graph.hits(edges, iterations=1,
+                             checkpoint=False).dtypes)
+    assert dtypes["auth_fp"] == "bigint" and dtypes["hub_fp"] == "bigint"
+
+
+def test_degree_histogram_two_aggregates_no_window(spark, views):
+    from pydin_spark.operators import graph
+    edges = spark.table("events").selectExpr(
+        "user_id as src", "cast(value as bigint) % 50 as dst").limit(200)
+    plan = plan_of(graph.degree_histogram(edges))
+    # distinct + degree agg + 64-row-max bucket agg: all partial/final
+    # pairs, no window, no join
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan, plan

@@ -183,3 +183,112 @@ def test_dist_drift_identical_sides_ks_zero(spark):
     out = curation.dist_drift(a, a, "x", bin_width=1.0,
                               cumulative=True).collect()
     assert all(r["ks_term"] == 0.0 for r in out)
+
+
+# ---- HITS ----
+
+def _hits_values_cte(edges):
+    return ("edges(src, dst) AS (VALUES "
+            + ", ".join(f"({a}, {b})" for a, b in edges) + ")")
+
+
+def test_hits_matches_unrolled_oracle(spark):
+    from pydin_spark.operators.graph import hits, hits_oracle_sql
+    edges = [(1, 3), (2, 3), (1, 4), (2, 4), (3, 5), (4, 5), (5, 1),
+             (7, 8)]
+    out = sorted(tuple(r) for r in
+                 hits(_edges(spark, edges), iterations=5).collect())
+    oracle = sorted(tuple(r) for r in duckdb.connect().execute(
+        hits_oracle_sql(_hits_values_cte(edges),
+                        iterations=5)).fetchall())
+    assert out == oracle
+
+
+def test_hits_source_sink_roles(spark):
+    from pydin_spark.operators.graph import HITS_SCALE, hits
+    # pure sources (no in-edges) have authority 0; pure sinks (no
+    # out-edges) have hub 0; each column's mass is bounded by SCALE
+    edges = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11)]
+    out = {r["node"]: (r["auth_fp"], r["hub_fp"])
+           for r in hits(_edges(spark, edges), iterations=3).collect()}
+    for source in (1, 2, 3):
+        assert out[source][0] == 0
+    for sink in (10, 11):
+        assert out[sink][1] == 0
+    assert 0 < sum(a for a, _ in out.values()) <= HITS_SCALE
+    assert 0 < sum(h for _, h in out.values()) <= HITS_SCALE
+    # node 10 receives from three hubs, node 11 from two
+    assert out[10][0] > out[11][0]
+
+
+def test_hits_empty_graph(spark):
+    from pydin_spark.operators.graph import hits
+    assert hits(_edges(spark, []), iterations=2).count() == 0
+
+
+# ---- degree histogram ----
+
+def test_degree_histogram_known_buckets(spark):
+    from pydin_spark.operators.graph import degree_histogram
+    # star: hub degree 5 (bucket 2: 4-7), leaves degree 1 (bucket 0)
+    star = [(0, i) for i in range(1, 6)]
+    out = {r["bucket"]: r for r in
+           degree_histogram(_edges(spark, star)).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["n_nodes"] == 5 and out[0]["min_deg"] == 1 \
+        and out[0]["max_deg"] == 1 and out[0]["total_deg"] == 5
+    assert out[2]["n_nodes"] == 1 and out[2]["min_deg"] == 5
+
+
+def test_degree_histogram_matches_oracle(spark):
+    from pydin_spark.operators.graph import (degree_histogram,
+                                             degree_histogram_oracle_sql)
+    edges = ([(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+             + [(10, 11)] + [(0, i) for i in range(1, 4)])
+    out = sorted(tuple(r) for r in
+                 degree_histogram(_edges(spark, edges)).collect())
+    oracle = sorted(tuple(r) for r in duckdb.connect().execute(
+        degree_histogram_oracle_sql(_hits_values_cte(edges)))
+        .fetchall())
+    assert out == oracle
+
+
+# ---- epoch planner ----
+
+def test_epoch_plan_exact_arithmetic(spark):
+    # a: 100 tokens available, b: 100; weights 1:3 over budget 1000
+    # -> targets 250/750, milli-epochs 2500/7500; unlisted source c
+    # excluded from both the totals and the output
+    rows = ([(i, "a", "t " * 9 + "t") for i in range(10)]
+            + [(100 + i, "b", "t " * 19 + "t") for i in range(5)]
+            + [(200, "c", "t t t")])
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                               "text string")
+    out = {r["source"]: r for r in curation.epoch_plan(
+        df, {"a": 1, "b": 3}, budget_tokens=1000).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["tokens"] == 100 and out["b"]["tokens"] == 100
+    assert out["a"]["target_tokens"] == 250
+    assert out["b"]["target_tokens"] == 750
+    assert out["a"]["epochs_milli"] == 2500
+    assert out["b"]["epochs_milli"] == 7500
+
+
+def test_epoch_plan_validation(spark):
+    df = spark.createDataFrame([(1, "a", "x y")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        curation.epoch_plan(df, {}, 100)
+    with pytest.raises(ValueError):
+        curation.epoch_plan(df, {"a": 1}, 0)
+    with pytest.raises(ValueError):
+        curation.epoch_plan(df, {"a": 0}, 100)
+
+
+def test_epoch_plan_token_col_override(spark):
+    df = spark.createDataFrame([(1, "a", 7), (2, "a", 13)],
+                               "doc_id long, source string, ntok long")
+    out = curation.epoch_plan(df, {"a": 1}, budget_tokens=40,
+                              token_col="ntok").collect()[0]
+    assert out["tokens"] == 20 and out["target_tokens"] == 40
+    assert out["epochs_milli"] == 2000  # budget is 2x the corpus

@@ -139,6 +139,15 @@ EXTRA = [
     "emb_project",
     "emb_pq",
     "sim_topk_pq",
+    # round 8: graph-structure signals + reweighting dedup + KS drift
+    "graph_triangles",
+    "graph_kcore",
+    "dedup_soft_weights",
+    "curation_dist_drift_ks",
+    "graph_hits",
+    "graph_degree_hist",
+    "text_ccnet_buckets",
+    "curation_epoch_plan",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -321,6 +330,36 @@ def _scale_graph_pagerank(spark, sf_dir):
                           src="src_id", dst="nbr_id")
 
 
+def _scale_graph_triangles(spark, sf_dir):
+    from pydin_spark.operators import graph
+    entrymod._views(spark, sf_dir)
+    # same IVF-edge substitution as pagerank: the census itself is
+    # wedge-bounded (O(m^1.5)) on the shared pruned edges
+    return graph.triangles(_ivf_edges(spark, sf_dir),
+                           src="src_id", dst="nbr_id")
+
+
+def _scale_graph_kcore(spark, sf_dir):
+    from pydin_spark.operators import graph
+    entrymod._views(spark, sf_dir)
+    return graph.kcore(_ivf_edges(spark, sf_dir), k=4, rounds=8,
+                       src="src_id", dst="nbr_id")
+
+
+def _scale_graph_hits(spark, sf_dir):
+    from pydin_spark.operators import graph
+    entrymod._views(spark, sf_dir)
+    return graph.hits(_ivf_edges(spark, sf_dir),
+                      src="src_id", dst="nbr_id", iterations=5)
+
+
+def _scale_graph_degree_hist(spark, sf_dir):
+    from pydin_spark.operators import graph
+    entrymod._views(spark, sf_dir)
+    return graph.degree_histogram(_ivf_edges(spark, sf_dir),
+                                  src="src_id", dst="nbr_id")
+
+
 def _scale_graph_pagerank_weighted(spark, sf_dir):
     from pydin_spark.operators import graph
     from pyspark.sql import functions as F
@@ -371,6 +410,10 @@ def _scale_snapshot_diff(spark, sf_dir):
 SCALE_VARIANTS = {
     "graph_label_prop": _scale_graph_label_prop,
     "graph_pagerank_weighted": _scale_graph_pagerank_weighted,
+    "graph_triangles": _scale_graph_triangles,
+    "graph_kcore": _scale_graph_kcore,
+    "graph_hits": _scale_graph_hits,
+    "graph_degree_hist": _scale_graph_degree_hist,
     "curation_snapshot_diff": _scale_snapshot_diff,
     "dedup_jaccard_zipf": _scale_dedup_jaccard_zipf,
     "dedup_containment_zipf": _scale_dedup_containment_zipf,
@@ -455,6 +498,14 @@ LINEAR_OK = {
     "graph_pagerank",           # edges-linear iterations (IVF edges)
     "graph_label_prop",         # edges-linear rounds (IVF edges)
     "graph_pagerank_weighted",  # same Pregel floor, weighted deg
+    "graph_triangles",          # wedge-bounded census (IVF edges)
+    "graph_kcore",              # edges-linear peel rounds (IVF edges)
+    "graph_hits",               # edges-linear half-steps (IVF edges)
+    "graph_degree_hist",        # two combine aggs, bucket-sized out
+    "text_ccnet_buckets",       # bigram LM scan + one range shuffle
+    "curation_epoch_plan",      # one scan, K-source combine agg
+    "dedup_soft_weights",       # dup_clusters substrate + one id join
+    "curation_dist_drift_ks",   # two count aggs + bin-frame window
     "curation_snapshot_diff",   # two fingerprint scans + one id join
     "text_vocab_coverage",      # token explode + combine + TakeOrdered
     "text_extract_urls",        # pure regexp scan, zero shuffle
