@@ -2802,6 +2802,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_epoch_plan"] = _curation_epoch_plan
 
+    def _curation_rrf(spark, sf_dir):
+        # reciprocal-rank fusion of two incomparable signals (length
+        # prior, token count): exact two-phase ranks, rrf = fixed sum
+        # of one exact-int division per signal (%.9f hash convention)
+        _views(spark, sf_dir)
+        docs = spark.table("documents").select(
+            "doc_id", "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("long")
+            .alias("n_tokens"))
+        out_df = curation.rank_fusion(docs, ["n_chars", "n_tokens"],
+                                      k=60)
+        return out_df.select(
+            "doc_id", "rank_n_chars", "rank_n_tokens",
+            F.format_string("%.9f", "rrf").alias("rrf9"))
+
+    out["curation_rrf"] = _curation_rrf
+
+    def _curation_dist_drift_grouped(spark, sf_dir):
+        # per-source refresh QA: the same parity-halves drift check
+        # computed WITHIN each source (a single shifting source hides
+        # inside the global histogram), with per-group CDFs/KS
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        out_df = curation.dist_drift(
+            docs.where("doc_id % 2 = 0").select("lang", "n_chars"),
+            docs.where("doc_id % 2 = 1").select("lang", "n_chars"),
+            "n_chars", bin_width=200.0, cumulative=True,
+            group_col="lang")
+        return out_df.select(
+            "lang", "bin", "cnt_a", "cnt_b",
+            F.format_string("%.9f", "share_a").alias("share_a9"),
+            F.format_string("%.9f", "chi2_term").alias("chi2_term9"),
+            F.format_string("%.9f", "cdf_a").alias("cdf_a9"),
+            F.format_string("%.9f", "cdf_b").alias("cdf_b9"),
+            F.format_string("%.9f", "ks_term").alias("ks_term9"))
+
+    out["curation_dist_drift_grouped"] = _curation_dist_drift_grouped
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -3888,6 +3926,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(((w.weight * 1000000) // 55) * 1000 // a.tokens
                     AS BIGINT) AS epochs_milli
         FROM a JOIN w ON w.source = a.source
+    """
+    # reciprocal-rank fusion: exact ranks (DESC, id DESC tie — the
+    # curriculum descending order), fused by a fixed left-to-right
+    # sum of single divisions
+    out["curation_rrf"] = """
+        WITH s AS (SELECT doc_id, n_chars,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents),
+        r1 AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+                                         doc_id DESC) AS rank_n_chars
+               FROM s WHERE n_chars IS NOT NULL),
+        r2 AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY n_tokens DESC,
+                                         doc_id DESC) AS rank_n_tokens
+               FROM s WHERE n_tokens IS NOT NULL)
+        SELECT s.doc_id, r1.rank_n_chars, r2.rank_n_tokens,
+               format('{:.9f}',
+                      CAST(1.0 AS DOUBLE) / (60 + r1.rank_n_chars)
+                      + CAST(1.0 AS DOUBLE) / (60 + r2.rank_n_tokens))
+                   AS rrf9
+        FROM s
+        JOIN r1 ON r1.doc_id = s.doc_id
+        JOIN r2 ON r2.doc_id = s.doc_id
     """
     # winnowing fingerprints (k=5, w=4): min over the fixed-width
     # hex(hash)+pos key per sliding window — md5 60-bit hash family, so
@@ -5077,6 +5140,63 @@ def oracle_sql() -> dict[str, str]:
                           AND CURRENT ROW) AS DOUBLE) / nb AS cdf_b
               FROM j CROSS JOIN t)
         SELECT bin, cnt_a, cnt_b,
+               format('{:.9f}', cdf_a) AS cdf_a9,
+               format('{:.9f}', cdf_b) AS cdf_b9,
+               format('{:.9f}', abs(cdf_a - cdf_b)) AS ks_term9
+        FROM w
+    """
+    # grouped drift: per-(source, bin) counts, per-source totals and
+    # windows — same expressions as the global form
+    out["curation_dist_drift_grouped"] = """
+        WITH av AS (SELECT lang, n_chars FROM documents
+                    WHERE doc_id % 2 = 0),
+        bv AS (SELECT lang, n_chars FROM documents
+               WHERE doc_id % 2 = 1),
+        ca AS (SELECT lang,
+                      CAST(floor(CAST(n_chars AS DOUBLE) / 200.0)
+                           AS BIGINT) AS bin,
+                      COUNT(*) AS cnt_a
+               FROM av WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        cb AS (SELECT lang,
+                      CAST(floor(CAST(n_chars AS DOUBLE) / 200.0)
+                           AS BIGINT) AS bin,
+                      COUNT(*) AS cnt_b
+               FROM bv WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        j AS (SELECT COALESCE(ca.lang, cb.lang) AS lang,
+                     COALESCE(ca.bin, cb.bin) AS bin,
+                     COALESCE(cnt_a, 0) AS cnt_a,
+                     COALESCE(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb
+              ON ca.lang = cb.lang AND ca.bin = cb.bin),
+        t AS (SELECT lang, CAST(SUM(cnt_a) AS BIGINT) AS na,
+                     CAST(SUM(cnt_b) AS BIGINT) AS nb
+              FROM j GROUP BY lang),
+        w AS (SELECT j.lang, bin, cnt_a, cnt_b, na, nb,
+                     CAST(SUM(cnt_a) OVER (PARTITION BY j.lang
+                          ORDER BY bin ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS DOUBLE) / na
+                         AS cdf_a,
+                     CAST(SUM(cnt_b) OVER (PARTITION BY j.lang
+                          ORDER BY bin ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS DOUBLE) / nb
+                         AS cdf_b
+              FROM j JOIN t ON t.lang = j.lang)
+        SELECT lang, bin, cnt_a, cnt_b,
+               format('{:.9f}', CAST(cnt_a AS DOUBLE) / na)
+                   AS share_a9,
+               format('{:.9f}',
+                      (cnt_a - na * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                     / (na + nb)))
+                      * (cnt_a - na * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                       / (na + nb)))
+                      / (na * (CAST(cnt_a + cnt_b AS DOUBLE)
+                               / (na + nb)))
+                      + (cnt_b - nb * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                       / (na + nb)))
+                      * (cnt_b - nb * (CAST(cnt_a + cnt_b AS DOUBLE)
+                                       / (na + nb)))
+                      / (nb * (CAST(cnt_a + cnt_b AS DOUBLE)
+                               / (na + nb)))) AS chi2_term9,
                format('{:.9f}', cdf_a) AS cdf_a9,
                format('{:.9f}', cdf_b) AS cdf_b9,
                format('{:.9f}', abs(cdf_a - cdf_b)) AS ks_term9

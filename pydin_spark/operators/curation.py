@@ -1655,6 +1655,50 @@ class StoredSnapshot:
         return out
 
 
+def rank_fusion(df: DataFrame, score_cols: list, id_col: str = "doc_id",
+                k: int = 60, ascending: bool = False) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    several quality signals: ``rrf = Σ_i 1/(k + rank_i)`` — the
+    standard way to blend incomparable scores (a length prior, an LM
+    fluency score, a classifier logit) without calibrating any of
+    them, because only each signal's RANKING enters. Ranks are exact
+    global BIGINTs from the :func:`curriculum_order` two-phase
+    substrate (one range shuffle per signal, no single-task window);
+    ``rrf`` is a FIXED left-to-right sum of one exact-int division
+    per signal — deterministic IEEE ops in a fixed order, so the
+    float is bit-identical across engines and the operator carries a
+    value-exact oracle.
+
+    ``ascending=False`` (default) gives rank 1 to the HIGHEST score —
+    the "bigger is better" reading; ties break by id (descending,
+    matching curriculum_order's descending tie order). Rows with a
+    NULL in ANY signal drop (each signal's rank frame drops its
+    NULLs — curriculum_order's documented contract — and the fusion
+    inner-joins the frames: a row with no rank under some signal has
+    no defensible fused score).
+
+    Output: (``id_col``, ``rank_<col>`` per signal, rrf DOUBLE).
+    ``k`` damps the head (Cormack's 60 keeps rank-1 from dominating);
+    it is a structural constant, not a tuning knob to sweep.
+    """
+    if not score_cols:
+        raise ValueError("score_cols must be a non-empty list")
+    if int(k) < 1:
+        raise ValueError("k must be a positive integer")
+    out = None
+    for c in score_cols:
+        r = curriculum_order(df.select(id_col, c), score_col=c,
+                             n_shards=1, ascending=ascending)
+        r = r.select(F.col(id_col), F.col("rk").alias(f"rank_{c}"))
+        out = r if out is None else out.join(r, id_col)
+    expr = None
+    for c in score_cols:
+        term = F.lit(1.0) / (F.lit(int(k))
+                             + F.col(f"rank_{c}")).cast("double")
+        expr = term if expr is None else expr + term
+    return out.withColumn("rrf", expr)
+
+
 def epoch_plan(df: DataFrame, weights: dict, budget_tokens: int,
                source_col: str = "source",
                text_col: str = "text",
@@ -1717,7 +1761,8 @@ def epoch_plan(df: DataFrame, weights: dict, budget_tokens: int,
 
 def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
                bin_width: float = 1.0,
-               cumulative: bool = False) -> DataFrame:
+               cumulative: bool = False,
+               group_col: str | None = None) -> DataFrame:
     """Distribution drift between two corpora over a numeric column —
     the training-data QA check a refresh pipeline runs before
     accepting a recrawl ("did document lengths / quality scores /
@@ -1756,27 +1801,47 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
     is small by construction (≤ thousands of rows for any sane
     binning), never corpus-sized; the corpus-sized work stays in the
     two count aggregates.
+
+    ``group_col`` compares WITHIN each group (per-source / per-domain
+    refresh QA — one recrawl source shifting hides inside the global
+    histogram): counts, shares, χ²/TVD/KS terms all become per-group,
+    totals come from a group-keyed aggregate instead of the 1-row
+    broadcast, and the cumulative window partitions by the group (per
+    partition still bin-bounded). The zero-side guard then applies
+    PER GROUP — a group present on only one side fails loudly, same
+    contract as the ungrouped form; intersect the group sets first if
+    sources may appear or vanish between snapshots (that event is
+    :func:`snapshot_diff`'s job, not a distribution comparison).
     """
     w = float(bin_width)
     if w <= 0:
         raise ValueError("bin_width must be positive")
+    gcols = [group_col] if group_col else []
 
     def binned(df, cnt_name):
         return (df.where(F.col(value_col).isNotNull())
-                .select(F.floor(F.col(value_col).cast("double") / w)
+                .select(*gcols,
+                        F.floor(F.col(value_col).cast("double") / w)
                         .cast("long").alias("bin"))
-                .groupBy("bin")
+                .groupBy(*gcols, "bin")
                 .agg(F.count(F.lit(1)).alias(cnt_name)))
 
     ca = binned(a, "cnt_a")
     cb = binned(b, "cnt_b")
-    joined = (ca.join(cb, "bin", "full_outer")
-              .select("bin",
+    joined = (ca.join(cb, gcols + ["bin"], "full_outer")
+              .select(*gcols, "bin",
                       F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
                       F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
-    totals = joined.groupBy().agg(
-        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb"))
-    j = joined.crossJoin(F.broadcast(totals))
+    if group_col:
+        totals = joined.groupBy(group_col).agg(
+            F.sum("cnt_a").alias("__na"),
+            F.sum("cnt_b").alias("__nb"))
+        j = joined.join(totals, group_col)
+    else:
+        totals = joined.groupBy().agg(
+            F.sum("cnt_a").alias("__na"),
+            F.sum("cnt_b").alias("__nb"))
+        j = joined.crossJoin(F.broadcast(totals))
     # expected counts under the pooled distribution; every float op
     # below is a fixed per-row expression over exact ints.
     # try_divide everywhere a guarded-empty side would divide by 0 —
@@ -1805,13 +1870,13 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
             f"dist_drift: a side has zero non-NULL {value_col} "
             "values — no distribution to compare")))
         .otherwise(F.col("bin")))
-    out = j.select("bin", "cnt_a", "cnt_b",
+    out = j.select(*gcols, "bin", "cnt_a", "cnt_b",
                    share_a.alias("share_a"), share_b.alias("share_b"),
                    chi2.alias("chi2_term"), tvd.alias("tvd_term"),
                    "__na", "__nb")
     if cumulative:
         from pyspark.sql import Window
-        w = (Window.orderBy("bin")
+        w = (Window.partitionBy(*gcols).orderBy("bin")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         cdf_a = F.try_divide(F.sum("cnt_a").over(w).cast("double"),
                              F.col("__na"))

@@ -292,3 +292,67 @@ def test_epoch_plan_token_col_override(spark):
                               token_col="ntok").collect()[0]
     assert out["tokens"] == 20 and out["target_tokens"] == 40
     assert out["epochs_milli"] == 2000  # budget is 2x the corpus
+
+
+# ---- rank fusion ----
+
+def test_rank_fusion_known_ranks(spark):
+    # doc 1 is best on s1 (rank 1) and worst on s2 (rank 3):
+    # rrf = 1/61 + 1/63; doc 3 the mirror image — equal fused scores
+    rows = [(1, 30, 5), (2, 20, 10), (3, 10, 15)]
+    df = spark.createDataFrame(rows, "doc_id long, s1 long, s2 long")
+    out = {r["doc_id"]: r for r in curation.rank_fusion(
+        df, ["s1", "s2"], k=60).collect()}
+    assert out[1]["rank_s1"] == 1 and out[1]["rank_s2"] == 3
+    assert out[2]["rank_s1"] == 2 and out[2]["rank_s2"] == 2
+    assert out[3]["rank_s1"] == 3 and out[3]["rank_s2"] == 1
+    assert out[1]["rrf"] == pytest.approx(1 / 61 + 1 / 63)
+    assert out[1]["rrf"] == out[3]["rrf"]
+    assert out[2]["rrf"] == pytest.approx(2 / 62)
+
+
+def test_rank_fusion_null_drops_row(spark):
+    rows = [(1, 10, 1), (2, None, 2), (3, 5, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, s1 long, s2 long")
+    out = curation.rank_fusion(df, ["s1", "s2"]).collect()
+    # doc 2 has no s1 rank -> no defensible fused score -> dropped
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_rank_fusion_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, s long")
+    with pytest.raises(ValueError):
+        curation.rank_fusion(df, [])
+    with pytest.raises(ValueError):
+        curation.rank_fusion(df, ["s"], k=0)
+
+
+# ---- grouped drift ----
+
+def test_dist_drift_grouped_is_per_group(spark):
+    # group g1 identical on both sides (zero drift terms); g2 fully
+    # shifted — the global histogram would dilute g2's signal
+    a = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 1.0), ("g2", 2.0)],
+        "g string, x double")
+    b = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 9.0), ("g2", 10.0)],
+        "g string, x double")
+    out = curation.dist_drift(a, b, "x", bin_width=1.0,
+                              cumulative=True, group_col="g").collect()
+    g1 = [r for r in out if r["g"] == "g1"]
+    g2 = [r for r in out if r["g"] == "g2"]
+    assert all(r["tvd_term"] == 0.0 and r["ks_term"] == 0.0
+               for r in g1)
+    assert max(r["ks_term"] for r in g2) == 1.0  # disjoint supports
+    # per-group CDFs both end at 1.0
+    for rows in (g1, g2):
+        last = max(rows, key=lambda r: r["bin"])
+        assert last["cdf_a"] == 1.0 and last["cdf_b"] == 1.0
+
+
+def test_dist_drift_grouped_one_sided_group_fails_loudly(spark):
+    a = spark.createDataFrame([("g1", 1.0)], "g string, x double")
+    b = spark.createDataFrame([("g2", 1.0)], "g string, x double")
+    with pytest.raises(Exception, match="zero non-NULL"):
+        curation.dist_drift(a, b, "x", group_col="g").collect()

@@ -148,6 +148,8 @@ EXTRA = [
     "graph_degree_hist",
     "text_ccnet_buckets",
     "curation_epoch_plan",
+    "curation_rrf",
+    "curation_dist_drift_grouped",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -504,6 +506,8 @@ LINEAR_OK = {
     "graph_degree_hist",        # two combine aggs, bucket-sized out
     "text_ccnet_buckets",       # bigram LM scan + one range shuffle
     "curation_epoch_plan",      # one scan, K-source combine agg
+    "curation_rrf",             # two range shuffles (one per signal)
+    "curation_dist_drift_grouped",  # two count aggs + group-keyed join
     "dedup_soft_weights",       # dup_clusters substrate + one id join
     "curation_dist_drift_ks",   # two count aggs + bin-frame window
     "curation_snapshot_diff",   # two fingerprint scans + one id join
