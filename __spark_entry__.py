@@ -2840,6 +2840,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_dist_drift_grouped"] = _curation_dist_drift_grouped
 
+    def _dedup_weighted_jaccard(spark, sf_dir):
+        # rarity-weighted near-dup pairs: integer idf-shaped weights
+        # ((N*1000) div df) keep every sum BIGINT-exact; the ratio is
+        # ONE division (%.9f hash convention)
+        _views(spark, sf_dir)
+        out_df = dedup.weighted_jaccard_pairs(
+            spark.table("documents"), threshold=0.2,
+            max_shingle_freq=100)
+        return out_df.select(
+            "id_a", "id_b", "shared_w",
+            F.format_string("%.9f", "jaccard_w").alias("jaccard_w9"))
+
+    out["dedup_weighted_jaccard"] = _dedup_weighted_jaccard
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -3382,6 +3396,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, component,
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
+    """
+    # rarity-weighted jaccard: df on the UNCAPPED postings, integer
+    # weight (N*1000)//df, cap sheds hot shingles from pairs only
+    out["dedup_weighted_jaccard"] = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all
+                 GROUP BY shingle),
+        wsh AS (SELECT s.doc_id, s.shingle,
+                       (nn.n * 1000) // f.df AS w
+                FROM sh_all s JOIN freq f ON f.shingle = s.shingle
+                CROSS JOIN nn WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS W
+                  FROM wsh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          CAST(SUM(a.w) AS BIGINT) AS shared_w
+                   FROM wsh a JOIN wsh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT id_a, id_b, shared_w,
+               format('{:.9f}',
+                      shared_w / (sa.W + sb.W - shared_w))
+                   AS jaccard_w9
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared_w / (sa.W + sb.W - shared_w)
+              >= CAST(0.2 AS DOUBLE)
     """
     # SoftDeDup weights: the dedup_clusters closure (same recursive
     # CTE, same 0.2/100 operating point) joined back to ALL docs —

@@ -158,6 +158,71 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           threshold: float = 0.5,
+                           max_shingle_freq: int | None = 100,
+                           weight_scale: int = 1000) -> DataFrame:
+    """Rarity-weighted Jaccard near-dup pairs: two documents sharing
+    RARE shingles are nearer duplicates than two sharing boilerplate,
+    which plain Jaccard cannot see (every shingle counts 1). The
+    weighted form is
+    ``J_w = Σ_{A∩B} w / (W_a + W_b − Σ_{A∩B} w)`` with per-shingle
+    weight ``w(sh) = (N · weight_scale) div df(sh)`` — the idf shape
+    (monotone-decreasing in document frequency) kept in pure BIGINT:
+    a float idf (ln) would make the per-doc weight sums
+    summation-order-dependent and kill the value-exact oracle; the
+    integer rational keeps every sum exact and the final ratio ONE
+    division (the engine-wide float convention). With all weights
+    equal the formula degenerates to plain Jaccard (pinned by test).
+
+    ``df`` counts distinct-doc occurrences on the UNCAPPED posting
+    set (the weight reflects true corpus frequency), then the
+    ``max_shingle_freq`` cap sheds the degenerate hot shingles from
+    pair generation exactly as :func:`ngram_jaccard_pairs` — capped
+    shingles carry near-minimum weight anyway, so the cap removes
+    quadratic cost, not signal. Scale shape: the same inverted-index
+    substrate (one window count on the shingle key, self-join reuses
+    the shuffle), with one extra integer column through it.
+
+    Output: (id_a, id_b, shared_w BIGINT, jaccard_w DOUBLE),
+    id_a < id_b, jaccard_w >= threshold.
+    """
+    if int(weight_scale) < 1:
+        raise ValueError("weight_scale must be a positive integer")
+    n_docs = df.count()
+    sh = word_shingles(df, id_col, text_col, n, hashed=True).persist()
+    from pyspark.sql import Window
+    win = Window.partitionBy("shingle")
+    weighted = sh.withColumn("df", F.count(F.lit(1)).over(win))
+    if max_shingle_freq is not None:
+        weighted = weighted.where(F.col("df") <= max_shingle_freq)
+    weighted = (weighted
+                .withColumn("w", F.expr(
+                    f"({int(n_docs)}L * {int(weight_scale)}L) div df"))
+                .drop("df")
+                .persist())
+    sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W"))
+    a = weighted.select(F.col(id_col).alias("id_a"), "shingle",
+                        F.col("w").alias("wa"))
+    b = weighted.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    shared = (a.join(b, "shingle")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.sum("wa").alias("shared_w")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("W").alias("W_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("W").alias("W_b"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard_w",
+                        F.col("shared_w")
+                        / (F.col("W_a") + F.col("W_b")
+                           - F.col("shared_w")))
+            .where(F.col("jaccard_w") >= threshold)
+            .select("id_a", "id_b", "shared_w", "jaccard_w"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 64,

@@ -356,3 +356,91 @@ def test_dist_drift_grouped_one_sided_group_fails_loudly(spark):
     b = spark.createDataFrame([("g2", 1.0)], "g string, x double")
     with pytest.raises(Exception, match="zero non-NULL"):
         curation.dist_drift(a, b, "x", group_col="g").collect()
+
+
+# ---- weighted jaccard ----
+
+def test_weighted_jaccard_degenerates_to_plain(spark):
+    # every shingle unique to its pair of twin docs -> df identical
+    # for all shingles -> weights constant -> J_w == plain jaccard
+    rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"),
+            (3, "xx yy zz ww vv")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.weighted_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["jaccard_w"] == 1.0  # identical docs
+
+
+def test_weighted_jaccard_rarity_beats_boilerplate(spark):
+    # docs 1,2 share a RARE tail; docs 3,4 share the same-size
+    # boilerplate that also floods six other docs -> the rare pair
+    # scores strictly higher under weighting
+    boiler = "the quick brown fox jumps"
+    rare = "zeta omega kappa lambda sigma"
+    rows = ([(1, rare + " unique1a unique1b"),
+             (2, rare + " unique2a unique2b"),
+             (3, boiler + " only3a only3b"),
+             (4, boiler + " only4a only4b")]
+            + [(10 + i, boiler + f" filler{i}a filler{i}b")
+               for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard_w"]
+           for r in dedup.weighted_jaccard_pairs(
+               df, threshold=0.0).collect()}
+    assert out[(1, 2)] > out[(3, 4)]
+
+
+def test_weighted_jaccard_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.weighted_jaccard_pairs(df, weight_scale=0)
+
+
+# ---- streaming drift front door ----
+
+def test_streaming_drift_screen_front_door(spark, tmp_path):
+    """Refresh micro-batches are drift-checked against a FIXED
+    reference histogram BEFORE landing: dist_drift(cumulative=True)
+    runs per batch inside foreachBatch (a pure batch operator — the
+    semantics carry to the stream unchanged), drift evidence lands
+    keyed by batch, and a shifted batch shows up as a KS spike."""
+    import json
+
+    land = tmp_path / "in"
+    land.mkdir()
+    ref_vals = [100.0, 200.0, 300.0, 400.0] * 5
+    ref = spark.createDataFrame([(v,) for v in ref_vals],
+                                "n_chars double")
+    (land / "a.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "n_chars": ref_vals[i % 4]})
+        for i in range(20)))
+    (land / "b.json").write_text("\n".join(
+        json.dumps({"doc_id": 100 + i,
+                    "n_chars": ref_vals[i % 4] + 1000.0})
+        for i in range(20)))
+    stream = (spark.readStream.schema("doc_id long, n_chars double")
+              .option("maxFilesPerTrigger", 1).json(str(land)))
+    out = str(tmp_path / "drift")
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        d = curation.dist_drift(ref, batch_df.select("n_chars"),
+                                "n_chars", bin_width=100.0,
+                                cumulative=True)
+        d.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    ks = {}
+    for r in spark.read.parquet(out).collect():
+        ks[r["batch_id"]] = max(ks.get(r["batch_id"], 0.0),
+                                r["ks_term"])
+    assert sorted(ks.values()) == [0.0, 1.0]  # clean batch, shifted batch

@@ -150,6 +150,7 @@ EXTRA = [
     "curation_epoch_plan",
     "curation_rrf",
     "curation_dist_drift_grouped",
+    "dedup_weighted_jaccard",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -453,6 +454,7 @@ LINEAR_OK = {
     "rollup_bloom_stored",      # events scan per refresh
     "dedup_exact",              # corpus scan + one 32-byte-key shuffle
     "dedup_ngram_jaccard",      # posting lists grow with corpus+dups
+    "dedup_weighted_jaccard",   # same substrate + one integer column
     "dedup_minhash_lsh",        # signatures linear; verify with pairs
     "dedup_clusters",           # edge-list-sized pointer-jump rounds
     "dedup_survivors",          # same substrate as dedup_clusters
