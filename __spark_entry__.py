@@ -2772,20 +2772,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_dist_drift_ks"] = _curation_dist_drift_ks
 
     def _text_ccnet_buckets(spark, sf_dir):
-        # CCNet head/middle/tail: corpus-LM fluency per doc, score
-        # quantized to exact BIGINT (floor(avg_logprob·1e6) — same
-        # tolerance class as the %.6f hash convention), then exact
-        # global rank -> tertile buckets via the curriculum substrate
-        # (bucket 0 = most fluent = "head")
+        # CCNet head/middle/tail: corpus-LM fluency per doc via the
+        # QUANTIZED path (per-bigram floor(lp·1e6) -> exact BIGINT
+        # sum -> integer mean: order-independent, unlike F.avg whose
+        # partial-merge order varies run to run and would cascade
+        # through the global rank), then exact rank -> tertile
+        # buckets via the curriculum substrate (bucket 0 = "head")
         _views(spark, sf_dir)
-        scored = text.bigram_logprob(spark.table("documents"))
-        q = scored.select(
-            "doc_id",
-            F.floor(F.col("avg_logprob") * F.lit(1000000.0))
-            .cast("long").alias("nlp_q"))
-        out_df = curation.curriculum_order(q, score_col="nlp_q",
-                                           n_shards=3,
-                                           ascending=False)
+        scored = text.bigram_logprob(spark.table("documents"),
+                                     quantized=True)
+        out_df = curation.curriculum_order(
+            scored.select("doc_id", "nlp_q"), score_col="nlp_q",
+            n_shards=3, ascending=False)
         return out_df.select("doc_id", "nlp_q", "rk",
                              F.col("shard").alias("bucket"))
 
@@ -3922,9 +3920,11 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN v
         GROUP BY big.doc_id
     """
-    # CCNet tertiles: the text_bigram_lm scoring CTEs, score quantized
-    # to BIGINT (floor(avg·1e6)), ranked (nlp_q DESC, doc_id DESC) —
-    # the curriculum ascending=False tie order — bucket = (rk-1)*3//n
+    # CCNet tertiles: per-bigram floor(lp·1e6) quantization BEFORE the
+    # (exact BIGINT) sum — order-independent, unlike AVG over floats;
+    # integer mean via negate-divide-negate (DuckDB // floors, Spark
+    # div truncates — they coincide on the positive -Σq); ranked
+    # (nlp_q DESC, doc_id DESC), bucket = (rk-1)*3//n
     out["text_ccnet_buckets"] = """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
                    FROM documents),
@@ -3936,17 +3936,20 @@ def oracle_sql() -> dict[str, str]:
         hist AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
         pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM big
                  GROUP BY w1, w2),
-        sc AS (SELECT big.doc_id,
-                      CAST(floor(AVG(ln((pair.c2 + CAST(0.5 AS DOUBLE))
-                                        / (hist.c1 + CAST(0.5 AS DOUBLE)
-                                           * v.vs)))
-                                 * CAST(1000000 AS DOUBLE))
-                           AS BIGINT) AS nlp_q
-               FROM big
-               JOIN pair ON pair.w1 = big.w1 AND pair.w2 = big.w2
-               JOIN hist ON hist.w1 = big.w1
-               CROSS JOIN v
-               GROUP BY big.doc_id),
+        q AS (SELECT big.doc_id,
+                     CAST(floor(ln((pair.c2 + CAST(0.5 AS DOUBLE))
+                                   / (hist.c1 + CAST(0.5 AS DOUBLE)
+                                      * v.vs))
+                                * CAST(1000000 AS DOUBLE))
+                          AS BIGINT) AS qv
+              FROM big
+              JOIN pair ON pair.w1 = big.w1 AND pair.w2 = big.w2
+              JOIN hist ON hist.w1 = big.w1
+              CROSS JOIN v),
+        sc AS (SELECT doc_id,
+                      -(CAST(-SUM(qv) AS BIGINT) // COUNT(*))
+                          AS nlp_q
+               FROM q GROUP BY doc_id),
         r AS (SELECT doc_id, nlp_q,
                      ROW_NUMBER() OVER (ORDER BY nlp_q DESC,
                                         doc_id DESC) AS rk,

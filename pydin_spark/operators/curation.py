@@ -1716,10 +1716,13 @@ def epoch_plan(df: DataFrame, weights: dict, budget_tokens: int,
     div tokens`` — value-exact across engines, no float shares.
     Only sources present in ``weights`` are planned (the mix table IS
     the contract; unlisted sources are excluded from Σw and output).
-    A listed source with zero available tokens fails loudly
-    (raise_error) — a mix that names an empty source is a config bug,
-    not a zero row. Token counts come from ``token_col`` if given,
-    else whitespace tokens of ``text_col`` (the
+    A listed source that is ABSENT from the corpus, present with zero
+    tokens, or whose token column is all-NULL fails loudly
+    (raise_error via a left join FROM the weights side, so a typo'd
+    source name cannot silently forfeit its budget share) — a mix
+    that names an empty source is a config bug, not a zero row.
+    Token counts come from ``token_col`` if given, else whitespace
+    tokens of ``text_col`` (the
     :func:`~pydin_spark.operators.text.token_stats` convention).
 
     Scale shape: ONE corpus scan into a source-keyed combine
@@ -1737,20 +1740,36 @@ def epoch_plan(df: DataFrame, weights: dict, budget_tokens: int,
     total_w = sum(int(w) for w in weights.values())
     tok = (F.col(token_col).cast("long") if token_col
            else F.size(F.split(F.col(text_col), " ")).cast("long"))
-    wmap = F.create_map(*[x for s, w in sorted(weights.items())
-                          for x in (F.lit(s), F.lit(int(w)))])
+    # source keys compared as strings on both sides (the weights
+    # frame is string-typed; a numeric corpus source column would
+    # otherwise join through an implicit cast)
     agg = (df.where(F.col(source_col).isin(list(weights)))
-           .groupBy(F.col(source_col).alias("source"))
+           .groupBy(F.col(source_col).cast("string").alias("source"))
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum(tok).alias("tokens")))
+    # join FROM the weights side: a listed source the corpus lacks
+    # (typo, empty partition) surfaces as a NULL row and trips the
+    # guard below instead of silently forfeiting its budget share
+    wdf = df.sparkSession.createDataFrame(
+        [(str(s), int(w)) for s, w in sorted(weights.items())],
+        "source string, weight long")
     b = int(budget_tokens)
-    planned = agg.select(
-        "source", "n_docs",
-        F.when(F.col("tokens") <= 0, F.raise_error(F.lit(
-            "epoch_plan: a listed source has zero tokens — fix the "
-            "mix table or the corpus")))
-        .otherwise(F.col("tokens")).cast("long").alias("tokens"),
-        wmap[F.col("source")].cast("long").alias("weight"))
+    planned = (wdf.join(agg, "source", "left")
+               .select(
+                   "source",
+                   F.coalesce("n_docs", F.lit(0)).cast("long")
+                   .alias("n_docs"),
+                   F.when(F.col("tokens").isNull()
+                          | (F.col("tokens") <= 0),
+                          F.raise_error(F.concat(
+                              F.lit("epoch_plan: listed source '"),
+                              F.col("source"),
+                              F.lit("' is absent from the corpus or "
+                                    "has zero tokens — fix the mix "
+                                    "table or the corpus"))))
+                   .otherwise(F.col("tokens")).cast("long")
+                   .alias("tokens"),
+                   F.col("weight")))
     return planned.select(
         "source", "n_docs", "tokens", "weight",
         F.expr(f"(weight * {b}L) div {total_w}L").cast("long")
@@ -1812,6 +1831,11 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
     contract as the ungrouped form; intersect the group sets first if
     sources may appear or vanish between snapshots (that event is
     :func:`snapshot_diff`'s job, not a distribution comparison).
+    Rows with a NULL group are DROPPED on both sides (explicitly, up
+    front — NULL-rejecting join equality would otherwise lose them
+    silently at the totals join; engines also disagree on NULL
+    grouping semantics): bucket unclassified rows under a sentinel
+    value first if their drift matters.
     """
     w = float(bin_width)
     if w <= 0:
@@ -1819,7 +1843,12 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
     gcols = [group_col] if group_col else []
 
     def binned(df, cnt_name):
-        return (df.where(F.col(value_col).isNotNull())
+        base = df.where(F.col(value_col).isNotNull())
+        if group_col:
+            # documented drop: NULL groups would vanish silently at
+            # the NULL-rejecting totals join below
+            base = base.where(F.col(group_col).isNotNull())
+        return (base
                 .select(*gcols,
                         F.floor(F.col(value_col).cast("double") / w)
                         .cast("long").alias("bin"))

@@ -78,7 +78,8 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
-                          n: int, max_shingle_freq: int | None):
+                          n: int, max_shingle_freq: int | None,
+                          df_col: str | None = None):
     """Shared substrate of the pairwise shingle operators
     (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): hashed
     shingle posting lists with the hot-shingle frequency cap applied,
@@ -97,16 +98,26 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     capped posting lists sit in the block store until the session's
     cache hygiene releases them — bench's inter-query clearCache is
     the release point today.
+
+    ``df_col``: when set, the PRE-CAP document frequency of each
+    shingle is kept on the returned frame under that name (the same
+    window count the cap already pays for) — the hook
+    :func:`weighted_jaccard_pairs` hangs its rarity weights on, so
+    the cap/persist tuning stays in this one place.
     """
     shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
-    if max_shingle_freq is not None:
+    if max_shingle_freq is not None or df_col:
         from pyspark.sql import Window
         w = Window.partitionBy("shingle")
-        shingles = (shingles
-                    .withColumn("df", F.count(F.lit(1)).over(w))
-                    .where(F.col("df") <= max_shingle_freq)
-                    .drop("df")
-                    .persist())
+        freq_name = df_col or "df"
+        shingles = shingles.withColumn(freq_name,
+                                       F.count(F.lit(1)).over(w))
+        if max_shingle_freq is not None:
+            shingles = shingles.where(
+                F.col(freq_name) <= max_shingle_freq)
+        if not df_col:
+            shingles = shingles.drop("df")
+        shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     return shingles, sizes
 
@@ -191,17 +202,14 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     if int(weight_scale) < 1:
         raise ValueError("weight_scale must be a positive integer")
     n_docs = df.count()
-    sh = word_shingles(df, id_col, text_col, n, hashed=True).persist()
-    from pyspark.sql import Window
-    win = Window.partitionBy("shingle")
-    weighted = sh.withColumn("df", F.count(F.lit(1)).over(win))
-    if max_shingle_freq is not None:
-        weighted = weighted.where(F.col("df") <= max_shingle_freq)
-    weighted = (weighted
+    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
+                                        max_shingle_freq,
+                                        df_col="__df")
+    weighted = (shingles
                 .withColumn("w", F.expr(
-                    f"({int(n_docs)}L * {int(weight_scale)}L) div df"))
-                .drop("df")
-                .persist())
+                    f"({int(n_docs)}L * {int(weight_scale)}L) "
+                    "div __df"))
+                .drop("__df"))
     sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W"))
     a = weighted.select(F.col(id_col).alias("id_a"), "shingle",
                         F.col("w").alias("wa"))

@@ -294,7 +294,16 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     Output: (``id_out``, auth_fp BIGINT, hub_fp BIGINT) — each
     column sums to ≤ SCALE with floor leakage only. Nodes with no
     in-edges have auth 0; no out-edges, hub 0.
+
+    Start value: every node's hub begins at SCALE (not SCALE/n —
+    the L1 normalization after the first half-step makes the init
+    MAGNITUDE irrelevant, and dividing by n would floor to zero on
+    any graph with more than SCALE nodes, silently zeroing every
+    score at exactly the web-graph sizes this operator targets).
     """
+    if int(iterations) < 1:
+        raise ValueError("iterations must be >= 1 (the scores are "
+                         "normalized inside the loop)")
     e = (edges.select(F.col(src).alias("__src"),
                       F.col(dst).alias("__dst"))
          .where(F.col("__src").isNotNull()
@@ -315,10 +324,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .localCheckpoint(eager=True))
         e_by_dst = (e.repartition(nparts, "__dst")
                     .localCheckpoint(eager=True))
-    # uniform start: every node hub = SCALE div n (mirrors pagerank's
-    # init; the first authority pass immediately reweights)
-    r = nodes.withColumn("hub_fp",
-                         F.lit(HITS_SCALE // n).cast("long"))
+    # uniform start at SCALE per node: the first normalization
+    # rescales anyway, and SCALE div n would zero out beyond 1e6
+    # nodes (see docstring)
+    r = nodes.withColumn("hub_fp", F.lit(HITS_SCALE).cast("long"))
 
     def _normalize(scores, col):
         total = scores.groupBy().agg(
@@ -370,6 +379,8 @@ def hits_oracle_sql(edges_cte: str, iterations: int = 10,
     score CTE is referenced more than once downstream, so they are
     MATERIALIZED (the :func:`kcore_oracle_sql` lesson — DuckDB
     inlines plain CTEs and the chain goes exponential)."""
+    if int(iterations) < 1:
+        raise ValueError("iterations must be >= 1")
     s = HITS_SCALE
     parts = [edges_cte.rstrip().rstrip(",")]
     parts.append(f"""
@@ -377,10 +388,9 @@ def hits_oracle_sql(edges_cte: str, iterations: int = 10,
               WHERE src IS NOT NULL AND dst IS NOT NULL),
         nodes AS MATERIALIZED (SELECT src AS node FROM ed
                   UNION SELECT dst FROM ed),
-        nn AS (SELECT COUNT(*) AS n FROM nodes),
         h0 AS MATERIALIZED (SELECT node,
-                   CAST({s} // nn.n AS BIGINT) AS hub
-              FROM nodes CROSS JOIN nn)""")
+                   CAST({s} AS BIGINT) AS hub
+              FROM nodes)""")
     for t in range(int(iterations)):
         parts.append(f"""
         ra{t} AS MATERIALIZED (

@@ -552,7 +552,8 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    alpha: float = 0.5,
-                   owned_frames: list | None = None) -> DataFrame:
+                   owned_frames: list | None = None,
+                   quantized: bool = False) -> DataFrame:
     """Corpus-trained bigram language-model fluency score per document
     — the KenLM-style quality signal expressed relationally (no model
     artifact: the corpus itself is the training set, the "model" is two
@@ -568,6 +569,20 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     LM), then two hash joins keyed on the bigram/history and one
     per-doc aggregate — the classic count-join-score pipeline; no
     Python, no model broadcast, every key is natural-text-distributed.
+
+    ``quantized=True`` replaces the float mean with run-deterministic
+    integer arithmetic for consumers that feed the score into a
+    GLOBAL RANK (curriculum buckets, rank fusion): each bigram's
+    log-prob is floored onto the 1e-6 grid FIRST
+    (``floor(lp · 1e6)`` BIGINT — a per-row expression over exact
+    counts, no accumulation), the per-doc total is an exact BIGINT
+    sum (order-independent, unlike ``F.avg`` whose partial-merge
+    order varies run to run), and the mean is one integer division —
+    negate-divide-negate so truncating (Spark ``div``) and flooring
+    (DuckDB ``//``) division agree: every smoothed log-prob is
+    strictly negative (``c2 ≤ c1`` and ``αV > α`` force ratio < 1),
+    so ``-Σq`` is positive where the two conventions coincide.
+    Output: (id, n_bigrams, sum_lp_q BIGINT, nlp_q BIGINT).
     """
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), toks.alias("t")) \
@@ -588,11 +603,23 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     lp = (F.log((F.col("c2") + F.lit(float(alpha)))
                 / (F.col("c1") + F.lit(float(alpha) * vocab_size))))
-    out = (big.join(pair, ["w1", "w2"]).join(hist, "w1")
-           .withColumn("lp", lp)
-           .groupBy(id_col)
-           .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                F.avg("lp").alias("avg_logprob")))
+    scored = big.join(pair, ["w1", "w2"]).join(hist, "w1") \
+                .withColumn("lp", lp)
+    if quantized:
+        out = (scored
+               .withColumn("q", F.floor(F.col("lp")
+                                        * F.lit(1000000.0))
+                           .cast("long"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("q").alias("sum_lp_q"))
+               .withColumn("nlp_q",
+                           -F.expr("(-sum_lp_q) div n_bigrams")))
+    else:
+        out = (scored
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.avg("lp").alias("avg_logprob")))
     # bounded-cache discipline: the caller either takes ownership of
     # the persisted bigram frame (owned_frames) or gets a materialized
     # result with the cache already released — never a session-lifetime

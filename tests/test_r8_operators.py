@@ -444,3 +444,70 @@ def test_streaming_drift_screen_front_door(spark, tmp_path):
         ks[r["batch_id"]] = max(ks.get(r["batch_id"], 0.0),
                                 r["ks_term"])
     assert sorted(ks.values()) == [0.0, 1.0]  # clean batch, shifted batch
+
+
+# ---- review-pass regression tests ----
+
+def test_epoch_plan_missing_listed_source_fails_loudly(spark):
+    # a typo'd source name must not silently forfeit its budget share
+    df = spark.createDataFrame([(1, "a", "x y z")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(Exception, match="nope"):
+        curation.epoch_plan(df, {"a": 1, "nope": 1}, 100).collect()
+
+
+def test_epoch_plan_all_null_tokens_fails_loudly(spark):
+    df = spark.createDataFrame([(1, "a", None), (2, "a", None)],
+                               "doc_id long, source string, ntok long")
+    with pytest.raises(Exception, match="zero tokens"):
+        curation.epoch_plan(df, {"a": 1}, 100,
+                            token_col="ntok").collect()
+
+
+def test_dist_drift_grouped_null_group_dropped(spark):
+    # NULL-group rows drop explicitly (documented) instead of
+    # vanishing at the NULL-rejecting totals join; other groups
+    # unaffected
+    a = spark.createDataFrame([("g1", 1.0), (None, 2.0)],
+                              "g string, x double")
+    b = spark.createDataFrame([("g1", 1.0), (None, 3.0)],
+                              "g string, x double")
+    out = curation.dist_drift(a, b, "x", group_col="g").collect()
+    assert {r["g"] for r in out} == {"g1"}
+    assert all(r["tvd_term"] == 0.0 for r in out)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from pydin_spark.operators.graph import hits, hits_oracle_sql
+    with pytest.raises(ValueError):
+        hits(_edges(spark, [(1, 2)]), iterations=0)
+    with pytest.raises(ValueError):
+        hits_oracle_sql("edges(src, dst) AS (VALUES (1, 2))",
+                        iterations=0)
+
+
+def test_bigram_logprob_quantized_matches_python(spark):
+    import math
+    from pydin_spark.operators import text as text_ops
+    rows = [(1, "a b a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.bigram_logprob(
+        df, quantized=True).collect()}
+    # corpus bigrams: (a,b)x3? -> doc1: (a,b),(b,a),(a,b); doc2:
+    # (a,b),(b,c); V = 3, alpha = 0.5
+    from collections import Counter
+    bigs = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "b"), ("b", "c")]
+    pair = Counter(bigs)
+    hist = Counter(w1 for w1, _ in bigs)
+    V = 3
+
+    def q(w1, w2):
+        return math.floor(
+            math.log((pair[(w1, w2)] + 0.5) / (hist[w1] + 0.5 * V))
+            * 1e6)
+
+    for doc_id, doc_bigs in ((1, bigs[:3]), (2, bigs[3:])):
+        s = sum(q(w1, w2) for w1, w2 in doc_bigs)
+        n = len(doc_bigs)
+        assert out[doc_id]["sum_lp_q"] == s
+        assert out[doc_id]["nlp_q"] == -((-s) // n)
