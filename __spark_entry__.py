@@ -2852,6 +2852,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dedup_weighted_jaccard"] = _dedup_weighted_jaccard
 
+    def _curation_epoch_plan_effective(spark, sf_dir):
+        # the dedup-aware mix table: available tokens per source are
+        # DEDUP-EFFECTIVE — each doc contributes tokens/cluster_size,
+        # kept exact as per-doc integer milli-tokens
+        # ((ntok*1000) div cluster_size) summed in BIGINT, so a
+        # source whose mass is one mega-cluster plans as ~one doc's
+        # worth. Budget in milli-tokens; composition of
+        # soft_dedup_weights + epoch_plan, both separately gated
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        w = dedup.soft_dedup_weights(docs, threshold=0.2,
+                                     max_shingle_freq=100,
+                                     method="exact")
+        eff = (docs.join(w, "doc_id")
+               .select("doc_id", "source",
+                       F.expr("(size(split(text, ' ')) * 1000L) "
+                              "div cluster_size").alias("eff_milli")))
+        weights = {f"src{i}": i + 1 for i in range(10)}
+        return curation.epoch_plan(eff, weights,
+                                   budget_tokens=1_000_000_000,
+                                   token_col="eff_milli")
+
+    out["curation_epoch_plan_effective"] = _curation_epoch_plan_effective
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -3394,6 +3418,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, component,
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
+    """
+    # dedup-effective epoch plan: the dedup_clusters closure supplies
+    # cluster sizes, per-doc effective milli-tokens are ONE integer
+    # division, then the epoch_plan arithmetic verbatim (Σw = 55)
+    out["curation_epoch_plan_effective"] = """
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM shared
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE shared / (sa.sz + sb.sz - shared)
+                        >= CAST(0.2 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component
+                 FROM reach GROUP BY id),
+        csz AS (SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY component) AS sz
+                FROM comp),
+        eff AS (SELECT d.doc_id, d.source,
+                       (len(string_split(d.text, ' ')) * 1000)
+                       // COALESCE(csz.sz, 1) AS eff_milli
+                FROM documents d
+                LEFT JOIN csz ON csz.doc_id = d.doc_id),
+        w(source, weight) AS (VALUES """ + ", ".join(
+        f"('src{i}', {i + 1})" for i in range(10)) + """),
+        a AS (SELECT e.source, COUNT(*) AS n_docs,
+                     CAST(SUM(e.eff_milli) AS BIGINT) AS tokens
+              FROM eff e JOIN w ON w.source = e.source
+              GROUP BY e.source)
+        SELECT a.source, a.n_docs, a.tokens,
+               CAST(w.weight AS BIGINT) AS weight,
+               CAST((CAST(w.weight AS BIGINT) * 1000000000) // 55
+                    AS BIGINT) AS target_tokens,
+               CAST(((CAST(w.weight AS BIGINT) * 1000000000) // 55)
+                    * 1000 // a.tokens AS BIGINT) AS epochs_milli
+        FROM a JOIN w ON w.source = a.source
     """
     # rarity-weighted jaccard: df on the UNCAPPED postings, integer
     # weight (N*1000)//df, cap sheds hot shingles from pairs only
