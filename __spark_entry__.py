@@ -2876,6 +2876,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_epoch_plan_effective"] = _curation_epoch_plan_effective
 
+    def _emb_drift(spark, sf_dir):
+        # vector-space refresh QA: per-coordinate mean shift between
+        # the id-parity halves — values quantized to the 1e-6 grid
+        # BEFORE the exact BIGINT sums (no float accumulation), mean
+        # via the sign-split truncating division both engines share
+        from pydin_spark.operators import similarity
+        _views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        return similarity.embedding_drift(
+            emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1"),
+            dim=64)
+
+    out["emb_drift"] = _emb_drift
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -3418,6 +3432,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, component,
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
+    """
+    # embedding drift: floor(v*1e6) per value, exact BIGINT sums per
+    # coordinate, sign-split truncating integer mean (Spark div
+    # truncates, DuckDB // floors — the CASE makes them agree)
+    out["emb_drift"] = """
+        WITH av AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                    WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+                      AND len(embedding) >= 64),
+        bv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+                 AND len(embedding) >= 64),
+        ca AS (SELECT i - 1 AS coord, COUNT(*) AS n_a,
+                      CAST(SUM(CAST(floor(e[i] * 1000000.0)
+                                    AS BIGINT)) AS BIGINT) AS s_a
+               FROM av, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+        cb AS (SELECT i - 1 AS coord, COUNT(*) AS n_b,
+                      CAST(SUM(CAST(floor(e[i] * 1000000.0)
+                                    AS BIGINT)) AS BIGINT) AS s_b
+               FROM bv, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+        m AS (SELECT ca.coord, n_a, n_b,
+                     CASE WHEN s_a >= 0 THEN s_a // n_a
+                          ELSE -((-s_a) // n_a) END AS mean_a_q,
+                     CASE WHEN s_b >= 0 THEN s_b // n_b
+                          ELSE -((-s_b) // n_b) END AS mean_b_q
+              FROM ca JOIN cb ON cb.coord = ca.coord)
+        SELECT CAST(coord AS INTEGER) AS coord, n_a, n_b,
+               CAST(mean_a_q AS BIGINT) AS mean_a_q,
+               CAST(mean_b_q AS BIGINT) AS mean_b_q,
+               CAST(mean_b_q - mean_a_q AS BIGINT) AS delta_q
+        FROM m
     """
     # dedup-effective epoch plan: the dedup_clusters closure supplies
     # cluster sizes, per-doc effective milli-tokens are ONE integer

@@ -269,6 +269,49 @@ def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int,
             .select(F.col(id_col), F.col("bk.band"), F.col("bk.bh")))
 
 
+def lsh_plan(threshold: float, num_hashes: int = 64) -> dict:
+    """Pick the LSH banding for a target Jaccard threshold — the
+    calculator every MinHash deployment needs before touching data
+    (pure Python, no DataFrame): for ``b`` bands of ``r`` rows the
+    candidate probability at similarity ``s`` is ``1−(1−s^r)^b``, and
+    the quality of a banding is how sharply that S-curve steps at the
+    threshold. Among the divisor pairs ``b·r = num_hashes`` this
+    returns the one whose curve midpoint ``(1/b)^(1/r)`` lands
+    closest to ``threshold`` (the standard rule from Mining of
+    Massive Datasets §3.4), plus the numbers a capacity plan needs.
+
+    Returns ``{bands, rows_per_band, midpoint, p_at_threshold,
+    p_candidate(s) curve points}`` — ``p_at_threshold`` is the recall
+    of the banding AT the threshold; candidates below threshold are
+    false positives the exact verify stage removes (cost, not
+    correctness).
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        if r < 1 or (b == num_hashes and r == 1 and num_hashes > 2):
+            # r = 1 degenerates to "any equal hash" — every pair
+            # sharing one minhash collides; never the right plan
+            continue
+        mid = (1.0 / b) ** (1.0 / r)
+        cand = (b, r, mid)
+        if best is None or abs(mid - threshold) < abs(best[2]
+                                                      - threshold):
+            best = cand
+    b, r, mid = best
+    p_at = 1.0 - (1.0 - threshold ** r) ** b
+    curve = {round(s, 2): 1.0 - (1.0 - s ** r) ** b
+             for s in (0.2, 0.4, 0.5, 0.6, 0.8, 0.9)}
+    return {"bands": b, "rows_per_band": r, "midpoint": mid,
+            "p_at_threshold": p_at, "curve": curve}
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,

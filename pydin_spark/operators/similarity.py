@@ -1514,6 +1514,72 @@ def projection_signs(seed: int, out_dim: int, in_dim: int) -> list:
             for j in range(out_dim)]
 
 
+def embedding_drift(a: DataFrame, b: DataFrame,
+                    vec_col: str = "embedding",
+                    dim: int | None = None,
+                    quant: int = 10 ** 6) -> DataFrame:
+    """Embedding-space drift between two vector sets — the VECTOR
+    complement to :func:`~pydin_spark.operators.curation.dist_drift`:
+    a recrawl or a new encoder version can leave every scalar QA
+    histogram flat while the embedding distribution moves (new topic
+    mass, encoder drift); the first-order evidence is the
+    per-coordinate mean shift, reported per coordinate (WHERE the
+    space moved) with the summing left to the consumer, exactly the
+    dist_drift philosophy.
+
+    Exactness: each value is quantized onto the ``1/quant`` grid
+    FIRST (``floor(v·quant)`` BIGINT — a per-row expression, no float
+    accumulation), per-coordinate sums are exact BIGINT (order-
+    independent), and the mean is one integer division truncated
+    TOWARD ZERO on both engines via an explicit sign split (Spark
+    ``div`` truncates, DuckDB ``//`` floors — they disagree on
+    negative sums, so the CASE is written out in both). Overflow
+    bound: ``n · max|v| · quant < 2^63`` — at quant 1e6 and unit-norm
+    embeddings that is ~9e12 vectors per side.
+
+    Output: (coord INT 0-based, n_a, n_b, mean_a_q, mean_b_q,
+    delta_q BIGINT) — means in ``1/quant`` units,
+    ``delta_q = mean_b_q − mean_a_q``. Rows with NULL vectors drop;
+    ragged vectors shorter than ``dim`` would yield NULL coordinates
+    and fail the NULL-intolerant sum loudly under ANSI rather than
+    skew the mean silently. Scale shape: one posexplode + one
+    map-side-combined (coord) aggregate per side — shuffle rows =
+    dim × partitions, never corpus-sized — and a dim-sized join.
+    """
+    if int(quant) < 1:
+        raise ValueError("quant must be a positive integer")
+
+    def side(df, tag):
+        base = df.where(F.col(vec_col).isNotNull())
+        if dim is not None:
+            base = base.where(F.size(vec_col) >= int(dim))
+            vec = F.slice(F.col(vec_col), 1, int(dim))
+        else:
+            vec = F.col(vec_col)
+        q = F.floor(F.col("v").cast("double") * F.lit(float(quant))) \
+            .cast("long")
+        return (base.select(F.posexplode(vec).alias("coord", "v"))
+                .select("coord", q.alias("q"))
+                .groupBy("coord")
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}"),
+                     F.sum("q").alias(f"s_{tag}")))
+
+    def mean_q(s, n):
+        # truncate-toward-zero integer mean, identical on both
+        # engines (see docstring)
+        return F.expr(f"CASE WHEN {s} >= 0 THEN {s} div {n} "
+                      f"ELSE -((-{s}) div {n}) END").cast("long")
+
+    ca, cb = side(a, "a"), side(b, "b")
+    out = (ca.join(cb, "coord")
+           .withColumn("mean_a_q", mean_q("s_a", "n_a"))
+           .withColumn("mean_b_q", mean_q("s_b", "n_b")))
+    return out.select(
+        "coord", "n_a", "n_b", "mean_a_q", "mean_b_q",
+        (F.col("mean_b_q") - F.col("mean_a_q")).cast("long")
+        .alias("delta_q"))
+
+
 def project_embeddings(df: DataFrame, out_dim: int = 8,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",

@@ -511,3 +511,77 @@ def test_bigram_logprob_quantized_matches_python(spark):
         n = len(doc_bigs)
         assert out[doc_id]["sum_lp_q"] == s
         assert out[doc_id]["nlp_q"] == -((-s) // n)
+
+
+# ---- embedding drift ----
+
+def test_embedding_drift_known_shift(spark):
+    from pydin_spark.operators import similarity
+    a = spark.createDataFrame([([1.0, -2.0],), ([3.0, -4.0],)],
+                              "embedding array<double>")
+    b = spark.createDataFrame([([2.0, -2.0],), ([4.0, -4.0],)],
+                              "embedding array<double>")
+    out = {r["coord"]: r for r in similarity.embedding_drift(
+        a, b, dim=2).collect()}
+    # coord 0: means 2.0 vs 3.0 -> delta +1e6; coord 1: no shift
+    assert out[0]["mean_a_q"] == 2_000_000
+    assert out[0]["mean_b_q"] == 3_000_000
+    assert out[0]["delta_q"] == 1_000_000
+    assert out[1]["delta_q"] == 0
+    # negative means take the truncate-toward-zero branch
+    assert out[1]["mean_a_q"] == -3_000_000
+
+
+def test_embedding_drift_truncation_negative_mean(spark):
+    from pydin_spark.operators import similarity
+    # sums -1 and -3 over n=2: truncate-toward-zero gives 0 and -1
+    # (floor division would give -1 and -2)
+    a = spark.createDataFrame(
+        [([0.0000005],), ([-0.0000015],)], "embedding array<double>")
+    out = similarity.embedding_drift(a, a, dim=1).collect()[0]
+    # floor(0.0000005*1e6)=0, floor(-0.0000015*1e6)=-2, sum=-2, n=2
+    assert out["mean_a_q"] == -1 and out["delta_q"] == 0
+
+
+def test_embedding_drift_validation(spark):
+    from pydin_spark.operators import similarity
+    df = spark.createDataFrame([([1.0],)], "embedding array<double>")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        similarity.embedding_drift(df, df, quant=0)
+
+
+# ---- LSH planner ----
+
+def test_lsh_plan_midpoint_tracks_threshold():
+    from pydin_spark.operators.dedup import lsh_plan
+    lo = lsh_plan(0.3, 64)
+    hi = lsh_plan(0.8, 64)
+    assert lo["bands"] * lo["rows_per_band"] == 64
+    assert hi["bands"] * hi["rows_per_band"] == 64
+    # lower threshold -> more bands / shorter rows (easier collision)
+    assert lo["bands"] > hi["bands"]
+    assert abs(lo["midpoint"] - 0.3) < 0.2
+    assert abs(hi["midpoint"] - 0.8) < 0.2
+    # recall at threshold is the S-curve midpoint value, ~0.5+
+    assert 0.3 < lo["p_at_threshold"] < 1.0
+    # the curve is monotone in s
+    vals = [lo["curve"][s] for s in sorted(lo["curve"])]
+    assert vals == sorted(vals)
+
+
+def test_lsh_plan_default_matches_engine_defaults():
+    from pydin_spark.operators.dedup import lsh_plan
+    # the engine-wide default (64 hashes, threshold 0.5) should plan
+    # a banding close to the hardcoded 16x4 used by minhash_lsh_pairs
+    plan = lsh_plan(0.5, 64)
+    assert plan["bands"] in (8, 16, 32)
+
+
+def test_lsh_plan_validation():
+    from pydin_spark.operators.dedup import lsh_plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_plan(0.0)
+    with _pt.raises(ValueError):
+        lsh_plan(0.5, 1)

@@ -151,6 +151,7 @@ EXTRA = [
     "curation_rrf",
     "curation_dist_drift_grouped",
     "dedup_weighted_jaccard",
+    "emb_drift",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -509,6 +510,7 @@ LINEAR_OK = {
     "text_ccnet_buckets",       # bigram LM scan + one range shuffle
     "curation_epoch_plan",      # one scan, K-source combine agg
     "curation_rrf",             # two range shuffles (one per signal)
+    "emb_drift",                # two posexplode scans, dim-sized out
     "curation_dist_drift_grouped",  # two count aggs + group-keyed join
     "dedup_soft_weights",       # dup_clusters substrate + one id join
     "curation_dist_drift_ks",   # two count aggs + bin-frame window
