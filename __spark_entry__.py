@@ -2890,6 +2890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["emb_drift"] = _emb_drift
 
+    def _curation_semantic_order(spark, sf_dir):
+        # in-context-pretraining export: SRP-LSH orthant bucket (sign
+        # bits of the exact projection) + quantized first coordinate
+        # composed into ONE BIGINT key, ranked by the curriculum
+        # substrate — semantic neighbors land adjacent, rerun-exact
+        _views(spark, sf_dir)
+        return curation.semantic_order(spark.table("embeddings"),
+                                       n_shards=8, in_dim=64)
+
+    out["curation_semantic_order"] = _curation_semantic_order
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -3432,6 +3443,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, component,
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
+    """
+    # semantic export order: the projection oracle expr feeds sign
+    # buckets + the quantized first coordinate, composed into the
+    # identical BIGINT key; rank/shard/pos = curriculum arithmetic
+    from pydin_spark.operators.similarity import projection_oracle_expr
+    _sem_proj = projection_oracle_expr(seed=42, out_dim=8, in_dim=64)
+    _sem_bits = " + ".join(
+        f"(CASE WHEN p[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8))
+    out["curation_semantic_order"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        pr AS (SELECT vec_id, {_sem_proj} AS p FROM v),
+        k AS (SELECT vec_id,
+                     CAST(({_sem_bits}) AS BIGINT) * 4294967296
+                     + (CAST(floor(p[1] * 1000000.0) AS BIGINT)
+                        + 2147483648) AS sem_key
+              FROM pr),
+        r AS (SELECT vec_id, sem_key,
+                     ROW_NUMBER() OVER (ORDER BY sem_key, vec_id)
+                         AS rk,
+                     COUNT(*) OVER () AS n
+              FROM k)
+        SELECT vec_id, sem_key, rk,
+               CAST((rk - 1) * 8 // n AS INTEGER) AS shard,
+               CAST(rk - (((rk - 1) * 8 // n) * n + 7) // 8
+                    AS BIGINT) AS pos
+        FROM r
     """
     # embedding drift: floor(v*1e6) per value, exact BIGINT sums per
     # coordinate, sign-split truncating integer mean (Spark div

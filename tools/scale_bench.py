@@ -152,6 +152,7 @@ EXTRA = [
     "curation_dist_drift_grouped",
     "dedup_weighted_jaccard",
     "emb_drift",
+    "curation_semantic_order",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -511,6 +512,7 @@ LINEAR_OK = {
     "curation_epoch_plan",      # one scan, K-source combine agg
     "curation_rrf",             # two range shuffles (one per signal)
     "emb_drift",                # two posexplode scans, dim-sized out
+    "curation_semantic_order",  # projection scan + one range shuffle
     "curation_dist_drift_grouped",  # two count aggs + group-keyed join
     "dedup_soft_weights",       # dup_clusters substrate + one id join
     "curation_dist_drift_ks",   # two count aggs + bin-frame window
