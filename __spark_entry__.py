@@ -2901,6 +2901,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_semantic_order"] = _curation_semantic_order
 
+    def _curation_dist_drift_stored(spark, sf_dir):
+        # stored drift reference: the even-half histogram accumulated
+        # over TWO extends (mergeable count deltas — ≡ one build),
+        # then drift(odd half) serves from committed state; shares
+        # the live KS oracle verbatim because the back half of the
+        # computation is the same _drift_from_binned expressions
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        scratch = tempfile.mkdtemp(prefix="pydin_hist_")
+        try:
+            ref = curation.StoredHistogram(f"{scratch}/hist",
+                                           "n_chars", bin_width=100.0)
+            ref.extend(docs.where("doc_id % 2 = 0 AND doc_id % 4 = 0")
+                       .select("n_chars"))
+            ref.extend(docs.where("doc_id % 2 = 0 AND doc_id % 4 <> 0")
+                       .select("n_chars"))
+            out_df = ref.drift(
+                docs.where("doc_id % 2 = 1").select("n_chars"),
+                cumulative=True)
+            out_df = out_df.select(
+                "bin", "cnt_a", "cnt_b",
+                F.format_string("%.9f", "cdf_a").alias("cdf_a9"),
+                F.format_string("%.9f", "cdf_b").alias("cdf_b9"),
+                F.format_string("%.9f", "ks_term").alias("ks_term9"))
+            return spark.createDataFrame(out_df.collect(),
+                                         out_df.schema)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["curation_dist_drift_stored"] = _curation_dist_drift_stored
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -5411,6 +5444,9 @@ def oracle_sql() -> dict[str, str]:
                format('{:.9f}', abs(cdf_a - cdf_b)) AS ks_term9
         FROM w
     """
+    # stored drift reference serves value-identically to the live KS
+    # view (mergeable extends + the shared back-half expressions)
+    out["curation_dist_drift_stored"] = out["curation_dist_drift_ks"]
     # stored bigram LM: train counts from even docs, smoothed scoring
     # of odd docs with unseen bigrams/histories coalesced to 0
     out["text_bigram_lm_stored"] = """

@@ -1901,31 +1901,47 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
     if w <= 0:
         raise ValueError("bin_width must be positive")
     gcols = [group_col] if group_col else []
+    ca = _binned_counts(a, value_col, w, gcols, "cnt_a")
+    cb = _binned_counts(b, value_col, w, gcols, "cnt_b")
+    return _drift_from_binned(ca, cb, gcols, cumulative, value_col)
 
-    def binned(df, cnt_name):
-        base = df.where(F.col(value_col).isNotNull())
-        if group_col:
-            # documented drop: NULL groups would vanish silently at
-            # the NULL-rejecting totals join below
-            base = base.where(F.col(group_col).isNotNull())
-        return (base
-                .select(*gcols,
-                        F.floor(F.col(value_col).cast("double") / w)
-                        .cast("long").alias("bin"))
-                .groupBy(*gcols, "bin")
-                .agg(F.count(F.lit(1)).alias(cnt_name)))
 
-    ca = binned(a, "cnt_a")
-    cb = binned(b, "cnt_b")
+def _binned_counts(df: DataFrame, value_col: str, w: float,
+                   gcols: list, cnt_name: str) -> DataFrame:
+    """Fixed-width bin counts — the shared front half of
+    :func:`dist_drift` and :class:`StoredHistogram`. NULL values
+    drop; with a group, NULL groups drop too (documented in
+    dist_drift — they would vanish silently at the NULL-rejecting
+    totals join otherwise)."""
+    base = df.where(F.col(value_col).isNotNull())
+    for g in gcols:
+        base = base.where(F.col(g).isNotNull())
+    return (base
+            .select(*gcols,
+                    F.floor(F.col(value_col).cast("double")
+                            / float(w))
+                    .cast("long").alias("bin"))
+            .groupBy(*gcols, "bin")
+            .agg(F.count(F.lit(1)).alias(cnt_name)))
+
+
+def _drift_from_binned(ca: DataFrame, cb: DataFrame, gcols: list,
+                       cumulative: bool, value_col: str) -> DataFrame:
+    """Shared back half of the drift family: given per-bin counts for
+    both sides (``cnt_a``/``cnt_b``), compute shares, χ²/TVD terms
+    and (optionally) CDFs/KS — identical expressions whether the
+    counts came from a live scan (:func:`dist_drift`) or committed
+    state (:class:`StoredHistogram`), which is what lets the stored
+    gate share the live oracle verbatim."""
     joined = (ca.join(cb, gcols + ["bin"], "full_outer")
               .select(*gcols, "bin",
                       F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
                       F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
-    if group_col:
-        totals = joined.groupBy(group_col).agg(
+    if gcols:
+        totals = joined.groupBy(*gcols).agg(
             F.sum("cnt_a").alias("__na"),
             F.sum("cnt_b").alias("__nb"))
-        j = joined.join(totals, group_col)
+        j = joined.join(totals, gcols)
     else:
         totals = joined.groupBy().agg(
             F.sum("cnt_a").alias("__na"),
@@ -1976,6 +1992,188 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
                .withColumn("ks_term",
                            F.abs(F.col("cdf_a") - F.col("cdf_b"))))
     return out.drop("__na", "__nb")
+
+
+class StoredHistogram:
+    """Persisted drift reference — :func:`dist_drift` against STORED
+    bin counts: register the reference corpus once (or accumulate it
+    over batches), then every refresh compares against the committed
+    histogram without rereading the reference. The ninth member of
+    the stored-state family (:func:`~pydin_spark.functions.
+    maintenance.maintain_states` contract, the commit-log discipline
+    of :class:`~pydin_spark.operators.text.StoredBigramLM`).
+
+    State under ``path``: ``bins/`` — (group?, bin, cnt, batch, seq)
+    APPEND-only count deltas (bin counts are the mergeable sketch par
+    excellence: serving is a SUM over committed rows, so
+    ``extend(A); extend(B)`` ≡ ``extend(A ∪ B)`` exactly — pinned by
+    test); ``commits/`` — (batch, seq), one row per committed extend,
+    written LAST so a crashed writer's rows stay invisible.
+    ``maintain()`` collapses the history to one row per bin with the
+    proven overwrite sequencing (log reset FIRST; refuse an empty
+    collapse over surviving data).
+
+    Exactness: ``drift(new)`` shares :func:`_drift_from_binned` with
+    the live operator, so a reference built by extends is
+    row-identical to the one-shot ``dist_drift(ref, new)`` — the gate
+    (``curation_dist_drift_stored``) shares the live oracle verbatim.
+    Per-refresh cost: one scan of the NEW batch + a bin-frame-sized
+    state read; the reference corpus is never read again.
+    """
+
+    def __init__(self, path: str, value_col: str,
+                 bin_width: float = 1.0,
+                 group_col: str | None = None):
+        if float(bin_width) <= 0:
+            raise ValueError("bin_width must be positive")
+        self.path = str(path).rstrip("/")
+        self.value_col = value_col
+        self.w = float(bin_width)
+        self.gcols = [group_col] if group_col else []
+
+    def _has_state(self, spark) -> bool:
+        try:
+            spark.read.parquet(f"{self.path}/commits").schema
+            return True
+        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
+            msg = f"{type(exc).__name__}: {exc}"
+            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                    or "Unable to infer schema" in msg):
+                return False
+            raise
+
+    def _next_seq(self, spark) -> int:
+        if not self._has_state(spark):
+            return 0
+        row = spark.read.parquet(f"{self.path}/commits") \
+            .agg(F.max("seq")).first()
+        return 0 if row[0] is None else int(row[0]) + 1
+
+    def extend(self, df: DataFrame) -> int:
+        """Accumulate a batch into the reference: bin it (the exact
+        :func:`dist_drift` binning), append the count deltas, then
+        ONE commit row last. Returns the number of bin rows
+        appended."""
+        import uuid
+        spark = df.sparkSession
+        binned = _binned_counts(df, self.value_col, self.w,
+                                self.gcols, "cnt") \
+            .localCheckpoint(eager=True)
+        n = binned.count()
+        batch = uuid.uuid4().hex
+        seq = self._next_seq(spark)
+        (binned.withColumn("batch", F.lit(batch))
+         .withColumn("seq", F.lit(seq).cast("long"))
+         .write.mode("append").parquet(f"{self.path}/bins"))
+        spark.createDataFrame([(batch, seq)],
+                              "batch string, seq long") \
+            .repartition(1).write.mode("append") \
+            .parquet(f"{self.path}/commits")
+        for name in ("bins", "commits"):
+            spark.catalog.refreshByPath(f"{self.path}/{name}")
+        return int(n)
+
+    def current(self, spark, cnt_name: str = "cnt") -> DataFrame:
+        """Committed reference histogram: (group?, bin, count) —
+        a SUM over committed deltas. Raises if no extend has ever
+        committed (an absent reference is a config bug, not an empty
+        distribution — the dist_drift zero-side philosophy)."""
+        if not self._has_state(spark):
+            raise ValueError(
+                f"stored histogram at {self.path}: no committed "
+                "reference — extend() it before serving")
+        bins = spark.read.parquet(f"{self.path}/bins")
+        commits = spark.read.parquet(f"{self.path}/commits") \
+            .select("batch")
+        return (bins.join(F.broadcast(commits), "batch", "left_semi")
+                .groupBy(*self.gcols, "bin")
+                .agg(F.sum("cnt").alias(cnt_name)))
+
+    def drift(self, new: DataFrame,
+              cumulative: bool = False) -> DataFrame:
+        """:func:`dist_drift` of the NEW frame against the stored
+        reference (reference = side a): same columns, same
+        expressions, value-identical to the one-shot operator over
+        the same data."""
+        ca = self.current(new.sparkSession, cnt_name="cnt_a")
+        cb = _binned_counts(new, self.value_col, self.w,
+                            self.gcols, "cnt_b")
+        return _drift_from_binned(ca, cb, self.gcols, cumulative,
+                                  self.value_col)
+
+    def drift_stream(self, stream_df: DataFrame, checkpoint: str,
+                     out_path: str, cumulative: bool = True,
+                     trigger_once: bool = True):
+        """Streaming front door: every micro-batch is drift-checked
+        against the stored reference and its per-bin evidence lands
+        at ``out_path`` keyed by batch id — the accept/quarantine
+        signal before a recrawl batch enters the corpus. The
+        reference is NOT extended here (screening and accumulation
+        are separate decisions; call :meth:`extend` on accepted
+        batches). Returns the started StreamingQuery."""
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            (self.drift(batch_df, cumulative=cumulative)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+
+        writer = (stream_df.writeStream
+                  .foreachBatch(_sink)
+                  .outputMode("update")
+                  .option("checkpointLocation", checkpoint))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Stored-state upkeep: collapse the delta history to one row
+        per bin once the commit log fragments, sweep uncommitted
+        orphans, compact small files. Serving (a SUM) is unchanged
+        across the collapse."""
+        from ..functions.maintenance import compact_if_fragmented
+        out: dict[str, object] = {}
+        if not self._has_state(spark):
+            return out
+        commits = spark.read.parquet(f"{self.path}/commits")
+        n_batches = commits.count()
+        if n_batches > 1:
+            bins = spark.read.parquet(f"{self.path}/bins")
+            committed = bins.join(
+                F.broadcast(commits.select("batch")), "batch",
+                "left_semi")
+            if committed.isEmpty() and not bins.isEmpty():
+                raise ValueError(
+                    f"stored histogram at {self.path}: commit log "
+                    f"names {n_batches} batches but none of their "
+                    "rows exist while the data files are non-empty "
+                    "— refusing to collapse (it would commit an "
+                    "empty reference over surviving data).")
+            live = self.current(spark).localCheckpoint(eager=True)
+            import uuid
+            batch = uuid.uuid4().hex
+            # overwrite sequencing (the StoredBigramLM discipline):
+            # empty the log FIRST, then the data, then one commit row
+            spark.createDataFrame([], "batch string, seq long") \
+                .repartition(1).write.mode("overwrite") \
+                .parquet(f"{self.path}/commits")
+            (live.select(*self.gcols, "bin", "cnt",
+                         F.lit(batch).alias("batch"),
+                         F.lit(0).cast("long").alias("seq"))
+             .write.mode("overwrite").parquet(f"{self.path}/bins"))
+            spark.createDataFrame([(batch, 0)],
+                                  "batch string, seq long") \
+                .repartition(1).write.mode("append") \
+                .parquet(f"{self.path}/commits")
+            for name in ("bins", "commits"):
+                spark.catalog.refreshByPath(f"{self.path}/{name}")
+            out["collapsed_batches"] = n_batches
+        out["compaction"] = compact_if_fragmented(
+            spark, f"{self.path}/bins", max_files=max_files,
+            target_file_bytes=target_file_bytes)
+        return out
 
 
 def domain_capped_corpus(df: DataFrame, k_per_domain: int = 3,

@@ -631,3 +631,121 @@ def test_semantic_order_validates_out_dim(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         curation.semantic_order(df, out_dim=31)
+
+
+# ---- stored histogram (drift reference) ----
+
+def _hist_vals(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals],
+                                 "x double")
+
+
+def test_stored_histogram_extend_merge_equivalence(spark, tmp_path):
+    from pydin_spark.operators.curation import StoredHistogram, dist_drift
+    a1, a2 = [1.0, 2.0, 2.5], [2.0, 7.0, 7.5]
+    b = [1.0, 7.0, 9.0]
+    two = StoredHistogram(str(tmp_path / "two"), "x", bin_width=1.0)
+    two.extend(_hist_vals(spark, a1))
+    two.extend(_hist_vals(spark, a2))
+    one = StoredHistogram(str(tmp_path / "one"), "x", bin_width=1.0)
+    one.extend(_hist_vals(spark, a1 + a2))
+    d_two = sorted(tuple(r) for r in
+                   two.drift(_hist_vals(spark, b),
+                             cumulative=True).collect())
+    d_one = sorted(tuple(r) for r in
+                   one.drift(_hist_vals(spark, b),
+                             cumulative=True).collect())
+    live = sorted(tuple(r) for r in dist_drift(
+        _hist_vals(spark, a1 + a2), _hist_vals(spark, b),
+        bin_width=1.0, value_col="x", cumulative=True).collect())
+    assert d_two == d_one == live
+
+
+def test_stored_histogram_crash_rows_invisible(spark, tmp_path):
+    from pydin_spark.operators.curation import StoredHistogram
+    h = StoredHistogram(str(tmp_path / "h"), "x", bin_width=1.0)
+    h.extend(_hist_vals(spark, [1.0, 2.0]))
+    # simulate a crashed writer: data rows land, commit row doesn't
+    (spark.createDataFrame([(99, 5, "deadbeef", 7)],
+                           "bin long, cnt long, batch string, seq long")
+     .write.mode("append").parquet(str(tmp_path / "h" / "bins")))
+    spark.catalog.refreshByPath(str(tmp_path / "h" / "bins"))
+    cur = {r["bin"]: r["cnt"] for r in h.current(spark).collect()}
+    assert 99 not in cur and cur == {1: 1, 2: 1}
+
+
+def test_stored_histogram_maintain_collapse_serves_identically(
+        spark, tmp_path):
+    from pydin_spark.operators.curation import StoredHistogram
+    h = StoredHistogram(str(tmp_path / "h"), "x", bin_width=1.0)
+    for batch in ([1.0, 1.5], [2.0], [1.2, 3.0]):
+        h.extend(_hist_vals(spark, batch))
+    before = sorted(tuple(r) for r in h.current(spark).collect())
+    out = h.maintain(spark)
+    assert out["collapsed_batches"] == 3
+    after = sorted(tuple(r) for r in h.current(spark).collect())
+    assert before == after
+    # collapse is idempotent: a second sweep has nothing to do
+    assert "collapsed_batches" not in h.maintain(spark)
+
+
+def test_stored_histogram_no_reference_fails_loudly(spark, tmp_path):
+    from pydin_spark.operators.curation import StoredHistogram
+    h = StoredHistogram(str(tmp_path / "empty"), "x")
+    with pytest.raises(ValueError, match="no committed reference"):
+        h.drift(_hist_vals(spark, [1.0]))
+
+
+def test_stored_histogram_grouped(spark, tmp_path):
+    from pydin_spark.operators.curation import StoredHistogram
+    h = StoredHistogram(str(tmp_path / "g"), "x", bin_width=1.0,
+                        group_col="g")
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)],
+        "g string, x double")
+    h.extend(ref)
+    new = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("b", 9.5)],
+        "g string, x double")
+    out = h.drift(new, cumulative=True).collect()
+    ga = [r for r in out if r["g"] == "a"]
+    gb = [r for r in out if r["g"] == "b"]
+    assert all(r["ks_term"] == 0.0 for r in ga)   # a unchanged
+    assert max(r["ks_term"] for r in gb) == 1.0   # b fully shifted
+
+
+def test_stored_histogram_stream_front_door(spark, tmp_path):
+    import json
+    from pydin_spark.operators.curation import StoredHistogram
+    h = StoredHistogram(str(tmp_path / "ref"), "x", bin_width=1.0)
+    h.extend(_hist_vals(spark, [1.0, 2.0, 3.0, 4.0] * 5))
+    land = tmp_path / "in"
+    land.mkdir()
+    (land / "clean.json").write_text("\n".join(
+        json.dumps({"x": v}) for v in [1.0, 2.0, 3.0, 4.0] * 3))
+    (land / "shifted.json").write_text("\n".join(
+        json.dumps({"x": v + 100.0}) for v in [1.0, 2.0, 3.0, 4.0]))
+    stream = (spark.readStream.schema("x double")
+              .option("maxFilesPerTrigger", 1).json(str(land)))
+    q = h.drift_stream(stream, str(tmp_path / "ck"),
+                       str(tmp_path / "out"))
+    q.awaitTermination(120)
+    ks = {}
+    for r in spark.read.parquet(str(tmp_path / "out")).collect():
+        ks[r["batch_id"]] = max(ks.get(r["batch_id"], 0.0),
+                                r["ks_term"])
+    assert sorted(ks.values()) == [0.0, 1.0]
+
+
+def test_stored_histogram_in_maintain_sweep(spark, tmp_path):
+    # 9th member of the maintain_states fleet: the sweep collapses
+    # its commit log like every other family, no special-casing
+    from pydin_spark.functions.maintenance import maintain_states
+    from pydin_spark.operators.curation import StoredHistogram
+    h = StoredHistogram(str(tmp_path / "h"), "x", bin_width=1.0)
+    h.extend(_hist_vals(spark, [1.0, 2.0]))
+    h.extend(_hist_vals(spark, [2.5]))
+    res = maintain_states(spark, [h], max_files=0)
+    key = f"StoredHistogram[{h.path}]"
+    assert key in res and "error" not in str(res[key]), res
+    assert res[key]["collapsed_batches"] == 2

@@ -153,6 +153,7 @@ EXTRA = [
     "dedup_weighted_jaccard",
     "emb_drift",
     "curation_semantic_order",
+    "curation_dist_drift_stored",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -513,6 +514,7 @@ LINEAR_OK = {
     "curation_rrf",             # two range shuffles (one per signal)
     "emb_drift",                # two posexplode scans, dim-sized out
     "curation_semantic_order",  # projection scan + one range shuffle
+    "curation_dist_drift_stored",  # batch scan + bin-sized state read
     "curation_dist_drift_grouped",  # two count aggs + group-keyed join
     "dedup_soft_weights",       # dup_clusters substrate + one id join
     "curation_dist_drift_ks",   # two count aggs + bin-frame window
