@@ -1472,23 +1472,12 @@ class StoredSnapshot:
         self.id_col, self.text_col = id_col, text_col
 
     def _has_state(self, spark) -> bool:
-        try:
-            spark.read.parquet(f"{self.path}/commits").schema
-            return True
-        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
-            msg = f"{type(exc).__name__}: {exc}"
-            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg
-                    or "Unable to infer schema" in msg):
-                return False
-            raise
+        from .stored import has_commit_state
+        return has_commit_state(spark, self.path)
 
     def _next_seq(self, spark) -> int:
-        if not self._has_state(spark):
-            return 0
-        row = spark.read.parquet(f"{self.path}/commits") \
-            .agg(F.max("seq")).first()
-        return 0 if row[0] is None else int(row[0]) + 1
+        from .stored import next_seq
+        return next_seq(spark, self.path)
 
     def current(self, spark, id_type: str = "long") -> DataFrame:
         """Committed registry: (id, fingerprint) of every live doc.
@@ -1560,12 +1549,8 @@ class StoredSnapshot:
             .alias("fingerprint"),
             F.lit(batch).alias("batch"), F.lit(seq).alias("seq"))
         delta.write.mode("append").parquet(f"{self.path}/fps")
-        spark.createDataFrame([(batch, seq)],
-                              "batch string, seq long") \
-            .repartition(1).write.mode("append") \
-            .parquet(f"{self.path}/commits")
-        for name in ("fps", "commits"):
-            spark.catalog.refreshByPath(f"{self.path}/{name}")
+        from .stored import append_commit
+        append_commit(spark, self.path, batch, seq, refresh=("fps",))
         return {s: counts.get(s, 0)
                 for s in ("added", "removed", "changed", "unchanged")}
 
@@ -1698,8 +1683,17 @@ def semantic_order(df: DataFrame, id_col: str = "vec_id",
         bit = F.when(F.element_at("proj", j + 1) >= 0,
                      F.lit(1 << j).cast("long")).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    p0q = F.floor(F.element_at("proj", 1) * F.lit(float(quant))) \
+    # loud bound guard: a p0 magnitude past the 2^31 coordinate field
+    # would bleed into the bucket bits and silently corrupt the
+    # ordering (review finding) — oversized quant or un-normalized
+    # embeddings must fail, not reorder
+    p0q_raw = F.floor(F.element_at("proj", 1) * F.lit(float(quant))) \
         .cast("long")
+    p0q = F.when(F.abs(p0q_raw) >= F.lit(1 << 31).cast("long"),
+                 F.raise_error(F.lit(
+                     "semantic_order: |p0|*quant exceeds the 2^31 "
+                     "coordinate field — lower quant or normalize "
+                     "the embeddings"))).otherwise(p0q_raw)
     keyed = proj.select(
         F.col(id_col),
         (bucket * F.lit(1 << 32).cast("long")
@@ -2032,23 +2026,8 @@ class StoredHistogram:
         self.gcols = [group_col] if group_col else []
 
     def _has_state(self, spark) -> bool:
-        try:
-            spark.read.parquet(f"{self.path}/commits").schema
-            return True
-        except Exception as exc:  # noqa: BLE001 - classify, don't blanket
-            msg = f"{type(exc).__name__}: {exc}"
-            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg
-                    or "Unable to infer schema" in msg):
-                return False
-            raise
-
-    def _next_seq(self, spark) -> int:
-        if not self._has_state(spark):
-            return 0
-        row = spark.read.parquet(f"{self.path}/commits") \
-            .agg(F.max("seq")).first()
-        return 0 if row[0] is None else int(row[0]) + 1
+        from .stored import has_commit_state
+        return has_commit_state(spark, self.path)
 
     def extend(self, df: DataFrame) -> int:
         """Accumulate a batch into the reference: bin it (the exact
@@ -2056,22 +2035,19 @@ class StoredHistogram:
         ONE commit row last. Returns the number of bin rows
         appended."""
         import uuid
+        from .stored import append_commit, next_seq
         spark = df.sparkSession
         binned = _binned_counts(df, self.value_col, self.w,
                                 self.gcols, "cnt") \
             .localCheckpoint(eager=True)
         n = binned.count()
         batch = uuid.uuid4().hex
-        seq = self._next_seq(spark)
+        seq = next_seq(spark, self.path)
         (binned.withColumn("batch", F.lit(batch))
          .withColumn("seq", F.lit(seq).cast("long"))
          .write.mode("append").parquet(f"{self.path}/bins"))
-        spark.createDataFrame([(batch, seq)],
-                              "batch string, seq long") \
-            .repartition(1).write.mode("append") \
-            .parquet(f"{self.path}/commits")
-        for name in ("bins", "commits"):
-            spark.catalog.refreshByPath(f"{self.path}/{name}")
+        append_commit(spark, self.path, batch, seq,
+                      refresh=("bins",))
         return int(n)
 
     def current(self, spark, cnt_name: str = "cnt") -> DataFrame:
@@ -2111,13 +2087,19 @@ class StoredHistogram:
         signal before a recrawl batch enters the corpus. The
         reference is NOT extended here (screening and accumulation
         are separate decisions; call :meth:`extend` on accepted
-        batches). Returns the started StreamingQuery."""
+        batches). Evidence lands IDEMPOTENTLY — each batch overwrites
+        its own ``batch_id=N`` partition directory, so Spark's
+        at-least-once micro-batch retry replaces rather than
+        duplicates (summing consumers would otherwise double-count;
+        read the evidence with ``spark.read.parquet(out_path)`` — the
+        batch id comes back as a partition column). Returns the
+        started StreamingQuery."""
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             (self.drift(batch_df, cumulative=cumulative)
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+             .write.mode("overwrite")
+             .parquet(f"{out_path}/batch_id={int(batch_id)}"))
 
         writer = (stream_df.writeStream
                   .foreachBatch(_sink)
@@ -2130,15 +2112,27 @@ class StoredHistogram:
     def maintain(self, spark, max_files: int = 64,
                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Stored-state upkeep: collapse the delta history to one row
-        per bin once the commit log fragments, sweep uncommitted
-        orphans, compact small files. Serving (a SUM) is unchanged
-        across the collapse."""
+        per bin once the commit log fragments, and compact small
+        files — the compaction pass also SWEEPS uncommitted orphan
+        rows (crashed extends) via a committed-batch row filter, so
+        orphan bytes are reclaimed even when no collapse runs.
+        Serving (a SUM) is unchanged across the sweep.
+
+        Crash trade (the family-wide, advisor-adjudicated choice): a
+        crash MID-COLLAPSE reads as "no committed state" — the
+        reference must be re-extended — never as wrong counts. The
+        log is emptied FIRST precisely so the failure mode is loud
+        unavailability, not silent corruption; if rebuild cost ever
+        matters more than the extra write, stage under a fresh subdir
+        and swap last instead (the documented alternative)."""
         from ..functions.maintenance import compact_if_fragmented
         out: dict[str, object] = {}
         if not self._has_state(spark):
             return out
         commits = spark.read.parquet(f"{self.path}/commits")
         n_batches = commits.count()
+        committed_batches = [r["batch"] for r in
+                             commits.select("batch").collect()]
         if n_batches > 1:
             bins = spark.read.parquet(f"{self.path}/bins")
             committed = bins.join(
@@ -2153,6 +2147,7 @@ class StoredHistogram:
                     "empty reference over surviving data).")
             live = self.current(spark).localCheckpoint(eager=True)
             import uuid
+            from .stored import append_commit
             batch = uuid.uuid4().hex
             # overwrite sequencing (the StoredBigramLM discipline):
             # empty the log FIRST, then the data, then one commit row
@@ -2163,16 +2158,14 @@ class StoredHistogram:
                          F.lit(batch).alias("batch"),
                          F.lit(0).cast("long").alias("seq"))
              .write.mode("overwrite").parquet(f"{self.path}/bins"))
-            spark.createDataFrame([(batch, 0)],
-                                  "batch string, seq long") \
-                .repartition(1).write.mode("append") \
-                .parquet(f"{self.path}/commits")
-            for name in ("bins", "commits"):
-                spark.catalog.refreshByPath(f"{self.path}/{name}")
+            append_commit(spark, self.path, batch, 0,
+                          refresh=("bins",))
             out["collapsed_batches"] = n_batches
+            committed_batches = [batch]
         out["compaction"] = compact_if_fragmented(
             spark, f"{self.path}/bins", max_files=max_files,
-            target_file_bytes=target_file_bytes)
+            target_file_bytes=target_file_bytes,
+            row_filter=F.col("batch").isin(committed_batches))
         return out
 
 

@@ -295,9 +295,10 @@ def lsh_plan(threshold: float, num_hashes: int = 64) -> dict:
         if num_hashes % b:
             continue
         r = num_hashes // b
-        if r < 1 or (b == num_hashes and r == 1 and num_hashes > 2):
+        if r == 1:
             # r = 1 degenerates to "any equal hash" — every pair
             # sharing one minhash collides; never the right plan
+            # (b = 1, r = num_hashes always remains as a candidate)
             continue
         mid = (1.0 / b) ** (1.0 / r)
         cand = (b, r, mid)

@@ -1540,9 +1540,11 @@ def embedding_drift(a: DataFrame, b: DataFrame,
     Output: (coord INT 0-based, n_a, n_b, mean_a_q, mean_b_q,
     delta_q BIGINT) — means in ``1/quant`` units,
     ``delta_q = mean_b_q − mean_a_q``. Rows with NULL vectors drop;
-    ragged vectors shorter than ``dim`` would yield NULL coordinates
-    and fail the NULL-intolerant sum loudly under ANSI rather than
-    skew the mean silently. Scale shape: one posexplode + one
+    with ``dim`` set, a vector SHORTER than ``dim`` fails loudly
+    (codegen-side raise_error — a truncated-encoder batch must not
+    silently shrink ``n`` and pass the QA gate clean), and longer
+    vectors are sliced to the first ``dim``. Scale shape: one
+    posexplode + one
     map-side-combined (coord) aggregate per side — shuffle rows =
     dim × partitions, never corpus-sized — and a dim-sized join.
     """
@@ -1552,7 +1554,16 @@ def embedding_drift(a: DataFrame, b: DataFrame,
     def side(df, tag):
         base = df.where(F.col(vec_col).isNotNull())
         if dim is not None:
-            base = base.where(F.size(vec_col) >= int(dim))
+            # loud ragged guard: silently excluding short vectors
+            # would shrink n with no signal — the exact skew a drift
+            # check exists to catch (round-8 review finding)
+            base = base.withColumn(
+                vec_col,
+                F.when(F.size(vec_col) < int(dim), F.raise_error(
+                    F.lit(f"embedding_drift: a {vec_col} vector is "
+                          f"shorter than dim={int(dim)} — fix the "
+                          "encoder or pass the true dim")))
+                .otherwise(F.col(vec_col)))
             vec = F.slice(F.col(vec_col), 1, int(dim))
         else:
             vec = F.col(vec_col)

@@ -749,3 +749,21 @@ def test_stored_histogram_in_maintain_sweep(spark, tmp_path):
     key = f"StoredHistogram[{h.path}]"
     assert key in res and "error" not in str(res[key]), res
     assert res[key]["collapsed_batches"] == 2
+
+
+def test_embedding_drift_short_vector_fails_loudly(spark):
+    from pydin_spark.operators import similarity
+    a = spark.createDataFrame([([1.0, 2.0],), ([3.0],)],
+                              "embedding array<double>")
+    with pytest.raises(Exception, match="shorter than dim"):
+        similarity.embedding_drift(a, a, dim=2).collect()
+
+
+def test_semantic_order_key_bound_fails_loudly(spark):
+    # |p0|*quant past 2^31 must raise, not silently bleed into the
+    # bucket bits
+    df = spark.createDataFrame([(1, [1e6] * 16), (2, [2e6] * 16)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="coordinate field"):
+        curation.semantic_order(df, n_shards=2, in_dim=16,
+                                quant=10 ** 9).collect()
