@@ -198,3 +198,83 @@ def test_funnel_matches_reference(spark, entries):
             prev_m = min(times)
             want[s] += 1
     assert got == want
+
+
+edge_lists = st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                      min_size=1, max_size=50)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_lists)
+def test_triangles_match_bruteforce(spark, edges):
+    """Degree-ordered wedge census must agree with a driver-side
+    brute-force triangle count on arbitrary random graphs (self-loops
+    and duplicate/reversed edges canonicalized away)."""
+    from itertools import combinations
+
+    from pydin_spark.operators.graph import triangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["tri_cnt"])
+           for r in triangles(df).collect()}
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                tri[n] += 1
+    want = {n: (len(adj[n]), tri[n]) for n in adj}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_lists, st.integers(min_value=1, max_value=4))
+def test_kcore_converged_matches_bruteforce(spark, edges, k):
+    """With enough rounds the synchronous peel equals the true k-core
+    (iterated brute-force peel to fixpoint) on arbitrary graphs; node
+    count bounds the rounds any peel can need."""
+    from pydin_spark.operators.graph import kcore
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(df, k=k, rounds=22).collect()}
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = {n for n, nb in adj.items() if len(nb) < k}
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists, st.integers(min_value=1, max_value=4))
+def test_hits_mass_and_role_invariants(spark, edges, iters):
+    """HITS invariants on arbitrary graphs: scores non-negative, each
+    column's mass bounded by SCALE (floor leakage only), pure sources
+    carry zero authority and pure sinks zero hub."""
+    from pydin_spark.operators.graph import HITS_SCALE, hits
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits(df, iterations=iters).collect()
+    if not rows:
+        return
+    assert all(r["auth_fp"] >= 0 and r["hub_fp"] >= 0 for r in rows)
+    assert sum(r["auth_fp"] for r in rows) <= HITS_SCALE
+    assert sum(r["hub_fp"] for r in rows) <= HITS_SCALE
+    srcs = {a for a, b in edges}
+    dsts = {b for a, b in edges}
+    for r in rows:
+        if r["node"] not in dsts:
+            assert r["auth_fp"] == 0
+        if r["node"] not in srcs:
+            assert r["hub_fp"] == 0
