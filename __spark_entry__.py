@@ -2934,6 +2934,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_dist_drift_stored"] = _curation_dist_drift_stored
 
+    def _rollup_group_median(spark, sf_dir):
+        # exact per-(source, lang) median doc length: dual-rank rule,
+        # per-group windows, sum of <= 2 IEEE-commutative doubles +
+        # ONE division — value-exact vs DuckDB's identical arithmetic
+        from pydin_spark.operators import rollup
+        _views(spark, sf_dir)
+        out_df = rollup.group_median(spark.table("documents"),
+                                     "n_chars", ["source", "lang"])
+        return out_df.select(
+            "source", "lang", "n",
+            F.format_string("%.6f", "median").alias("median6"))
+
+    out["rollup_group_median"] = _rollup_group_median
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding
@@ -5443,6 +5457,23 @@ def oracle_sql() -> dict[str, str]:
                format('{:.9f}', cdf_b) AS cdf_b9,
                format('{:.9f}', abs(cdf_a - cdf_b)) AS ks_term9
         FROM w
+    """
+    # exact group median: same dual-rank positions, same <=2-row
+    # average (ties in the window are value-invariant at a position)
+    out["rollup_group_median"] = """
+        WITH r AS (SELECT source, lang, n_chars,
+                          ROW_NUMBER() OVER (PARTITION BY source, lang
+                                             ORDER BY n_chars) AS rn,
+                          COUNT(*) OVER (PARTITION BY source, lang)
+                              AS n
+                   FROM documents WHERE n_chars IS NOT NULL)
+        SELECT source, lang, MAX(n) AS n,
+               format('{:.6f}',
+                      SUM(CAST(n_chars AS DOUBLE)) / COUNT(*))
+                   AS median6
+        FROM r
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY source, lang
     """
     # stored drift reference serves value-identically to the live KS
     # view (mergeable extends + the shared back-half expressions)

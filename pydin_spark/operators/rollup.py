@@ -1097,3 +1097,45 @@ def cms_query(df: DataFrame, cms: DataFrame, item_col: str,
     return out.withColumn(
         out_col,
         F.when(F.col(item_col).isNotNull(), est)).drop(*drop)
+
+
+def group_median(df: DataFrame, value_col: str,
+                 group_cols: list) -> DataFrame:
+    """EXACT per-group median — the value-exact complement to the KLL
+    sketch tier (:func:`with_quantile_estimate` serves approximate
+    percentiles from rollup state; profiling and QA gates sometimes
+    need the exact number, e.g. per-source median document length in
+    a corpus report).
+
+    Dual-rank rule, no driver collect, no single-task sort: rank
+    WITHIN each group by value (ties are resolved arbitrarily by the
+    window, but the value AT a sorted position is tie-invariant, so
+    the output is deterministic), pick positions ``(n+1) div 2`` and
+    ``(n+2) div 2`` (equal when n is odd), and average the selected
+    values — a sum of at most TWO doubles (IEEE addition is
+    commutative, so even the two-row sum is order-exact) and ONE
+    division. NULL values drop (they carry no position).
+
+    Scale shape: one per-group window (distributed across groups) +
+    one group aggregate — never a global sort. Skew note: a single
+    mega-group serializes its own window partition; at that shape use
+    the sketch tier. Output: (*group_cols, n BIGINT, median DOUBLE).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use the "
+                         "sketch tier or an exact global rank for "
+                         "ungrouped medians)")
+    from pyspark.sql import Window
+    base = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = (base.select(*group_cols, value_col)
+              .withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    mid = ranked.where(
+        (F.col("__rn") == F.expr("(__n + 1) div 2"))
+        | (F.col("__rn") == F.expr("(__n + 2) div 2")))
+    return (mid.groupBy(*group_cols)
+            .agg(F.max("__n").alias("n"),
+                 F.try_divide(F.sum(F.col(value_col).cast("double")),
+                              F.count(F.lit(1))).alias("median")))

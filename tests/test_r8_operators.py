@@ -767,3 +767,35 @@ def test_semantic_order_key_bound_fails_loudly(spark):
     with pytest.raises(Exception, match="coordinate field"):
         curation.semantic_order(df, n_shards=2, in_dim=16,
                                 quant=10 ** 9).collect()
+
+
+# ---- exact group median ----
+
+def test_group_median_known_values(spark):
+    from pydin_spark.operators.rollup import group_median
+    rows = [("a", 1.0), ("a", 3.0), ("a", 100.0),          # odd: 3.0
+            ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 10.0),  # even: 2.5
+            ("c", 7.0), ("c", None)]                        # NULL drops
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: (r["n"], r["median"])
+           for r in group_median(df, "v", ["g"]).collect()}
+    assert out["a"] == (3, 3.0)
+    assert out["b"] == (4, 2.5)
+    assert out["c"] == (1, 7.0)
+
+
+def test_group_median_tie_invariant(spark):
+    # duplicated values around the middle: whichever rows the window
+    # ranks first, the value at the median positions is the same
+    from pydin_spark.operators.rollup import group_median
+    rows = [("g", v) for v in [5.0, 5.0, 5.0, 1.0, 9.0, 9.0]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = group_median(df, "v", ["g"]).collect()[0]
+    assert out["n"] == 6 and out["median"] == 5.0
+
+
+def test_group_median_requires_groups(spark):
+    from pydin_spark.operators.rollup import group_median
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        group_median(df, "v", [])

@@ -93,7 +93,16 @@ def main():
     for r in range(factor):
         p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * dkey_span))
         if r:
-            p = p.withColumn("text", F.translate("text", VOWELS, PERMS[r]))
+            # factors past len(PERMS) cycle the permutation and add a
+            # replica-unique suffix token: replicas stay EXACT-dup-
+            # disjoint, but text near-dup structure partially repeats
+            # across decades — at factor > 10 measure scan-shaped
+            # queries here, not the dedup families
+            p = p.withColumn("text", F.translate(
+                "text", VOWELS, PERMS[r % len(PERMS)]))
+            if r >= len(PERMS):
+                p = p.withColumn(
+                    "text", F.concat("text", F.lit(f" zrep{r}")))
         parts.append(p)
     big_d = parts[0]
     for p in parts[1:]:
@@ -107,9 +116,10 @@ def main():
     parts = []
     for r in range(factor):
         p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * vkey_span))
-        if r:
-            rot = F.concat(F.slice("embedding", r + 1, dim - r),
-                           F.slice("embedding", 1, r))
+        if r % dim:
+            rr = r % dim
+            rot = F.concat(F.slice("embedding", rr + 1, dim - rr),
+                           F.slice("embedding", 1, rr))
             p = p.withColumn("embedding", rot)
         parts.append(p)
     big_v = parts[0]

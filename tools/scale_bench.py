@@ -154,6 +154,7 @@ EXTRA = [
     "emb_drift",
     "curation_semantic_order",
     "curation_dist_drift_stored",
+    "rollup_group_median",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -515,6 +516,7 @@ LINEAR_OK = {
     "emb_drift",                # two posexplode scans, dim-sized out
     "curation_semantic_order",  # projection scan + one range shuffle
     "curation_dist_drift_stored",  # batch scan + bin-sized state read
+    "rollup_group_median",      # per-group windows, group-distributed
     "curation_dist_drift_grouped",  # two count aggs + group-keyed join
     "dedup_soft_weights",       # dup_clusters substrate + one id join
     "curation_dist_drift_ks",   # two count aggs + bin-frame window
