@@ -2948,6 +2948,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["rollup_group_median"] = _rollup_group_median
 
+    def _text_compression_ratio(spark, sf_dir):
+        # zlib redundancy signal: the documented Arrow-batched UDF
+        # escape hatch (DEFLATE is not SQL-expressible; DuckDB ships
+        # no zlib scalar, so this is a deliberate NO-ORACLE entry —
+        # the driver records the weaker rows-only check; exactness is
+        # pinned byte-for-byte by pytest against the same stdlib call)
+        _views(spark, sf_dir)
+        return text.compression_ratio(spark.table("documents"))
+
+    out["text_compression_ratio"] = _text_compression_ratio
+
     def _emb_project(spark, sf_dir):
         # seeded ±1 random projection 64 -> 8: fixed-order sums are
         # bit-identical across engines; %.6f CSV is the embedding

@@ -2035,3 +2035,56 @@ class StoredBigramLM:
             if res:
                 out[name] = res
         return out
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """zlib-DEFLATE compression ratio per document — the classic
+    redundancy signal (Gopher-era ancestry: text that compresses far
+    below ~0.3 is boilerplate/repetition, text near 1.0 is noise or
+    non-text), complementing :func:`char_entropy` (which sees only
+    the unigram character histogram — a doc of shuffled words keeps
+    its entropy but loses its compressibility structure).
+
+    This is an HONEST Arrow-batched Python stage (the documented UDF
+    escape hatch, like BPE apply): DEFLATE's LZ77+Huffman loop is not
+    expressible in Spark's expression language, and ``zlib`` is
+    stdlib — no environment gate. Per Arrow batch the loop is a tight
+    C call per row; no driver collect, no shuffle (plan-gated). There
+    is NO SQL oracle (DuckDB ships no zlib scalar) — correctness is
+    pinned by a byte-exact pytest against the same stdlib call, and
+    the driver's check is rows-only by design.
+
+    ``ratio = n_compressed / n_bytes`` over UTF-8 bytes; empty/NULL
+    text yields n_bytes 0 and a NULL ratio (no content to judge).
+    Output: (id, n_bytes, n_compressed, ratio DOUBLE).
+    """
+    if not 0 <= int(level) <= 9:
+        raise ValueError("level must be a zlib level in [0, 9]")
+    lvl = int(level)
+
+    def score(batches):
+        import zlib
+
+        import pandas as pd
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                text = row[text_col]
+                if text is None or text == "":
+                    out_rows.append((row[id_col], 0, 0, None))
+                    continue
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, lvl)
+                out_rows.append((row[id_col], len(raw), len(comp),
+                                 len(comp) / len(raw)))
+            yield pd.DataFrame(out_rows,
+                               columns=[id_col, "n_bytes",
+                                        "n_compressed", "ratio"])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        score,
+        schema=f"{id_col} {id_type}, n_bytes long, "
+               "n_compressed long, ratio double")

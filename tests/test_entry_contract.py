@@ -19,13 +19,24 @@ def duck(sf_dir):
     return con
 
 
+#: the DELIBERATE rows-only entries — operators whose computation is
+#: not expressible in DuckDB's scalar surface at all (no zlib scalar
+#: exists to mirror DEFLATE), per the driver contract's documented
+#: weaker-check category. Exactness is pinned byte-for-byte by pytest
+#: against the same stdlib call instead. Adding a name here requires
+#: that justification in the operator docstring.
+NO_ORACLE_BY_DESIGN = {"text_compression_ratio"}
+
+
 def test_every_oracle_key_has_a_query():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, f"orphan oracles: {o - q}"
-    # every query is oracled: approximate operators run at provably /
-    # deterministically exact operating points in the driver inventory
-    assert q - o == set(), f"queries without oracle: {q - o}"
+    # every query is oracled (approximate operators run at provably /
+    # deterministically exact operating points) EXCEPT the declared
+    # rows-only entries above
+    assert q - o == NO_ORACLE_BY_DESIGN, \
+        f"queries without oracle: {q - o - NO_ORACLE_BY_DESIGN}"
 
 
 def test_entry_returns_rows(spark):

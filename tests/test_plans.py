@@ -501,3 +501,13 @@ def test_degree_histogram_two_aggregates_no_window(spark, views):
     assert "partial_count" in plan
     assert "Window" not in plan
     assert "Join" not in plan, plan
+
+
+def test_compression_ratio_single_arrow_stage_no_shuffle(spark, views):
+    from pydin_spark.operators import text as text_ops
+    plan = plan_of(text_ops.compression_ratio(spark.table("documents")))
+    # one Arrow-batched python stage over the scan; never a shuffle,
+    # never row-at-a-time python
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert " Exchange (" not in plan, plan
+    assert "BatchEvalPython" not in plan

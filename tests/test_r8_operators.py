@@ -799,3 +799,34 @@ def test_group_median_requires_groups(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         group_median(df, "v", [])
+
+
+# ---- compression ratio (no-oracle Arrow stage) ----
+
+def test_compression_ratio_matches_stdlib(spark):
+    import zlib
+    from pydin_spark.operators import text as text_ops
+    rows = [(1, "aaaa aaaa aaaa aaaa aaaa aaaa"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text_ops.compression_ratio(df).collect()}
+    for doc_id, t in rows[:2]:
+        raw = t.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert out[doc_id]["n_bytes"] == len(raw)
+        assert out[doc_id]["n_compressed"] == len(comp)
+        assert out[doc_id]["ratio"] == len(comp) / len(raw)
+    # boilerplate compresses far harder than varied prose
+    assert out[1]["ratio"] < out[2]["ratio"]
+    for empty in (3, 4):
+        assert out[empty]["n_bytes"] == 0
+        assert out[empty]["ratio"] is None
+
+
+def test_compression_ratio_validation(spark):
+    from pydin_spark.operators import text as text_ops
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text_ops.compression_ratio(df, level=10)

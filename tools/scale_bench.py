@@ -155,6 +155,7 @@ EXTRA = [
     "curation_semantic_order",
     "curation_dist_drift_stored",
     "rollup_group_median",
+    "text_compression_ratio",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -517,6 +518,7 @@ LINEAR_OK = {
     "curation_semantic_order",  # projection scan + one range shuffle
     "curation_dist_drift_stored",  # batch scan + bin-sized state read
     "rollup_group_median",      # per-group windows, group-distributed
+    "text_compression_ratio",   # one Arrow-batched scan, zero shuffle
     "curation_dist_drift_grouped",  # two count aggs + group-keyed join
     "dedup_soft_weights",       # dup_clusters substrate + one id join
     "curation_dist_drift_ks",   # two count aggs + bin-frame window
