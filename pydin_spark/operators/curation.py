@@ -1709,6 +1709,87 @@ def semantic_order(df: DataFrame, id_col: str = "vec_id",
                             n_shards=n_shards, id_col=id_col)
 
 
+def semantic_order_ivf(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", n_shards: int = 8,
+                       nlist: int = 8, max_iter: int = 3,
+                       sample_fraction: float = 1.0,
+                       quant: int = 10 ** 6,
+                       seed: int = 42) -> DataFrame:
+    """The quality-sensitive tier of :func:`semantic_order` (ROADMAP
+    #26): locality from TRAINED k-means Voronoi cells instead of
+    fixed projection orthants — neighbor pairs that straddle an
+    orthant hyperplane (the cheap tier's documented blind spot) stay
+    adjacent when the cells follow the data. Within a cell the stream
+    orders by distance to the centroid (densest core first), so a
+    context window filled from one run of the export is maximally
+    self-similar — the in-context-pretraining objective.
+
+    Honesty note — NO value-exact oracle: MLlib centroids are not
+    SQL-reproducible (the one operator family where the engine's
+    exact-oracle discipline cannot apply at nlist > 1; the same
+    boundary every IVF gate in this repo respects by running oracle
+    points at nlist=1 or hash codebooks). The pinned contract is
+    pytest: planted clusters export contiguously INCLUDING a cluster
+    placed across an orthant hyperplane that :func:`semantic_order`
+    provably splits; a rerun over the SAME frame is identical, and a
+    rerun over a REPARTITIONED frame keeps cluster contiguity (MLlib
+    k-means initialization — and, marginally, the float centroid
+    sums — depend on partition layout, so bit-identical keys across
+    partitionings are not promised; cell LABELS are canonicalized by
+    centroid lexicographic order so label permutation at least never
+    reorders the export). Not in the driver gate inventory by design.
+
+    Key composition and bounds are :func:`semantic_order`'s:
+    ``cell · 2^32 + (dist_q + 2^31)`` with the same loud 2^31 guard;
+    ``nlist ≤ 2^30``. Scale shape: k-means on a bounded sample,
+    assignment + distance as a broadcast-centroid codegen scan, then
+    the materialize-once + two-phase rank of the cheap tier.
+    """
+    if not 1 <= int(nlist) <= (1 << 30):
+        raise ValueError("nlist must be in [1, 2^30]")
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from .similarity import _nearest_lists
+    cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    train_src = df if sample_fraction >= 1.0 else \
+        df.sample(fraction=sample_fraction, seed=seed)
+    train = train_src.select(array_to_vector(cv).alias("features"))
+    model = KMeans(k=int(nlist), seed=seed,
+                   maxIter=int(max_iter)).fit(train)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    # canonical cell labels: MLlib's label order follows its
+    # (partitioning-sensitive) init order; sorting the centroid
+    # matrix lexicographically makes the exported cell sequence a
+    # function of WHERE the centroids are, not how training numbered
+    # them
+    centers = centers[np.lexsort(centers.T[::-1])]
+    cell = F.element_at(_nearest_lists(cv, 1, centers), 1) \
+        .cast("long")
+    # squared L2 to the ASSIGNED centroid: recompute against the
+    # literal matrix and pick the minimum — one codegen scan, no join
+    d2 = F.array_min(F.array(*[
+        F.aggregate(
+            F.zip_with(cv,
+                       F.array(*[F.lit(float(x)) for x in centers[c]]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        for c in range(len(centers))]))
+    dq_raw = F.floor(d2 * F.lit(float(quant))).cast("long")
+    dq = F.when(dq_raw >= F.lit(1 << 31).cast("long"),
+                F.raise_error(F.lit(
+                    "semantic_order_ivf: dist²*quant exceeds the "
+                    "2^31 coordinate field — lower quant or "
+                    "normalize the embeddings"))).otherwise(dq_raw)
+    keyed = df.select(
+        F.col(id_col),
+        (cell * F.lit(1 << 32).cast("long")
+         + (dq + F.lit(1 << 31).cast("long"))).alias("sem_key"))
+    keyed = keyed.localCheckpoint(eager=True)
+    return curriculum_order(keyed, score_col="sem_key",
+                            n_shards=n_shards, id_col=id_col)
+
+
 def rank_fusion(df: DataFrame, score_cols: list, id_col: str = "doc_id",
                 k: int = 60, ascending: bool = False) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of

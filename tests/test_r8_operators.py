@@ -830,3 +830,69 @@ def test_compression_ratio_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text_ops.compression_ratio(df, level=10)
+
+
+# ---- IVF semantic order (pytest-pinned tier, no oracle by design) ----
+
+def _planted_clusters(spark, straddle=True):
+    # cluster A hugs the orthant hyperplane of projection coordinate
+    # 0: half its members land just positive, half just negative —
+    # the orthant tier SPLITS it by construction; cluster B is far
+    # away in the same halfspace
+    import random
+    rnd = random.Random(11)
+    rows = []
+    for i in range(10):   # cluster A: near the hyperplane
+        base = [0.001 if (i % 2 == 0 and straddle) else -0.001]
+        rows.append((i, base + [5.0 + rnd.random() * 0.01
+                                for _ in range(15)]))
+    for i in range(10, 20):  # cluster B: far away
+        rows.append((i, [-8.0 - rnd.random() * 0.01
+                         for _ in range(16)]))
+    return spark.createDataFrame(rows, "vec_id long, "
+                                 "embedding array<double>")
+
+
+def test_semantic_order_ivf_keeps_straddling_cluster_together(spark):
+    from pydin_spark.operators.curation import semantic_order_ivf
+    df = _planted_clusters(spark)
+    out = semantic_order_ivf(df, n_shards=2, nlist=2, max_iter=5)
+    seq = [r["vec_id"] for r in out.orderBy("rk").collect()]
+    first, second = set(seq[:10]), set(seq[10:])
+    a, b = set(range(10)), set(range(10, 20))
+    # Voronoi cells keep the hyperplane-straddling cluster contiguous
+    assert (first, second) in ((a, b), (b, a))
+
+
+def test_semantic_order_ivf_rerun_identical_same_frame(spark):
+    from pydin_spark.operators.curation import semantic_order_ivf
+    df = _planted_clusters(spark, straddle=False)
+    r1 = sorted(tuple(r) for r in semantic_order_ivf(
+        df, n_shards=2, nlist=2, max_iter=5).collect())
+    r2 = sorted(tuple(r) for r in semantic_order_ivf(
+        df, n_shards=2, nlist=2, max_iter=5).collect())
+    assert r1 == r2
+
+
+def test_semantic_order_ivf_repartition_keeps_contiguity(spark):
+    # across a REPARTITIONED rerun bit-identical keys are NOT promised
+    # (MLlib k-means init follows partition layout — documented); the
+    # contract that must survive is cluster contiguity in the export,
+    # with cells in canonical centroid order
+    from pydin_spark.operators.curation import semantic_order_ivf
+    df = _planted_clusters(spark, straddle=False)
+    for frame in (df, df.repartition(5)):
+        seq = [r["vec_id"] for r in semantic_order_ivf(
+            frame, n_shards=2, nlist=2, max_iter=5)
+            .orderBy("rk").collect()]
+        first, second = set(seq[:10]), set(seq[10:])
+        a, b = set(range(10)), set(range(10, 20))
+        assert (first, second) in ((a, b), (b, a))
+
+
+def test_semantic_order_ivf_validates_nlist(spark):
+    from pydin_spark.operators.curation import semantic_order_ivf
+    df = spark.createDataFrame([(1, [1.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        semantic_order_ivf(df, nlist=0)
