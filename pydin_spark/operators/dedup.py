@@ -231,6 +231,163 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "shared_w", "jaccard_w"))
 
 
+def _unit_uniform(col, salt: int):
+    """Strictly-(0,1) uniform from a hash of ``col`` — deterministic,
+    columnar, safe under ln()."""
+    m = 1 << 40
+    return (F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(m))
+            .cast("double") + F.lit(0.5)) / F.lit(float(m))
+
+
+def icws_signatures(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    num_hashes: int = 16,
+                    max_shingle_freq: int | None = 100,
+                    weight_scale: int = 1000) -> DataFrame:
+    """Improved Consistent Weighted Sampling signatures (Ioffe 2010):
+    the MinHash analogue whose collision probability IS the weighted
+    Jaccard — ``P(sample_k(A) = sample_k(B)) = J_w(A, B)`` — so LSH
+    banding over these signatures generates candidates whose recall
+    tracks the WEIGHTED measure, where plain MinHash banding tracks
+    the unweighted one (ROADMAP #28; the candidate front end for
+    :func:`weighted_jaccard_pairs` at corpus scale).
+
+    Per (shingle, hash k), ICWS draws r, c ~ Gamma(2,1) and
+    β ~ U(0,1) seeded by the SHINGLE AND K ONLY (consistency is the
+    whole trick — the same shingle draws the same randomness in every
+    document), then ``t = ⌊ln w / r + β⌋``,
+    ``ln a = ln c − r·(t − β) − r``, and sample k is the (shingle, t)
+    of the minimal ``ln a``. Gamma(2,1) = −ln(u₁·u₂) (sum of two
+    exponentials); every uniform comes from xxhash64(shingle, salt),
+    so the whole construction is pure seeded Column arithmetic — no
+    Python, no stored randomness. Weights are the
+    :func:`weighted_jaccard_pairs` integer rarity weights (≥ 1, so
+    ln w ≥ 0 is safe).
+
+    This family is APPROXIMATE BY CONSTRUCTION — collision agreement
+    is a Bernoulli(J_w) per hash — so there is no value-exact oracle;
+    the pinned contracts are pytest: per-hash agreement rate ≈ J_w on
+    constructed pairs, and banded recall on planted weighted
+    near-dups (the minhash recall-property discipline). Scale shape:
+    one shingle explode + K column expressions + one min_by aggregate
+    per doc — signature size is constant in document length.
+
+    Output: (id, sig array<struct<sh bigint, t bigint>>).
+    """
+    if int(num_hashes) < 1:
+        raise ValueError("num_hashes must be >= 1")
+    n_docs = df.count()
+    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
+                                        max_shingle_freq,
+                                        df_col="__df")
+    weighted = (shingles
+                .withColumn("w", F.expr(
+                    f"({int(n_docs)}L * {int(weight_scale)}L) "
+                    "div __df"))
+                .drop("__df"))
+    lnw = F.log(F.col("w").cast("double"))
+    aggs = []
+    for k in range(int(num_hashes)):
+        u1 = _unit_uniform(F.col("shingle"), 5 * k + 1)
+        u2 = _unit_uniform(F.col("shingle"), 5 * k + 2)
+        u3 = _unit_uniform(F.col("shingle"), 5 * k + 3)
+        u4 = _unit_uniform(F.col("shingle"), 5 * k + 4)
+        beta = _unit_uniform(F.col("shingle"), 5 * k + 5)
+        r = -F.log(u1 * u2)
+        c = -F.log(u3 * u4)
+        t = F.floor(lnw / r + beta)
+        lna = F.log(c) - r * (t.cast("double") - beta) - r
+        aggs.append(F.min_by(
+            F.struct(F.xxhash64("shingle").alias("sh"),
+                     t.cast("long").alias("t")), lna).alias(f"s{k}"))
+    sig = weighted.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"s{k}")
+                  for k in range(int(num_hashes))]).alias("sig"))
+
+
+def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   num_hashes: int = 16, bands: int = 8,
+                   threshold: float = 0.5,
+                   max_shingle_freq: int | None = 100,
+                   weight_scale: int = 1000,
+                   verify: bool = True) -> DataFrame:
+    """Weighted near-dup pairs at LSH scale: band the ICWS signatures
+    (docs agreeing on any whole band become candidates — a bucket
+    equi-join, never a cross product), then verify candidates with
+    the EXACT :func:`weighted_jaccard_pairs` arithmetic. The
+    candidate probability at weighted similarity s is the standard
+    ``1 − (1 − s^r)^b`` S-curve — :func:`lsh_plan` applies unchanged
+    because the per-hash collision probability is J_w itself.
+
+    Output: (id_a, id_b, shared_w, jaccard_w) with id_a < id_b and
+    jaccard_w >= threshold (``verify=False`` returns raw candidate
+    pairs for recall studies).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    sig = icws_signatures(df, id_col, text_col, n, num_hashes,
+                          max_shingle_freq, weight_scale)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[f
+                              for r in range(rows_per_band)
+                              for f in (
+                                  F.element_at(
+                                      "sig",
+                                      b * rows_per_band + r + 1)["sh"],
+                                  F.element_at(
+                                      "sig",
+                                      b * rows_per_band + r + 1)["t"])])
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    buckets = (sig.select(F.col(id_col),
+                          F.explode(F.array(*band_cols)).alias("bk"))
+               .select(F.col(id_col), F.col("bk.band"),
+                       F.col("bk.bh")))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    if not verify:
+        return cand
+    # candidate-bounded exact verify: the SAME integer arithmetic as
+    # weighted_jaccard_pairs, but shared-weight sums run only over
+    # the candidate pairs — never the full inverted-index self-join
+    # (that would defeat the banding)
+    n_docs = df.count()
+    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
+                                        max_shingle_freq,
+                                        df_col="__df")
+    wp = (shingles
+          .withColumn("w", F.expr(
+              f"({int(n_docs)}L * {int(weight_scale)}L) div __df"))
+          .drop("__df"))
+    sizes = wp.groupBy(id_col).agg(F.sum("w").alias("W"))
+    pa = wp.select(F.col(id_col).alias("id_a"), "shingle",
+                   F.col("w").alias("wa"))
+    pb = wp.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    shared = (cand.join(pa, "id_a").join(pb, ["id_b", "shingle"])
+              .groupBy("id_a", "id_b")
+              .agg(F.sum("wa").alias("shared_w")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("W").alias("W_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("W").alias("W_b"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard_w",
+                        F.col("shared_w")
+                        / (F.col("W_a") + F.col("W_b")
+                           - F.col("shared_w")))
+            .where(F.col("jaccard_w") >= float(threshold))
+            .select("id_a", "id_b", "shared_w", "jaccard_w"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 64,

@@ -511,3 +511,15 @@ def test_compression_ratio_single_arrow_stage_no_shuffle(spark, views):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
     assert " Exchange (" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_icws_lsh_candidates_bucket_equijoin(spark, views):
+    from pydin_spark.operators import dedup
+    plan = plan_of(dedup.icws_lsh_pairs(spark.table("documents"),
+                                        num_hashes=16, bands=8,
+                                        verify=False))
+    # band-bucket equi-join, never a cross product; the signature agg
+    # has a map-side partial phase
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min_by" in plan or "min_by" in plan, plan

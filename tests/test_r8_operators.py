@@ -896,3 +896,68 @@ def test_semantic_order_ivf_validates_nlist(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         semantic_order_ivf(df, nlist=0)
+
+
+# ---- ICWS weighted MinHash (approximate by construction) ----
+
+def test_icws_agreement_tracks_weighted_jaccard(spark):
+    # two doc pairs with very different weighted overlap: the
+    # per-hash agreement rate must order the same way and sit in the
+    # right neighborhood (Bernoulli(J_w) per hash, 32 hashes)
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    far = "iota kappa lambdax mu nu xi omicron pi"
+    rows = [(1, near), (2, near + " extra1"),     # high J_w
+            (3, near), (4, far)]                  # ~zero J_w
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["sig"] for r in dedup.icws_signatures(
+        df, num_hashes=32, max_shingle_freq=None).collect()}
+
+    def agree(x, y):
+        return sum(1 for a, b in zip(sig[x], sig[y]) if a == b) / 32
+
+    assert agree(1, 2) > 0.4          # heavy overlap
+    assert agree(3, 4) < 0.2          # disjoint shingles
+    assert agree(1, 2) > agree(3, 4)
+    assert agree(1, 3) == 1.0         # identical docs agree on all
+
+
+def test_icws_consistency_same_shingle_same_sample(spark):
+    # consistency is THE property: a shingle draws the same
+    # randomness in every document, so identical docs have identical
+    # signatures regardless of what else is in the corpus
+    rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"),
+            (3, "zz yy xx ww vv")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["sig"] for r in dedup.icws_signatures(
+        df, num_hashes=8, max_shingle_freq=None).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_icws_lsh_recall_on_planted_pairs(spark):
+    # planted twins must surface as candidates and survive the exact
+    # weighted verify; unrelated docs must not
+    rows = []
+    for i in range(20):
+        base = " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " tail"))   # near-dup twin
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.icws_lsh_pairs(df, num_hashes=16, bands=8,
+                               threshold=0.5,
+                               max_shingle_freq=None).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, (recall, sorted(got)[:5])
+    # verified pairs carry the exact weighted score
+    assert all(r["jaccard_w"] >= 0.5 for r in out)
+    # nothing across unrelated bases survives the exact verify
+    assert got <= planted
+
+
+def test_icws_lsh_validates_banding(spark):
+    df = spark.createDataFrame([(1, "a b c")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.icws_lsh_pairs(df, num_hashes=16, bands=5)
