@@ -552,7 +552,8 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
                    max_shingle_freq: int | None = 100,
                    method: str = "auto",
                    auto_minhash_above: int = 100_000,
-                   transitive: bool = False) -> DataFrame:
+                   transitive: bool = False,
+                   measure: str = "jaccard") -> DataFrame:
     """Corpus scrub: keep one survivor per near-duplicate pair.
 
     Greedy keep-lowest-id policy: any document that appears as the
@@ -574,11 +575,28 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
     ``auto_minhash_above`` documents (one column-pruned count) so the
     scale-safe path engages automatically — the exact inverted index is
     never the default on a large corpus.
+
+    ``measure='weighted'`` scrubs under the rarity-WEIGHTED Jaccard
+    instead (:func:`weighted_jaccard_pairs` semantics — shared
+    boilerplate counts less, shared rare content more): the exact
+    tier is the weighted inverted index, the minhash tier is ICWS
+    banding + candidate-bounded exact verify
+    (:func:`icws_lsh_pairs`). Same survivor policies either way.
     """
+    if measure not in ("jaccard", "weighted"):
+        raise ValueError("measure must be 'jaccard' or 'weighted'")
     if method == "auto":
         method = ("minhash" if df.count() > auto_minhash_above
                   else "exact")
-    if method == "minhash":
+    if measure == "weighted":
+        if method == "minhash":
+            pairs = icws_lsh_pairs(df, id_col, text_col, n,
+                                   threshold=threshold,
+                                   max_shingle_freq=max_shingle_freq)
+        else:
+            pairs = weighted_jaccard_pairs(
+                df, id_col, text_col, n, threshold, max_shingle_freq)
+    elif method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, n,
                                   threshold=threshold)
     else:

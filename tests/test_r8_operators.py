@@ -961,3 +961,47 @@ def test_icws_lsh_validates_banding(spark):
                                "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.icws_lsh_pairs(df, num_hashes=16, bands=5)
+
+
+def test_drop_near_dups_weighted_measure(spark):
+    # the weighted measure separates boilerplate-sharing from
+    # rare-sharing at one threshold where plain jaccard cannot:
+    # both pairs share 50% of their shingle SET, but the rare pair
+    # shares the heavy mass
+    boiler = "the quick brown fox jumps over"   # floods 8 docs
+    rare = "zeta omega kappa lambda sigma tau"
+    rows = ([(1, rare + " only1a only1b only1c only1d only1e only1f"),
+             (2, rare + " only2a only2b only2c only2d only2e only2f"),
+             (3, boiler + " x3a x3b x3c x3d x3e x3f"),
+             (4, boiler + " x4a x4b x4c x4d x4e x4f")]
+            + [(10 + i, boiler + f" f{i}a f{i}b f{i}c f{i}d f{i}e f{i}f")
+               for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pydin_spark.operators.dedup import weighted_jaccard_pairs
+    jw = {(r["id_a"], r["id_b"]): r["jaccard_w"]
+          for r in weighted_jaccard_pairs(
+              df, threshold=0.0, max_shingle_freq=None).collect()}
+    thr = (jw[(3, 4)] + jw[(1, 2)]) / 2   # between the two pairs
+    kept = dedup.drop_near_dups(df, threshold=thr, method="exact",
+                                max_shingle_freq=None,
+                                measure="weighted")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 2 not in ids          # rare twin scrubbed (1 survives)
+    assert 1 in ids and 3 in ids and 4 in ids  # boiler pair kept
+    with pytest.raises(ValueError):
+        dedup.drop_near_dups(df, measure="nope")
+
+
+def test_drop_near_dups_weighted_minhash_tier(spark):
+    # the ICWS tier scrubs planted twins through banded candidates
+    rows = []
+    for i in range(10):
+        base = " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = dedup.drop_near_dups(df, threshold=0.5, method="minhash",
+                                max_shingle_freq=None,
+                                measure="weighted")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {2 * i for i in range(10)}  # lower twin survives
