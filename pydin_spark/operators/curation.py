@@ -1750,7 +1750,6 @@ def semantic_order_ivf(df: DataFrame, id_col: str = "vec_id",
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from .similarity import _nearest_lists
     cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     train_src = df if sample_fraction >= 1.0 else \
         df.sample(fraction=sample_fraction, seed=seed)
@@ -1764,17 +1763,23 @@ def semantic_order_ivf(df: DataFrame, id_col: str = "vec_id",
     # function of WHERE the centroids are, not how training numbered
     # them
     centers = centers[np.lexsort(centers.T[::-1])]
-    cell = F.element_at(_nearest_lists(cv, 1, centers), 1) \
-        .cast("long")
-    # squared L2 to the ASSIGNED centroid: recompute against the
-    # literal matrix and pick the minimum — one codegen scan, no join
-    d2 = F.array_min(F.array(*[
-        F.aggregate(
-            F.zip_with(cv,
-                       F.array(*[F.lit(float(x)) for x in centers[c]]),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        for c in range(len(centers))]))
+    # ONE distance pass: the sorted (d, i) struct array yields both
+    # the assigned cell AND its distance — recomputing the nlist×dim
+    # expressions twice is exactly the codegen-constant failure mode
+    # PERF.md documents for this family (round-8 review finding)
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(cv,
+                           F.array(*[F.lit(float(x))
+                                     for x in centers[c]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            F.lit(c).alias("i"))
+        for c in range(len(centers))])
+    nearest = F.element_at(F.array_sort(dists), 1)
+    cell = nearest["i"].cast("long")
+    d2 = nearest["d"]
     dq_raw = F.floor(d2 * F.lit(float(quant))).cast("long")
     dq = F.when(dq_raw >= F.lit(1 << 31).cast("long"),
                 F.raise_error(F.lit(

@@ -201,15 +201,8 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     if int(weight_scale) < 1:
         raise ValueError("weight_scale must be a positive integer")
-    n_docs = df.count()
-    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
-                                        max_shingle_freq,
-                                        df_col="__df")
-    weighted = (shingles
-                .withColumn("w", F.expr(
-                    f"({int(n_docs)}L * {int(weight_scale)}L) "
-                    "div __df"))
-                .drop("__df"))
+    weighted, _ = _weighted_postings(df, id_col, text_col, n,
+                                     max_shingle_freq, weight_scale)
     sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W"))
     a = weighted.select(F.col(id_col).alias("id_a"), "shingle",
                         F.col("w").alias("wa"))
@@ -231,6 +224,25 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "shared_w", "jaccard_w"))
 
 
+def _weighted_postings(df: DataFrame, id_col: str, text_col: str,
+                       n: int, max_shingle_freq: int | None,
+                       weight_scale: int):
+    """Shared rarity-weighted posting lists: (wp, n_docs) with
+    ``w = (N · scale) div df`` attached — computed ONCE and reused by
+    :func:`weighted_jaccard_pairs`, :func:`icws_signatures` and
+    :func:`icws_lsh_pairs`'s verify stage (the round-8 review found
+    the LSH path paying the substrate twice)."""
+    n_docs = df.count()
+    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
+                                        max_shingle_freq,
+                                        df_col="__df")
+    wp = (shingles
+          .withColumn("w", F.expr(
+              f"({int(n_docs)}L * {int(weight_scale)}L) div __df"))
+          .drop("__df"))
+    return wp, n_docs
+
+
 def _unit_uniform(col, salt: int):
     """Strictly-(0,1) uniform from a hash of ``col`` — deterministic,
     columnar, safe under ln()."""
@@ -243,7 +255,9 @@ def icws_signatures(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     num_hashes: int = 16,
                     max_shingle_freq: int | None = 100,
-                    weight_scale: int = 1000) -> DataFrame:
+                    weight_scale: int = 1000,
+                    weighted_postings: DataFrame | None = None
+                    ) -> DataFrame:
     """Improved Consistent Weighted Sampling signatures (Ioffe 2010):
     the MinHash analogue whose collision probability IS the weighted
     Jaccard — ``P(sample_k(A) = sample_k(B)) = J_w(A, B)`` — so LSH
@@ -276,15 +290,12 @@ def icws_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     if int(num_hashes) < 1:
         raise ValueError("num_hashes must be >= 1")
-    n_docs = df.count()
-    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
-                                        max_shingle_freq,
-                                        df_col="__df")
-    weighted = (shingles
-                .withColumn("w", F.expr(
-                    f"({int(n_docs)}L * {int(weight_scale)}L) "
-                    "div __df"))
-                .drop("__df"))
+    if weighted_postings is None:
+        weighted, _ = _weighted_postings(df, id_col, text_col, n,
+                                         max_shingle_freq,
+                                         weight_scale)
+    else:
+        weighted = weighted_postings
     lnw = F.log(F.col("w").cast("double"))
     aggs = []
     for k in range(int(num_hashes)):
@@ -326,10 +337,15 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     jaccard_w >= threshold (``verify=False`` returns raw candidate
     pairs for recall studies).
     """
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
+    if bands < 1 or num_hashes % bands:
+        raise ValueError("bands must be >= 1 and divide num_hashes")
+    # ONE posting-list substrate shared by signatures and verify —
+    # the review found this path paying the explode + window twice
+    wp, _ = _weighted_postings(df, id_col, text_col, n,
+                               max_shingle_freq, weight_scale)
     sig = icws_signatures(df, id_col, text_col, n, num_hashes,
-                          max_shingle_freq, weight_scale)
+                          max_shingle_freq, weight_scale,
+                          weighted_postings=wp)
     rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(F.lit(b).alias("band"),
@@ -359,15 +375,8 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # candidate-bounded exact verify: the SAME integer arithmetic as
     # weighted_jaccard_pairs, but shared-weight sums run only over
     # the candidate pairs — never the full inverted-index self-join
-    # (that would defeat the banding)
-    n_docs = df.count()
-    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
-                                        max_shingle_freq,
-                                        df_col="__df")
-    wp = (shingles
-          .withColumn("w", F.expr(
-              f"({int(n_docs)}L * {int(weight_scale)}L) div __df"))
-          .drop("__df"))
+    # (that would defeat the banding); wp is the substrate computed
+    # above, shared with the signature stage
     sizes = wp.groupBy(id_col).agg(F.sum("w").alias("W"))
     pa = wp.select(F.col(id_col).alias("id_a"), "shingle",
                    F.col("w").alias("wa"))

@@ -2070,14 +2070,16 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
         import pandas as pd
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                text = row[text_col]
-                if text is None or text == "":
-                    out_rows.append((row[id_col], 0, 0, None))
+            # zip over the two columns — iterrows() builds a Series
+            # per row and would dominate the zlib call itself
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or text == "" or text is pd.NA \
+                        or (isinstance(text, float)):
+                    out_rows.append((doc_id, 0, 0, None))
                     continue
                 raw = text.encode("utf-8")
                 comp = zlib.compress(raw, lvl)
-                out_rows.append((row[id_col], len(raw), len(comp),
+                out_rows.append((doc_id, len(raw), len(comp),
                                  len(comp) / len(raw)))
             yield pd.DataFrame(out_rows,
                                columns=[id_col, "n_bytes",

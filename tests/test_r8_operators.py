@@ -961,6 +961,8 @@ def test_icws_lsh_validates_banding(spark):
                                "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.icws_lsh_pairs(df, num_hashes=16, bands=5)
+    with pytest.raises(ValueError):   # not ZeroDivisionError
+        dedup.icws_lsh_pairs(df, num_hashes=16, bands=0)
 
 
 def test_drop_near_dups_weighted_measure(spark):

@@ -121,6 +121,18 @@ def main():
             rot = F.concat(F.slice("embedding", rr + 1, dim - rr),
                            F.slice("embedding", 1, rr))
             p = p.withColumn("embedding", rot)
+        if r >= dim:
+            # rotations repeat past r = dim; nudge the first
+            # coordinate by a replica-unique epsilon so replicas stay
+            # exact-dup-disjoint (mirrors the text suffix token) —
+            # near-dup structure still repeats, so at factor > dim
+            # measure scan-shaped queries here, not ANN/semantic dedup
+            eps = float((r // dim) * 1e-3)
+            p = p.withColumn(
+                "embedding",
+                F.concat(F.array(F.element_at("embedding", 1)
+                                 + F.lit(eps)),
+                         F.slice("embedding", 2, dim - 1)))
         parts.append(p)
     big_v = parts[0]
     for p in parts[1:]:

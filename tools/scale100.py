@@ -76,10 +76,15 @@ def consume(df) -> None:
 
 
 def main() -> None:
-    for _, d in TIERS:
+    src = TIERS[0][1]
+    if not os.path.isdir(src):
+        raise SystemExit(f"missing source dataset {src} (the driver-"
+                         "generated sf0.1 fixture — not buildable)")
+    for _, d in TIERS[1:]:
         if not os.path.isdir(d):
-            raise SystemExit(f"missing tier dir {d} — build it with "
-                             "tools/build_sf1.py")
+            raise SystemExit(
+                f"missing replica dir {d} — build it with "
+                f"tools/build_sf1.py {src} {d} <factor>")
     spark = get_session("scale100",
                         extra_conf={"spark.driver.memory": "32g"})
     queries = entrymod.queries()
