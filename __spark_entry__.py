@@ -1138,6 +1138,34 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
     register_tables(spark, sf_dir)
 
 
+#: bucketed-staging cache: (applicationId, state root) pairs already
+#: staged by THIS process — staging is the one shuffle the family
+#: amortizes, so per-session it runs once no matter how many bucketed
+#: gates execute; a new process restages (testdata may have changed)
+#: and maintain() collapses the old versions.
+_SB_STAGED: set = set()
+
+
+def _staged_fact_buckets(spark: SparkSession, sf_dir: str):
+    """Stage (once per session+sf) and return the StoredBuckets pair
+    for the fact-fact orderkey join shapes: lineitem + orders, both
+    bucketBy(32, orderkey), co-bucketed so the join is exchange-free
+    on BOTH sides."""
+    from pydin_spark.operators.buckets import StoredBuckets
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/pydin_spark_state/buckets/{tag}"
+    li = StoredBuckets(f"{root}/lineitem", "l_orderkey", buckets=32)
+    od = StoredBuckets(f"{root}/orders", "o_orderkey", buckets=32)
+    key = (spark.sparkContext.applicationId, root)
+    if key not in _SB_STAGED:
+        li.stage(spark.table("lineitem"))
+        li.maintain(spark)
+        od.stage(spark.table("orders"))
+        od.maintain(spark)
+        _SB_STAGED.add(key)
+    return li, od
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _views(spark, sf_dir)
@@ -2951,11 +2979,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _text_compression_ratio(spark, sf_dir):
         # zlib redundancy signal: the documented Arrow-batched UDF
         # escape hatch (DEFLATE is not SQL-expressible; DuckDB ships
-        # no zlib scalar, so this is a deliberate NO-ORACLE entry —
-        # the driver records the weaker rows-only check; exactness is
-        # pinned byte-for-byte by pytest against the same stdlib call)
+        # no zlib scalar). The oracle joins the COMMITTED fixture of
+        # stdlib-zlib results keyed by md5(text) — tools/
+        # make_zlib_fixture.py — upgrading this entry from rows-only
+        # to hash-exact (VERDICT r6 item 3). ratio is the family's
+        # one-division float, %.9f on both sides.
         _views(spark, sf_dir)
-        return text.compression_ratio(spark.table("documents"))
+        out_df = text.compression_ratio(spark.table("documents"))
+        return out_df.select(
+            "doc_id", "n_bytes", "n_compressed",
+            F.format_string("%.9f", "ratio").alias("ratio9"))
 
     out["text_compression_ratio"] = _text_compression_ratio
 
@@ -3045,6 +3078,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(scratch, ignore_errors=True)
 
     out["sim_topk_pq_stored"] = _sim_topk_pq_stored
+
+    def _q_bucketed(sql_key):
+        # bucketed staging (StoredBuckets family): stage lineitem +
+        # orders bucketBy(orderkey) ONCE per session+sf, then run the
+        # fact-fact TPC-H shape against the attached bucketed tables —
+        # the l_orderkey = o_orderkey SortMergeJoin plans with ZERO
+        # Exchange on either side (plan-gated in tests/test_plans.py).
+        # The oracle is the PLAIN query: bucketing is a physical
+        # layout, the result set is identical by construction — which
+        # is exactly what the gate proves.
+        def run(spark, sf_dir, sql_key=sql_key):
+            _views(spark, sf_dir)
+            li, od = _staged_fact_buckets(spark, sf_dir)
+            li.attach(spark, "lineitem_sb")
+            od.attach(spark, "orders_sb")
+            sql = DUAL_SQL[sql_key].replace(
+                "customer, orders, lineitem",
+                "customer, orders_sb, lineitem_sb")
+            assert "orders_sb" in sql, sql_key
+            return spark.sql(sql)
+        return run
+
+    out["q3_bucketed"] = _q_bucketed("q3_shipping_priority")
+    out["q5_bucketed"] = _q_bucketed("q5_local_supplier_volume")
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -5485,6 +5542,30 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         GROUP BY source, lang
+    """
+    # zlib compression ratio: DuckDB ships no zlib scalar, so the
+    # oracle joins the COMMITTED fixture of stdlib-zlib lengths keyed
+    # by md5(text) (tools/make_zlib_fixture.py, covers sf0.001/0.01/
+    # 0.1). Content-keyed: an uncovered sf drops rows and fails the
+    # rowcount check loudly instead of silently passing. ratio is the
+    # single int/int division, %.9f both sides.
+    # bucketed staging gates: the oracle is the PLAIN q3/q5 —
+    # bucketing changes the physical layout and the join's shuffle
+    # plan, never the result set; DuckDB doesn't care how Spark joins
+    out["q3_bucketed"] = DUAL_SQL["q3_shipping_priority"]
+    out["q5_bucketed"] = DUAL_SQL["q5_local_supplier_volume"]
+    zlib_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "zlib_l6_ratio.parquet")
+    out["text_compression_ratio"] = f"""
+        SELECT d.doc_id, f.n_bytes, f.n_compressed,
+               CASE WHEN f.n_bytes = 0 THEN NULL
+                    ELSE format('{{:.9f}}',
+                                CAST(f.n_compressed AS DOUBLE)
+                                / f.n_bytes) END AS ratio9
+        FROM documents d
+        JOIN read_parquet('{zlib_fixture}') f
+          ON md5(COALESCE(d.text, '')) = f.text_md5
     """
     # stored drift reference serves value-identically to the live KS
     # view (mergeable extends + the shared back-half expressions)

@@ -2,4 +2,5 @@
 reference surface): dedup, similarity search, text analysis, multimodal
 column plumbing."""
 
-from . import dedup, graph, multimodal, similarity, text  # noqa: F401
+from . import (buckets, dedup, graph, multimodal,  # noqa: F401
+               similarity, text)

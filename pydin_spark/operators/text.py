@@ -2051,10 +2051,11 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
     escape hatch, like BPE apply): DEFLATE's LZ77+Huffman loop is not
     expressible in Spark's expression language, and ``zlib`` is
     stdlib — no environment gate. Per Arrow batch the loop is a tight
-    C call per row; no driver collect, no shuffle (plan-gated). There
-    is NO SQL oracle (DuckDB ships no zlib scalar) — correctness is
-    pinned by a byte-exact pytest against the same stdlib call, and
-    the driver's check is rows-only by design.
+    C call per row; no driver collect, no shuffle (plan-gated).
+    DuckDB ships no zlib scalar, so the gate's oracle joins a
+    COMMITTED fixture of stdlib-zlib lengths keyed by md5(text)
+    (``tools/make_zlib_fixture.py``) — hash-exact like every other
+    entry — plus a byte-exact pytest against the same stdlib call.
 
     ``ratio = n_compressed / n_bytes`` over UTF-8 bytes; empty/NULL
     text yields n_bytes 0 and a NULL ratio (no content to judge).

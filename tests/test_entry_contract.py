@@ -20,12 +20,14 @@ def duck(sf_dir):
 
 
 #: the DELIBERATE rows-only entries — operators whose computation is
-#: not expressible in DuckDB's scalar surface at all (no zlib scalar
-#: exists to mirror DEFLATE), per the driver contract's documented
-#: weaker-check category. Exactness is pinned byte-for-byte by pytest
-#: against the same stdlib call instead. Adding a name here requires
-#: that justification in the operator docstring.
-NO_ORACLE_BY_DESIGN = {"text_compression_ratio"}
+#: not expressible in DuckDB's scalar surface at all, per the driver
+#: contract's documented weaker-check category. Currently EMPTY:
+#: text_compression_ratio (no zlib scalar in DuckDB) was the one
+#: member until its oracle became a committed-fixture join
+#: (tools/make_zlib_fixture.py) — every inventory entry is now
+#: value-verified. Adding a name here requires a justification in the
+#: operator docstring.
+NO_ORACLE_BY_DESIGN: set[str] = set()
 
 
 def test_every_oracle_key_has_a_query():

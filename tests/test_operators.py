@@ -224,9 +224,13 @@ def test_multimodal_pluggable_decoder_seam(spark, docs):
     assert all(f["ts_ms"] % 500 == 0 for f in frames)
 
     # without a decoder (and without codecs in this container) the
-    # real path fails with the documented plug-point message
-    with pytest.raises(Exception, match="decoder="):
-        multimodal.extract_features(assets, fake=False).collect()
+    # real path fails with the documented plug-point message; when PIL
+    # is installed the image fallback becomes live instead (covered by
+    # the skipif-gated real-codec smoke in test_r9_operators.py)
+    import importlib.util
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(Exception, match="decoder="):
+            multimodal.extract_features(assets, fake=False).collect()
     with pytest.raises(Exception, match="decoder="):
         multimodal.sample_frames(assets, fake=False).collect()
 

@@ -523,3 +523,22 @@ def test_icws_lsh_candidates_bucket_equijoin(spark, views):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min_by" in plan or "min_by" in plan, plan
+
+
+def test_bucketed_fact_join_has_no_exchange(spark, views, sf_dir):
+    """The StoredBuckets q3 shape: both fact scans read bucketed
+    (Bucketed: true) and the l_orderkey = o_orderkey SortMergeJoin
+    needs NO Exchange on either side — the staged shuffle is the only
+    one this join ever pays, the property that amortizes at 100 TB."""
+    import __spark_entry__ as entrymod
+    li, od = entrymod._staged_fact_buckets(spark, sf_dir)
+    li.attach(spark, "lineitem_sb")
+    od.attach(spark, "orders_sb")
+    df = spark.sql(
+        entrymod.DUAL_SQL["q3_shipping_priority"].replace(
+            "customer, orders, lineitem",
+            "customer, orders_sb, lineitem_sb"))
+    plan = plan_of(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan

@@ -1,0 +1,261 @@
+"""Round-9 additions (VERDICT r6 items): kcore convergence contract
+(no silent superset), the skipif-gated real-PIL codec smoke, and the
+committed zlib oracle fixture's integrity."""
+
+import importlib.util
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pydin_spark.operators import multimodal
+from pydin_spark.operators.graph import kcore, kcore_oracle_sql
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _values_cte(pairs):
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    return f"edges(src, dst) AS (SELECT * FROM (VALUES {vals}))"
+
+
+# ---- kcore convergence contract (VERDICT r6 item 4) ----
+
+#: a 17-node path: under k=2 each round peels one node from EACH end,
+#: so the 2-core (empty) needs 8 rounds — 3 rounds leave a mid-path
+#: superset whose endpoints still have degree 1 < k
+PATH = [(i, i + 1) for i in range(1, 17)]
+
+
+def test_kcore_flags_nonconverged_superset(spark):
+    out = kcore(_edges(spark, PATH), k=2, rounds=3)
+    rows = out.collect()
+    assert rows, "3 rounds must leave a mid-path superset"
+    assert all(r["converged"] is False for r in rows)
+    # enough rounds: the path's true 2-core is empty, and emptiness
+    # is trivially converged (nothing left below k)
+    done = kcore(_edges(spark, PATH), k=2, rounds=9)
+    assert done.count() == 0
+
+
+def test_kcore_converged_true_on_fixed_point(spark):
+    # a 4-cycle IS its own 2-core: round 1 removes nobody → converged
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    rows = kcore(_edges(spark, cyc), k=2, rounds=1).collect()
+    assert len(rows) == 4
+    assert all(r["converged"] is True for r in rows)
+
+
+def test_kcore_raise_mode(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(_edges(spark, PATH), k=2, rounds=3, check="raise")
+    # converged run returns normally under raise mode, sans column
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    out = kcore(_edges(spark, cyc), k=2, rounds=2, check="raise")
+    assert out.columns == ["node", "core_deg"]
+    assert out.count() == 4
+
+
+def test_kcore_check_none_keeps_pure_fixed_round_contract(spark):
+    out = kcore(_edges(spark, PATH), k=2, rounds=3, check=None)
+    assert out.columns == ["node", "core_deg"]
+    with pytest.raises(ValueError, match="check"):
+        kcore(_edges(spark, PATH), k=2, check="maybe")
+
+
+def test_kcore_oracle_mirrors_converged_flag(spark):
+    # the unrolled-CTE oracle computes the SAME fixed-point predicate,
+    # so the flag is oracle-verified in both states
+    for rounds in (3, 9):
+        got = sorted(tuple(r) for r in
+                     kcore(_edges(spark, PATH), k=2,
+                           rounds=rounds).collect())
+        sql = kcore_oracle_sql(_values_cte(PATH), k=2, rounds=rounds)
+        want = sorted(tuple(r) for r in
+                      duckdb.connect().execute(sql).fetchall())
+        assert got == want
+
+
+# ---- real-codec smoke (VERDICT r6 item 7): skips until PIL lands ----
+
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not in this container; "
+                    "test self-activates the day the environment "
+                    "grows a real codec")
+def test_extract_features_real_pil_decoder(spark):
+    """fake=False with NO injected decoder drives the PIL fallback in
+    the Arrow workers end-to-end: real PNG bytes in, per-chunk
+    grayscale means out, byte-exact vs a driver-side PIL decode."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def png_bytes(seed, h=6, w=8):
+        arr = (np.arange(h * w, dtype=np.uint32) * (seed + 7) % 251
+               ).astype(np.uint8).reshape(h, w)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        return arr, buf.getvalue()
+
+    pixels, payloads = {}, []
+    for aid in range(1, 5):
+        arr, png = png_bytes(aid)
+        pixels[aid] = arr
+        payloads.append((aid, "image", bytearray(png)))
+    assets = spark.createDataFrame(
+        payloads, "asset_id long, kind string, payload binary"
+    ).withColumn("meta", F.struct(
+        F.lit("image/png").alias("mime"),
+        F.lit(8).alias("width"), F.lit(6).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms")))
+
+    feats = {r["asset_id"]: r["feature"] for r in
+             multimodal.extract_features(assets, dim=4,
+                                         fake=False).collect()}
+    assert len(feats) == 4
+    for aid, arr in pixels.items():
+        px = arr.ravel().astype(np.float64)
+        expected = [float(c.mean()) for c in np.array_split(px, 4)]
+        assert feats[aid] == expected
+
+    resized = multimodal.resize_images(assets, width=4, height=4,
+                                       fake=False).collect()
+    assert all(len(bytes(r["payload"])) == 16 for r in resized)
+
+
+# ---- zlib oracle fixture integrity (VERDICT r6 item 3) ----
+
+def test_zlib_fixture_covers_gate_tiers(sf_dir):
+    """The committed fixture must cover EVERY document text at the
+    gate tiers and carry the exact stdlib-zlib level-6 lengths (the
+    same call the operator makes per Arrow batch)."""
+    import hashlib
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures", "zlib_l6_ratio.parquet")
+    fx = {r["text_md5"]: (r["n_bytes"], r["n_compressed"])
+          for r in pq.read_table(fixture).to_pylist()}
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"]).column("text").to_pylist()
+    for text in docs:
+        s = text or ""
+        key = hashlib.md5(s.encode("utf-8")).hexdigest()
+        assert key in fx, "fixture stale: rerun tools/make_zlib_fixture.py"
+        raw = s.encode("utf-8")
+        want = (0, 0) if s == "" else (len(raw),
+                                       len(zlib.compress(raw, 6)))
+        assert fx[key] == want
+
+
+# ---- StoredBuckets staging family (VERDICT r6 item 1) ----
+
+@pytest.fixture()
+def sb_root(tmp_path):
+    return str(tmp_path / "buckets")
+
+
+def _frame(spark, n=100, mul=1):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * mul).alias("v"))
+
+
+def test_stored_buckets_stage_attach_roundtrip(spark, sb_root):
+    from pydin_spark.operators.buckets import StoredBuckets
+    sb = StoredBuckets(sb_root, "k", buckets=4)
+    assert sb.stage(_frame(spark)) == 0
+    got = sb.attach(spark, "sb_rt")
+    assert got.count() == 100
+    assert {tuple(r) for r in got.collect()} == {(i, i)
+                                                 for i in range(100)}
+    # restage: version bumps, attach serves the NEW snapshot
+    assert sb.stage(_frame(spark, n=50, mul=3)) == 1
+    assert sb.attach(spark, "sb_rt").count() == 50
+    spark.sql("DROP TABLE IF EXISTS sb_rt")
+
+
+def test_stored_buckets_bucketed_join_no_exchange(spark, sb_root):
+    from pydin_spark.operators.buckets import StoredBuckets
+    from tests.test_plans import plan_of
+    a = StoredBuckets(f"{sb_root}/a", "k", buckets=4)
+    b = StoredBuckets(f"{sb_root}/b", "k", buckets=4)
+    a.stage(_frame(spark))
+    b.stage(_frame(spark, mul=2))
+    left = a.attach(spark, "sb_ja")
+    right = b.attach(spark, "sb_jb")
+    # co-bucketed equi-join: zero Exchange anywhere in the plan
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = left.join(right.withColumnRenamed("v", "w"), "k")
+        plan = plan_of(joined)
+        assert " Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    for t in ("sb_ja", "sb_jb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stored_buckets_crashed_writer_stays_invisible(spark, sb_root):
+    """The family discipline: data files land BEFORE the commit row,
+    so a writer that dies mid-stage leaves files attach() never
+    serves."""
+    import os
+    from pydin_spark.operators.buckets import StoredBuckets
+    sb = StoredBuckets(sb_root, "k", buckets=4)
+    sb.stage(_frame(spark, n=10))
+    # simulate a crashed second stage: bucketed files, NO commit row
+    loc = f"{sb_root}/data_99_deadbeef"
+    (_frame(spark, n=77).write.format("parquet")
+     .bucketBy(4, "k").option("path", loc)
+     .saveAsTable("sb_crash_tmp"))
+    spark.sql("DROP TABLE IF EXISTS sb_crash_tmp")
+    assert sb.attach(spark, "sb_cr").count() == 10  # not 77
+    # maintain sweeps the orphan
+    res = sb.maintain(spark)
+    assert res["deleted"] == 1
+    assert not os.path.exists(loc)
+    assert sb.attach(spark, "sb_cr").count() == 10
+    spark.sql("DROP TABLE IF EXISTS sb_cr")
+
+
+def test_stored_buckets_maintain_collapses_versions(spark, sb_root):
+    import os
+    from pydin_spark.operators.buckets import StoredBuckets
+    sb = StoredBuckets(sb_root, "k", buckets=2)
+    for n in (10, 20, 30):
+        sb.stage(_frame(spark, n=n))
+    assert sb.maintain(spark) == {"kept": 1, "deleted": 2}
+    data_dirs = [d for d in os.listdir(sb_root)
+                 if d.startswith("data_")]
+    assert len(data_dirs) == 1
+    assert sb.attach(spark, "sb_mc").count() == 30
+    # post-collapse staging keeps working (the explicit commit schema
+    # survives the log rewrite — regression for the int64 widening)
+    assert sb.stage(_frame(spark, n=5)) == 3
+    assert sb.attach(spark, "sb_mc").count() == 5
+    spark.sql("DROP TABLE IF EXISTS sb_mc")
+
+
+def test_stored_buckets_validation(spark, sb_root):
+    from pydin_spark.operators.buckets import StoredBuckets
+    with pytest.raises(ValueError, match="buckets"):
+        StoredBuckets(sb_root, "k", buckets=0)
+    sb = StoredBuckets(sb_root, "missing")
+    with pytest.raises(ValueError, match="key column"):
+        sb.stage(_frame(spark))
+    with pytest.raises(ValueError, match="stage"):
+        sb.attach(spark, "sb_nope")
+    with pytest.raises(ValueError, match="overwrite"):
+        StoredBuckets(sb_root, "k").stage(_frame(spark), mode="append")
+    assert sb.maintain(spark) == {"kept": 0, "deleted": 0}

@@ -156,6 +156,10 @@ EXTRA = [
     "curation_dist_drift_stored",
     "rollup_group_median",
     "text_compression_ratio",
+    # round 9: bucketed staging family (stage cached per session+sf,
+    # so these rows time the bucketed JOIN, not the staging write)
+    "q3_bucketed",
+    "q5_bucketed",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -535,6 +539,8 @@ LINEAR_OK = {
     "emb_pq",                   # per-row encode + id-join decode
     "sim_topk_pq",              # ADC is corpus-linear per query
     "text_bigram_lm_stored",    # train scan + keyed score joins
+    "q3_bucketed",              # fact-fact join, exchange-free sides
+    "q5_bucketed",              # snowflake join over bucketed facts
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
