@@ -160,6 +160,10 @@ EXTRA = [
     # so these rows time the bucketed JOIN, not the staging write)
     "q3_bucketed",
     "q5_bucketed",
+    # round 9: ICWS weighted-LSH tier (synthetic rows — scale
+    # variants only; the operator is pytest-pinned, not oracle-gated)
+    "icws_lsh_pairs",
+    "icws_lsh_zipf",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -315,6 +319,28 @@ def _scale_dedup_containment_zipf(spark, sf_dir):
                                    max_shingle_freq=100)
 
 
+def _scale_icws_lsh(spark, sf_dir):
+    """ICWS weighted-MinHash LSH (VERDICT r6 item 5: the weighted
+    dedup scale tier had no SCALE row at any factor). Not an
+    inventory gate (approximate by construction → pytest-pinned
+    recall properties), so it's measured here directly at the
+    documented production operating point."""
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    return dedup.icws_lsh_pairs(spark.table("documents"),
+                                threshold=0.5)
+
+
+def _scale_icws_lsh_zipf(spark, sf_dir):
+    """Same tier under the Zipf boilerplate skew — the freq cap must
+    shed the hot shingles from BOTH the signature substrate and the
+    verify arithmetic for the ratio to stay candidate-bounded."""
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    return dedup.icws_lsh_pairs(_zipf_documents(spark, sf_dir),
+                                threshold=0.5)
+
+
 _IVF_EDGES: dict = {}
 
 
@@ -429,6 +455,8 @@ SCALE_VARIANTS = {
     "curation_snapshot_diff": _scale_snapshot_diff,
     "dedup_jaccard_zipf": _scale_dedup_jaccard_zipf,
     "dedup_containment_zipf": _scale_dedup_containment_zipf,
+    "icws_lsh_pairs": _scale_icws_lsh,
+    "icws_lsh_zipf": _scale_icws_lsh_zipf,
     "dedup_containment": _scale_dedup_containment,
     "dedup_cross_corpus": _scale_dedup_cross_corpus,
     "dedup_edit": _scale_dedup_edit,
@@ -541,6 +569,8 @@ LINEAR_OK = {
     "text_bigram_lm_stored",    # train scan + keyed score joins
     "q3_bucketed",              # fact-fact join, exchange-free sides
     "q5_bucketed",              # snowflake join over bucketed facts
+    "icws_lsh_pairs",           # banded candidates, pair-density bound
+    "icws_lsh_zipf",            # same substrate under the Zipf head
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
