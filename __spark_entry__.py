@@ -2094,6 +2094,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["rollup_bloom_filter"] = _rollup_bloom_filter
 
+    def _rollup_cms(spark, sf_dir):
+        # the frequency member of the sketch family: Count-Min of
+        # bigram DOCUMENT frequencies (the approximate twin of
+        # top_ngrams' exact groupBy) as mergeable (row_j, col_idx,
+        # cnt) cells; md5 positions, so the oracle rebuilds it
+        # cell-for-cell — 916 distinct bigrams into 1024 columns at
+        # gate scale, so the collisions themselves are verified
+        _views(spark, sf_dir)
+        sh = dedup.word_shingles(spark.table("documents"), n=2)
+        return rollup_ops.cms_build(sh, "shingle", width=1024, depth=3)
+
+    out["rollup_cms"] = _rollup_cms
+
+    def _rollup_cms_query(spark, sf_dir):
+        # the serve path: every distinct bigram annotated with its
+        # sketch estimate — depth broadcast joins onto the probe scan,
+        # min over the 3 counters; one-sided (est >= true df) by
+        # construction and the oracle recomputes the identical min
+        _views(spark, sf_dir)
+        sh = dedup.word_shingles(spark.table("documents"), n=2)
+        sketch = rollup_ops.cms_build(sh, "shingle", width=1024, depth=3)
+        return rollup_ops.cms_query(
+            sh.select("shingle").distinct(), sketch, "shingle",
+            width=1024, depth=3)
+
+    out["rollup_cms_query"] = _rollup_cms_query
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4573,6 +4600,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT pos // 63 AS word_idx,
                bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
         FROM p GROUP BY 1
+    """
+    # Count-Min sketch of the corpus token stream, rebuilt
+    # cell-for-cell: the same md5(item '#' j) -> 60-bit -> mod width
+    # positions, counters summed per (row, column) cell
+    out["rollup_cms"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS it
+               FROM t, unnest(range(1, len(w))) AS u(i)),
+        h AS (SELECT j, md5(it || '#' || j) AS m
+              FROM sh, unnest([0, 1, 2]) AS u(j)),
+        p AS (SELECT j, CAST(({hex15}) % 1024 AS BIGINT) AS col_idx
+              FROM h)
+        SELECT j AS row_j, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM p GROUP BY 1, 2
+    """
+    # Count-Min serve path: each distinct token's estimate is the MIN
+    # over its 3 counters in the identically rebuilt sketch (missing
+    # cell reads 0 — the item was definitely never counted there)
+    out["rollup_cms_query"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS it
+               FROM t, unnest(range(1, len(w))) AS u(i)),
+        cells AS (SELECT j, CAST(({hex15}) % 1024 AS BIGINT) AS col_idx,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM (SELECT j, md5(it || '#' || j) AS m
+                        FROM sh, unnest([0, 1, 2]) AS u(j))
+                  GROUP BY 1, 2),
+        probe AS (SELECT DISTINCT it AS shingle FROM sh),
+        pp AS (SELECT shingle, j,
+                      CAST(({hex15}) % 1024 AS BIGINT) AS pos
+               FROM (SELECT shingle, j, md5(shingle || '#' || j) AS m
+                     FROM probe, unnest([0, 1, 2]) AS u(j)))
+        SELECT pp.shingle AS shingle,
+               MIN(COALESCE(cells.cnt, 0)) AS est_count
+        FROM pp LEFT JOIN cells
+          ON pp.j = cells.j AND pp.pos = cells.col_idx
+        GROUP BY pp.shingle
     """
     # Bloom-based decontamination: the eval side's distinct 3-gram
     # positions ARE the filter (word packing is just storage); a train

@@ -317,3 +317,99 @@ def test_q5_shape_aqe_splits_hot_supplier(spark, views):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---- Count-Min sketch family (wired this round: the cms_* trio
+# landed unreferenced in a prior snapshot — these are its first tests;
+# gate queries rollup_cms / rollup_cms_query verify the md5 cell
+# layout against DuckDB cell-for-cell) ----
+
+from pydin_spark.operators import rollup as rollup_ops  # noqa: E402
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(rows, "item string, grp string")
+
+
+CMS_ROWS = ([("apple", "a")] * 5 + [("pear", "a")] * 3
+            + [("plum", "b")] * 2 + [("quince", "b")] * 1)
+
+
+def test_cms_exact_when_wide_one_sided_when_narrow(spark):
+    df = _items(spark, CMS_ROWS)
+    true = {"apple": 5, "pear": 3, "plum": 2, "quince": 1}
+    probes = _items(spark, [(k, None) for k in true])
+    wide = rollup_ops.cms_build(df, "item", width=1 << 14, depth=3)
+    got = {r["item"]: r["est_count"]
+           for r in rollup_ops.cms_query(probes, wide, "item",
+                                         width=1 << 14, depth=3)
+           .collect()}
+    assert got == true, "4 items in 16K columns: no collision possible"
+    # width 2 forces collisions: estimates stay one-sided (>= true)
+    # and at least one must over-count (4 items into 2 columns)
+    narrow = rollup_ops.cms_build(df, "item", width=2, depth=3)
+    est = {r["item"]: r["est_count"]
+           for r in rollup_ops.cms_query(probes, narrow, "item",
+                                         width=2, depth=3).collect()}
+    assert all(est[k] >= true[k] for k in true)
+    assert any(est[k] > true[k] for k in true)
+    # an item never counted reads 0 (some row has a missing cell only
+    # if nothing hashed there — with width 2 every cell is occupied,
+    # so the estimate is a pure-collision over-count, still >= 0)
+    ghost = rollup_ops.cms_query(
+        _items(spark, [("zz-never-seen", None)]), wide, "item",
+        width=1 << 14, depth=3).first()
+    assert ghost["est_count"] == 0
+
+
+def test_cms_merge_equals_one_shot(spark):
+    df = _items(spark, CMS_ROWS)
+    half1 = df.where("grp = 'a'")
+    half2 = df.where("grp = 'b'")
+    a = rollup_ops.cms_build(half1, "item", width=64, depth=3)
+    b = rollup_ops.cms_build(half2, "item", width=64, depth=3)
+    merged = rollup_ops.cms_merge(a.unionByName(b))
+    full = rollup_ops.cms_build(df, "item", width=64, depth=3)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, full.collect())))
+
+
+def test_cms_weighted_increments(spark):
+    rows = [("u1", 10), ("u1", 5), ("u2", 7)]
+    df = spark.createDataFrame(rows, "url string, nbytes long")
+    sk = rollup_ops.cms_build(df, "url", width=1 << 12, depth=3,
+                              weight_col="nbytes")
+    probes = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    est = {r["url"]: r["est_count"]
+           for r in rollup_ops.cms_query(probes, sk, "url",
+                                         width=1 << 12, depth=3)
+           .collect()}
+    assert est == {"u1": 15, "u2": 7}
+
+
+def test_cms_grouped_probes_own_group(spark):
+    df = _items(spark, CMS_ROWS)
+    sk = rollup_ops.cms_build(df, "item", width=1 << 12, depth=3,
+                              group_cols=("grp",))
+    # apple counted only under grp 'a': probing it under 'b' reads 0
+    probes = _items(spark, [("apple", "a"), ("apple", "b"),
+                            ("plum", "b"), ("plum", "zz")])
+    est = {(r["item"], r["grp"]): r["est_count"]
+           for r in rollup_ops.cms_query(probes, sk, "item",
+                                         width=1 << 12, depth=3,
+                                         group_cols=("grp",)).collect()}
+    assert est == {("apple", "a"): 5, ("apple", "b"): 0,
+                   ("plum", "b"): 2, ("plum", "zz"): 0}
+
+
+def test_cms_null_semantics(spark):
+    df = spark.createDataFrame([("x",), (None,), ("x",)], "item string")
+    sk = rollup_ops.cms_build(df, "item", width=1 << 12, depth=3)
+    # NULL rows never increment any cell: total mass = 2 per row
+    assert (sk.groupBy("row_j").sum("cnt").collect()[0][1] == 2)
+    probes = spark.createDataFrame([("x",), (None,)], "item string")
+    got = rollup_ops.cms_query(probes, sk, "item", width=1 << 12,
+                               depth=3).collect()
+    by_item = {r["item"]: r["est_count"] for r in got}
+    assert by_item["x"] == 2
+    assert by_item[None] is None
