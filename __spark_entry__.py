@@ -2121,6 +2121,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["rollup_cms_query"] = _rollup_cms_query
 
+    def _layout_zorder_key(spark, sf_dir):
+        # the multi-column layout key: Morton interleave of
+        # (l_orderkey, l_partkey) after exact power-of-two shift
+        # normalization — the clustering key zorder_write sorts on so
+        # range predicates on EITHER column skip files; pure BIGINT
+        # shifts, so the oracle recomputes every bit
+        from pydin_spark.functions import maintenance as maint
+        _views(spark, sf_dir)
+        li = spark.table("lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey")
+        return maint.zorder_key(li, ["l_orderkey", "l_partkey"]).select(
+            "l_orderkey", "l_linenumber", "zkey")
+
+    out["layout_zorder_key"] = _layout_zorder_key
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4641,6 +4656,30 @@ def oracle_sql() -> dict[str, str]:
         FROM pp LEFT JOIN cells
           ON pp.j = cells.j AND pp.pos = cells.col_idx
         GROUP BY pp.shingle
+    """
+    # Z-order key rebuilt bit-for-bit: shift-normalize each column by
+    # GREATEST(0, bit_length(span) - 16) (DuckDB length(bin(x)) ==
+    # Spark's conv trick — the degree-histogram precedent), then
+    # interleave: bit j of column i lands at position 2j + i
+    _zspread0 = " + ".join(
+        f"((CAST((x0 >> {j}) AS BIGINT) & 1) << {2 * j})"
+        for j in range(16))
+    _zspread1 = " + ".join(
+        f"((CAST((x1 >> {j}) AS BIGINT) & 1) << {2 * j + 1})"
+        for j in range(16))
+    out["layout_zorder_key"] = f"""
+        WITH s AS (SELECT MIN(l_orderkey) AS lo0, MAX(l_orderkey) AS hi0,
+                          MIN(l_partkey) AS lo1, MAX(l_partkey) AS hi1
+                   FROM lineitem),
+        n AS (SELECT l_orderkey, l_linenumber,
+                     (l_orderkey - lo0)
+                       >> GREATEST(0, LENGTH(bin(hi0 - lo0)) - 16) AS x0,
+                     (l_partkey - lo1)
+                       >> GREATEST(0, LENGTH(bin(hi1 - lo1)) - 16) AS x1
+              FROM lineitem, s)
+        SELECT l_orderkey, l_linenumber,
+               CAST(({_zspread0}) + ({_zspread1}) AS BIGINT) AS zkey
+        FROM n
     """
     # Bloom-based decontamination: the eval side's distinct 3-gram
     # positions ARE the filter (word packing is just storage); a train

@@ -124,3 +124,139 @@ def write_partitioned(df: DataFrame, path: str, date_col: str,
              "hour": "yyyy-MM-dd-HH"}[granularity]
     (df.withColumn("pd_date", F.date_format(F.col(date_col), trunc))
      .write.mode(mode).partitionBy("pd_date").parquet(path))
+
+
+# ---- Z-order layout + file-stats data skipping -------------------------
+#
+# The multi-dimensional complement to write_partitioned: partition dirs
+# prune ONE column; a Z-order (Morton) sort makes parquet min/max stats
+# tight on SEVERAL columns at once, so range predicates on any subset
+# skip most files/row groups. The layout job costs exactly what a
+# 100 TB table can afford: one map-side min/max aggregate + one range
+# shuffle; skipping at read time is a metadata-only decision against a
+# files×columns stats frame (the Delta/Iceberg data-skipping shape,
+# engine-independent here).
+
+
+def _spread_bits(col, stride: int, bits: int):
+    """Interleave-ready bit spread: bit j of ``col`` moves to position
+    j*stride. A sum of (bits) shift-and terms — pure JVM Column
+    arithmetic that whole-stage codegen flattens, and simple enough
+    that an oracle recomputes it verbatim in SQL."""
+    terms = [F.shiftleft(F.shiftright(col, j).bitwiseAND(F.lit(1)),
+                         j * stride) for j in range(bits)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_key(df: DataFrame, cols: list[str],
+               bits: int = 16) -> DataFrame:
+    """Append ``zkey``: the Morton interleave of ``cols`` rank-scaled
+    to ``bits``-bit integers.
+
+    Each column is normalized with exact BIGINT arithmetic: shift the
+    zero-based value ``v - min`` right by ``s = bit_length(max - min)
+    - bits`` (s >= 0), a power-of-two bucket width — no
+    multiplication or float division anywhere, so there is nothing to
+    overflow or round and an oracle recomputes it verbatim. Bit j of
+    column i lands at position j*len(cols)+i. NULL reads as the
+    column minimum (sorts first, the same choice a NULLS FIRST sort
+    makes). Constant columns contribute 0 bits. Values must be
+    integer-like (cast dates/timestamps to BIGINT upstream).
+
+    One K-row driver aggregate (the per-column min/max) + one linear
+    scan: the 100 TB layout-job cost model. ``len(cols) * bits`` must
+    stay under 63 so the key fits a BIGINT.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits > 63-bit key; "
+                         f"lower bits to <= {63 // n}")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("long")).alias(f"__min_{c}"),
+                 F.max(F.col(c).cast("long")).alias(f"__max_{c}")]
+    stats = df.agg(*aggs).first()
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo = stats[f"__min_{c}"]
+        hi = stats[f"__max_{c}"]
+        if lo is None or hi is None or hi == lo:
+            continue  # all-NULL or constant: contributes nothing
+        shift = max(0, int(hi - lo).bit_length() - bits)
+        v = F.coalesce(F.col(c).cast("long"), F.lit(lo))
+        scaled = F.shiftright(v - F.lit(lo), shift)
+        key = key + F.shiftleft(_spread_bits(scaled, n, bits), i)
+    return df.withColumn("zkey", key)
+
+
+def zorder_write(df: DataFrame, path: str, cols: list[str],
+                 n_files: int, bits: int = 16,
+                 mode: str = "overwrite") -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the
+    Z-order of ``cols``: range-partition on zkey (contiguous key
+    ranges per file) + sort within, so every file owns a compact
+    hyper-rectangle-ish region and its per-column min/max stats are
+    tight. The zkey itself is dropped — the ORIGINAL columns' stats
+    are what both parquet row-group pushdown and :func:`file_stats`
+    skipping prune on."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (keyed.repartitionByRange(n_files, "zkey")
+     .sortWithinPartitions("zkey")
+     .drop("zkey")
+     .write.mode(mode).parquet(path))
+
+
+def file_stats(spark: SparkSession, path: str,
+               cols: list[str]) -> DataFrame:
+    """Per-file min/max of ``cols``: rows (file, <c>_min, <c>_max …).
+
+    ONE column-pruned scan grouped by ``input_file_name()`` — at
+    100 TB this is the stats-collection job that runs once per layout
+    rewrite; the result is files-count-sized and persists/broadcasts.
+    (Parquet footers hold the same numbers; reading them portably
+    without a connector is what the scan is for.)"""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs))
+
+
+def prune_files(stats: DataFrame, ranges: dict) -> list[str]:
+    """Files that can contain rows matching the conjunctive range
+    predicate ``{col: (lo, hi)}`` (either bound may be None): a file
+    survives iff every queried column's [min, max] overlaps [lo, hi].
+    Driver-side over the files-count-sized stats frame — the
+    metadata-only skipping decision."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            cond = cond & (F.col(f"{c}_max") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"{c}_min") <= F.lit(hi))
+    return [r["file"] for r in stats.where(cond).select("file").collect()]
+
+
+def read_skipping(spark: SparkSession, path: str, stats: DataFrame,
+                  ranges: dict) -> DataFrame:
+    """Range query over a dataset with a stats frame: open ONLY the
+    files :func:`prune_files` admits, then apply the exact residual
+    predicate (skipping is a superset decision; the filter makes it
+    exact — same result as a full scan, fraction of the I/O on a
+    Z-ordered layout)."""
+    files = prune_files(stats, ranges)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df

@@ -36,3 +36,112 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     result = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
     assert result["after"]["files"] < before["files"]
     assert spark.read.parquet(path).count() == docs.count()
+
+
+# ---- Z-order layout + file-stats data skipping ----
+
+from pydin_spark.functions.maintenance import (  # noqa: E402
+    file_stats, prune_files, read_skipping, zorder_key, zorder_write)
+
+
+def _morton_ref(rows, bits=16):
+    """Driver-side reference: same shift-normalize + bit interleave."""
+    n = len(rows[0])
+    los = [min(r[i] for r in rows) for i in range(n)]
+    his = [max(r[i] for r in rows) for i in range(n)]
+    out = []
+    for r in rows:
+        key = 0
+        for i in range(n):
+            span = his[i] - los[i]
+            if span == 0:
+                continue
+            s = max(0, span.bit_length() - bits)
+            x = (r[i] - los[i]) >> s
+            for j in range(bits):
+                key += ((x >> j) & 1) << (j * n + i)
+        out.append((*r, key))
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    rows = [(3, 900), (17, 4), (250, 250), (0, 0), (255, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted(tuple(r) for r in zorder_key(df, ["x", "y"]).collect())
+    assert got == sorted(_morton_ref(rows))
+
+
+def test_zorder_key_wide_range_exact(spark):
+    # timestamp-micros-scale spans: the shift normalization is pure
+    # BIGINT — nothing overflows, nothing rounds
+    rows = [(0, 5), (10**15, 7), (2 * 10**15, 9)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted(tuple(r) for r in zorder_key(df, ["x", "y"]).collect())
+    assert got == sorted(_morton_ref(rows))
+
+
+def test_zorder_key_null_and_constant(spark):
+    # NULL reads as the column min; a constant column contributes 0
+    rows = [(1, 7, 5), (None, 9, 5), (4, 8, 5)]
+    df = spark.createDataFrame(rows, "x long, y long, c long")
+    got = {(r["x"], r["y"]): r["zkey"]
+           for r in zorder_key(df, ["x", "y", "c"], bits=8).collect()}
+    filled = _morton_ref([(1, 7, 5), (1, 9, 5), (4, 8, 5)], bits=8)
+    assert got[(None, 9)] == {(x, y): k for x, y, _, k in filled}[(1, 9)]
+    # dropping the constant column entirely gives the same ordering
+    two = {(r["x"], r["y"]): r["zkey"]
+           for r in zorder_key(df.select("x", "y"), ["x", "y"],
+                               bits=8).collect()}
+    assert sorted(got, key=got.get) == sorted(two, key=two.get)
+
+
+def test_zorder_key_validates(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="63-bit"):
+        zorder_key(df, ["x", "y"], bits=32)
+    with _pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
+
+
+def test_zorder_layout_skips_files(spark, tmp_path):
+    # a 64x64 grid, 16 files: a small query rectangle must touch a
+    # small fraction of the z-ordered files but nearly all of a
+    # row-major (x-sorted-only) layout's files for a y-band query
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
+    stats = file_stats(spark, zpath, ["x", "y"]).cache()
+    assert stats.count() == 16
+    ranges = {"x": (8, 15), "y": (8, 15)}  # 1/64 of the area
+    kept = prune_files(stats, ranges)
+    assert len(kept) <= 4, f"z-order should bound the rectangle: {kept}"
+    # correctness: skipping read == full-scan filter
+    got = read_skipping(spark, zpath, stats, ranges)
+    expect = (df.where("x between 8 and 15 and y between 8 and 15")
+              .collect())
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect))
+    # contrast: y-band query against a y-ignorant layout hits all
+    # files, same query against the z-order hits a fraction
+    flat = str(tmp_path / "xsorted")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.parquet(flat))
+    fstats = file_stats(spark, flat, ["x", "y"])
+    yband = {"y": (0, 7)}
+    assert len(prune_files(fstats, yband)) == 16, "x-layout can't skip"
+    assert len(prune_files(stats, yband)) <= 8, "z-layout skips y too"
+
+
+def test_prune_files_open_bounds_and_miss(spark, tmp_path):
+    rows = [(i, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    p = str(tmp_path / "d")
+    zorder_write(df, p, ["x", "y"], n_files=4)
+    stats = file_stats(spark, p, ["x", "y"])
+    assert len(prune_files(stats, {"x": (None, None)})) == 4
+    assert prune_files(stats, {"x": (1000, None)}) == []
+    out = read_skipping(spark, p, stats, {"x": (1000, None)})
+    assert out.count() == 0 and "x" in out.columns
+    lo_only = prune_files(stats, {"x": (90, None)})
+    assert 1 <= len(lo_only) <= 2
