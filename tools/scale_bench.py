@@ -164,6 +164,13 @@ EXTRA = [
     # variants only; the operator is pytest-pinned, not oracle-gated)
     "icws_lsh_pairs",
     "icws_lsh_zipf",
+    # round 9 second pass: CMS sketch family + Z-order layout key +
+    # the skipping read it buys (synthetic row: absolute-size
+    # rectangle against the z-layout — expected ratio ~1)
+    "rollup_cms",
+    "rollup_cms_query",
+    "layout_zorder_key",
+    "layout_skip_read",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -445,7 +452,65 @@ def _scale_snapshot_diff(spark, sf_dir):
     return curation.snapshot_diff(docs, new)
 
 
+_ZLAYOUT: dict = {}
+
+
+def _zorder_events(spark, sf_dir):
+    """Z-ordered copy of events on (user_id, ts_sec), built + stats-
+    indexed ONCE per tier (the layout job is the amortized cost; the
+    timed row is the READ it buys). File count tracks rows, so the
+    10x tier has ~10x files for the pruner to skip."""
+    if sf_dir not in _ZLAYOUT:
+        from pyspark.sql import functions as F
+        from pydin_spark.functions import maintenance as maint
+        ev = (spark.table("events")
+              .select("event_id", "user_id",
+                      F.col("ts").cast("long").alias("ts_sec"),
+                      "value"))
+        n = ev.count()
+        path = os.path.join("/tmp", "zlayout_" +
+                            os.path.basename(os.path.normpath(sf_dir)))
+        maint.zorder_write(ev, path, ["user_id", "ts_sec"],
+                           n_files=max(8, n // 25_000))
+        stats = (maint.file_stats(spark, path, ["user_id", "ts_sec"])
+                 .localCheckpoint(eager=True))
+        b = ev.agg(F.min("user_id"), F.max("user_id"),
+                   F.min("ts_sec"), F.max("ts_sec")).first()
+        _ZLAYOUT[sf_dir] = (path, stats, tuple(b))
+    return _ZLAYOUT[sf_dir]
+
+
+def _scale_layout_zorder_key(spark, sf_dir):
+    """The gate query's compute, made count()-proof: suite consumption
+    is .count(), which would let Catalyst prune the zkey column and
+    time a bare scan — aggregating the key forces every interleave."""
+    from pyspark.sql import functions as F
+    fn = entrymod.queries()["layout_zorder_key"]
+    return fn(spark, sf_dir).agg(F.sum("zkey").alias("s"),
+                                 F.count("*").alias("n"))
+
+
+def _scale_layout_skip_read(spark, sf_dir):
+    """An ABSOLUTE-size rectangle (100 users x 3 days) against the
+    z-ordered layout: the dashboard/point-lookup shape. Data skipping
+    makes its cost track the rectangle's content, not the corpus —
+    the expected 10x ratio is ~1, the whole point of the layout."""
+    from pyspark.sql import functions as F
+    from pydin_spark.functions import maintenance as maint
+    entrymod._views(spark, sf_dir)
+    path, stats, (ulo, uhi, tlo, thi) = _zorder_events(spark, sf_dir)
+    u0 = ulo + (uhi - ulo) // 2
+    t0 = tlo + (thi - tlo) // 2
+    ranges = {"user_id": (u0, u0 + 100),
+              "ts_sec": (t0, t0 + 3 * 86400)}
+    df = maint.read_skipping(spark, path, stats, ranges)
+    return df.agg(F.count("*").alias("n_rows"),
+                  F.sum("value").alias("sum_value"))
+
+
 SCALE_VARIANTS = {
+    "layout_zorder_key": _scale_layout_zorder_key,
+    "layout_skip_read": _scale_layout_skip_read,
     "graph_label_prop": _scale_graph_label_prop,
     "graph_pagerank_weighted": _scale_graph_pagerank_weighted,
     "graph_triangles": _scale_graph_triangles,
@@ -571,6 +636,9 @@ LINEAR_OK = {
     "q5_bucketed",              # snowflake join over bucketed facts
     "icws_lsh_pairs",           # banded candidates, pair-density bound
     "icws_lsh_zipf",            # same substrate under the Zipf head
+    "rollup_cms",               # shingle explode x depth + cell agg
+    "rollup_cms_query",         # build + depth broadcast probe joins
+    "layout_zorder_key",        # pure scan + K-row min/max agg
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
