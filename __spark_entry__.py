@@ -2136,6 +2136,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["layout_zorder_key"] = _layout_zorder_key
 
+    def _text_collocations(spark, sf_dir):
+        # word2phrase collocation mining: token pairs that co-occur
+        # far beyond their unigram frequencies; ONE exact-BIGINT
+        # fixed-point score, so the top-k ranking is value-exact
+        _views(spark, sf_dir)
+        return text.collocations(spark.table("documents"), k=50,
+                                 min_count=5)
+
+    out["text_collocations"] = _text_collocations
+
+    def _curation_diverse_sample(spark, sf_dir):
+        # diversity-preserving subsample: exactly 10 vectors per SRP
+        # orthant (the semantic_order locality key reused as strata)
+        # via the md5-rank exactly-k draw — every populated region of
+        # the embedding space survives, dense regions capped
+        _views(spark, sf_dir)
+        return curation.diverse_sample(spark.table("embeddings"),
+                                       k=10, out_dim=6, in_dim=64)
+
+    out["curation_diverse_sample"] = _curation_diverse_sample
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4680,6 +4701,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_orderkey, l_linenumber,
                CAST(({_zspread0}) + ({_zspread1}) AS BIGINT) AS zkey
         FROM n
+    """
+    # word2phrase collocations: occurrence-grain unigram + adjacent
+    # bigram counts, the identical integer score ((c_xy-1)*1e6*N) div
+    # (c_x*c_y), deterministic (score DESC, bigram) top-k
+    out["text_collocations"] = """
+        WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM uni),
+        bi AS (SELECT w[i] AS x, w[i+1] AS y,
+                      CAST(COUNT(*) AS BIGINT) AS c_xy
+               FROM t, unnest(range(1, len(w))) AS u(i)
+               WHERE len(w) >= 2
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        j AS (SELECT bi.x, bi.y, bi.c_xy, ux.c AS c_x, uy.c AS c_y
+              FROM bi JOIN uni ux ON ux.tok = bi.x
+                      JOIN uni uy ON uy.tok = bi.y)
+        SELECT x || ' ' || y AS bigram, c_xy, c_x, c_y,
+               CAST(((c_xy - 1) * 1000000 * nn) // (c_x * c_y)
+                    AS BIGINT) AS score
+        FROM j, n
+        ORDER BY score DESC, bigram ASC
+        LIMIT 50
+    """
+    # SRP-orthant-stratified exactly-k draw: the same exact seeded
+    # projection + sign bits as semantic_order, ranked per orthant by
+    # the md5 unit uniform
+    _div_proj = projection_oracle_expr(seed=42, out_dim=6, in_dim=64)
+    _div_bits = " + ".join(
+        f"(CASE WHEN p[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(6))
+    out["curation_diverse_sample"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        pr AS (SELECT vec_id, {_div_proj} AS p FROM v),
+        b AS (SELECT vec_id, CAST(({_div_bits}) AS BIGINT) AS orthant
+              FROM pr),
+        h AS (SELECT vec_id, orthant,
+                     md5(CAST(vec_id AS VARCHAR) || '#42') AS m
+              FROM b),
+        u AS (SELECT vec_id, orthant,
+                     CAST({hex15} AS DOUBLE)
+                     / 1152921504606846976.0 AS u
+              FROM h),
+        r AS (SELECT vec_id, orthant,
+                     ROW_NUMBER() OVER (PARTITION BY orthant
+                                        ORDER BY u ASC, vec_id) AS rn
+              FROM u)
+        SELECT vec_id, orthant FROM r WHERE rn <= 10
     """
     # Bloom-based decontamination: the eval side's distinct 3-gram
     # positions ARE the filter (word packing is just storage); a train

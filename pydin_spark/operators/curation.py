@@ -814,6 +814,49 @@ def sample_exact_k(df: DataFrame, k: int,
             .drop("__rn"))
 
 
+def diverse_sample(df: DataFrame, k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding", out_dim: int = 6,
+                   in_dim: int | None = None,
+                   seed: int = 42) -> DataFrame:
+    """Diversity-preserving subsample: exactly ``k`` rows from EACH
+    SRP orthant of the embedding space — the cheap, deterministic
+    answer to "shrink the corpus without collapsing its semantic
+    spread". A uniform hash draw keeps dense regions dense and can
+    miss sparse ones entirely; stratifying on the sign-bit orthant of
+    the seeded ±1 projection (:func:`~pydin_spark.operators.
+    similarity.project_embeddings` — exact, bit-identical sums) caps
+    every region at ``k`` and guarantees every populated region
+    survives. ``2^out_dim`` strata; orthant occupancy is also a
+    useful diversity report on its own.
+
+    This is the sampling twin of :func:`semantic_order`'s locality
+    key: same exact orthant arithmetic, so the whole draw —
+    projection, bucket, md5 rank (:func:`sample_exact_k`) — is
+    engine-reproducible, unlike k-means-coreset diversity samples
+    whose trained centers no oracle can rebuild.
+
+    Scale shape: one projection scan + one shuffle on the orthant key
+    with per-stratum rank windows (2^out_dim strata; raise
+    ``out_dim`` to keep strata executor-sized at corpus scale).
+    Output: (``id_col``, orthant).
+    """
+    if not 1 <= int(out_dim) <= 30:
+        raise ValueError("out_dim must be in [1, 30]")
+    from pydin_spark.operators.similarity import project_embeddings
+    proj = project_embeddings(df.select(id_col, vec_col),
+                              out_dim=int(out_dim), id_col=id_col,
+                              vec_col=vec_col, in_dim=in_dim,
+                              seed=seed)
+    bucket = None
+    for j in range(int(out_dim)):
+        bit = F.when(F.element_at("proj", j + 1) >= 0,
+                     F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    keyed = proj.select(F.col(id_col), bucket.alias("orthant"))
+    return sample_exact_k(keyed, int(k), strata_col="orthant",
+                          id_col=id_col, seed=seed)
+
+
 def decontaminate_bloom(train: DataFrame, test: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,

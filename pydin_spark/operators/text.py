@@ -1596,6 +1596,70 @@ def top_ngrams(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("shingle").alias("ngram"), "doc_freq", "rank"))
 
 
+def collocations(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 50,
+                 min_count: int = 5, delta: int = 1,
+                 scale: int = 10 ** 6) -> DataFrame:
+    """Top-``k`` bigram collocations by the word2phrase score
+    (Mikolov et al. 2013, "Distributed Representations of Words and
+    Phrases"): ``score = (c_xy - delta) * N / (c_x * c_y)`` — token
+    pairs that co-occur far more than their unigram frequencies
+    predict ("new york", "et al"). The phrase-mining front end for
+    tokenizer vocab construction and n-gram feature engineering;
+    ``delta`` discounts rare accidental pairs, ``min_count`` floors
+    the evidence.
+
+    The score is computed as ONE exact BIGINT expression —
+    ``((c_xy - delta) * scale * N) div (c_x * c_y)`` — so both
+    engines produce the identical integer and the top-k ranking is
+    value-exact (a float log-PMI would differ in final ulps across
+    libms; the fixed-point ratio ranks identically). Overflow bound:
+    ``c_xy * scale * N < 2^63`` — at the default scale 1e6 that
+    allows corpora to ~3e6 tokens; at 100 TB lower ``scale`` (the
+    ranking is scale-invariant up to the floor).
+
+    Scale shape: two explode aggregates with map-side combine
+    (unigram + adjacent-bigram counts, shuffles are vocab-sized), the
+    1-row token total broadcast onto the vocab-sized frame, two
+    broadcast-sized joins of unigram counts onto bigram rows when the
+    vocab fits (Catalyst picks; the frames are vocab-sized either
+    way), then global top-k via orderBy+limit = TakeOrdered (no
+    global sort). Output: (bigram, c_xy, c_x, c_y, score), ``k``
+    rows ranked by (score desc, bigram).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.where(F.size(toks) >= 2)
+    # token stream WITH repetition: occurrence counts, not doc freq
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(toks, i).alias("x"),
+            F.element_at(toks, i + 1).alias("y")))
+    bi = (base.select(F.explode(grams).alias("g"))
+          .select(F.col("g.x").alias("x"), F.col("g.y").alias("y"))
+          .groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+          .where(F.col("c_xy") >= int(min_count)))
+    total = uni.agg(F.sum("c").alias("__n"))
+    scored = (bi.join(uni.select(F.col("w").alias("x"),
+                                 F.col("c").alias("c_x")), "x")
+              .join(uni.select(F.col("w").alias("y"),
+                               F.col("c").alias("c_y")), "y")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  F.concat_ws(" ", "x", "y").alias("bigram"),
+                  "c_xy", "c_x", "c_y",
+                  # true integer division (div), NOT double / + cast:
+                  # doubles lose exactness past 2^53 and the oracle
+                  # could rank the tail differently
+                  F.expr(f"CAST(((c_xy - {int(delta)}) "
+                         f"* {int(scale)} * __n) "
+                         f"DIV (c_x * c_y) AS BIGINT)").alias("score")))
+    return (scored.orderBy(F.desc("score"), F.asc("bigram"))
+            .limit(int(k)))
+
+
 def extract_urls(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
                  blocklist: list[str] | None = None) -> DataFrame:

@@ -413,3 +413,71 @@ def test_cms_null_semantics(spark):
     by_item = {r["item"]: r["est_count"] for r in got}
     assert by_item["x"] == 2
     assert by_item[None] is None
+
+
+# ---- collocations (word2phrase) + diverse_sample (SRP-stratified) ----
+
+from pydin_spark.operators import curation as curation_ops  # noqa: E402
+from pydin_spark.operators import text as text_ops  # noqa: E402
+
+
+def test_collocations_scores_exact_and_ordered(spark):
+    # "new york" repeats across docs; every other adjacency is a
+    # unique per-doc filler pair (c_xy = 1 < min_count)
+    docs = [(i, f"a{i} b{i} new york c{i} d{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text_ops.collocations(df, k=5, min_count=2, delta=1).collect()
+    assert [r["bigram"] for r in out] == ["new york"]
+    r = out[0]
+    assert (r["c_xy"], r["c_x"], r["c_y"]) == (10, 10, 10)
+    # exact integer score: ((10-1) * 1e6 * 60 tokens) div (10 * 10)
+    assert r["score"] == (9 * 10**6 * 60) // 100
+    # dilution: a promiscuous token drags the score down — same c_xy,
+    # bigger c_x
+    docs2 = [(i, f"the x{i} the y{i} new york the z{i}")
+             for i in range(10)]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    out2 = {r["bigram"]: r for r in
+            text_ops.collocations(df2, k=50, min_count=2).collect()}
+    assert "new york" in out2
+    ny = out2["new york"]
+    assert ny["score"] == (9 * 10**6 * 80) // 100
+    # ranking is (score desc, bigram asc) — deterministic through ties
+    scores = [(r["score"], r["bigram"]) for r in
+              text_ops.collocations(df2, k=50, min_count=2).collect()]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_collocations_min_count_floor(spark):
+    df = spark.createDataFrame(
+        [(1, "rare pair common common common common")],
+        "doc_id long, text string")
+    got = {r["bigram"]
+           for r in text_ops.collocations(df, k=10, min_count=2).collect()}
+    assert "rare pair" not in got          # c_xy = 1 < 2
+    assert "common common" in got          # c_xy = 3
+
+
+def test_diverse_sample_caps_and_covers(spark):
+    # two clusters on opposite sides of every projection hyperplane:
+    # +1s and -1s; a dense +1 cluster must not crowd out the sparse one
+    rows = ([(i, [1.0] * 64) for i in range(100)]
+            + [(1000 + i, [-1.0] * 64) for i in range(3)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = curation_ops.diverse_sample(df, k=5, out_dim=4).collect()
+    by_orthant = {}
+    for r in out:
+        by_orthant.setdefault(r["orthant"], []).append(r["vec_id"])
+    assert len(by_orthant) == 2, "both occupied orthants survive"
+    sizes = sorted(len(v) for v in by_orthant.values())
+    assert sizes == [3, 5], "dense capped at k, sparse keeps all"
+    # determinism: the identical draw on rerun
+    again = curation_ops.diverse_sample(df, k=5, out_dim=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_diverse_sample_validates(spark):
+    df = spark.createDataFrame([(1, [1.0] * 64)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="out_dim"):
+        curation_ops.diverse_sample(df, k=5, out_dim=31)

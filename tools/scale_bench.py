@@ -171,6 +171,8 @@ EXTRA = [
     "rollup_cms_query",
     "layout_zorder_key",
     "layout_skip_read",
+    "text_collocations",
+    "curation_diverse_sample",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -639,6 +641,8 @@ LINEAR_OK = {
     "rollup_cms",               # shingle explode x depth + cell agg
     "rollup_cms_query",         # build + depth broadcast probe joins
     "layout_zorder_key",        # pure scan + K-row min/max agg
+    "text_collocations",        # two explode aggs, vocab-sized joins
+    "curation_diverse_sample",  # projection scan + stratum windows
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
