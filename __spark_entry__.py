@@ -2157,6 +2157,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_diverse_sample"] = _curation_diverse_sample
 
+    def _curation_pct_normalize(spark, sf_dir):
+        # percentile-rank calibration of n_chars per source: the
+        # cross-source comparability transform — exact BIGINT
+        # percentiles, deterministic (score, id) tie order
+        _views(spark, sf_dir)
+        return curation.percentile_normalize(
+            spark.table("documents").select("doc_id", "source",
+                                            "n_chars"),
+            score_col="n_chars", strata_col="source"
+        ).select("doc_id", "source", "rank", "n_stratum", "pct_q")
+
+    out["curation_pct_normalize"] = _curation_pct_normalize
+
+    def _curation_table_fp(spark, sf_dir):
+        # order-independent mergeable content fingerprint per source:
+        # the cross-engine reconciliation primitive — the oracle
+        # recomputes the identical md5-60bit sum mod 2^60
+        _views(spark, sf_dir)
+        return curation.table_fingerprint(
+            spark.table("documents"), ["doc_id", "lang", "text"],
+            group_col="source")
+
+    out["curation_table_fp"] = _curation_table_fp
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4750,6 +4774,44 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY u ASC, vec_id) AS rn
               FROM u)
         SELECT vec_id, orthant FROM r WHERE rn <= 10
+    """
+    # per-source percentile-rank calibration: identical rank/count
+    # windows + one integer division
+    out["curation_pct_normalize"] = """
+        WITH r AS (SELECT doc_id, source, n_chars,
+                          CAST(ROW_NUMBER() OVER (
+                              PARTITION BY source
+                              ORDER BY n_chars ASC, doc_id ASC)
+                              AS BIGINT) AS rank,
+                          COUNT(*) OVER (PARTITION BY source)
+                              AS n_stratum
+                   FROM documents)
+        SELECT doc_id, source, rank, n_stratum,
+               CASE WHEN n_stratum > 1
+                    THEN CAST(((rank - 1) * 1000000)
+                              // (n_stratum - 1) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS pct_q
+        FROM r
+    """
+    # order-independent content fingerprint: null-flagged 0x1f-joined
+    # canonical rows -> md5 60-bit -> HUGEINT sum mod 2^60 (DuckDB
+    # widens integer SUM to HUGEINT; Spark sums DECIMAL(38,0) — both
+    # exact, same residue)
+    out["curation_table_fp"] = f"""
+        WITH h AS (SELECT source,
+                          md5(concat_ws(chr(31),
+                              CASE WHEN doc_id IS NULL THEN '1'
+                                   ELSE '0' || CAST(doc_id AS VARCHAR)
+                              END,
+                              CASE WHEN lang IS NULL THEN '1'
+                                   ELSE '0' || lang END,
+                              CASE WHEN text IS NULL THEN '1'
+                                   ELSE '0' || text END) || '#42') AS m
+                   FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(({hex15}) AS HUGEINT))
+                    % 1152921504606846976 AS BIGINT) AS fp
+        FROM h GROUP BY source
     """
     # Bloom-based decontamination: the eval side's distinct 3-gram
     # positions ARE the filter (word packing is just storage); a train

@@ -1838,6 +1838,93 @@ def semantic_order_ivf(df: DataFrame, id_col: str = "vec_id",
                             n_shards=n_shards, id_col=id_col)
 
 
+def percentile_normalize(df: DataFrame, score_col: str,
+                         strata_col: str | list | None = None,
+                         id_col: str = "doc_id",
+                         ascending: bool = True,
+                         scale: int = 10 ** 6) -> DataFrame:
+    """Per-stratum percentile-rank calibration of a quality score:
+    ``pct_q = (rank - 1) * scale div (n - 1)`` — the rank-based
+    normalization that makes scores COMPARABLE across sources whose
+    raw distributions differ (a fastText logit on web text and one on
+    code are not on the same scale; their percentiles are). The
+    cross-stratum complement to :func:`rank_fusion`: RRF blends
+    several signals for one corpus, this calibrates ONE signal across
+    several corpora so a single global threshold ("keep every
+    source's top 30%") means the same thing everywhere.
+
+    The percentile is an exact BIGINT in [0, scale] (single-row
+    strata read 0) — one integer division, so the value hashes
+    identically in any engine; ties break by id for a deterministic
+    total order (two equal scores get adjacent, not equal,
+    percentiles — exactly what a downstream exact-quota cut needs).
+
+    Scale shape: ONE shuffle on the stratum key + per-stratum rank
+    windows (never a global sort). For the single-global-stratum case
+    at corpus scale prefer :func:`curriculum_order`'s two-phase
+    substrate; the intended use here is many executor-sized strata.
+    Output: input columns + (rank, n_stratum, pct_q).
+    """
+    from pyspark.sql import Window
+    order = (F.col(score_col).asc() if ascending
+             else F.col(score_col).desc())
+    strata = _strata(strata_col)
+    w = Window.partitionBy(strata).orderBy(order, F.col(id_col))
+    wn = Window.partitionBy(strata)
+    out = (df.withColumn("rank", F.row_number().over(w).cast("long"))
+           .withColumn("n_stratum", F.count(F.lit(1)).over(wn)))
+    return out.withColumn(
+        "pct_q",
+        F.when(F.col("n_stratum") > 1,
+               F.expr(f"CAST(((rank - 1) * {int(scale)}) "
+                      f"DIV (n_stratum - 1) AS BIGINT)"))
+        .otherwise(F.lit(0).cast("long")))
+
+
+def table_fingerprint(df: DataFrame, cols: list,
+                      group_col: str | None = None,
+                      seed: int = 42) -> DataFrame:
+    """Order-independent content fingerprint: per group (or globally),
+    ``n_rows`` and ``fp = SUM(md5-60bit(canonical row string)) mod
+    2^60`` — the cheap answer to "is this the same data?" across
+    reruns, engines, exports, and replicas WITHOUT sorting or moving
+    the data. Addition is commutative, so the fingerprint is
+    invariant to partitioning, AQE re-plans, and row order, and
+    MERGEABLE: fingerprints of disjoint shards sum (mod 2^60) to the
+    whole table's — verify a sharded export shard-by-shard, then
+    check the roll-up against the source in O(shards).
+
+    The canonical row string joins the requested columns' string
+    casts with the 0x1f unit separator (never in real text, so
+    ("ab","c") ≠ ("a","bc")); every value carries a null-flag prefix
+    ('1' for NULL, '0' + cast otherwise) so NULL ≠ '' ≠ any value.
+    Multiset semantics: duplicate rows each contribute (a pure XOR
+    would cancel pairs — summation keeps multiplicity).
+
+    One map-side-combined aggregate; shuffle = groups-sized. The md5
+    position family is the same one the sketch oracles rebuild, so
+    the fingerprint itself carries a value-exact oracle. Output:
+    ([group_col], n_rows, fp).
+    """
+    if not cols:
+        raise ValueError("table_fingerprint needs at least one column")
+    canon = F.concat_ws(
+        "\x1f", *[F.when(F.col(c).isNull(), F.lit("1"))
+                  .otherwise(F.concat(F.lit("0"),
+                                      F.col(c).cast("string")))
+                  for c in cols])
+    keys = [group_col] if group_col else []
+    # sum in DECIMAL(38,0): a BIGINT sum of 60-bit terms wraps past
+    # ~8 rows in Spark (ANSI off) while DuckDB widens to HUGEINT —
+    # the engines would diverge; decimal is exact in both, and the
+    # profile_correlations discipline applies (order-independent)
+    return (df.withColumn("__h", _hash60(canon, seed))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("CAST(SUM(CAST(__h AS DECIMAL(38,0))) % "
+                        "1152921504606846976 AS BIGINT)").alias("fp")))
+
+
 def rank_fusion(df: DataFrame, score_cols: list, id_col: str = "doc_id",
                 k: int = 60, ascending: bool = False) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of

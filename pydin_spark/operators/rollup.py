@@ -1071,6 +1071,14 @@ def cms_query(df: DataFrame, cms: DataFrame, item_col: str,
     groups × depth × width counter table onto the probe stream — NO
     shuffle of ``df``, mirroring :func:`bloom_contains`: the probe
     side stays a pure scan with codegen'd hash/min columns.
+
+    ``cms`` is used lazily in all ``depth`` broadcast subtrees — on a
+    fixture-scale build the three build stages run concurrently and
+    beat an eager checkpoint (measured 2.5 s vs 3.4 s at sf0.1, 11 s
+    vs 16 s at sf1). When the BUILD dominates (a 100 TB corpus feeding
+    a small sketch), pass a materialized sketch instead —
+    ``cms_build(...).localCheckpoint(eager=True)`` or a parquet-stored
+    one — so the corpus scan runs once, not ``depth`` times.
     """
     out = df
     ests = []

@@ -481,3 +481,72 @@ def test_diverse_sample_validates(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="out_dim"):
         curation_ops.diverse_sample(df, k=5, out_dim=31)
+
+
+# ---- percentile_normalize + table_fingerprint ----
+
+
+def test_percentile_normalize_calibrates_across_strata(spark):
+    # web scores in [100, 400], code scores in [1, 4]: raw thresholds
+    # are incomparable, percentiles line up
+    rows = ([("w%d" % i, "web", 100 * (i + 1)) for i in range(4)]
+            + [("c%d" % i, "code", i + 1) for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id string, src string, s long")
+    out = curation_ops.percentile_normalize(
+        df, "s", strata_col="src", id_col="doc_id")
+    got = {r["doc_id"]: r["pct_q"] for r in out.collect()}
+    for i in range(4):
+        assert got[f"w{i}"] == got[f"c{i}"] == (i * 10**6) // 3
+    # a single global threshold now means "top quarter of EACH source"
+    keep = {r["doc_id"] for r in out.where("pct_q = 1000000").collect()}
+    assert keep == {"w3", "c3"}
+
+
+def test_percentile_normalize_singleton_and_ties(spark):
+    rows = [("a", "x", 5), ("b", "y", 7), ("c", "y", 7), ("d", "y", 7)]
+    df = spark.createDataFrame(rows, "doc_id string, src string, s long")
+    got = {r["doc_id"]: (r["rank"], r["pct_q"]) for r in
+           curation_ops.percentile_normalize(
+               df, "s", strata_col="src", id_col="doc_id").collect()}
+    assert got["a"] == (1, 0), "singleton stratum reads 0"
+    # ties break by id: adjacent, not equal, percentiles
+    assert [got[k][0] for k in ("b", "c", "d")] == [1, 2, 3]
+    assert [got[k][1] for k in ("b", "c", "d")] == [0, 500000, 10**6]
+
+
+def test_table_fingerprint_order_invariant_and_mergeable(spark):
+    rows = [(i, f"t{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    fp = curation_ops.table_fingerprint(df, ["id", "t"]).first()
+    assert fp["n_rows"] == 200
+    # partitioning/order invariance
+    again = curation_ops.table_fingerprint(
+        df.repartition(13, "t").sortWithinPartitions("id"),
+        ["id", "t"]).first()
+    assert (fp["n_rows"], fp["fp"]) == (again["n_rows"], again["fp"])
+    # mergeable: shard fingerprints sum (mod 2^60) to the whole
+    a = curation_ops.table_fingerprint(df.where("id < 80"),
+                                       ["id", "t"]).first()
+    b = curation_ops.table_fingerprint(df.where("id >= 80"),
+                                       ["id", "t"]).first()
+    assert (a["fp"] + b["fp"]) % (1 << 60) == fp["fp"]
+    assert a["n_rows"] + b["n_rows"] == fp["n_rows"]
+
+
+def test_table_fingerprint_sensitivity(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, t string")
+    base = curation_ops.table_fingerprint(df, ["id", "t"]).first()["fp"]
+    # any value change moves the fingerprint
+    mut = spark.createDataFrame([(1, "x"), (2, "z")], "id long, t string")
+    assert curation_ops.table_fingerprint(mut, ["id", "t"]).first()["fp"] != base
+    # multiset: a duplicated row is NOT invisible
+    dup = df.unionAll(df.where("id = 1"))
+    assert curation_ops.table_fingerprint(dup, ["id", "t"]).first()["fp"] != base
+    # NULL, empty string, and the literal '1' are all distinct
+    trio = [(1, None), (1, ""), (1, "1")]
+    fps = {curation_ops.table_fingerprint(
+        spark.createDataFrame([r], "id long, t string"),
+        ["id", "t"]).first()["fp"] for r in trio}
+    assert len(fps) == 3
+    with pytest.raises(ValueError, match="at least one"):
+        curation_ops.table_fingerprint(df, [])

@@ -173,6 +173,8 @@ EXTRA = [
     "layout_skip_read",
     "text_collocations",
     "curation_diverse_sample",
+    "curation_pct_normalize",
+    "curation_table_fp",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -643,6 +645,8 @@ LINEAR_OK = {
     "layout_zorder_key",        # pure scan + K-row min/max agg
     "text_collocations",        # two explode aggs, vocab-sized joins
     "curation_diverse_sample",  # projection scan + stratum windows
+    "curation_pct_normalize",   # one stratum shuffle + rank windows
+    "curation_table_fp",        # one map-side-combined scan agg
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
