@@ -2181,6 +2181,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_table_fp"] = _curation_table_fp
 
+    def _layout_skip_read(spark, sf_dir):
+        # the skipping READ oracle-verified end-to-end: z-order the
+        # events, prune files by stats, apply the residual — the
+        # result must equal a plain filtered aggregate over the raw
+        # table (skipping is a superset decision + exact residual;
+        # any pruning bug breaks the hash match)
+        import shutil
+        import tempfile
+        from pydin_spark.functions import maintenance as maint
+        _views(spark, sf_dir)
+        scratch = tempfile.mkdtemp(prefix="pydin_zlay_")
+        try:
+            ev = spark.table("events").select("event_id", "user_id",
+                                              "value")
+            maint.zorder_write(ev, scratch + "/z",
+                               ["user_id", "event_id"], n_files=8)
+            stats = maint.file_stats(spark, scratch + "/z",
+                                     ["user_id", "event_id"])
+            got = maint.read_skipping(
+                spark, scratch + "/z", stats,
+                {"user_id": (3, 7), "event_id": (1000, 5000)})
+            return got.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["layout_skip_read"] = _layout_skip_read
+
+    def _rollup_cms_grouped(spark, sf_dir):
+        # per-language sketches in ONE build (group_cols): each
+        # language's bigram document frequencies land in ITS OWN
+        # depth x width matrix — the per-tenant/per-source shape
+        _views(spark, sf_dir)
+        sh = dedup.word_shingles(
+            spark.table("documents").select("doc_id", "lang", "text"),
+            n=2)
+        docs = spark.table("documents").select("doc_id", "lang")
+        return rollup_ops.cms_build(sh.join(docs, "doc_id"), "shingle",
+                                    width=512, depth=3,
+                                    group_cols=("lang",))
+
+    out["rollup_cms_grouped"] = _rollup_cms_grouped
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4812,6 +4858,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(({hex15}) AS HUGEINT))
                     % 1152921504606846976 AS BIGINT) AS fp
         FROM h GROUP BY source
+    """
+    # the skipping read's oracle is the PLAIN filtered aggregate over
+    # the raw table: layout + stats + prune + residual must change
+    # nothing about the answer
+    out["layout_skip_read"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WHERE user_id BETWEEN 3 AND 7
+          AND event_id BETWEEN 1000 AND 5000
+    """
+    # grouped Count-Min: one sketch per language, rebuilt
+    # cell-for-cell per group
+    out["rollup_cms_grouped"] = f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        sh AS (SELECT DISTINCT doc_id, lang,
+                      w[i] || ' ' || w[i+1] AS it
+               FROM t, unnest(range(1, len(w))) AS u(i)),
+        h AS (SELECT lang, j, md5(it || '#' || j) AS m
+              FROM sh, unnest([0, 1, 2]) AS u(j)),
+        p AS (SELECT lang, j,
+                     CAST(({hex15}) % 512 AS BIGINT) AS col_idx
+              FROM h)
+        SELECT lang, j AS row_j, col_idx,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM p GROUP BY 1, 2, 3
     """
     # Bloom-based decontamination: the eval side's distinct 3-gram
     # positions ARE the filter (word packing is just storage); a train

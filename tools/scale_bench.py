@@ -175,6 +175,7 @@ EXTRA = [
     "curation_diverse_sample",
     "curation_pct_normalize",
     "curation_table_fp",
+    "rollup_cms_grouped",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -647,6 +648,7 @@ LINEAR_OK = {
     "curation_diverse_sample",  # projection scan + stratum windows
     "curation_pct_normalize",   # one stratum shuffle + rank windows
     "curation_table_fp",        # one map-side-combined scan agg
+    "rollup_cms_grouped",       # shingle explode + grouped cell agg
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
