@@ -134,6 +134,11 @@ HEAVY: dict = {
     "sim_topk_ivf_100": _h_topk_ivf,
     "sim_topk_pq": None,              # gate entry, ADC corpus-linear
     "graph_pagerank_100": _h_pagerank,
+    # round-9 breadth: the posting-list dedup substrate, the two-phase
+    # global-rank substrate, and the CMS sketch build at two decades
+    "dedup_ngram_jaccard": None,      # capped inverted-index self-join
+    "curation_curriculum": None,      # range-partitioned global rank
+    "rollup_cms": None,               # explode x depth + cell agg
 }
 
 
