@@ -2227,6 +2227,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["rollup_cms_grouped"] = _rollup_cms_grouped
 
+    def _rollup_cms_stored(spark, sf_dir):
+        # STORED per-bucket CMS (rollup.StoredCMS): daily sketches in
+        # two incremental refreshes (time prefix, then full source —
+        # the high-water fold), served as ONE global sketch. SUM
+        # merging is exact AND double-counting is visible (unlike
+        # Bloom's shrug-it-off bit-OR) — the hash match proves the
+        # recompute-window discipline, not just the hash layout.
+        import shutil
+        import tempfile
+        _views(spark, sf_dir)
+        ev = spark.table("events")
+        scratch = tempfile.mkdtemp(prefix="pydin_cmsst_")
+        try:
+            sc = rollup_ops.StoredCMS(scratch + "/cms", "user_id",
+                                      bucket="1 day", width=2048,
+                                      depth=3)
+            cut = ev.selectExpr(
+                "percentile(unix_timestamp(ts), 0.5) AS c").first()["c"]
+            sc.refresh(ev.where(F.unix_timestamp("ts") <= F.lit(cut)))
+            sc.refresh(ev)
+            return sc.serve(spark).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["rollup_cms_stored"] = _rollup_cms_stored
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4858,6 +4884,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(({hex15}) AS HUGEINT))
                     % 1152921504606846976 AS BIGINT) AS fp
         FROM h GROUP BY source
+    """
+    # stored CMS serve: two incremental refreshes must equal the
+    # one-shot sketch of the whole history (SUM merge is exact;
+    # double-counting would break this hash)
+    out["rollup_cms_stored"] = f"""
+        WITH h AS (SELECT j,
+                          md5(CAST(user_id AS VARCHAR) || '#' || j) AS m
+                   FROM events, unnest([0, 1, 2]) AS u(j)
+                   WHERE user_id IS NOT NULL),
+        p AS (SELECT j, CAST(({hex15}) % 2048 AS BIGINT) AS col_idx
+              FROM h)
+        SELECT j AS row_j, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM p GROUP BY 1, 2
     """
     # the skipping read's oracle is the PLAIN filtered aggregate over
     # the raw table: layout + stats + prune + residual must change

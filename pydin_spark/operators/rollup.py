@@ -1107,6 +1107,133 @@ def cms_query(df: DataFrame, cms: DataFrame, item_col: str,
         F.when(F.col(item_col).isNotNull(), est)).drop(*drop)
 
 
+class StoredCMS:
+    """Incrementally-maintained per-bucket Count-Min sketches stored
+    as bucket-partitioned parquet — the FREQUENCY member of the
+    stored-state family (:class:`ContinuousRollup` /
+    :class:`StoredHeavyHitters` / :class:`StoredBloom` siblings).
+    Answers "roughly how often has this item occurred, in any time
+    window?" from O(buckets × depth × width) longs of state; the raw
+    history is sketched once per refresh window and never rescanned.
+
+    Same maintenance contract as the siblings: ``refresh(events)``
+    recomputes only buckets >= high-water − ``lateness`` buckets and
+    swaps exactly those partitions (dynamic partition overwrite; pass
+    the full source — the Column predicate prunes the scan to the
+    tail). ``serve()`` merges to the stored grain, any coarser grain,
+    or globally; cell-wise SUM merging is EXACT (the sketch of a
+    concatenation IS the sum of the sketches), so the served sketch
+    is bit-identical to a one-shot build over the whole history — no
+    exactness-regime caveat, the same property StoredBloom gets from
+    bit-OR. Unlike Bloom, counts make the recompute-window discipline
+    LOAD-BEARING: a double-summarized bucket double-counts (bit-OR
+    would shrug) — the stored gate's hash match proves the high-water
+    fold is exact. ``estimate(df, col)`` probes the merged sketch
+    with :func:`cms_query`'s zero-probe-shuffle broadcast plan.
+    """
+
+    def __init__(self, path: str, item_col: str, ts_col: str = "ts",
+                 bucket: str = "1 hour", width: int = 1 << 12,
+                 depth: int = 3, weight_col: str | None = None,
+                 lateness: int = 0):
+        self.path = path
+        self.item_col = item_col
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self.width = int(width)
+        self.depth = int(depth)
+        self.weight_col = weight_col
+        self.lateness = int(lateness)
+
+    def _summarize(self, events: DataFrame) -> DataFrame:
+        bucketed = events.withColumn(
+            "bucket_start", F.window(self.ts_col, self.bucket)["start"])
+        return cms_build(bucketed, self.item_col, width=self.width,
+                         depth=self.depth, weight_col=self.weight_col,
+                         group_cols=("bucket_start",)) \
+            .repartition("bucket_start")
+
+    def read(self, spark) -> DataFrame:
+        if not ContinuousRollup(self.path, self.ts_col,
+                                self.bucket)._exists(spark):
+            raise ValueError(
+                f"no stored CMS state at {self.path} — refresh() "
+                "with a non-empty source first")
+        return (spark.read.parquet(self.path)
+                .select(F.col("bucket_start").cast("timestamp"),
+                        "row_j", "col_idx", "cnt"))
+
+    def maintain(self, spark, max_files: int = 64,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Compact fragmented sketch state — see
+        :meth:`ContinuousRollup.maintain` (same layout, same
+        contract)."""
+        from ..functions.maintenance import compact_if_fragmented
+        return compact_if_fragmented(
+            spark, self.path, max_files=max_files,
+            target_file_bytes=target_file_bytes,
+            partition_by=["bucket_start"])
+
+    def refresh(self, events: DataFrame) -> DataFrame:
+        spark = events.sparkSession
+        probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
+        if not probe._exists(spark):
+            out = self._summarize(events)
+            (out.write.mode("overwrite")
+             .partitionBy("bucket_start").parquet(self.path))
+            spark.catalog.refreshByPath(self.path)
+            if not probe._exists(spark):
+                return spark.createDataFrame([], out.schema)
+            return self.read(spark)
+        high = (self.read(spark)
+                .agg(F.max("bucket_start").alias("m")).first()["m"])
+        import datetime as dt
+        secs = probe._bucket_seconds(spark)
+        floor = high - dt.timedelta(seconds=secs * self.lateness)
+        fresh = self._summarize(
+            events.where(F.col(self.ts_col) >= F.lit(floor)))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (fresh.write.mode("overwrite").partitionBy("bucket_start")
+             .parquet(self.path))
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshByPath(self.path)
+        return self.read(spark)
+
+    def serve(self, spark, bucket: str | None = None) -> DataFrame:
+        """The stored sketch: global (bucket=None — one sketch for
+        the whole history), or per coarser-grain bucket.
+        Finer/misaligned grains are refused (the same
+        silently-wrong-serve guard as the sibling families)."""
+        s = self.read(spark)
+        if bucket is None:
+            return cms_merge(s)
+        probe = ContinuousRollup(self.path, self.ts_col, self.bucket)
+        stored_s = probe._bucket_seconds(spark)
+        req_s = ContinuousRollup(self.path, self.ts_col,
+                                 bucket)._bucket_seconds(spark)
+        if req_s < stored_s or req_s % stored_s:
+            raise ValueError(
+                f"serve bucket {bucket!r} ({req_s}s) must be a whole "
+                f"multiple of the stored bucket {self.bucket!r} "
+                f"({stored_s}s)")
+        rebucketed = s.withColumn(
+            "bucket_start", F.window("bucket_start", bucket)["start"])
+        return cms_merge(rebucketed, group_cols=("bucket_start",))
+
+    def estimate(self, df: DataFrame, item_col: str,
+                 out_col: str = "est_count") -> DataFrame:
+        """Probe the merged global sketch — "how often, ever?"."""
+        merged = self.serve(df.sparkSession)
+        return cms_query(df, merged, item_col, width=self.width,
+                         depth=self.depth, out_col=out_col)
+
+
 def group_median(df: DataFrame, value_col: str,
                  group_cols: list) -> DataFrame:
     """EXACT per-group median — the value-exact complement to the KLL

@@ -550,3 +550,73 @@ def test_table_fingerprint_sensitivity(spark):
     assert len(fps) == 3
     with pytest.raises(ValueError, match="at least one"):
         curation_ops.table_fingerprint(df, [])
+
+
+# ---- StoredCMS: the 10th stored-state family ----
+
+import datetime as _dt
+
+
+def _ts_events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, item string")
+
+
+def _t(h, m=0):
+    return _dt.datetime(2024, 3, 1, h, m)
+
+
+CMS_EVENTS = ([( _t(1), "a")] * 3 + [(_t(1, 30), "b")]
+              + [(_t(2), "a")] * 2 + [(_t(2, 15), "c")]
+              + [(_t(3), "b")] * 4)
+
+
+def test_stored_cms_incremental_equals_one_shot(spark, tmp_path):
+    from pydin_spark.operators import rollup as R
+    ev = _ts_events(spark, CMS_EVENTS)
+    inc = R.StoredCMS(str(tmp_path / "inc"), "item", width=256, depth=3)
+    # prefix (through hour 2), then the full source: the high-water
+    # fold must recompute hour >= 2 only, and double-count nothing
+    inc.refresh(ev.where("ts < timestamp '2024-03-01 02:10:00'"))
+    inc.refresh(ev)
+    one = R.StoredCMS(str(tmp_path / "one"), "item", width=256, depth=3)
+    one.refresh(ev)
+    a = sorted(map(tuple, inc.serve(spark).collect()))
+    b = sorted(map(tuple, one.serve(spark).collect()))
+    assert a == b and a, "incremental must equal one-shot exactly"
+    # estimates from the stored sketch match true occurrence counts
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zz",)], "item string")
+    est = {r["item"]: r["est_count"]
+           for r in inc.estimate(probes, "item").collect()}
+    assert est == {"a": 5, "b": 5, "c": 1, "zz": 0}
+
+
+def test_stored_cms_serve_grains_and_guard(spark, tmp_path):
+    from pydin_spark.operators import rollup as R
+    sc = R.StoredCMS(str(tmp_path / "s"), "item", width=256, depth=3)
+    sc.refresh(_ts_events(spark, CMS_EVENTS))
+    hourly = sc.serve(spark, "1 hour")
+    assert hourly.select("bucket_start").distinct().count() == 3
+    daily = sc.serve(spark, "1 day")
+    assert daily.select("bucket_start").distinct().count() == 1
+    # a day's cells == the global cells (all events are one day here)
+    g = sorted(map(tuple, sc.serve(spark).collect()))
+    d = sorted((r["row_j"], r["col_idx"], r["cnt"])
+               for r in daily.collect())
+    assert g == d
+    with pytest.raises(ValueError, match="whole.*multiple"):
+        sc.serve(spark, "30 minutes")
+    with pytest.raises(ValueError, match="no stored CMS"):
+        R.StoredCMS(str(tmp_path / "empty"), "item").read(spark)
+
+
+def test_stored_cms_maintain_compacts_preserving_serve(spark, tmp_path):
+    from pydin_spark.operators import rollup as R
+    sc = R.StoredCMS(str(tmp_path / "m"), "item", width=128, depth=2)
+    ev = _ts_events(spark, CMS_EVENTS)
+    sc.refresh(ev.where("ts < timestamp '2024-03-01 02:00:00'"))
+    sc.refresh(ev)
+    before = sorted(map(tuple, sc.serve(spark).collect()))
+    res = sc.maintain(spark, max_files=1)
+    after = sorted(map(tuple, sc.serve(spark).collect()))
+    assert after == before, f"maintain changed the served sketch: {res}"

@@ -176,6 +176,7 @@ EXTRA = [
     "curation_pct_normalize",
     "curation_table_fp",
     "rollup_cms_grouped",
+    "rollup_cms_stored",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -649,6 +650,7 @@ LINEAR_OK = {
     "curation_pct_normalize",   # one stratum shuffle + rank windows
     "curation_table_fp",        # one map-side-combined scan agg
     "rollup_cms_grouped",       # shingle explode + grouped cell agg
+    "rollup_cms_stored",        # two refreshes scan events twice
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
