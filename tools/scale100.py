@@ -139,7 +139,28 @@ HEAVY: dict = {
     "dedup_ngram_jaccard": None,      # capped inverted-index self-join
     "curation_curriculum": None,      # range-partitioned global rank
     "rollup_cms": None,               # explode x depth + cell agg
+    # second breadth pass: graph structure + weighted dedup
+    "graph_triangles_100": None,      # set below (scaled IVF edges)
+    "graph_label_prop_100": None,     # set below (scaled IVF edges)
+    "dedup_weighted_jaccard": None,   # idf-shaped posting substrate
 }
+
+
+def _h_triangles(spark, sf_dir):
+    from pydin_spark.operators import graph
+    return graph.triangles(_scaled_ivf_edges(spark, sf_dir),
+                           src="src_id", dst="nbr_id")
+
+
+def _h_label_prop(spark, sf_dir):
+    from pydin_spark.operators import graph
+    return graph.label_propagation(_scaled_ivf_edges(spark, sf_dir),
+                                   src="src_id", dst="nbr_id",
+                                   iterations=5)
+
+
+HEAVY["graph_triangles_100"] = _h_triangles
+HEAVY["graph_label_prop_100"] = _h_label_prop
 
 
 def timed(fn) -> float:
