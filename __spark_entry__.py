@@ -2253,6 +2253,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["rollup_cms_stored"] = _rollup_cms_stored
 
+    def _curation_filter_kappa(spark, sf_dir):
+        # Cohen's kappa between a char-length gate and a token-count
+        # gate: correlated but not identical filters, so kappa lands
+        # strictly between chance and perfect — exact fixed-point
+        # arithmetic, every cell and ratio recomputed in SQL
+        _views(spark, sf_dir)
+        docs = spark.table("documents").select(
+            (F.col("n_chars") >= 300).alias("keep_len"),
+            (F.size(F.split("text", " ")) >= 55).alias("keep_tok"))
+        return curation.filter_agreement(docs, "keep_len", "keep_tok")
+
+    out["curation_filter_kappa"] = _curation_filter_kappa
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4884,6 +4897,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(({hex15}) AS HUGEINT))
                     % 1152921504606846976 AS BIGINT) AS fp
         FROM h GROUP BY source
+    """
+    # Cohen's kappa between two rule filters: identical confusion
+    # cells and fixed-point divisions (sign-split for the negative
+    # branch, unreachable on this fixture but shared anyway)
+    out["curation_filter_kappa"] = """
+        WITH f AS (SELECT (n_chars >= 300) AS a,
+                          (len(string_split(text, ' ')) >= 55) AS b
+                   FROM documents),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n11,
+                     CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n10,
+                     CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n01,
+                     CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0
+                          END) AS BIGINT) AS n00
+              FROM f WHERE a IS NOT NULL AND b IS NOT NULL)
+        SELECT n, n11, n10, n01, n00,
+               CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_q,
+               CAST((((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00)) * 1000000)
+                    // (n * n) AS BIGINT) AS pe_q,
+               CAST(CASE
+                   WHEN n * n = (n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00) THEN NULL
+                   WHEN n * (n11 + n00) >= (n11 + n10) * (n11 + n01)
+                                           + (n01 + n00) * (n10 + n00)
+                   THEN ((n * (n11 + n00)
+                          - (n11 + n10) * (n11 + n01)
+                          - (n01 + n00) * (n10 + n00)) * 1000000)
+                        // (n * n - (n11 + n10) * (n11 + n01)
+                            - (n01 + n00) * (n10 + n00))
+                   ELSE -((((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)
+                            - n * (n11 + n00)) * 1000000)
+                          // (n * n - (n11 + n10) * (n11 + n01)
+                              - (n01 + n00) * (n10 + n00)))
+                   END AS BIGINT) AS kappa_q
+        FROM c
     """
     # stored CMS serve: two incremental refreshes must equal the
     # one-shot sketch of the whole history (SUM merge is exact;

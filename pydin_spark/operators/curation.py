@@ -1925,6 +1925,68 @@ def table_fingerprint(df: DataFrame, cols: list,
                         "1152921504606846976 AS BIGINT)").alias("fp")))
 
 
+def filter_agreement(df: DataFrame, col_a: str, col_b: str,
+                     scale: int = 10 ** 6) -> DataFrame:
+    """Agreement between two boolean quality filters — the confusion
+    matrix plus observed agreement, chance agreement, and Cohen's
+    kappa, all as exact ``scale``-fixed-point BIGINTs. The filter-
+    calibration diagnostic: before swapping a heuristic gate for a
+    learned classifier (or adding a second annotator), kappa says how
+    much they actually disagree beyond chance — raw percent agreement
+    flatters any pair when the keep rate is extreme.
+
+    ``kappa = (p_o − p_e) / (1 − p_e)`` with
+    ``p_o = (n11 + n00)/n`` and ``p_e = (a1·b1 + a0·b0)/n²``; all
+    three emitted as one exact integer division each (negative kappa
+    — systematic disagreement — uses the sign-split truncating
+    division both engines share, the emb_drift discipline).
+    ``kappa_q`` is NULL when chance agreement is 1 (both filters
+    constant and equal — kappa undefined). Rows where either flag is
+    NULL are dropped (no defensible cell). Overflow bound:
+    ``n² · scale < 2^63`` → n ≲ 3·10⁹ rows at the default scale;
+    kappa is a diagnostic — subsample past that, don't scan 100 TB
+    into one scalar.
+
+    ONE map-side-combined scan aggregate; output is a single row
+    (n, n11, n10, n01, n00, po_q, pe_q, kappa_q).
+    """
+    a = F.col(col_a).cast("boolean")
+    b = F.col(col_b).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull())
+
+    def cell(pa, pb):
+        return F.sum(F.when(pa & pb, 1).otherwise(0).cast("long"))
+
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(a, b).alias("n11"), cell(a, ~b).alias("n10"),
+        cell(~a, b).alias("n01"), cell(~a, ~b).alias("n00"))
+    s = int(scale)
+    return agg.selectExpr(
+        "n", "n11", "n10", "n01", "n00",
+        f"CAST(((n11 + n00) * {s}) DIV n AS BIGINT) AS po_q",
+        f"CAST((((n11 + n10) * (n11 + n01)"
+        f" + (n01 + n00) * (n10 + n00)) * {s}) DIV (n * n)"
+        f" AS BIGINT) AS pe_q",
+        # kappa numerator can be negative: sign-split so Spark's DIV
+        # (truncate toward zero) and DuckDB's // (floor) agree
+        f"""CAST(CASE
+            WHEN n * n = (n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00) THEN NULL
+            WHEN n * (n11 + n00) >= (n11 + n10) * (n11 + n01)
+                                    + (n01 + n00) * (n10 + n00)
+            THEN ((n * (n11 + n00) - (n11 + n10) * (n11 + n01)
+                   - (n01 + n00) * (n10 + n00)) * {s})
+                 DIV (n * n - (n11 + n10) * (n11 + n01)
+                      - (n01 + n00) * (n10 + n00))
+            ELSE -((((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)
+                     - n * (n11 + n00)) * {s})
+                   DIV (n * n - (n11 + n10) * (n11 + n01)
+                        - (n01 + n00) * (n10 + n00)))
+            END AS BIGINT) AS kappa_q""")
+
+
 def rank_fusion(df: DataFrame, score_cols: list, id_col: str = "doc_id",
                 k: int = 60, ascending: bool = False) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of

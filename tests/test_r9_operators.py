@@ -620,3 +620,72 @@ def test_stored_cms_maintain_compacts_preserving_serve(spark, tmp_path):
     res = sc.maintain(spark, max_files=1)
     after = sorted(map(tuple, sc.serve(spark).collect()))
     assert after == before, f"maintain changed the served sketch: {res}"
+
+
+def test_stream_rollup_feeds_stored_cms(spark, tmp_path):
+    """The streaming front door generalizes to the 10th family:
+    stream_rollup's landing + refresh contract drives StoredCMS, and
+    the stream-built sketch equals the one-shot batch build exactly
+    (SUM merge would expose any double-landed batch)."""
+    import time
+
+    from pydin_spark import load_table
+    from pydin_spark.operators.rollup import StoredCMS, cms_build
+    from pydin_spark.streaming.events import file_events, stream_rollup
+
+    land = str(tmp_path / "landing")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for lo, hi in [("2024-01-01", "2024-01-11"),
+                   ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-02-01")]:
+        (ev.where(f"ts >= '{lo}' AND ts < '{hi}'").coalesce(1)
+         .write.mode("append").parquet(land))
+        time.sleep(1.1)
+
+    sc = StoredCMS(str(tmp_path / "cms"), "event_type",
+                   bucket="1 day", width=512, depth=3, lateness=1)
+    stream = file_events(spark, land, max_files_per_trigger=1)
+    q = stream_rollup(stream, sc, str(tmp_path / "bronze"),
+                      str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, sc.serve(spark).collect()))
+    want = sorted(map(tuple, cms_build(ev, "event_type", width=512,
+                                       depth=3).collect()))
+    assert got == want and got, "stream-built sketch == one-shot"
+
+
+# ---- filter_agreement (Cohen's kappa) ----
+
+
+def test_filter_agreement_known_kappa(spark):
+    # hand-built confusion matrix: n11=40, n10=10, n01=10, n00=40
+    rows = ([(True, True)] * 40 + [(True, False)] * 10
+            + [(False, True)] * 10 + [(False, False)] * 40)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = curation_ops.filter_agreement(df, "a", "b").first()
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) \
+        == (100, 40, 10, 10, 40)
+    assert r["po_q"] == 800000            # p_o = 0.8
+    assert r["pe_q"] == 500000            # p_e = 0.5 (balanced)
+    assert r["kappa_q"] == 600000         # kappa = 0.3/0.5 = 0.6
+
+
+def test_filter_agreement_edges(spark):
+    # perfect agreement -> kappa 1; NULL rows dropped
+    rows = [(True, True)] * 5 + [(False, False)] * 5 + [(None, True)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = curation_ops.filter_agreement(df, "a", "b").first()
+    assert r["n"] == 10 and r["kappa_q"] == 10**6
+    # systematic disagreement -> negative kappa, same value both
+    # division conventions (sign-split)
+    anti = [(True, False)] * 5 + [(False, True)] * 5
+    r2 = curation_ops.filter_agreement(
+        spark.createDataFrame(anti, "a boolean, b boolean"),
+        "a", "b").first()
+    assert r2["kappa_q"] == -(10**6)
+    # both filters constant and equal: chance agreement 1 -> NULL
+    const = spark.createDataFrame([(True, True)] * 4,
+                                  "a boolean, b boolean")
+    assert curation_ops.filter_agreement(const, "a", "b") \
+        .first()["kappa_q"] is None

@@ -177,6 +177,7 @@ EXTRA = [
     "curation_table_fp",
     "rollup_cms_grouped",
     "rollup_cms_stored",
+    "curation_filter_kappa",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -651,6 +652,7 @@ LINEAR_OK = {
     "curation_table_fp",        # one map-side-combined scan agg
     "rollup_cms_grouped",       # shingle explode + grouped cell agg
     "rollup_cms_stored",        # two refreshes scan events twice
+    "curation_filter_kappa",    # one map-side-combined scan agg
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
