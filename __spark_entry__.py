@@ -2266,6 +2266,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_filter_kappa"] = _curation_filter_kappa
 
+    def _curation_source_sim(spark, sf_dir):
+        # K x K vocabulary-overlap matrix: redundancy between sources
+        # at vocab-join cost, before any document-pair enumeration
+        _views(spark, sf_dir)
+        return curation.source_similarity(spark.table("documents"))
+
+    out["curation_source_sim"] = _curation_source_sim
+
     def _curation_bloom_decontam(spark, sf_dir):
         # 100 TB-shape decontamination: eval-corpus n-grams compressed
         # into a broadcast Bloom filter, train side stays a pure scan
@@ -4897,6 +4905,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(({hex15}) AS HUGEINT))
                     % 1152921504606846976 AS BIGINT) AS fp
         FROM h GROUP BY source
+    """
+    # K x K vocabulary Jaccard: per-source distinct-token sets,
+    # intersection by token-keyed join, inclusion-exclusion union,
+    # one fixed-point division
+    out["curation_source_sim"] = """
+        WITH v AS (SELECT DISTINCT source AS src,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM documents WHERE source IS NOT NULL),
+        sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS nv
+               FROM v GROUP BY 1),
+        p AS (SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM v a JOIN v b ON a.tok = b.tok AND a.src < b.src
+              GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               sa.nv AS n_vocab_a, sb.nv AS n_vocab_b, n_shared,
+               sa.nv + sb.nv - n_shared AS n_union,
+               CAST((n_shared * 1000000)
+                    // (sa.nv + sb.nv - n_shared) AS BIGINT)
+                   AS jaccard_q
+        FROM p JOIN sz sa ON sa.src = p.source_a
+               JOIN sz sb ON sb.src = p.source_b
     """
     # Cohen's kappa between two rule filters: identical confusion
     # cells and fixed-point divisions (sign-split for the negative

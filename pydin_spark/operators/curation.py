@@ -1925,6 +1925,55 @@ def table_fingerprint(df: DataFrame, cols: list,
                         "1152921504606846976 AS BIGINT)").alias("fp")))
 
 
+def source_similarity(df: DataFrame, strata_col: str = "source",
+                      text_col: str = "text",
+                      scale: int = 10 ** 6) -> DataFrame:
+    """K×K vocabulary-overlap matrix between sources: for every
+    ordered stratum pair, the distinct-token intersection, union
+    (inclusion-exclusion), and Jaccard as ONE exact fixed-point
+    division — the "how redundant are my sources?" diagnostic that
+    sits between :func:`corpus_report` (volumes per source) and the
+    document-grain dedup family (which says WHICH docs overlap, at
+    corpus-pair cost). Two near-identical crawls light up here before
+    any pair enumeration is spent on them.
+
+    Scale shape: token explode → distinct (stratum, token) — the
+    per-source vocabulary, shuffled once at vocab size — then a
+    token-keyed self-join whose posting lists are ≤ K long BY
+    CONSTRUCTION (a token appears once per source), so the join
+    output is bounded by vocab × K², never corpus². K-row per-source
+    sizes broadcast back for the union arithmetic. Output: one row
+    per (source_a, source_b) pair sharing ≥ 1 token, source_a <
+    source_b — (n_vocab_a, n_vocab_b, n_shared, n_union, jaccard_q);
+    vocabulary-disjoint pairs are absent (their Jaccard is 0).
+    """
+    toks = (df.select(F.col(strata_col).alias("src"),
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("tok"))
+            .where(F.col("src").isNotNull())
+            .distinct())
+    sizes = toks.groupBy("src").agg(F.count(F.lit(1)).alias("nv"))
+    pairs = (toks.alias("a")
+             .join(toks.alias("b"), F.col("a.tok") == F.col("b.tok"))
+             .where(F.col("a.src") < F.col("b.src"))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("src").alias("source_a"),
+                      F.col("nv").alias("n_vocab_a"))
+    sb = sizes.select(F.col("src").alias("source_b"),
+                      F.col("nv").alias("n_vocab_b"))
+    out = (pairs.join(F.broadcast(sa), "source_a")
+           .join(F.broadcast(sb), "source_b"))
+    return out.select(
+        "source_a", "source_b", "n_vocab_a", "n_vocab_b", "n_shared",
+        (F.col("n_vocab_a") + F.col("n_vocab_b")
+         - F.col("n_shared")).alias("n_union"),
+        F.expr(f"CAST((n_shared * {int(scale)}) DIV "
+               f"(n_vocab_a + n_vocab_b - n_shared) AS BIGINT)")
+        .alias("jaccard_q"))
+
+
 def filter_agreement(df: DataFrame, col_a: str, col_b: str,
                      scale: int = 10 ** 6) -> DataFrame:
     """Agreement between two boolean quality filters — the confusion

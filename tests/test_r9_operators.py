@@ -689,3 +689,26 @@ def test_filter_agreement_edges(spark):
                                   "a boolean, b boolean")
     assert curation_ops.filter_agreement(const, "a", "b") \
         .first()["kappa_q"] is None
+
+
+def test_source_similarity_known_overlap(spark):
+    rows = [(1, "a b c d", "s1"), (2, "c d e f", "s2"),
+            (3, "x y", "s3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           curation_ops.source_similarity(df).collect()}
+    # s1 {a,b,c,d} vs s2 {c,d,e,f}: shared 2, union 6, J = 1/3
+    r = got[("s1", "s2")]
+    assert (r["n_vocab_a"], r["n_vocab_b"], r["n_shared"],
+            r["n_union"]) == (4, 4, 2, 6)
+    assert r["jaccard_q"] == (2 * 10**6) // 6
+    # s3 is vocabulary-disjoint: absent from the matrix by contract
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    assert len(got) == 1
+    # repeated tokens inside a source count once (set semantics)
+    rep = spark.createDataFrame(
+        [(1, "a a a b", "p"), (2, "a b b b", "q")],
+        "doc_id long, text string, source string")
+    rr = curation_ops.source_similarity(rep).first()
+    assert (rr["n_shared"], rr["n_union"], rr["jaccard_q"]) \
+        == (2, 2, 10**6)

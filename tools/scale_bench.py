@@ -178,6 +178,7 @@ EXTRA = [
     "rollup_cms_grouped",
     "rollup_cms_stored",
     "curation_filter_kappa",
+    "curation_source_sim",
 ]
 
 #: Three gate entries run deliberately SMALL-CORPUS oracle operating
@@ -653,6 +654,7 @@ LINEAR_OK = {
     "rollup_cms_grouped",       # shingle explode + grouped cell agg
     "rollup_cms_stored",        # two refreshes scan events twice
     "curation_filter_kappa",    # one map-side-combined scan agg
+    "curation_source_sim",      # vocab-sized join, K-bounded postings
 }
 
 #: EXACT-tier similarity ops whose flop count is O(n^2/B) BY
