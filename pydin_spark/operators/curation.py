@@ -1951,7 +1951,13 @@ def source_similarity(df: DataFrame, strata_col: str = "source",
                       F.explode(F.split(F.col(text_col), " "))
                       .alias("tok"))
             .where(F.col("src").isNotNull())
-            .distinct())
+            .distinct()
+            # materialize once (the decontaminate_bloom discipline):
+            # the frame is vocab x K-bounded but its subtree is a
+            # CORPUS-sized explode, and it feeds both self-join sides
+            # plus the size aggregate — lazy, the scan runs 3x
+            # (measured: 7 exchanges -> 4 on the gate plan)
+            .localCheckpoint(eager=True))
     sizes = toks.groupBy("src").agg(F.count(F.lit(1)).alias("nv"))
     pairs = (toks.alias("a")
              .join(toks.alias("b"), F.col("a.tok") == F.col("b.tok"))
