@@ -9,23 +9,16 @@ date-partitioned layout so date-window queries partition-prune.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import fs
 
 
 def dataset_stats(spark: SparkSession, path: str) -> dict:
-    """File count + byte size of a parquet dataset (driver-side walk for
-    local paths; on HDFS/S3 use the FileSystem API the same way)."""
-    n_files = 0
-    n_bytes = 0
-    for dirpath, _dirs, files in os.walk(path):
-        for name in files:
-            if name.endswith(".parquet"):
-                n_files += 1
-                n_bytes += os.path.getsize(os.path.join(dirpath, name))
-    return {"files": n_files, "bytes": n_bytes}
+    """File count + byte size of a parquet dataset.  Routed through the
+    Hadoop FileSystem API (:mod:`pydin_spark.fs`) so the same walk
+    works on ``file://``, ``hdfs://`` and ``s3a://`` paths alike."""
+    return fs.tree_stats(spark, path, suffix=".parquet")
 
 
 def compact(spark: SparkSession, path: str,
@@ -54,10 +47,7 @@ def compact(spark: SparkSession, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
-    backup = path.rstrip("/") + ".__old__"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    fs.replace_dir(spark, staging, path)
     spark.catalog.refreshByPath(path)
     return {"before": stats, "after": dataset_stats(spark, path)}
 

@@ -34,14 +34,13 @@ lineitem / 8192 buckets ≈ 12 GB per bucket before column pruning).
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from .. import fs
 from .stored import has_commit_state, next_seq
 
 
@@ -61,6 +60,16 @@ class StoredBuckets:
                  sort: bool = True):
         if int(buckets) < 1:
             raise ValueError("buckets must be >= 1")
+        # path and key are interpolated into attach()'s DDL (LOCATION
+        # '<path>' / CLUSTERED BY (`<key>`)); a quote or backtick in
+        # either would break — or worse, rewrite — the statement, so
+        # reject at construction rather than at first attach
+        if "'" in str(path) or "`" in str(path):
+            raise ValueError(f"path must not contain quote characters "
+                             f"(' or `): {path!r}")
+        if "`" in key or "'" in key:
+            raise ValueError(f"key must not contain quote characters "
+                             f"(' or `): {key!r}")
         self.path = str(path).rstrip("/")
         self.key = key
         self.buckets = int(buckets)
@@ -139,6 +148,9 @@ class StoredBuckets:
         if row is None:
             raise ValueError(f"no committed bucketed state under "
                              f"{self.path}; stage() first")
+        if "`" in table or "'" in table:
+            raise ValueError(f"table name must not contain quote "
+                             f"characters (' or `): {table!r}")
         loc = f"{self.path}/data_{row['seq']}_{row['batch']}"
         schema = StructType.fromJson(json.loads(row["schema_json"]))
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
@@ -173,13 +185,13 @@ class StoredBuckets:
             "batch string, seq long, key string, buckets int, "
             "sorted boolean, schema_json string") \
             .repartition(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(f"{self.path}/commits")
-        os.rename(tmp, f"{self.path}/commits")
+        fs.delete(spark, f"{self.path}/commits")
+        fs.rename(spark, tmp, f"{self.path}/commits")
         spark.catalog.refreshByPath(f"{self.path}/commits")
         deleted = 0
-        for name in os.listdir(self.path):
+        for name in fs.listdir(spark, self.path):
             if name.startswith("data_") and name != live:
-                shutil.rmtree(os.path.join(self.path, name),
-                              ignore_errors=True)
+                fs.delete(spark, f"{self.path}/{name}",
+                          ignore_errors=True)
                 deleted += 1
         return {"kept": 1, "deleted": deleted}

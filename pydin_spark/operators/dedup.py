@@ -1138,9 +1138,9 @@ class IncrementalDeduper:
         never neither; (3) the now-dead per-batch rows are swept by the
         compaction pass that follows (they are uncommitted from step 2
         on, so correctness never depends on the sweep)."""
-        import os
-        import shutil
         import uuid
+
+        from .. import fs
 
         merged = uuid.uuid4().hex
         tag = F.lit(merged).alias("batch")
@@ -1155,10 +1155,7 @@ class IncrementalDeduper:
         staging = commits_path + ".__checkpoint__"
         spark.createDataFrame([(merged,)], "batch string") \
             .write.mode("overwrite").parquet(staging)
-        backup = commits_path + ".__old__"
-        os.rename(commits_path, backup)
-        os.rename(staging, commits_path)
-        shutil.rmtree(backup)
+        fs.replace_dir(spark, staging, commits_path)
         spark.catalog.refreshByPath(commits_path)
         return {"batches_before": n_before, "merged_batch": merged}
 

@@ -960,21 +960,19 @@ class IVFIndex:
     def _gc(self, spark) -> None:
         """Drop version trees older than the newest ``keep_versions``
         (reader grace: an in-flight query resolved at most that many
-        flips ago). Local-FS implementation; on HDFS/S3 the same walk
-        goes through the FileSystem API."""
-        import shutil
-
-        import os
+        flips ago). Walks through the Hadoop FileSystem API
+        (:mod:`pydin_spark.fs`), so the sweep works the same on
+        ``file://``, ``hdfs://`` and ``s3a://`` index paths."""
+        from .. import fs
         rows = spark.read.parquet(self._manifest_path()) \
             .orderBy(F.col("seq").desc()).collect()
         keep = {r["vid"] for r in rows[:self.keep_versions]}
         vroot = f"{self.path}/versions"
-        if not os.path.isdir(vroot):
+        if not fs.is_dir(spark, vroot):
             return
-        for name in os.listdir(vroot):
+        for name in fs.listdir(spark, vroot):
             if name not in keep:
-                shutil.rmtree(os.path.join(vroot, name),
-                              ignore_errors=True)
+                fs.delete(spark, f"{vroot}/{name}", ignore_errors=True)
 
     def _centers(self, spark, vdir: str):
         import numpy as np
@@ -1204,12 +1202,13 @@ class IVFIndex:
                 out["rebuilt"] = self.rebuild(corpus)
                 if old_book is not None:
                     out["pq"] = self.build_pq(spark, codebook=old_book)
-        import os
+        from .. import fs
         vroot = f"{self.path}/versions"
-        before = (len(os.listdir(vroot)) if os.path.isdir(vroot)
-                  else 0)
+        before = (len(fs.listdir(spark, vroot))
+                  if fs.is_dir(spark, vroot) else 0)
         self._gc(spark)
-        after = len(os.listdir(vroot)) if os.path.isdir(vroot) else 0
+        after = (len(fs.listdir(spark, vroot))
+                 if fs.is_dir(spark, vroot) else 0)
         out["versions"] = {"before": before, "after": after}
         res = compact_if_fragmented(spark, self._manifest_path(),
                                     max_files=max_files)

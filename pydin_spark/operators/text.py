@@ -1335,10 +1335,11 @@ class IncrementalLineDeduper:
         invisible-until-committed crash safety: the compacted state is
         written under a fresh batch id into fresh directories and
         swapped in by directory rename."""
-        import shutil
         import uuid
 
         from pyspark.sql import SparkSession
+
+        from .. import fs
         spark = SparkSession.getActiveSession()
         st = self.seen_lines(spark).localCheckpoint(eager=True)
         batch_id = uuid.uuid4().hex
@@ -1348,14 +1349,9 @@ class IncrementalLineDeduper:
             .write.mode("overwrite").parquet(tmp_f)
         spark.createDataFrame([(batch_id,)], "batch string") \
             .write.mode("overwrite").parquet(tmp_c)
-        import os
         for tmp, live in ((tmp_f, f"{self.path}/firsts"),
                           (tmp_c, f"{self.path}/commits")):
-            old = live + ".__old__"
-            if os.path.exists(live):
-                os.rename(live, old)
-            os.rename(tmp, live)
-            shutil.rmtree(old, ignore_errors=True)
+            fs.replace_dir(spark, tmp, live)
         spark.catalog.refreshByPath(f"{self.path}/firsts")
         spark.catalog.refreshByPath(f"{self.path}/commits")
 

@@ -158,9 +158,16 @@ def test_zlib_fixture_covers_gate_tiers(sf_dir):
 
 # ---- StoredBuckets staging family (VERDICT r6 item 1) ----
 
-@pytest.fixture()
-def sb_root(tmp_path):
-    return str(tmp_path / "buckets")
+@pytest.fixture(params=["plain", "file_uri"])
+def sb_root(tmp_path, request):
+    """Both path styles: the file:// leg proves maintain()'s
+    rename/delete/list run through the Hadoop FS helper, not os.*"""
+    p = str(tmp_path / "buckets")
+    return f"file://{p}" if request.param == "file_uri" else p
+
+
+def _local(p):
+    return p[len("file://"):] if p.startswith("file://") else p
 
 
 def _frame(spark, n=100, mul=1):
@@ -224,7 +231,7 @@ def test_stored_buckets_crashed_writer_stays_invisible(spark, sb_root):
     # maintain sweeps the orphan
     res = sb.maintain(spark)
     assert res["deleted"] == 1
-    assert not os.path.exists(loc)
+    assert not os.path.exists(_local(loc))
     assert sb.attach(spark, "sb_cr").count() == 10
     spark.sql("DROP TABLE IF EXISTS sb_cr")
 
@@ -236,7 +243,7 @@ def test_stored_buckets_maintain_collapses_versions(spark, sb_root):
     for n in (10, 20, 30):
         sb.stage(_frame(spark, n=n))
     assert sb.maintain(spark) == {"kept": 1, "deleted": 2}
-    data_dirs = [d for d in os.listdir(sb_root)
+    data_dirs = [d for d in os.listdir(_local(sb_root))
                  if d.startswith("data_")]
     assert len(data_dirs) == 1
     assert sb.attach(spark, "sb_mc").count() == 30

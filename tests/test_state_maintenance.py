@@ -24,23 +24,32 @@ def canon(df):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
-@pytest.fixture(scope="module")
-def fleet(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["plain", "file_uri"])
+def fleet(spark, tmp_path_factory, request):
     """Build all six families small, fragmented, and with injected
     orphans — the worst realistic state a crash-prone high-cadence
-    deployment leaves behind."""
+    deployment leaves behind.
+
+    Parametrized over path style: once with plain local paths, once
+    with explicit-scheme ``file:///`` URIs. The URI leg routes every
+    maintenance rename/delete/list through the Hadoop FileSystem
+    helper (:mod:`pydin_spark.fs`) exactly as an ``hdfs://`` or
+    ``s3a://`` deployment would — proving no driver-local ``os.*``
+    call remains on any state path."""
     root = tmp_path_factory.mktemp("states")
+    base = (f"file://{root}" if request.param == "file_uri"
+            else str(root))
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     docs = spark.createDataFrame(
         [(i, f"common boilerplate line\nunique prose {i}")
          for i in range(8)], "doc_id long, text string")
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
 
-    dd = IncrementalDeduper(str(root / "dedup"), threshold=0.9)
+    dd = IncrementalDeduper(f"{base}/dedup", threshold=0.9)
     dd.ingest(docs.where("doc_id < 4"))
     dd.ingest(docs.where("doc_id >= 4"))
 
-    ld = text.IncrementalLineDeduper(str(root / "lines"))
+    ld = text.IncrementalLineDeduper(f"{base}/lines")
     ld.ingest(docs.where("doc_id < 4"))
     ld.ingest(docs.where("doc_id >= 4"))
     # orphan: an appended firsts file whose batch never committed
@@ -51,21 +60,21 @@ def fleet(spark, tmp_path_factory):
         "line string, doc_id string, pos int, batch string") \
         .write.mode("append").parquet(str(root / "lines" / "firsts"))
 
-    cr = ContinuousRollup(str(root / "rollup"), bucket="1 day")
+    cr = ContinuousRollup(f"{base}/rollup", bucket="1 day")
     cr.refresh(ev.where("event_id % 2 = 0"))
     cr.refresh(ev)
 
-    hh = StoredHeavyHitters(str(root / "hh"), "user_id",
+    hh = StoredHeavyHitters(f"{base}/hh", "user_id",
                             bucket="1 day", capacity=8)
     hh.refresh(ev.where("event_id % 2 = 0"))
     hh.refresh(ev)
 
-    sb = StoredBloom(str(root / "bloom"), "user_id", bucket="1 day",
+    sb = StoredBloom(f"{base}/bloom", "user_id", bucket="1 day",
                      m_bits=8192)
     sb.refresh(ev.where("event_id % 2 = 0"))
     sb.refresh(ev)
 
-    ivf = IVFIndex(str(root / "ivf"), nlist=4, max_iter=2,
+    ivf = IVFIndex(f"{base}/ivf", nlist=4, max_iter=2,
                    keep_versions=1)
     ivf.build(emb.where("vec_id < 60"))
     ivf.rebuild(emb)  # leaves the old version for the sweep...
