@@ -324,7 +324,9 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                    threshold: float = 0.5,
                    max_shingle_freq: int | None = 100,
                    weight_scale: int = 1000,
-                   verify: bool = True) -> DataFrame:
+                   verify: bool = True,
+                   max_bucket_size: int | None = None,
+                   shed_stats: dict | None = None) -> DataFrame:
     """Weighted near-dup pairs at LSH scale: band the ICWS signatures
     (docs agreeing on any whole band become candidates — a bucket
     equi-join, never a cross product), then verify candidates with
@@ -365,6 +367,7 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                           F.explode(F.array(*band_cols)).alias("bk"))
                .select(F.col(id_col), F.col("bk.band"),
                        F.col("bk.bh")))
+    buckets = _cap_buckets(buckets, max_bucket_size, shed_stats)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"])
@@ -479,13 +482,54 @@ def lsh_plan(threshold: float, num_hashes: int = 64) -> dict:
             "p_at_threshold": p_at, "curve": curve}
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None,
+                 shed_stats: dict | None = None) -> DataFrame:
+    """Per-bucket candidate cap shared by the banded-LSH enumerators
+    (:func:`minhash_lsh_pairs`, :func:`icws_lsh_pairs`): drop every
+    (band, bh) bucket holding more than ``max_bucket_size`` docs
+    BEFORE the self-join — the bucket analogue of
+    ``max_shingle_freq`` (:func:`_capped_posting_lists`), closing the
+    one degenerate input the banding itself can't: a corpus slab of
+    near-identical boilerplate collapses whole bands to one hash and
+    a single bucket of b docs yields O(b²) candidates.
+
+    Shedding an oversized bucket only loses pairs whose EVERY
+    colliding band is oversized — at production caps (1k-10k) that is
+    precisely the all-identical boilerplate a cheaper
+    :func:`exact_dedup` pre-pass removes, the standard skip-hot-
+    buckets LSH discipline. The window count is a shuffle on the SAME
+    (band, bh) key the self-join pays anyway, so the cap adds no new
+    exchange. ``shed_stats`` (a dict) receives
+    ``{"shed_buckets": n, "shed_rows": m}`` — one tiny extra
+    aggregate job, skipped when the caller doesn't ask."""
+    if max_bucket_size is None:
+        return buckets
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a bucket of "
+                         "1 yields no pairs)")
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "bh")
+    sized = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    if shed_stats is not None:
+        over = (sized.where(F.col("__bsz") > max_bucket_size)
+                .agg(F.count_distinct("band", "bh")
+                     .alias("shed_buckets"),
+                     F.count(F.lit(1)).alias("shed_rows")).first())
+        shed_stats["shed_buckets"] = int(over["shed_buckets"])
+        shed_stats["shed_rows"] = int(over["shed_rows"])
+    return sized.where(F.col("__bsz") <= max_bucket_size) \
+        .drop("__bsz")
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5,
                       verify: bool = True,
                       shingles: DataFrame | None = None,
-                      owned_frames: list | None = None) -> DataFrame:
+                      owned_frames: list | None = None,
+                      max_bucket_size: int | None = None,
+                      shed_stats: dict | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
     Signatures are banded (``bands`` bands of ``num_hashes/bands`` rows);
@@ -500,6 +544,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     can unpersist them once the result is materialized — otherwise
     repeated calls accumulate cached intermediates for the session's
     lifetime.
+
+    ``max_bucket_size`` bounds the worst bucket's candidate fan-out to
+    O(cap²) (see :func:`_cap_buckets`); default None = exact banding
+    semantics. At corpus scale run :func:`exact_dedup` first, then a
+    cap of ~1000 — pair counts stay output-bound instead of
+    boilerplate-bound.
     """
     if shingles is None:
         shingles = word_shingles(df, id_col, text_col, n,
@@ -508,7 +558,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             owned_frames.append(shingles)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              shingles=shingles)
-    buckets = _band_buckets(sig, id_col, num_hashes, bands) \
+    buckets = _cap_buckets(
+        _band_buckets(sig, id_col, num_hashes, bands),
+        max_bucket_size, shed_stats) \
         .persist()  # both sides of the bucket self-join reuse this
     if owned_frames is not None:
         owned_frames.append(buckets)

@@ -164,6 +164,10 @@ EXTRA = [
     # variants only; the operator is pytest-pinned, not oracle-gated)
     "icws_lsh_pairs",
     "icws_lsh_zipf",
+    # round 10: per-bucket candidate cap under a boilerplate bomb
+    # (synthetic row — scale variant only; correctness is pytest-
+    # pinned in tests/test_r10_operators.py)
+    "dedup_lsh_bomb",
     # round 9 second pass: CMS sketch family + Z-order layout key +
     # the skipping read it buys (synthetic row: absolute-size
     # rectangle against the z-layout — expected ratio ~1)
@@ -332,6 +336,43 @@ def _scale_dedup_containment_zipf(spark, sf_dir):
     return dedup.containment_pairs(_zipf_documents(spark, sf_dir),
                                    threshold=0.9,
                                    max_shingle_freq=100)
+
+
+_BOMB_DOCS: dict = {}
+
+
+def _bomb_documents(spark, sf_dir):
+    """Boilerplate-bomb corpus (VERDICT r7 item 2): the documents
+    table plus 4x its row count of IDENTICAL boilerplate docs. Every
+    band of the bomb slab collapses to ONE bucket, so an uncapped
+    banded self-join would enumerate O(slab^2) candidate pairs —
+    ~100x more at the 10x tier. The per-bucket cap must shed the
+    slab for the measured ratio to stay corpus-linear. Checkpointed
+    per sf_dir so the construction is untimed."""
+    if sf_dir in _BOMB_DOCS:
+        return _BOMB_DOCS[sf_dir]
+    from pyspark.sql import functions as F
+    docs = spark.table("documents").select("doc_id", "text")
+    n = docs.count()
+    bomb = spark.range(4 * n).select(
+        (F.col("id") + F.lit(10_000_000)).alias("doc_id"),
+        F.lit("the same legal boilerplate footer repeated on every "
+              "page of the crawl again and again").alias("text"))
+    out = docs.unionByName(bomb).localCheckpoint(eager=True)
+    _BOMB_DOCS[sf_dir] = out
+    return out
+
+
+def _scale_dedup_lsh_bomb(spark, sf_dir):
+    """Capped MinHash-LSH over the bomb corpus: max_bucket_size sheds
+    the degenerate buckets (the shed itself is one window count on
+    the same (band, bh) key the join pays), so the run stays
+    signatures-linear instead of slab-quadratic."""
+    from pydin_spark.operators import dedup
+    entrymod._views(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(_bomb_documents(spark, sf_dir),
+                                   threshold=0.5,
+                                   max_bucket_size=100)
 
 
 def _scale_icws_lsh(spark, sf_dir):
@@ -530,6 +571,7 @@ SCALE_VARIANTS = {
     "dedup_containment_zipf": _scale_dedup_containment_zipf,
     "icws_lsh_pairs": _scale_icws_lsh,
     "icws_lsh_zipf": _scale_icws_lsh_zipf,
+    "dedup_lsh_bomb": _scale_dedup_lsh_bomb,
     "dedup_containment": _scale_dedup_containment,
     "dedup_cross_corpus": _scale_dedup_cross_corpus,
     "dedup_edit": _scale_dedup_edit,
@@ -644,6 +686,7 @@ LINEAR_OK = {
     "q5_bucketed",              # snowflake join over bucketed facts
     "icws_lsh_pairs",           # banded candidates, pair-density bound
     "icws_lsh_zipf",            # same substrate under the Zipf head
+    "dedup_lsh_bomb",           # bucket cap sheds the slab; sig-linear
     "rollup_cms",               # shingle explode x depth + cell agg
     "rollup_cms_query",         # build + depth broadcast probe joins
     "layout_zorder_key",        # pure scan + K-row min/max agg
