@@ -1145,12 +1145,22 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
 #: and maintain() collapses the old versions.
 _SB_STAGED: set = set()
 
+#: applicationId -> state root currently attached as the
+#: lineitem_sb/orders_sb catalog tables. attach() is one DROP+CREATE
+#: DDL pair — session METADATA setup, not query work (like view
+#: registration, but measurably slower at sub-second query scale), so
+#: it runs once per (session, sf) and re-runs only when the attached
+#: root changes or the catalog entries vanished.
+_SB_ATTACHED: dict = {}
+
 
 def _staged_fact_buckets(spark: SparkSession, sf_dir: str):
-    """Stage (once per session+sf) and return the StoredBuckets pair
-    for the fact-fact orderkey join shapes: lineitem + orders, both
-    bucketBy(32, orderkey), co-bucketed so the join is exchange-free
-    on BOTH sides."""
+    """Stage + attach (once per session+sf) and return the
+    StoredBuckets pair for the fact-fact orderkey join shapes:
+    lineitem + orders, both bucketBy(32, orderkey), co-bucketed so
+    the join is exchange-free on BOTH sides. After this returns the
+    catalog tables ``lineitem_sb`` / ``orders_sb`` serve the newest
+    committed version for ``sf_dir``."""
     from pydin_spark.operators.buckets import StoredBuckets
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = f"/tmp/pydin_spark_state/buckets/{tag}"
@@ -1163,6 +1173,14 @@ def _staged_fact_buckets(spark: SparkSession, sf_dir: str):
         od.stage(spark.table("orders"))
         od.maintain(spark)
         _SB_STAGED.add(key)
+        _SB_ATTACHED.pop(spark.sparkContext.applicationId, None)
+    aid = spark.sparkContext.applicationId
+    if (_SB_ATTACHED.get(aid) != root
+            or not spark.catalog.tableExists("lineitem_sb")
+            or not spark.catalog.tableExists("orders_sb")):
+        li.attach(spark, "lineitem_sb")
+        od.attach(spark, "orders_sb")
+        _SB_ATTACHED[aid] = root
     return li, od
 
 
@@ -3270,9 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is exactly what the gate proves.
         def run(spark, sf_dir, sql_key=sql_key):
             _views(spark, sf_dir)
-            li, od = _staged_fact_buckets(spark, sf_dir)
-            li.attach(spark, "lineitem_sb")
-            od.attach(spark, "orders_sb")
+            _staged_fact_buckets(spark, sf_dir)
             sql = DUAL_SQL[sql_key].replace(
                 "customer, orders, lineitem",
                 "customer, orders_sb, lineitem_sb")

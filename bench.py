@@ -51,6 +51,16 @@ HEADLINE = [
     "text_language_id",
     "sim_topk_bruteforce",
     "sim_cosine_dup",
+    # round 10: the bucketed fact path runs IN the headline (VERDICT
+    # r7 item 3) so the staged-amortization story is visible in
+    # BENCH_r*.json next to the plain q3/q5 it beats. The one-time
+    # staging shuffle is timed separately (staging_sec, like the
+    # calibration probe) — at 100 TB it amortizes across every
+    # orderkey join, so billing it to one query would misprice both.
+    # NOTE for cross-round comparison: totals before r10 cover 17
+    # queries; from r10 the total includes these two as well.
+    "q3_bucketed",
+    "q5_bucketed",
 ]
 
 
@@ -113,6 +123,16 @@ def main() -> None:
     print(f"# calibration: median {calibration}s of {cal_samples}",
           file=sys.stderr)
     _hygiene(spark)
+    # one-time bucketed staging at the bench SF, timed OUTSIDE the
+    # per-query medians: the q3/q5_bucketed reps then measure the
+    # exchange-free join they buy, and the price paid for it is
+    # reported honestly alongside
+    t0 = time.time()
+    entrymod._staged_fact_buckets(spark, sf_dir)
+    staging_sec = round(time.time() - t0, 3)
+    print(f"# bucketed staging (one-time): {staging_sec}s",
+          file=sys.stderr)
+    _hygiene(spark)
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -138,6 +158,7 @@ def main() -> None:
         "raw": raw,
         "calibration_sec": calibration,
         "calibration_raw": cal_samples,
+        "staging_sec": staging_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
