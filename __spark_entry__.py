@@ -121,6 +121,16 @@ DUAL_SQL: dict[str, str] = {
         FROM events
     """,
     # rollup aggregation (int-only: fully deterministic)
+    # NOTE (SCALE100 r7 ratio_100x=10.41 investigation, round 10): a
+    # pre-aggregate-to-(flag, status, orderkey)-before-ROLLUP rewrite
+    # was built, oracle-verified, and A/B-measured at sf10 — it is
+    # ~5x SLOWER (11.8s vs 2.0s median, same session): the pre-agg
+    # shuffle moves every lineitem row on a nearly-unique key with no
+    # map-side combine benefit, while the direct plan's post-Expand
+    # partial aggregate already dedups (flag, status, gid, orderkey)
+    # map-side before its one exchange. The direct form below IS the
+    # right 100 TB plan; the r7 10.41 row did not reproduce
+    # (re-measured 1.3x — see SCALE100.json / ROUND8 notes).
     "q_rollup_status": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
                COUNT(DISTINCT l_orderkey) AS n_orders

@@ -30,6 +30,18 @@ ENGINE_CONF: dict[str, str] = {
     # Broadcast joins for dimension tables (region/nation/… at any SF).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Let AQE size each shuffle from the DATA, not a fixed number: it
+    # coalesces down from this initial width per-stage, so light
+    # shuffles still land at ~core-count partitions while heavy ones
+    # (Expand x distinct aggregates, wide joins) keep enough reducers
+    # that per-task hash state fits in memory instead of spilling.
+    # Measured on COUNT(DISTINCT) ROLLUP at the 100x tier: 32 fixed
+    # reducers spill and swing 15-80 s run-to-run; 8x initial width
+    # is stable at a fraction of that (ROUND8_NOTES). This is the
+    # standard cluster discipline — initial width >> cores, AQE
+    # owns the runtime number.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+        str(8 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
     # never wait for data locality: the 3 s default stalls any task
     # whose preferred location can't be satisfied — measured as a flat
     # +3.4 s on every coalesce(1) metadata write in local mode, where

@@ -191,6 +191,24 @@ def timed_once(fn) -> float:
     return round(time.time() - t0, 3)
 
 
+def calibration(spark) -> float:
+    """Fixed pure-CPU probe (same shape as bench.py's): its median
+    travels with every tier's rows so machine drift between runs is
+    self-evident. NOTE it does not bracket DISK state — the heavy
+    distinct/shuffle rows move multi-GB spills through the shared
+    host disk and swing 3-5x run-to-run even at stable calibration
+    (measured on q_rollup_status @ sf10: 15-82 s across four clean-
+    calibration sessions, ROUND8 notes); read those rows as a range,
+    not a point."""
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 10_000_000, 1, 32).selectExpr(
+            "sum(id * 2) AS s", "count(*) AS n").collect()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     src = TIERS[0][1]
     if not os.path.isdir(src):
@@ -206,8 +224,12 @@ def main() -> None:
                         extra_conf={"spark.driver.memory": "32g"})
     queries = entrymod.queries()
     rows: dict[str, dict] = {}
+    cals: dict[str, float] = {}
     for name, sf_dir in TIERS:
         register_tables(spark, sf_dir)
+        cals[name] = calibration(spark)
+        print(f"# calibration @ {name}: {cals[name]}s",
+              file=sys.stderr)
         for q in QUERIES:
             if only and q not in only:
                 continue
@@ -236,6 +258,7 @@ def main() -> None:
                   **({"heavy": True} if q in HEAVY else {})}
     path = os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "SCALE100.json")
+    out["_calibration"] = cals
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
@@ -246,6 +269,8 @@ def main() -> None:
     print("| query | sf0.1 | 10x | 100x | r10 | r100 |")
     print("|---|---|---|---|---|---|")
     for q, v in out.items():
+        if q.startswith("_"):
+            continue
         print(f"| {q} | {v['sf0.1']} s | {v['sf1']} s | "
               f"{v['sf10']} s | {v['ratio_10x']}x | "
               f"{v['ratio_100x']}x |")
