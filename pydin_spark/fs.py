@@ -120,6 +120,23 @@ def replace_dir(spark: SparkSession, staging: str, live: str,
         delete(spark, backup, ignore_errors=True)
 
 
+def list_files(spark: SparkSession, path: str,
+               suffix: str = ".parquet") -> list[str]:
+    """Full paths of every ``suffix`` file under ``path`` (recursive,
+    Hadoop-FS walk — works on any scheme). Paths come back in the
+    filesystem's own (unencoded) form."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(suffix):
+            out.append(st.getPath().toString())
+    return out
+
+
 def tree_stats(spark: SparkSession, path: str,
                suffix: str = ".parquet") -> dict:
     """File count + byte size of every ``suffix`` file under ``path``

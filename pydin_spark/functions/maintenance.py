@@ -177,6 +177,17 @@ def zorder_key(df: DataFrame, cols: list[str],
         hi = stats[f"__max_{c}"]
         if lo is None or hi is None or hi == lo:
             continue  # all-NULL or constant: contributes nothing
+        if int(hi) - int(lo) >= 1 << 63:
+            # (v - min) runs in Spark LONG arithmetic: a span past
+            # the signed-64 range would WRAP under non-ANSI semantics
+            # and silently scramble the clustering (reads stay correct
+            # via the residual filter, but skipping quality dies) —
+            # refuse instead; rescale the column upstream
+            raise ValueError(
+                f"zorder_key column {c!r} spans [{lo}, {hi}] — "
+                f"max-min exceeds the signed 64-bit range, so the "
+                f"BIGINT normalization would wrap; rescale or bucket "
+                f"the column before layout")
         shift = max(0, int(hi - lo).bit_length() - bits)
         v = F.coalesce(F.col(c).cast("long"), F.lit(lo))
         scaled = F.shiftright(v - F.lit(lo), shift)
@@ -223,23 +234,55 @@ def prune_files(stats: DataFrame, ranges: dict) -> list[str]:
     predicate ``{col: (lo, hi)}`` (either bound may be None): a file
     survives iff every queried column's [min, max] overlaps [lo, hi].
     Driver-side over the files-count-sized stats frame — the
-    metadata-only skipping decision."""
+    metadata-only skipping decision.
+
+    Returned paths are URL-DECODED: ``input_file_name()`` (the stats
+    key) emits URI-encoded paths, and feeding ``%20``-style encodings
+    back to ``spark.read.parquet`` breaks on datasets whose path
+    contains URL-encodable characters (ADVICE r7)."""
+    from urllib.parse import unquote
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
             cond = cond & (F.col(f"{c}_max") >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(f"{c}_min") <= F.lit(hi))
-    return [r["file"] for r in stats.where(cond).select("file").collect()]
+    return [unquote(r["file"])
+            for r in stats.where(cond).select("file").collect()]
 
 
 def read_skipping(spark: SparkSession, path: str, stats: DataFrame,
-                  ranges: dict) -> DataFrame:
+                  ranges: dict, check_stats: bool = True) -> DataFrame:
     """Range query over a dataset with a stats frame: open ONLY the
     files :func:`prune_files` admits, then apply the exact residual
     predicate (skipping is a superset decision; the filter makes it
     exact — same result as a full scan, fraction of the I/O on a
-    Z-ordered layout)."""
+    Z-ordered layout).
+
+    ``check_stats`` (default on) guards the one invariant skipping
+    rests on: the stats frame must COVER the dataset. A file added
+    after :func:`file_stats` ran is invisible to pruning, so a stale
+    frame would silently DROP its rows from results (ADVICE r7). The
+    guard compares the stats' file-name set against a live directory
+    listing (one metadata walk, no data read) and raises on any
+    difference — rebuild stats after every rewrite/append. Pass
+    ``check_stats=False`` only where the caller already serializes
+    stats rebuilds with writes (e.g. a maintenance job that owns the
+    dataset)."""
+    from urllib.parse import unquote
+
+    from .. import fs as _fs
+    if check_stats:
+        known = {unquote(r["file"]).rsplit("/", 1)[-1]
+                 for r in stats.select("file").collect()}
+        live = {p.rsplit("/", 1)[-1]
+                for p in _fs.list_files(spark, path)}
+        if known != live:
+            raise ValueError(
+                f"stats frame is stale for {path}: "
+                f"{sorted(live - known)[:3]} on disk but unindexed, "
+                f"{sorted(known - live)[:3]} indexed but gone — "
+                f"rebuild file_stats() after every rewrite/append")
     files = prune_files(stats, ranges)
     if not files:
         return spark.read.parquet(path).where(F.lit(False))

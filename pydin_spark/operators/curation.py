@@ -1905,9 +1905,32 @@ def table_fingerprint(df: DataFrame, cols: list,
     position family is the same one the sketch oracles rebuild, so
     the fingerprint itself carries a value-exact oracle. Output:
     ([group_col], n_rows, fp).
+
+    Cross-engine contract (ADVICE r7): ``cols`` must be EXACT-typed —
+    int/long/decimal/string/boolean/date — because the canonical row
+    string is a string CAST, and float/double/timestamp formatting is
+    engine-specific (Spark prints ``1.0E-4`` where DuckDB prints
+    ``0.0001``; session zones bend timestamps), so fingerprints over
+    inexact columns would diverge between engines on identical data.
+    Inexact-typed columns are rejected here; canonicalize upstream
+    (cast to DECIMAL at a chosen scale, or to unix micros) and
+    fingerprint the canonical column — that cast IS part of the
+    cross-engine contract and must be applied on both sides.
     """
     if not cols:
         raise ValueError("table_fingerprint needs at least one column")
+    wanted = set(cols)
+    inexact = {f.name: f.dataType.simpleString() for f in df.schema
+               if f.name in wanted
+               and (f.dataType.simpleString() in ("float", "double")
+                    or f.dataType.simpleString().startswith("timestamp"))}
+    if inexact:
+        raise ValueError(
+            f"table_fingerprint got inexact-typed columns {inexact}: "
+            "their string form is engine-specific, so the fingerprint "
+            "would not reconcile across engines. Cast to DECIMAL / "
+            "unix micros upstream (on BOTH sides) and fingerprint "
+            "the canonical column.")
     canon = F.concat_ws(
         "\x1f", *[F.when(F.col(c).isNull(), F.lit("1"))
                   .otherwise(F.concat(F.lit("0"),

@@ -245,9 +245,89 @@ def parse_kafka_records(raw: DataFrame,
             .select("e.*"))
 
 
-def kafka_events(spark, brokers: str, topic: str, schema: str = EVENTS_DDL,
-                 starting_offsets: str = "latest") -> DataFrame:
+def kafka_reader_options(brokers: str, topic: str | None = None, *,
+                         subscribe_pattern: str | None = None,
+                         assign: str | None = None,
+                         starting_offsets: str = "latest",
+                         max_offsets_per_trigger: int | None = None,
+                         min_offsets_per_trigger: int | None = None,
+                         max_trigger_delay: str | None = None,
+                         fail_on_data_loss: bool = True,
+                         include_headers: bool = False,
+                         kafka_options: dict | None = None) -> dict:
+    """Assemble + validate the full production option surface of the
+    ``spark-sql-kafka-0-10`` source (VERDICT r7 item 6) — as a plain
+    dict, so the config contract is testable in environments without
+    the connector jar and a real broker works day-one.
+
+    - exactly ONE subscription mode: ``topic`` (comma-separated
+      ``subscribe``), ``subscribe_pattern``, or ``assign`` (JSON
+      topic→partition-list).
+    - ``starting_offsets``: ``"earliest"``/``"latest"`` or a JSON
+      per-partition offset map (validated to parse).
+    - rate limiting / backpressure: ``max_offsets_per_trigger`` caps a
+      micro-batch (the knob that keeps batch duration bounded when the
+      stream falls behind); ``min_offsets_per_trigger`` +
+      ``max_trigger_delay`` (e.g. ``"15m"``) batch small dribbles up
+      without unbounded latency.
+    - ``fail_on_data_loss=False`` tolerates aged-out offsets
+      (retention deletes) instead of killing the query.
+    - ``kafka_options``: passthrough for client configs (security
+      protocol, SASL, fetch sizes); keys are auto-prefixed with
+      ``kafka.`` when not already.
+    """
+    modes = {"subscribe": topic, "subscribePattern": subscribe_pattern,
+             "assign": assign}
+    chosen = {k: v for k, v in modes.items() if v}
+    if len(chosen) != 1:
+        raise ValueError("exactly one of topic / subscribe_pattern / "
+                         f"assign is required, got {sorted(chosen) or None}")
+    if starting_offsets not in ("earliest", "latest"):
+        import json as _json
+        try:
+            parsed = _json.loads(starting_offsets)
+            assert isinstance(parsed, dict)
+        except Exception:
+            raise ValueError(
+                "starting_offsets must be 'earliest', 'latest', or a "
+                f"JSON per-partition offset map; got {starting_offsets!r}")
+    if min_offsets_per_trigger is not None \
+            and max_offsets_per_trigger is not None \
+            and min_offsets_per_trigger > max_offsets_per_trigger:
+        raise ValueError("min_offsets_per_trigger must be <= "
+                         "max_offsets_per_trigger")
+    if max_trigger_delay is not None and not __import__("re").fullmatch(
+            r"\d+(ms|s|m|h)", max_trigger_delay):
+        raise ValueError("max_trigger_delay must look like '30s'/'15m'; "
+                         f"got {max_trigger_delay!r}")
+    opts = {"kafka.bootstrap.servers": brokers,
+            **chosen,
+            "startingOffsets": starting_offsets,
+            "failOnDataLoss": str(bool(fail_on_data_loss)).lower()}
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    if min_offsets_per_trigger is not None:
+        opts["minOffsetsPerTrigger"] = str(int(min_offsets_per_trigger))
+    if max_trigger_delay is not None:
+        opts["maxTriggerDelay"] = max_trigger_delay
+    if include_headers:
+        opts["includeHeaders"] = "true"
+    for k, v in (kafka_options or {}).items():
+        opts[k if k.startswith("kafka.") else f"kafka.{k}"] = str(v)
+    return opts
+
+
+def kafka_events(spark, brokers: str, topic: str | None = None,
+                 schema: str = EVENTS_DDL,
+                 starting_offsets: str = "latest",
+                 **reader_kwargs) -> DataFrame:
     """Kafka source → parsed events columns (value is JSON).
+
+    The full config surface — subscription modes, per-partition
+    starting offsets, maxOffsetsPerTrigger rate limiting,
+    minOffsetsPerTrigger/maxTriggerDelay backpressure, failOnDataLoss,
+    kafka.* client passthrough — is assembled and validated by
+    :func:`kafka_reader_options` (``**reader_kwargs`` forwards there).
 
     Requires the ``spark-sql-kafka-0-10`` connector on the JVM
     classpath (ship it via ``spark.jars.packages``); absent — as in
@@ -257,12 +337,11 @@ def kafka_events(spark, brokers: str, topic: str, schema: str = EVENTS_DDL,
     :func:`parse_kafka_records`, exercised end-to-end by the
     :func:`kafka_shaped_file_source` fake.
     """
+    opts = kafka_reader_options(brokers, topic,
+                                starting_offsets=starting_offsets,
+                                **reader_kwargs)
     try:
-        raw = (spark.readStream.format("kafka")
-               .option("kafka.bootstrap.servers", brokers)
-               .option("subscribe", topic)
-               .option("startingOffsets", starting_offsets)
-               .load())
+        raw = spark.readStream.format("kafka").options(**opts).load()
     except Exception as exc:  # noqa: BLE001 - dependency gate
         raise RuntimeError(
             "kafka streaming source needs the spark-sql-kafka-0-10 "

