@@ -1633,6 +1633,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_tfidf"] = _text_tfidf
     out["curation_split"] = _cur_split
 
+    def _dedup_best_survivor(spark, sf_dir):
+        # quality-aware cluster canonicalization: per near-dup
+        # cluster keep the HIGHEST-quality member (here quality =
+        # text length, the simplest deterministic score; production
+        # passes a model/filter score), ties to min id — the policy a
+        # scored training corpus actually wants, vs keep-min-id
+        _views(spark, sf_dir)
+        from pyspark.sql import functions as F
+        docs = spark.table("documents") \
+            .withColumn("q", F.length("text").cast("long"))
+        out_df = dedup.keep_best_survivor(docs, "q", threshold=0.2,
+                                          method="exact")
+        return out_df.select("doc_id", "lang", "source")
+
+    out["dedup_best_survivor"] = _dedup_best_survivor
+
     def _cur_mixture(spark, sf_dir):
         _views(spark, sf_dir)
         return curation.mixture_sample(
@@ -2239,6 +2255,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(scratch, ignore_errors=True)
 
     out["layout_skip_read"] = _layout_skip_read
+
+    def _layout_skip_stored(spark, sf_dir):
+        # the STORED stats path (StatsIndex family): the layout job
+        # rebuilds + commits the per-file stats once; the read session
+        # attaches the committed frame and serves the same rectangle —
+        # must hash-match the plain filtered aggregate exactly like
+        # layout_skip_read (one extra maintain() proves the sweep
+        # leaves the serving version intact)
+        import shutil
+        import tempfile
+        from pydin_spark.functions import maintenance as maint
+        _views(spark, sf_dir)
+        scratch = tempfile.mkdtemp(prefix="pydin_zsi_")
+        try:
+            ev = spark.table("events").select("event_id", "user_id",
+                                              "value")
+            maint.zorder_write(ev, scratch + "/z",
+                               ["user_id", "event_id"], n_files=8)
+            idx = maint.StatsIndex(scratch + "/stats",
+                                   ["user_id", "event_id"])
+            idx.rebuild(spark, scratch + "/z")
+            idx.rebuild(spark, scratch + "/z")  # version bump
+            idx.maintain(spark)                 # sweep the old one
+            got = idx.read_skipping(
+                spark, {"user_id": (3, 7), "event_id": (1000, 5000)})
+            return got.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["layout_skip_stored"] = _layout_skip_stored
 
     def _rollup_cms_grouped(spark, sf_dir):
         # per-language sketches in ONE build (group_cols): each
@@ -3765,6 +3815,46 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
     """
+    # quality-aware survivor: the clusters CTE + per-component argmax
+    # on length(text) (ties to min id), anti-joined back — mirrors
+    # keep_best_survivor's window policy exactly
+    out["dedup_best_survivor"] = """
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM shared
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE shared / (sa.sz + sb.sz - shared)
+                        >= CAST(0.2 AS DOUBLE)),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (SELECT a AS id, a AS r FROM edges
+                  UNION
+                  SELECT e.a AS id, reach.r AS r
+                  FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component
+                 FROM reach GROUP BY id),
+        ranked AS (SELECT c.doc_id,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY c.component
+                              ORDER BY length(d.text) DESC,
+                                       c.doc_id ASC) AS rn
+                   FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+        losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
     # semantic export order: the projection oracle expr feeds sign
     # buckets + the quantized first coordinate, composed into the
     # identical BIGINT key; rank/shard/pos = curriculum arithmetic
@@ -5018,6 +5108,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE user_id BETWEEN 3 AND 7
           AND event_id BETWEEN 1000 AND 5000
     """
+    # the stored-stats path answers the identical rectangle: the
+    # oracle IS the plain filtered aggregate (skipping + residual is
+    # result-invariant; the gate proves the COMMITTED stats serve it)
+    out["layout_skip_stored"] = out["layout_skip_read"]
     # grouped Count-Min: one sketch per language, rebuilt
     # cell-for-cell per group
     out["rollup_cms_grouped"] = f"""

@@ -293,3 +293,120 @@ def read_skipping(spark: SparkSession, path: str, stats: DataFrame,
         if hi is not None:
             df = df.where(F.col(c) <= F.lit(hi))
     return df
+
+
+class StatsIndex:
+    """File-stats skipping index as a stored-state family (ROADMAP
+    item 29): the per-file min/max frame :func:`file_stats` computes
+    is collected ONCE per layout rewrite and committed under a state
+    path; every reader session attaches the newest committed version
+    instead of re-scanning the dataset — at 100 TB the stats scan is
+    the expensive part, and it belongs to the (rare) layout job, not
+    to every query session.
+
+    Family discipline (shared with the other ten stored families via
+    :mod:`pydin_spark.operators.stored`): each :meth:`rebuild` lands a
+    ``data_{seq}_{batch}/`` stats frame first, then ONE commit row —
+    a crashed collector stays invisible; readers resolve the newest
+    committed seq. ``maintain()`` collapses the log and sweeps
+    unreferenced versions through the Hadoop-FS helper (any scheme).
+
+    Staleness is handled, not assumed: :meth:`read_skipping` keeps the
+    coverage guard ON by default — the committed stats must name
+    exactly the dataset's current files or the read raises (the
+    invariant is "rebuild after every rewrite"; the guard is one
+    metadata listing). The guard makes the stored index safe to share
+    across sessions that cannot see each other's writes.
+    """
+
+    def __init__(self, path: str, cols: list[str]):
+        if not cols:
+            raise ValueError("StatsIndex needs at least one column")
+        self.path = str(path).rstrip("/")
+        self.cols = list(cols)
+
+    # -- state plumbing (the shared commit-log contract) ---------------
+
+    def _newest(self, spark: SparkSession):
+        from ..operators.stored import has_commit_state
+        if not has_commit_state(spark, self.path):
+            return None
+        return (spark.read.parquet(f"{self.path}/commits")
+                .orderBy(F.col("seq").desc()).first())
+
+    # -- API -----------------------------------------------------------
+
+    def rebuild(self, spark: SparkSession, dataset_path: str) -> dict:
+        """Collect per-file min/max of ``cols`` over ``dataset_path``
+        (ONE column-pruned scan) and commit it as the new serving
+        version. Call from the same job that rewrites the layout."""
+        import json as _json
+        import uuid as _uuid
+
+        from ..operators.stored import next_seq
+        batch = _uuid.uuid4().hex[:12]
+        seq = next_seq(spark, self.path)
+        frame = file_stats(spark, dataset_path, self.cols)
+        loc = f"{self.path}/data_{seq}_{batch}"
+        frame.repartition(1).write.mode("errorifexists").parquet(loc)
+        n = spark.read.parquet(loc).count()
+        spark.createDataFrame(
+            [(batch, int(seq), _json.dumps(self.cols), dataset_path)],
+            "batch string, seq long, cols_json string, "
+            "dataset_path string") \
+            .repartition(1).write.mode("append") \
+            .parquet(f"{self.path}/commits")
+        spark.catalog.refreshByPath(f"{self.path}/commits")
+        return {"seq": seq, "files_indexed": n}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The newest committed stats frame (files-count-sized)."""
+        row = self._newest(spark)
+        if row is None:
+            raise ValueError(f"no committed stats under {self.path}; "
+                             "rebuild() first")
+        return spark.read.parquet(
+            f"{self.path}/data_{row['seq']}_{row['batch']}")
+
+    def read_skipping(self, spark: SparkSession, ranges: dict,
+                      check_stats: bool = True) -> DataFrame:
+        """Range query over the indexed dataset via the committed
+        stats — :func:`read_skipping` with the stored frame and the
+        dataset path recorded at rebuild time."""
+        row = self._newest(spark)
+        if row is None:
+            raise ValueError(f"no committed stats under {self.path}; "
+                             "rebuild() first")
+        stats = spark.read.parquet(
+            f"{self.path}/data_{row['seq']}_{row['batch']}")
+        return read_skipping(spark, row["dataset_path"], stats, ranges,
+                             check_stats=check_stats)
+
+    def maintain(self, spark: SparkSession) -> dict:
+        """Collapse the commit log to the newest version and sweep
+        unreferenced/crashed version dirs (log rewrite FIRST, same
+        sequencing as every family). Hadoop-FS routed — any scheme."""
+        import uuid as _uuid
+
+        from .. import fs
+        row = self._newest(spark)
+        if row is None:
+            return {"kept": 0, "deleted": 0}
+        live = f"data_{row['seq']}_{row['batch']}"
+        tmp = f"{self.path}/commits_next_{_uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(
+            [(row["batch"], int(row["seq"]), row["cols_json"],
+              row["dataset_path"])],
+            "batch string, seq long, cols_json string, "
+            "dataset_path string") \
+            .repartition(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(spark, f"{self.path}/commits")
+        fs.rename(spark, tmp, f"{self.path}/commits")
+        spark.catalog.refreshByPath(f"{self.path}/commits")
+        deleted = 0
+        for name in fs.listdir(spark, self.path):
+            if name.startswith("data_") and name != live:
+                fs.delete(spark, f"{self.path}/{name}",
+                          ignore_errors=True)
+                deleted += 1
+        return {"kept": 1, "deleted": deleted}

@@ -768,6 +768,52 @@ def dup_clusters(df: DataFrame, id_col: str = "doc_id",
     return comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def keep_best_survivor(df: DataFrame, quality_col: str,
+                       id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       threshold: float = 0.5,
+                       max_shingle_freq: int | None = 100,
+                       method: str = "auto",
+                       auto_minhash_above: int = 100_000) -> DataFrame:
+    """Quality-aware corpus scrub: one survivor per transitive
+    near-duplicate cluster — the member with the HIGHEST
+    ``quality_col`` (ties break to the minimum id, so the result is
+    deterministic). :func:`drop_near_dups` keeps the lowest id, which
+    is arbitrary; a training-data pipeline that has already scored
+    documents (Gopher/C4 filters, model-based quality) wants the
+    boilerplate-ridden copies dropped and the cleanest copy kept —
+    this is that policy. Documents in no near-dup pair pass through
+    untouched.
+
+    Scale shape: pair generation is the chosen tier's (LSH-banded
+    above ``auto_minhash_above``, same as :func:`drop_near_dups`),
+    the transitive closure is :func:`connected_components`'
+    pointer-jumped min-label rounds, and the selection itself is ONE
+    row_number window per cluster over the cluster-membership frame
+    (clusters-sized, not corpus-sized) + one anti-join back.
+    """
+    if quality_col not in df.columns:
+        raise ValueError(f"quality column {quality_col!r} not in "
+                         f"frame columns {df.columns}")
+    if method == "auto":
+        method = ("minhash" if df.count() > auto_minhash_above
+                  else "exact")
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n,
+                                  threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                    max_shingle_freq)
+    comp = connected_components(pairs, "id_a", "id_b", id_col)
+    from pyspark.sql import Window
+    ranked = comp.join(df.select(id_col, quality_col), id_col)
+    w = (Window.partitionBy("component")
+         .orderBy(F.col(quality_col).desc(), F.col(id_col).asc()))
+    losers = (ranked.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") > 1).select(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.5,

@@ -85,3 +85,80 @@ def test_bucket_cap_validates(spark):
     docs = _bomb(spark, n_bomb=0)
     with pytest.raises(ValueError, match="max_bucket_size"):
         minhash_lsh_pairs(docs, max_bucket_size=1).count()
+
+
+def test_keep_best_survivor_quality_argmax(spark):
+    """Per transitive cluster, the HIGHEST-quality member survives
+    (ties to min id); singletons pass through untouched."""
+    from pydin_spark.operators.dedup import keep_best_survivor
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base + " one", 5), (2, base + " two", 9),   # cluster A
+         (3, base + " six", 9),                           # ties w/ 2
+         (10, "totally different prose about something else entirely "
+              "unrelated words", 1),                      # singleton
+         (20, "one two three four five six seven eight nine", 7),
+         (21, "one two three four five six seven eight ten", 3)],
+        "doc_id long, text string, q long")
+    out = keep_best_survivor(docs, "q", threshold=0.3, method="exact",
+                             max_shingle_freq=None)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # cluster {1,2,3}: q=9 tie between 2 and 3 -> min id 2 wins;
+    # cluster {20,21}: 20 (q=7) beats 21; singleton 10 untouched
+    assert kept == [2, 10, 20]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quality column"):
+        keep_best_survivor(docs, "nope")
+
+
+# ---- StatsIndex: file-stats skipping as a stored family (ROADMAP 29) ----
+
+@pytest.fixture(params=["plain", "file_uri"])
+def si_root(tmp_path, request):
+    p = str(tmp_path)
+    return f"file://{p}" if request.param == "file_uri" else p
+
+
+def test_stats_index_lifecycle(spark, si_root):
+    from pydin_spark.functions.maintenance import StatsIndex, zorder_write
+    ds = f"{si_root}/ds"
+    df = spark.range(200).selectExpr("id AS x", "id * 2 AS y")
+    zorder_write(df, ds, ["x"], n_files=4)
+    idx = StatsIndex(f"{si_root}/stats", ["x"])
+    with pytest.raises(ValueError, match="rebuild"):
+        idx.read(spark)
+    r = idx.rebuild(spark, ds)
+    assert r["seq"] == 0 and r["files_indexed"] == 4
+    got = idx.read_skipping(spark, {"x": (50, 59)})
+    assert sorted(x["x"] for x in got.collect()) == list(range(50, 60))
+    # rewrite the layout -> stale committed stats must REFUSE to serve
+    zorder_write(df.where("x < 100"), ds, ["x"], n_files=2)
+    spark.catalog.refreshByPath(ds)
+    with pytest.raises(ValueError, match="stale"):
+        idx.read_skipping(spark, {"x": (50, 59)}).collect()
+    # rebuild-after-rewrite is the contract; serving resumes exactly
+    assert idx.rebuild(spark, ds)["seq"] == 1
+    got = idx.read_skipping(spark, {"x": (50, 59)})
+    assert sorted(x["x"] for x in got.collect()) == list(range(50, 60))
+    # maintain collapses to the newest version and sweeps the old
+    assert idx.maintain(spark) == {"kept": 1, "deleted": 1}
+    assert idx.read(spark).count() == 2
+    got = idx.read_skipping(spark, {"x": (50, 59)})
+    assert got.count() == 10
+
+
+def test_stats_index_crashed_collector_invisible(spark, si_root):
+    from pydin_spark.functions.maintenance import StatsIndex, zorder_write
+    ds = f"{si_root}/ds"
+    zorder_write(spark.range(50).selectExpr("id AS x"), ds, ["x"],
+                 n_files=2)
+    idx = StatsIndex(f"{si_root}/stats", ["x"])
+    idx.rebuild(spark, ds)
+    # a collector that died after writing its frame but BEFORE the
+    # commit row: files exist, attach never serves them
+    spark.range(1).selectExpr("'ghost' AS file", "id AS x_min",
+                              "id AS x_max") \
+        .write.parquet(f"{si_root}/stats/data_99_deadbeef")
+    assert idx.read(spark).where("file = 'ghost'").count() == 0
+    assert idx.maintain(spark)["deleted"] == 1  # orphan swept
+    assert idx.read(spark).count() == 2

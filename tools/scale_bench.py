@@ -168,6 +168,7 @@ EXTRA = [
     # (synthetic row — scale variant only; correctness is pytest-
     # pinned in tests/test_r10_operators.py)
     "dedup_lsh_bomb",
+    "dedup_best_survivor",
     # round 9 second pass: CMS sketch family + Z-order layout key +
     # the skipping read it buys (synthetic row: absolute-size
     # rectangle against the z-layout — expected ratio ~1)
@@ -687,6 +688,7 @@ LINEAR_OK = {
     "icws_lsh_pairs",           # banded candidates, pair-density bound
     "icws_lsh_zipf",            # same substrate under the Zipf head
     "dedup_lsh_bomb",           # bucket cap sheds the slab; sig-linear
+    "dedup_best_survivor",      # dup_clusters substrate + one window
     "rollup_cms",               # shingle explode x depth + cell agg
     "rollup_cms_query",         # build + depth broadcast probe joins
     "layout_zorder_key",        # pure scan + K-row min/max agg
