@@ -1542,6 +1542,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_ngram_jaccard"] = _docs(
         lambda df: dedup.ngram_jaccard_pairs(df, threshold=0.2,
                                              max_shingle_freq=100))
+    # CMS-capped tier (ROADMAP 30): the hot-shingle cap served by a
+    # broadcast Count-Min probe instead of the exact df window — the
+    # posting lists are never shuffled for the cap; the oracle
+    # rebuilds the sketch cell-for-cell (md5 family) and applies the
+    # identical one-sided shed
+    out["dedup_jaccard_cms"] = _docs(
+        lambda df: dedup.ngram_jaccard_pairs_cms(
+            df, threshold=0.2, max_shingle_freq=100,
+            width=1024, depth=3))
     out["dedup_survivors"] = _docs(
         lambda df: dedup.drop_near_dups(df, threshold=0.5,
                                         max_shingle_freq=100))
@@ -5112,6 +5121,47 @@ def oracle_sql() -> dict[str, str]:
     # oracle IS the plain filtered aggregate (skipping + residual is
     # result-invariant; the gate proves the COMMITTED stats serve it)
     out["layout_skip_stored"] = out["layout_skip_read"]
+    # CMS-capped jaccard tier: the sketch rebuilt cell-for-cell over
+    # the distinct (doc, trigram) postings, every posting annotated
+    # with min-over-depth estimate, the one-sided shed applied, then
+    # the ordinary inverted-index pairs + exact jaccard
+    out["dedup_jaccard_cms"] = f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh_all AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                   FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        cells AS (SELECT j, CAST(({hex15}) % 1024 AS BIGINT) AS col_idx,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM (SELECT j, md5(shingle || '#' || j) AS m
+                        FROM sh_all, unnest([0, 1, 2]) AS u(j))
+                  GROUP BY 1, 2),
+        probe AS (SELECT DISTINCT shingle FROM sh_all),
+        pp AS (SELECT shingle, j,
+                      CAST(({hex15}) % 1024 AS BIGINT) AS pos
+               FROM (SELECT shingle, j, md5(shingle || '#' || j) AS m
+                     FROM probe, unnest([0, 1, 2]) AS u(j))),
+        est AS (SELECT pp.shingle,
+                       MIN(COALESCE(cells.cnt, 0)) AS est_df
+                FROM pp LEFT JOIN cells
+                  ON pp.j = cells.j AND pp.pos = cells.col_idx
+                GROUP BY pp.shingle),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN est e ON e.shingle = s.shingle
+               WHERE e.est_df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               shared / (sa.sz + sb.sz - shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE shared / (sa.sz + sb.sz - shared) >= 0.2
+    """
     # grouped Count-Min: one sketch per language, rebuilt
     # cell-for-cell per group
     out["rollup_cms_grouped"] = f"""

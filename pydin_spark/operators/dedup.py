@@ -169,6 +169,61 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.5,
+                            max_shingle_freq: int = 100,
+                            width: int = 1 << 12,
+                            depth: int = 3) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with the hot-shingle cap served by
+    a Count-Min sketch instead of the exact document-frequency window
+    (ROADMAP item 30). The exact cap pays ONE full shuffle of the
+    posting lists on the shingle key just to count them
+    (:func:`_capped_posting_lists`); here the df estimate is
+    ``depth`` BROADCAST joins against a fixed-size counter table
+    (:func:`~pydin_spark.operators.rollup.cms_query` — the sketch is
+    depth x width longs regardless of corpus), so the posting lists
+    reach the pair-enumeration join having never been shuffled for
+    the cap. At 100 TB that is the difference between two
+    corpus-sized exchanges and one.
+
+    Semantics: CMS estimates are one-sided (>= true df), so shedding
+    ``est > max_shingle_freq`` sheds a deterministic SUPERSET of the
+    exact cap's victims — strictly more conservative recall, same
+    safety direction as the cap itself (it is a recall knob, not a
+    correctness knob; pairs that survive carry their EXACT jaccard).
+    The sketch hash family is the md5-position one every sketch
+    oracle rebuilds, so the whole operator — collisions and all — is
+    oracle-reproducible. Shingles stay as strings here (the md5
+    family is cross-engine; the exact tier's xxhash64 substrate is
+    not), trading shuffle bytes for verifiability; at production
+    scale prefer the exact tier's hashed substrate when the df
+    aggregate is affordable, this tier when it is not.
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    """
+    from .rollup import cms_build, cms_query
+    shingles = word_shingles(df, id_col, text_col, n,
+                             hashed=False).persist()
+    cms = cms_build(shingles, "shingle", width=width, depth=depth)
+    est = cms_query(shingles, cms, "shingle", width=width, depth=depth,
+                    out_col="__est_df")
+    capped = est.where(F.col("__est_df") <= max_shingle_freq) \
+        .drop("__est_df").persist()
+    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    shared = _shared_shingle_pairs(capped, id_col)
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("shared")
+                        / (F.col("sz_a") + F.col("sz_b")
+                           - F.col("shared")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            threshold: float = 0.5,

@@ -162,3 +162,48 @@ def test_stats_index_crashed_collector_invisible(spark, si_root):
     assert idx.read(spark).where("file = 'ghost'").count() == 0
     assert idx.maintain(spark)["deleted"] == 1  # orphan swept
     assert idx.read(spark).count() == 2
+
+
+# ---- CMS-capped jaccard tier (ROADMAP 30) ----
+
+def test_jaccard_cms_exact_when_sketch_wide(spark):
+    """With a sketch wide enough that no two shingles collide, the
+    CMS estimate IS the exact document frequency, so the CMS-capped
+    tier must equal the exact-capped tier bit-for-bit (same shed set,
+    same sizes, same jaccard values)."""
+    from pydin_spark.operators.dedup import (ngram_jaccard_pairs,
+                                             ngram_jaccard_pairs_cms)
+    docs = _bomb(spark, n_bomb=40)  # boilerplate slab + genuine pairs
+    exact = {tuple(r) for r in
+             ngram_jaccard_pairs(docs, threshold=0.3,
+                                 max_shingle_freq=30).collect()}
+    wide = {tuple(r) for r in
+            ngram_jaccard_pairs_cms(docs, threshold=0.3,
+                                    max_shingle_freq=30,
+                                    width=1 << 17, depth=3).collect()}
+    assert wide == exact and len(exact) >= 3
+
+
+def test_jaccard_cms_narrow_sheds_conservatively(spark):
+    """A narrow sketch overestimates (one-sided), so it sheds a
+    SUPERSET of the exact cap's victims — the run completes and every
+    surviving pair's jaccard is still exact over its capped sets."""
+    from pydin_spark.operators.dedup import ngram_jaccard_pairs_cms
+    docs = _bomb(spark, n_bomb=40)
+    got = ngram_jaccard_pairs_cms(docs, threshold=0.3,
+                                  max_shingle_freq=30,
+                                  width=64, depth=2)
+    rows = got.collect()
+    assert all(0.3 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_jaccard_cms_plan_has_no_window_exchange(spark):
+    """The point of the tier: the df cap costs broadcast probes, not
+    a posting-list shuffle — the plan must contain no Window operator
+    (the exact tier's cap mechanism) and must broadcast the sketch."""
+    from pydin_spark.operators.dedup import ngram_jaccard_pairs_cms
+    from tests.test_plans import plan_of
+    docs = _bomb(spark, n_bomb=0)
+    plan = plan_of(ngram_jaccard_pairs_cms(docs, threshold=0.3))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

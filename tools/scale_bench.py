@@ -169,6 +169,7 @@ EXTRA = [
     # pinned in tests/test_r10_operators.py)
     "dedup_lsh_bomb",
     "dedup_best_survivor",
+    "dedup_jaccard_cms",
     # round 9 second pass: CMS sketch family + Z-order layout key +
     # the skipping read it buys (synthetic row: absolute-size
     # rectangle against the z-layout — expected ratio ~1)
@@ -689,6 +690,7 @@ LINEAR_OK = {
     "icws_lsh_zipf",            # same substrate under the Zipf head
     "dedup_lsh_bomb",           # bucket cap sheds the slab; sig-linear
     "dedup_best_survivor",      # dup_clusters substrate + one window
+    "dedup_jaccard_cms",        # broadcast-CMS cap, postings unshuffled
     "rollup_cms",               # shingle explode x depth + cell agg
     "rollup_cms_query",         # build + depth broadcast probe joins
     "layout_zorder_key",        # pure scan + K-row min/max agg
