@@ -74,6 +74,18 @@ def fleet(spark, tmp_path_factory, request):
     sb.refresh(ev.where("event_id % 2 = 0"))
     sb.refresh(ev)
 
+    from pydin_spark.functions.maintenance import StatsIndex
+    from pydin_spark.operators.buckets import StoredBuckets
+
+    sbk = StoredBuckets(f"{base}/sbk", "event_id", buckets=2)
+    sbk.stage(ev.select("event_id", "user_id", "value"))
+    sbk.stage(ev.select("event_id", "user_id", "value"))  # stale v0
+
+    si = StatsIndex(f"{base}/si", ["event_id"])
+    ev.select("event_id", "value").write.parquet(f"{base}/si_ds")
+    si.rebuild(spark, f"{base}/si_ds")
+    si.rebuild(spark, f"{base}/si_ds")  # stale v0 for the sweep
+
     ivf = IVFIndex(f"{base}/ivf", nlist=4, max_iter=2,
                    keep_versions=1)
     ivf.build(emb.where("vec_id < 60"))
@@ -88,7 +100,8 @@ def fleet(spark, tmp_path_factory, request):
         f.write("crashed build leftovers")
 
     return {"root": root, "dd": dd, "ld": ld, "cr": cr, "hh": hh,
-            "sb": sb, "ivf": ivf, "docs": docs, "ev": ev, "emb": emb}
+            "sb": sb, "ivf": ivf, "sbk": sbk, "si": si,
+            "docs": docs, "ev": ev, "emb": emb}
 
 
 @pytest.fixture(scope="module")
@@ -102,6 +115,8 @@ def swept(spark, fleet):
         "hh": canon(fleet["hh"].serve(spark, k=5)),
         "sb": canon(fleet["sb"].serve(spark)),
         "ivf_vid": fleet["ivf"].meta(spark)["vid"],
+        "sbk": canon(fleet["sbk"].attach(spark, "sbk_sweep_t")),
+        "si": canon(fleet["si"].read(spark)),
     }
     results = {}
 
@@ -109,7 +124,7 @@ def swept(spark, fleet):
         res = maintain_states(
             spark,
             [fleet["dd"], fleet["ld"], fleet["cr"], fleet["hh"],
-             fleet["sb"], fleet["ivf"]],
+             fleet["sb"], fleet["ivf"], fleet["sbk"], fleet["si"]],
             max_files=0, checkpoint_above=1)
         results.update(res)
         run["data"] = {k: "error" not in str(v) for k, v in res.items()}
@@ -122,12 +137,29 @@ def swept(spark, fleet):
     return before, results
 
 
-def test_sweep_covers_all_six_families_without_errors(swept):
+def test_sweep_covers_all_eight_families_without_errors(swept):
     _, results = swept
-    assert len(results) == 6
+    assert len(results) == 8
     errs = {k: v for k, v in results.items()
             if isinstance(v, dict) and "error" in v}
     assert not errs, errs
+
+
+def test_buckets_and_stats_index_identical_across_sweep(spark, fleet,
+                                                        swept):
+    """The two round-10 families under the SAME scheduler sweep: the
+    commit logs collapse to one version, stale dirs are swept, and
+    the served results are bit-identical."""
+    before, results = swept
+    assert results[f"StoredBuckets[{fleet['sbk'].path}]"] \
+        == {"kept": 1, "deleted": 1}
+    assert results[f"StatsIndex[{fleet['si'].path}]"] \
+        == {"kept": 1, "deleted": 1}
+    assert canon(fleet["sbk"].attach(spark, "sbk_sweep_t2")) \
+        == before["sbk"]
+    assert canon(fleet["si"].read(spark)) == before["si"]
+    for t in ("sbk_sweep_t", "sbk_sweep_t2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_line_dedup_orphan_swept_and_commit_log_collapsed(
