@@ -113,12 +113,13 @@ def main() -> None:
     # doubling every number, as happened to the r5 driver bench) is
     # self-evident: compare calibration_sec across BENCH files before
     # reading anything into the query deltas.
-    cal_samples = []
-    for _ in range(reps):
+    def _probe() -> float:
         t0 = time.time()
         spark.range(0, 10_000_000, 1, 32).selectExpr(
             "sum(id * 2) AS s", "count(*) AS n").collect()
-        cal_samples.append(round(time.time() - t0, 3))
+        return round(time.time() - t0, 3)
+
+    cal_samples = [_probe() for _ in range(reps)]
     calibration = round(statistics.median(cal_samples), 3)
     print(f"# calibration: median {calibration}s of {cal_samples}",
           file=sys.stderr)
@@ -133,22 +134,41 @@ def main() -> None:
     print(f"# bucketed staging (one-time): {staging_sec}s",
           file=sys.stderr)
     _hygiene(spark)
-    timings: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        samples = []
-        n = 0
-        for _ in range(reps):
+    # Round-robin reps (VERDICT r8 #5): rep k of EVERY query runs
+    # before rep k+1 of any — a degraded host window now smears evenly
+    # across the whole set instead of concentrating inside whichever
+    # two queries were being sampled when the machine loaded up (the
+    # exact artifact that made BENCH_r08's two dedup medians 9x their
+    # code speed). One calibration probe per pass records the drift
+    # timeline alongside.
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    cal_by_pass: list[float] = []
+    for rep in range(reps):
+        for name in HEADLINE:
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            samples.append(round(time.time() - t0, 3))
+            rows[name] = queries[name](spark, sf_dir).count()
+            raw[name].append(round(time.time() - t0, 3))
             _hygiene(spark)
-        raw[name] = samples
-        timings[name] = round(statistics.median(samples), 3)
-        print(f"# {name}: {n} rows, median {timings[name]}s of {samples}",
-              file=sys.stderr)
+        cal_by_pass.append(_probe())
+        print(f"# pass {rep + 1}/{reps} done, calibration "
+              f"{cal_by_pass[-1]}s", file=sys.stderr)
+    timings = {name: round(statistics.median(raw[name]), 3)
+               for name in HEADLINE}
+    for name in HEADLINE:
+        print(f"# {name}: {rows[name]} rows, median {timings[name]}s "
+              f"of {raw[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # calibration-normalized total (VERDICT r8 #5): scale to the
+    # all-time-best recorded calibration window (BENCH_r07, 0.094 s)
+    # so rounds measured on a loaded host stay comparable. Linear
+    # scaling is an approximation — read it next to the raw total and
+    # the per-pass calibration timeline, never instead of them.
+    cal_all = cal_samples + cal_by_pass
+    cal_median = round(statistics.median(cal_all), 3)
+    ref_cal = 0.094
+    normalized = (round(total * ref_cal / cal_median, 3)
+                  if cal_median > 0 else total)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -156,8 +176,11 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "raw": raw,
-        "calibration_sec": calibration,
+        "calibration_sec": cal_median,
         "calibration_raw": cal_samples,
+        "calibration_by_pass": cal_by_pass,
+        "calibration_ref_sec": ref_cal,
+        "normalized_total_sec": normalized,
         "staging_sec": staging_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
