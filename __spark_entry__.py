@@ -1242,6 +1242,53 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.9, num_hashes=32, bands=8)
 
 
+#: the boilerplate slab for the shed gate: 150 identical docs whose
+#: vocabulary ("zq<i>" tokens) is disjoint from the fixture corpus
+#: (asserted by tests/test_r11_operators.py), so their buckets hold
+#: exactly the 150 slab docs and every slab pair's EVERY band is
+#: oversized at cap=100 — deterministically shed, corpus untouched
+_SLAB_N = 150
+_SLAB_ID0 = 1_000_000
+_SLAB_TEXT = " ".join(f"zq{i}" for i in range(20))
+
+
+def _q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP dedup operating point with the production bucket
+    cap ON (VERDICT r8 #1): identical banding to ``dedup_minhash_lsh``
+    plus ``max_bucket_size=1000``. On the fixture corpora the largest
+    (band, bh) bucket holds <10 docs (audited by
+    tests/test_r11_operators.py::test_fixture_buckets_far_below_cap),
+    so the shed set is empty and the exact-Jaccard oracle applies
+    unchanged — while the benchmarked plan now carries the window
+    count that closes the O(b²) boilerplate degenerate case at corpus
+    scale. The cap FIRING with a non-empty shed is oracle-verified by
+    ``dedup_minhash_shed`` below."""
+    _views(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(spark.table("documents"),
+                                   threshold=0.9, num_hashes=32,
+                                   bands=8, max_bucket_size=1000)
+
+
+def _q_dedup_minhash_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-cap shed, oracle-verified NON-vacuously: the corpus plus
+    a 150-copy boilerplate slab (vocabulary-disjoint, so slab buckets
+    hold exactly 150 docs and no corpus bucket changes), capped at
+    100. Every slab band bucket exceeds the cap, so all 11,175
+    slab-internal pairs are deterministically shed (a pair survives
+    only if SOME colliding band is under-cap); cross pairs share no
+    shingles (jaccard 0 < 0.9); corpus pairs are untouched. The
+    oracle is therefore the exact-Jaccard pair set over the corpus
+    alone — the identical shed, applied in SQL."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    slab = (spark.range(_SLAB_N)
+            .select((F.lit(_SLAB_ID0) + F.col("id")).alias("doc_id"),
+                    F.lit(_SLAB_TEXT).alias("text")))
+    return dedup.minhash_lsh_pairs(docs.unionByName(slab),
+                                   threshold=0.9, num_hashes=32,
+                                   bands=8, max_bucket_size=100)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded candidates + exact hamming verify at its real
     operating point (h <= 3). ``hash_fn='md5'`` (60-bit md5-prefix token
@@ -1555,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda df: dedup.drop_near_dups(df, threshold=0.5,
                                         max_shingle_freq=100))
     out["dedup_minhash_lsh"] = _q_dedup_minhash
+    out["dedup_minhash_capped"] = _q_dedup_minhash_capped
+    out["dedup_minhash_shed"] = _q_dedup_minhash_shed
     out["dedup_simhash"] = _q_dedup_simhash
 
     def _emb_topk(spark, sf_dir):
@@ -3598,6 +3647,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE shared / (sa.sz + sb.sz - shared) >= CAST(0.9 AS DOUBLE)
     """
+    # - capped flagship (cap=1000): fixture buckets max out below 10
+    #   docs (pytest-audited), so the shed is empty and the capped
+    #   result IS the exact-Jaccard pair set — same oracle
+    out["dedup_minhash_capped"] = out["dedup_minhash_lsh"]
+    # - non-vacuous shed (cap=100 vs a 150-copy vocabulary-disjoint
+    #   slab): every slab pair's every band bucket is oversized, so
+    #   the 11,175 slab pairs are shed deterministically and cross
+    #   pairs verify at jaccard 0 — the oracle applies the identical
+    #   shed by scoring the corpus alone
+    out["dedup_minhash_shed"] = out["dedup_minhash_lsh"]
     # - simhash(md5) fully recomputed in SQL (candidates + hamming)
     out["dedup_simhash"] = _simhash_oracle_sql(max_hamming=3)
     # - probe-all LSH and full-probe IVF provably equal brute force

@@ -47,6 +47,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # round 11 (VERDICT r8 #1): the flagship LSH path with the
+    # production per-bucket cap ON — the benchmarked plan carries the
+    # window count that closes the O(b²) boilerplate degenerate case
+    "dedup_minhash_capped",
     "text_quality",
     "text_language_id",
     "sim_topk_bruteforce",
