@@ -73,3 +73,48 @@ def test_shed_drops_exactly_the_slab(spark, views, sf_dir):
 def test_capped_entry_is_in_bench_headline():
     import bench
     assert "dedup_minhash_capped" in bench.HEADLINE
+
+
+def test_nearest_ids_tie_contract():
+    """The vectorized IVF assignment (VERDICT r8 #2) must keep the
+    exact (distance, center id) ordering contract of the expression
+    fold it replaced — including duplicate-centroid ties straddling
+    the argpartition cut, where the audit falls back to a full stable
+    sort."""
+    import numpy as np
+
+    from pydin_spark.operators.similarity import _nearest_ids
+
+    # plain case: distinct distances
+    d = np.array([[3.0, 1.0, 2.0, 0.5, 4.0]])
+    assert _nearest_ids(d, 1).tolist() == [[3]]
+    assert _nearest_ids(d, 2).tolist() == [[3, 1]]
+    # ties broken by center id ascending
+    d = np.array([[2.0, 1.0, 1.0, 1.0, 5.0]])
+    assert _nearest_ids(d, 2).tolist() == [[1, 2]]
+    assert _nearest_ids(d, 1).tolist() == [[1]]
+    # adversarial: MANY duplicate distances so equal values straddle
+    # any 2n partition cut — compare against the reference full sort
+    rng = np.random.RandomState(7)
+    d = rng.randint(0, 3, size=(50, 40)).astype(np.float64)
+    for n in (1, 2, 3, 5):
+        ref = np.argsort(d, axis=1, kind="stable")[:, :n]
+        got = _nearest_ids(d, n)
+        assert got.tolist() == ref.tolist(), n
+
+
+def test_no_row_python_udf_in_package():
+    """VERDICT r8 #7: pyspark.sql.functions.udf (row-at-a-time
+    Python) must not appear anywhere in the package — Arrow-batched
+    pandas_udf / mapInPandas are the only Python execution paths."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "pydin_spark"
+    hits = []
+    for p in root.rglob("*.py"):
+        text = p.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if ("F.udf(" in line or "functions.udf(" in line) \
+                    and "pandas_udf" not in line:
+                hits.append(f"{p.name}:{i}")
+    assert not hits, hits
