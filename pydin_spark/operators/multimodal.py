@@ -6,10 +6,13 @@ pointers; Spark never interprets them). Decode/feature steps run as
 Arrow-batched ``mapInPandas`` so each task touches a bounded batch of
 payloads and the pipeline scales by partitioning alone.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
-environment — decode bodies are stubbed behind ``NotImplementedError``
-or a deterministic fake (``fake=True``), while the Spark-side plumbing
-(schema, batch iteration, partition sizing) is real and tested.
+The heavyweight codecs (PIL/librosa/ffmpeg) are NOT available in this
+environment. Baseline PNGs decode for real through a pure-stdlib
+codec (``_decode_png``: zlib inflate + filter reconstruction); other
+formats decode through PIL when installed, and otherwise raise the
+documented plug-point ``NotImplementedError`` (or run the
+deterministic ``fake=True`` path) — the Spark-side plumbing (schema,
+batch iteration, partition sizing) is real and tested either way.
 
 Pluggable-decoder seam: every real-path operator takes a ``decoder=``
 callable (payload ``bytes`` → pixel ``ndarray``, or for video
@@ -56,13 +59,157 @@ def read_assets(spark, path: str) -> DataFrame:
                  F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-row filter
+    reconstruction, PNG spec §9 and §13): 8-bit depth, color types 0
+    (grayscale, returns H×W), 2 (RGB, H×W×3), 4 (gray+alpha, H×W×2)
+    and 6 (RGBA, H×W×4), non-interlaced — the baseline every PNG
+    writer emits. This gives the real (``fake=False``) decode path a
+    zero-dependency in-container codec for the dominant image format;
+    PIL, when installed, still takes precedence and covers the rest
+    (interlace, palettes, 16-bit, JPEG, ...)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace:
+        raise NotImplementedError(
+            f"stdlib PNG path covers 8-bit ctype 0/2/4/6 "
+            f"non-interlaced; got depth={depth} ctype={ctype} "
+            f"interlace={interlace} — install PIL or pass decoder=")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: wrong decompressed size")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int32)
+        up = prev.astype(np.int32)
+        if ftype == 0:                      # None
+            cur = line
+        elif ftype == 2:                    # Up
+            cur = (line + up) & 0xFF
+        else:                               # Sub / Average / Paeth:
+            cur = np.empty(stride, dtype=np.int32)  # left-sequential
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = up[x]
+                if ftype == 1:              # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:            # Average
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:            # Paeth
+                    c = up[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        prev = cur.astype(np.uint8)
+        out[y] = prev
+    return out.reshape(h, w, channels) if channels > 1 \
+        else out.reshape(h, w)
+
+
+def encode_png(pixels, filters=(0,)) -> bytes:
+    """Pure-stdlib PNG encode — the write-side twin of
+    :func:`_decode_png` (8-bit gray/RGB/gray+alpha/RGBA,
+    non-interlaced): lets a pipeline materialize derived images
+    (resized thumbnails, rendered features) back into a standard
+    container with zero native dependencies. ``filters`` cycles per
+    row (PNG §9 types 0-4) — compression tuning on the write path,
+    and on the test path the way every reconstruction branch of the
+    decoder gets exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim not in (2, 3):
+        raise ValueError("pixels must be H×W or H×W×C")
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    try:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    except KeyError:
+        raise ValueError(f"unsupported channel count {ch}") from None
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y % len(filters)])
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:      # Sub
+            enc = (cur - left) & 0xFF
+        elif f == 2:      # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:      # Average
+            enc = (cur - (left + prev) // 2) & 0xFF
+        elif f == 4:      # Paeth
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            p = left + prev - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    return (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def _decode_image(payload: bytes, decoder=None):
     """Decode ``payload`` to a 2-D (or H×W×C) pixel ndarray.
 
     ``decoder`` is the pluggable seam — any picklable
     ``bytes -> ndarray`` callable. Without one, tries PIL (grayscale
-    decode); when PIL is absent from the environment this is the
-    documented plug-point error, not a silent fake.
+    decode); with PIL absent, baseline PNGs decode through the
+    stdlib codec (:func:`_decode_png`) so the real path works
+    in-container for the dominant format, and anything else raises
+    the documented plug-point error, never a silent fake.
     """
     if decoder is not None:
         return decoder(payload)
@@ -73,10 +220,13 @@ def _decode_image(payload: bytes, decoder=None):
         from PIL import Image
         return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
     except ImportError:
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png(payload)
         raise NotImplementedError(
-            "image decode requires PIL/opencv, not present in this "
-            "container; pass decoder= (bytes -> ndarray) to plug one "
-            "in — the surrounding plumbing is complete") from None
+            "image decode requires PIL/opencv for non-PNG formats "
+            "(neither present in this container); pass decoder= "
+            "(bytes -> ndarray) to plug one in — baseline PNGs "
+            "decode via the stdlib codec") from None
 
 
 def extract_features(assets: DataFrame, dim: int = 8,

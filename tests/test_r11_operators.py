@@ -103,6 +103,108 @@ def test_nearest_ids_tie_contract():
         assert got.tolist() == ref.tolist(), n
 
 
+def _encode_png(pixels, filters):
+    """Minimal test-side PNG writer: 8-bit, non-interlaced, one
+    explicit filter byte per row (the inverse transforms of the
+    decoder's §9 reconstruction, computed independently here so a
+    roundtrip failure points at whichever side is wrong)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:   # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:   # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:   # Average
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - (left + prev) // 2) & 0xFF
+        else:          # Paeth
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            p = left + prev - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_stdlib_png_decode_roundtrip_all_filters():
+    """The in-container REAL image decode (VERDICT r8 #8): random
+    grayscale and RGBA pixels roundtrip through the stdlib PNG codec
+    under every filter type, byte-exact."""
+    import numpy as np
+
+    from pydin_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    assert (_decode_png(_encode_png(gray, [0, 1, 2, 3, 4])
+                        ) == gray).all()
+    rgba = rng.randint(0, 256, size=(9, 7, 4), dtype=np.uint8)
+    assert (_decode_png(_encode_png(rgba, [4, 3, 2, 1, 0])
+                        ) == rgba).all()
+
+
+def test_extract_features_real_decode_on_png(spark):
+    """fake=False with NO injected decoder and NO PIL: baseline PNGs
+    decode through the stdlib codec inside the Arrow stage and the
+    features are the true per-chunk pixel means."""
+    import numpy as np
+
+    from pydin_spark.operators import multimodal
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    payload = _encode_png(px, [0, 1, 2, 3, 4])
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None)],
+        multimodal.ASSET_SCHEMA)
+    row = multimodal.extract_features(assets, dim=4,
+                                      fake=False).first()
+    expect = [float(c.mean()) for c in
+              np.array_split(px.ravel().astype(np.float64), 4)]
+    assert row["n_bytes"] == len(payload)
+    assert row["feature"] == pytest.approx(expect)
+
+    resized = multimodal.resize_images(assets, width=8, height=8,
+                                       fake=False).first()
+    # recompute the operator's nearest-neighbor index math independently
+    ri = (np.arange(8) * px.shape[0]) // 8
+    ci = (np.arange(8) * px.shape[1]) // 8
+    assert bytes(resized["payload"]) \
+        == px[np.ix_(ri, ci)].astype(np.uint8).tobytes()
+    assert resized["meta"]["width"] == 8
+
+
 def test_no_row_python_udf_in_package():
     """VERDICT r8 #7: pyspark.sql.functions.udf (row-at-a-time
     Python) must not appear anywhere in the package — Arrow-batched
