@@ -25,26 +25,28 @@ class AuditLog:
 
     def query(self, text: str, status: str, records: int | None = None,
               error: str | None = None, started: str | None = None) -> None:
-        self.history._exec(
-            "INSERT INTO pd_query_log (run_id, query_text, status, "
-            "start_date, end_date, records, error_text) "
-            "VALUES (?,?,?,?,?,?,?)",
-            (self.run_id, text, status, started or _now(), _now(),
-             records, error))
+        with self.history.lock:
+            self.history.db.insert(
+                "pd_query_log",
+                ["run_id", "query_text", "status", "start_date",
+                 "end_date", "records", "error_text"],
+                [self.run_id, text, status, started or _now(), _now(),
+                 records, error])
 
     def file(self, server: str, path: str, action: str, status: str,
              n_bytes: int | None = None) -> None:
-        self.history._exec(
-            "INSERT INTO pd_file_log (run_id, server, file_path, action, "
-            "status, start_date, bytes) VALUES (?,?,?,?,?,?,?)",
-            (self.run_id, server, path, action, status, _now(), n_bytes))
+        with self.history.lock:
+            self.history.db.insert(
+                "pd_file_log",
+                ["run_id", "server", "file_path", "action", "status",
+                 "start_date", "bytes"],
+                [self.run_id, server, path, action, status, _now(),
+                 n_bytes])
 
     def queries(self) -> list[dict]:
         with self.history.lock:
-            return [dict(r) for r in self.history.conn.execute(
-                "SELECT * FROM pd_query_log")]
+            return self.history.db.select("SELECT * FROM pd_query_log")
 
     def files(self) -> list[dict]:
         with self.history.lock:
-            return [dict(r) for r in self.history.conn.execute(
-                "SELECT * FROM pd_file_log")]
+            return self.history.db.select("SELECT * FROM pd_file_log")

@@ -37,19 +37,6 @@ NODE_TYPES = {
                  "FileManager", "Command")
 }
 
-DDL = """
-CREATE TABLE IF NOT EXISTS pd_pipeline_config (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    pipeline_name TEXT, job_id INTEGER, error_limit INTEGER
-);
-CREATE TABLE IF NOT EXISTS pd_node_config (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    pipeline_id INTEGER, seqno INTEGER, branch INTEGER DEFAULT 0,
-    node_type TEXT, node_config TEXT
-);
-"""
-
-
 def build_node(config: dict) -> _models.Model:
     conf = dict(config)
     node_type = conf.pop("node_type")
@@ -82,32 +69,35 @@ def pipeline_from_config(nodes: list, **pipeline_kwargs) -> Pipeline:
 def save_pipeline_config(history, pipeline_name: str, nodes: list,
                          job_id: int | None = None,
                          error_limit: int = 1) -> int:
-    """Persist a declarative pipeline into pd_pipeline_config/pd_node_config."""
-    history.conn.executescript(DDL)
-    cur = history._exec(
-        "INSERT INTO pd_pipeline_config (pipeline_name, job_id, error_limit)"
-        " VALUES (?,?,?)", (pipeline_name, job_id, error_limit))
-    pipeline_id = cur.lastrowid
-    for seq, item in enumerate(nodes):
-        branch_items = item if isinstance(item, list) else [item]
-        for b, conf in enumerate(branch_items):
-            conf = dict(conf)
-            node_type = conf.pop("node_type")
-            history._exec(
-                "INSERT INTO pd_node_config (pipeline_id, seqno, branch, "
-                "node_type, node_config) VALUES (?,?,?,?,?)",
-                (pipeline_id, seq, b if isinstance(item, list) else -1,
-                 node_type, json.dumps(conf)))
+    """Persist a declarative pipeline into pd_pipeline_config/pd_node_config
+    (tables created with the rest of the metadata schema — both the
+    sqlite and JDBC backends host them)."""
+    with history.lock:
+        pipeline_id = history.db.insert(
+            "pd_pipeline_config",
+            ["pipeline_name", "job_id", "error_limit"],
+            [pipeline_name, job_id, error_limit])
+        for seq, item in enumerate(nodes):
+            branch_items = item if isinstance(item, list) else [item]
+            for b, conf in enumerate(branch_items):
+                conf = dict(conf)
+                node_type = conf.pop("node_type")
+                history.db.insert(
+                    "pd_node_config",
+                    ["pipeline_id", "seqno", "branch", "node_type",
+                     "node_config"],
+                    [pipeline_id, seq,
+                     b if isinstance(item, list) else -1,
+                     node_type, json.dumps(conf)])
     return pipeline_id
 
 
 def load_pipeline_config(history, pipeline_id: int) -> list:
     """Load the node-config list previously saved for ``pipeline_id``."""
-    history.conn.executescript(DDL)
     with history.lock:
-        rows = [dict(r) for r in history.conn.execute(
+        rows = history.db.select(
             "SELECT * FROM pd_node_config WHERE pipeline_id = ? "
-            "ORDER BY seqno, branch", (pipeline_id,))]
+            "ORDER BY seqno, branch", (pipeline_id,))
     nodes: list = []
     by_seq: dict[int, list] = {}
     for row in rows:

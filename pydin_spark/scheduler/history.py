@@ -1,11 +1,22 @@
 """App-metadata store: schedule + run history tables.
 
-Parity target: reference ``pydin/db.py`` + ``db/sqlite.sql`` — a
-``schedule`` table describing jobs and a ``run_history`` table recording
-every run with the Q/W/S/R/D/E/C/T/U state machine
-(``db/sqlite.sql:6-36``, ``88-114``). Implemented on stdlib sqlite3 (the
-reference's default backend); the DDL is engine-agnostic so a JDBC
-database can host the same tables for a multi-node control plane.
+Parity target: reference ``pydin/db.py`` + ``db/sqlite.sql`` +
+``db/oracle.sql`` — a ``schedule`` table describing jobs and a
+``run_history`` table recording every run with the Q/W/S/R/D/E/C/T/U
+state machine (``db/sqlite.sql:6-36``, ``88-114``), hostable either in
+an embedded file DB or a shared RDBMS so a multi-node control plane
+can point every scheduler/CLI/REST process at the same metadata
+(reference ``pydin/db.py:16-48`` chooses sqlite vs Oracle from config).
+
+Two backends behind one facade:
+
+- sqlite3 (stdlib, the default): ``History(path)`` — single-node.
+- JDBC via the Spark driver JVM: ``History("jdbc:derby:...")`` or
+  ``History(url=..., spark=...)`` — the control plane lives in
+  whatever RDBMS the JDBC URL names (embedded Derby in tests; the
+  same code path speaks to Postgres/Oracle given their driver jar).
+  No extra Python driver is needed: the scheduler already owns a
+  SparkSession, and ``java.sql`` rides its JVM.
 """
 
 from __future__ import annotations
@@ -15,67 +26,252 @@ import json
 import sqlite3
 import threading
 
-DDL = """
-CREATE TABLE IF NOT EXISTS pd_schedule (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    job_name TEXT,
-    job_description TEXT,
-    status TEXT DEFAULT 'N',          -- Y active / N inactive
-    mday TEXT, hour TEXT, min TEXT, sec TEXT, wday TEXT, yday TEXT,
-    trigger_id INTEGER,
-    start_date TEXT, end_date TEXT,
-    environment TEXT, arguments TEXT, timeout INTEGER,
-    parallelism TEXT DEFAULT 'N',
-    rerun_interval INTEGER, rerun_limit INTEGER, rerun_days INTEGER,
-    sleep_period TEXT, wake_up_period TEXT,
-    email_list TEXT
-);
-CREATE TABLE IF NOT EXISTS pd_run_history (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    job_id INTEGER, run_mode TEXT,
-    run_tag REAL, run_date TEXT,
-    added TEXT, start_date TEXT, end_date TEXT,
-    status TEXT,                      -- Q W S R D E C T U
-    server TEXT, user TEXT, pid INTEGER,
-    error_list TEXT,
-    rerun_id INTEGER, rerun_seqno INTEGER,
-    rerun_times INTEGER, rerun_now TEXT, rerun_done TEXT,
-    trigger_run_id INTEGER,           -- run that fired this triggered run
-    deactivated TEXT,
-    data_dump TEXT                    -- JSON (reference used pickle)
-);
-CREATE TABLE IF NOT EXISTS pd_task_history (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    run_id INTEGER, task_name TEXT, status TEXT,
-    start_date TEXT, end_date TEXT,
-    records_read INTEGER, records_written INTEGER, records_error INTEGER,
-    result_value INTEGER, result_long TEXT
-);
-CREATE TABLE IF NOT EXISTS pd_step_history (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    run_id INTEGER, task_id INTEGER, step_name TEXT, step_type TEXT,
-    status TEXT, start_date TEXT, end_date TEXT,
-    records_read INTEGER, records_written INTEGER, records_error INTEGER,
-    result_value INTEGER, seconds REAL
-);
-CREATE TABLE IF NOT EXISTS pd_query_log (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    run_id INTEGER, query_text TEXT, status TEXT,
-    start_date TEXT, end_date TEXT, records INTEGER, error_text TEXT
-);
-CREATE TABLE IF NOT EXISTS pd_file_log (
-    id INTEGER PRIMARY KEY AUTOINCREMENT,
-    run_id INTEGER, server TEXT, file_path TEXT, action TEXT,
-    status TEXT, start_date TEXT, bytes INTEGER
-);
-CREATE TABLE IF NOT EXISTS pd_components (
-    id TEXT PRIMARY KEY,              -- SCHEDULER / RESTAPI
-    server_name TEXT, user_name TEXT, pid INTEGER, url TEXT,
-    debug TEXT, start_date TEXT, stop_date TEXT, status TEXT
-);
-INSERT OR IGNORE INTO pd_components(id) VALUES ('SCHEDULER');
-INSERT OR IGNORE INTO pd_components(id) VALUES ('RESTAPI');
-"""
+#: column model shared by both backends: (name, kind) where kind is
+#: one of id/int/real/text/key — each backend renders its own DDL from
+#: this, so the schema cannot drift between engines
+TABLES: dict[str, list[tuple[str, str]]] = {
+    "pd_schedule": [
+        ("id", "id"),
+        ("job_name", "text"), ("job_description", "text"),
+        ("status", "text"),               # Y active / N inactive
+        ("mday", "text"), ("hour", "text"), ("min", "text"),
+        ("sec", "text"), ("wday", "text"), ("yday", "text"),
+        ("trigger_id", "int"),
+        ("start_date", "text"), ("end_date", "text"),
+        ("environment", "text"), ("arguments", "text"),
+        ("timeout", "int"), ("parallelism", "text"),
+        ("rerun_interval", "int"), ("rerun_limit", "int"),
+        ("rerun_days", "int"),
+        ("sleep_period", "text"), ("wake_up_period", "text"),
+        ("email_list", "text"),
+    ],
+    "pd_run_history": [
+        ("id", "id"),
+        ("job_id", "int"), ("run_mode", "text"),
+        ("run_tag", "real"), ("run_date", "text"),
+        ("added", "text"), ("start_date", "text"), ("end_date", "text"),
+        ("status", "text"),               # Q W S R D E C T U
+        ("server", "text"), ("user", "text"), ("pid", "int"),
+        ("error_list", "text"),
+        ("rerun_id", "int"), ("rerun_seqno", "int"),
+        ("rerun_times", "int"), ("rerun_now", "text"),
+        ("rerun_done", "text"),
+        ("trigger_run_id", "int"),        # run that fired this one
+        ("deactivated", "text"),
+        ("data_dump", "text"),            # JSON (reference used pickle)
+    ],
+    "pd_task_history": [
+        ("id", "id"),
+        ("run_id", "int"), ("task_name", "text"), ("status", "text"),
+        ("start_date", "text"), ("end_date", "text"),
+        ("records_read", "int"), ("records_written", "int"),
+        ("records_error", "int"),
+        ("result_value", "int"), ("result_long", "text"),
+    ],
+    "pd_step_history": [
+        ("id", "id"),
+        ("run_id", "int"), ("task_id", "int"), ("step_name", "text"),
+        ("step_type", "text"), ("status", "text"),
+        ("start_date", "text"), ("end_date", "text"),
+        ("records_read", "int"), ("records_written", "int"),
+        ("records_error", "int"),
+        ("result_value", "int"), ("seconds", "real"),
+    ],
+    "pd_query_log": [
+        ("id", "id"),
+        ("run_id", "int"), ("query_text", "text"), ("status", "text"),
+        ("start_date", "text"), ("end_date", "text"),
+        ("records", "int"), ("error_text", "text"),
+    ],
+    "pd_file_log": [
+        ("id", "id"),
+        ("run_id", "int"), ("server", "text"), ("file_path", "text"),
+        ("action", "text"), ("status", "text"), ("start_date", "text"),
+        ("bytes", "int"),
+    ],
+    "pd_components": [
+        ("id", "key"),                    # SCHEDULER / RESTAPI
+        ("server_name", "text"), ("user_name", "text"), ("pid", "int"),
+        ("url", "text"), ("debug", "text"),
+        ("start_date", "text"), ("stop_date", "text"),
+        ("status", "text"),
+    ],
+    # declarative pipelines (config.py save/load_pipeline_config)
+    "pd_pipeline_config": [
+        ("id", "id"),
+        ("pipeline_name", "text"), ("job_id", "int"),
+        ("error_limit", "int"),
+    ],
+    "pd_node_config": [
+        ("id", "id"),
+        ("pipeline_id", "int"), ("seqno", "int"), ("branch", "int"),
+        ("node_type", "text"), ("node_config", "text"),
+    ],
+}
+
+#: columns carrying a DEFAULT on insert (both backends render it)
+_DEFAULTS = {("pd_schedule", "status"): "N",
+             ("pd_schedule", "parallelism"): "N"}
+
+
+class _SqliteBackend:
+    """stdlib sqlite3 — the reference's default engine."""
+
+    _TYPES = {"id": "INTEGER PRIMARY KEY AUTOINCREMENT",
+              "int": "INTEGER", "real": "REAL", "text": "TEXT",
+              "key": "TEXT PRIMARY KEY"}
+
+    def __init__(self, path: str = ":memory:"):
+        self.conn = sqlite3.connect(path, check_same_thread=False)
+        self.conn.row_factory = sqlite3.Row
+        for table, cols in TABLES.items():
+            defs = []
+            for name, kind in cols:
+                d = _DEFAULTS.get((table, name))
+                defs.append(f"{name} {self._TYPES[kind]}"
+                            + (f" DEFAULT '{d}'" if d else ""))
+            self.conn.execute(f"CREATE TABLE IF NOT EXISTS {table} "
+                              f"({', '.join(defs)})")
+        for comp in ("SCHEDULER", "RESTAPI"):
+            self.conn.execute(
+                "INSERT OR IGNORE INTO pd_components(id) VALUES (?)",
+                (comp,))
+        self.conn.commit()
+
+    def insert(self, table: str, cols, vals) -> int:
+        sql = (f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+               f"({', '.join('?' * len(cols))})")
+        cur = self.conn.execute(sql, list(vals))
+        self.conn.commit()
+        return cur.lastrowid
+
+    def update(self, table: str, sets: dict, where: str, params) -> None:
+        assign = ", ".join(f"{k} = ?" for k in sets)
+        self.conn.execute(f"UPDATE {table} SET {assign} WHERE {where}",
+                          [*sets.values(), *params])
+        self.conn.commit()
+
+    def delete(self, table: str, where: str, params) -> None:
+        self.conn.execute(f"DELETE FROM {table} WHERE {where}",
+                          list(params))
+        self.conn.commit()
+
+    def select(self, sql: str, params=()):
+        return [dict(r) for r in self.conn.execute(sql, list(params))]
+
+
+class _JdbcBackend:
+    """``java.sql`` over the driver JVM (py4j) — the shared-RDBMS
+    control plane (reference ``db/oracle.sql`` role). Identifiers are
+    created and addressed QUOTED-UPPERCASE so reserved column names
+    from the reference schema (``min``/``hour``/``sec``/``user``) stay
+    legal on strict engines, while unquoted references in fixed
+    queries (``status``, ``id``, ``job_id``) still resolve; result
+    keys are normalized to lowercase for dict parity with sqlite."""
+
+    _TYPES = {"id": "INTEGER GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+              "int": "BIGINT", "real": "DOUBLE",
+              "text": "VARCHAR(32000)",
+              "key": "VARCHAR(64) PRIMARY KEY"}
+
+    def __init__(self, url: str, spark=None, driver: str | None = None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                from ..session import get_session
+                spark = get_session("pydin-history")
+        self._jvm = spark._jvm
+        if driver:
+            self._jvm.java.lang.Class.forName(driver)
+        self.conn = self._jvm.java.sql.DriverManager.getConnection(url)
+        self.conn.setAutoCommit(True)
+        self._ensure_schema()
+
+    def _ensure_schema(self) -> None:
+        st = self.conn.createStatement()
+        try:
+            for table, cols in TABLES.items():
+                defs = []
+                for name, kind in cols:
+                    d = _DEFAULTS.get((table, name))
+                    defs.append(f'"{name.upper()}" {self._TYPES[kind]}'
+                                + (f" DEFAULT '{d}'" if d else ""))
+                try:
+                    st.executeUpdate(f"CREATE TABLE {table} "
+                                     f"({', '.join(defs)})")
+                except Exception as exc:  # table exists (Derby X0Y32)
+                    if "X0Y32" not in str(exc) \
+                            and "already exists" not in str(exc):
+                        raise
+            for comp in ("SCHEDULER", "RESTAPI"):
+                try:
+                    st.executeUpdate("INSERT INTO pd_components (\"ID\")"
+                                     f" VALUES ('{comp}')")
+                except Exception as exc:  # seeded already (dup key)
+                    if "23505" not in str(exc) \
+                            and "duplicate" not in str(exc).lower():
+                        raise
+        finally:
+            st.close()
+
+    def _bind(self, st, vals) -> None:
+        for i, v in enumerate(vals, start=1):
+            if isinstance(v, bool):
+                v = int(v)  # schema stores flags as ints/strings
+            st.setObject(i, v)
+
+    def insert(self, table: str, cols, vals) -> int:
+        q = ", ".join(f'"{c.upper()}"' for c in cols)
+        ph = ", ".join("?" * len(cols))
+        st = self.conn.prepareStatement(
+            f"INSERT INTO {table} ({q}) VALUES ({ph})",
+            self._jvm.java.sql.Statement.RETURN_GENERATED_KEYS)
+        try:
+            self._bind(st, vals)
+            st.executeUpdate()
+            rs = st.getGeneratedKeys()
+            rid = int(rs.getLong(1)) if rs.next() else 0
+            rs.close()
+            return rid
+        finally:
+            st.close()
+
+    def update(self, table: str, sets: dict, where: str, params) -> None:
+        assign = ", ".join(f'"{k.upper()}" = ?' for k in sets)
+        st = self.conn.prepareStatement(
+            f"UPDATE {table} SET {assign} WHERE {where}")
+        try:
+            self._bind(st, [*sets.values(), *params])
+            st.executeUpdate()
+        finally:
+            st.close()
+
+    def delete(self, table: str, where: str, params) -> None:
+        st = self.conn.prepareStatement(
+            f"DELETE FROM {table} WHERE {where}")
+        try:
+            self._bind(st, params)
+            st.executeUpdate()
+        finally:
+            st.close()
+
+    def select(self, sql: str, params=()):
+        st = self.conn.prepareStatement(sql)
+        try:
+            self._bind(st, params)
+            rs = st.executeQuery()
+            md = rs.getMetaData()
+            names = [md.getColumnLabel(i + 1).lower()
+                     for i in range(md.getColumnCount())]
+            out = []
+            while rs.next():
+                out.append({nm: rs.getObject(i + 1)
+                            for i, nm in enumerate(names)})
+            rs.close()
+            return out
+        finally:
+            st.close()
 
 
 def _now() -> str:
@@ -83,66 +279,67 @@ def _now() -> str:
 
 
 class History:
-    """Thread-safe facade over the metadata DB."""
+    """Thread-safe facade over the metadata DB.
 
-    def __init__(self, path: str = ":memory:"):
-        self.path = path
-        self.conn = sqlite3.connect(path, check_same_thread=False)
-        self.conn.row_factory = sqlite3.Row
-        self.conn.executescript(DDL)
+    ``History()`` / ``History(path)`` → sqlite3 (embedded default);
+    ``History("jdbc:...")`` / ``History(url=..., spark=...)`` → the
+    JDBC backend hosting the identical tables in a shared RDBMS.
+    """
+
+    def __init__(self, path: str = ":memory:", url: str | None = None,
+                 spark=None, driver: str | None = None):
+        if url is None and isinstance(path, str) \
+                and path.startswith("jdbc:"):
+            url, path = path, ":memory:"
+        self.path = url or path
+        self.db = (_JdbcBackend(url, spark, driver) if url
+                   else _SqliteBackend(path))
         self.lock = threading.Lock()
-
-    def _exec(self, sql: str, params=()):
-        with self.lock:
-            cur = self.conn.execute(sql, params)
-            self.conn.commit()
-            return cur
 
     # -- schedule -----------------------------------------------------------
     def add_job(self, job_name: str, **fields) -> int:
-        cols = ["job_name", *fields.keys()]
-        sql = (f"INSERT INTO pd_schedule ({', '.join(cols)}) VALUES "
-               f"({', '.join('?' * len(cols))})")
-        return self._exec(sql, [job_name, *fields.values()]).lastrowid
+        defaults = {k[1]: v for k, v in _DEFAULTS.items()
+                    if k[0] == "pd_schedule" and k[1] not in fields}
+        cols = ["job_name", *fields.keys(), *defaults.keys()]
+        vals = [job_name, *fields.values(), *defaults.values()]
+        with self.lock:
+            return self.db.insert("pd_schedule", cols, vals)
 
     def set_job(self, job_id: int, **fields) -> None:
-        sets = ", ".join(f"{k} = ?" for k in fields)
-        self._exec(f"UPDATE pd_schedule SET {sets} WHERE id = ?",
-                   [*fields.values(), job_id])
+        with self.lock:
+            self.db.update("pd_schedule", fields, "id = ?", [job_id])
 
     # -- components (reference db/sqlite.sql:207-221) -----------------------
     def set_component(self, comp_id: str, **fields) -> None:
-        sets = ", ".join(f"{k} = ?" for k in fields)
-        self._exec(f"UPDATE pd_components SET {sets} WHERE id = ?",
-                   [*fields.values(), comp_id])
+        with self.lock:
+            self.db.update("pd_components", fields, "id = ?", [comp_id])
 
     def component(self, comp_id: str):
         with self.lock:
-            row = self.conn.execute(
-                "SELECT * FROM pd_components WHERE id = ?",
-                (comp_id,)).fetchone()
-            return dict(row) if row else None
+            rows = self.db.select(
+                "SELECT * FROM pd_components WHERE id = ?", (comp_id,))
+        return rows[0] if rows else None
 
     def delete_job(self, job_id: int) -> None:
         """Remove the schedule row (reference hard delete,
         api.py:321-336); the run history rows stay — they are the
         audit trail, keyed by job_id, and the reference keeps them
         too (it deletes only from the schedule table)."""
-        self._exec("DELETE FROM pd_schedule WHERE id = ?", [job_id])
+        with self.lock:
+            self.db.delete("pd_schedule", "id = ?", [job_id])
 
     def jobs(self, active_only: bool = False):
         sql = "SELECT * FROM pd_schedule"
         if active_only:
             sql += " WHERE status = 'Y'"
         with self.lock:
-            return [dict(r) for r in self.conn.execute(sql)]
+            return self.db.select(sql)
 
     def job(self, job_id: int):
         with self.lock:
-            row = self.conn.execute(
-                "SELECT * FROM pd_schedule WHERE id = ?", (job_id,)
-            ).fetchone()
-        return dict(row) if row else None
+            rows = self.db.select(
+                "SELECT * FROM pd_schedule WHERE id = ?", (job_id,))
+        return rows[0] if rows else None
 
     # -- run history --------------------------------------------------------
     def add_run(self, job_id: int, status: str, run_tag: float,
@@ -150,23 +347,20 @@ class History:
                 **fields) -> int:
         cols = ["job_id", "status", "run_tag", "run_date", "added",
                 "data_dump", *fields.keys()]
-        vals = [job_id, status, run_tag, run_date or _now(), _now(),
-                json.dumps(data or {}), *fields.values()]
-        sql = (f"INSERT INTO pd_run_history ({', '.join(cols)}) VALUES "
-               f"({', '.join('?' * len(cols))})")
-        return self._exec(sql, vals).lastrowid
+        vals = [job_id, status, float(run_tag), run_date or _now(),
+                _now(), json.dumps(data or {}), *fields.values()]
+        with self.lock:
+            return self.db.insert("pd_run_history", cols, vals)
 
     def set_run(self, run_id: int, **fields) -> None:
-        sets = ", ".join(f"{k} = ?" for k in fields)
-        self._exec(f"UPDATE pd_run_history SET {sets} WHERE id = ?",
-                   [*fields.values(), run_id])
+        with self.lock:
+            self.db.update("pd_run_history", fields, "id = ?", [run_id])
 
     def run(self, run_id: int):
         with self.lock:
-            row = self.conn.execute(
-                "SELECT * FROM pd_run_history WHERE id = ?", (run_id,)
-            ).fetchone()
-        return dict(row) if row else None
+            rows = self.db.select(
+                "SELECT * FROM pd_run_history WHERE id = ?", (run_id,))
+        return rows[0] if rows else None
 
     def runs(self, job_id: int | None = None, status: str | None = None):
         sql, params = "SELECT * FROM pd_run_history WHERE 1=1", []
@@ -177,32 +371,36 @@ class History:
             sql += " AND status = ?"
             params.append(status)
         with self.lock:
-            return [dict(r) for r in self.conn.execute(sql, params)]
+            return self.db.select(sql, params)
 
     def running_count(self, job_id: int) -> int:
         with self.lock:
-            row = self.conn.execute(
+            rows = self.db.select(
                 "SELECT COUNT(*) AS n FROM pd_run_history "
                 "WHERE job_id = ? AND status IN ('Q','S','R')",
-                (job_id,)).fetchone()
-        return row["n"]
+                (job_id,))
+        return int(rows[0]["n"])
 
     # -- task/step metrics (populated from Pipeline.summary()) --------------
     def record_pipeline(self, run_id: int, pipeline) -> None:
         summary = pipeline.summary()
-        self._exec(
-            "INSERT INTO pd_task_history (run_id, task_name, status, "
-            "start_date, end_date, records_read, records_written, "
-            "records_error) VALUES (?,?,?,?,?,?,?,?)",
-            (run_id, summary["name"], summary["status"], _now(), _now(),
-             pipeline.records_read, pipeline.records_written,
-             pipeline.records_error))
-        for step in summary["steps"]:
-            self._exec(
-                "INSERT INTO pd_step_history (run_id, step_name, step_type,"
-                " status, records_read, records_written, records_error, "
-                "result_value, seconds) VALUES (?,?,?,?,?,?,?,?,?)",
-                (run_id, step["step"], step["step"].split(":")[1][:3].strip("]"),
-                 step["status"], step["records_read"],
-                 step["records_written"], step["records_error"],
-                 step["result_value"], step["seconds"]))
+        with self.lock:
+            self.db.insert(
+                "pd_task_history",
+                ["run_id", "task_name", "status", "start_date",
+                 "end_date", "records_read", "records_written",
+                 "records_error"],
+                [run_id, summary["name"], summary["status"], _now(),
+                 _now(), pipeline.records_read,
+                 pipeline.records_written, pipeline.records_error])
+            for step in summary["steps"]:
+                self.db.insert(
+                    "pd_step_history",
+                    ["run_id", "step_name", "step_type", "status",
+                     "records_read", "records_written",
+                     "records_error", "result_value", "seconds"],
+                    [run_id, step["step"],
+                     step["step"].split(":")[1][:3].strip("]"),
+                     step["status"], step["records_read"],
+                     step["records_written"], step["records_error"],
+                     step["result_value"], step["seconds"]])

@@ -89,10 +89,8 @@ def test_pipeline_metrics_into_history(spark, views, tmp_path):
                  spark=spark).run()
     hist.record_pipeline(run_id=11, pipeline=p)
     with hist.lock:
-        tasks = [dict(r) for r in hist.conn.execute(
-            "SELECT * FROM pd_task_history")]
-        steps = [dict(r) for r in hist.conn.execute(
-            "SELECT * FROM pd_step_history")]
+        tasks = hist.db.select("SELECT * FROM pd_task_history")
+        steps = hist.db.select("SELECT * FROM pd_step_history")
     assert tasks[0]["records_written"] == 5
     assert steps[0]["status"] == "D" and steps[0]["records_read"] == 5
 

@@ -1,11 +1,22 @@
 """Scheduler tests: cron matcher table, state machine, parallelism cap,
-triggers, rerun scan, timeout — reference core.py semantics."""
+triggers, rerun scan, timeout — reference core.py semantics. The whole
+module runs twice: once on the sqlite3 metadata backend and once on
+embedded Derby over JDBC (the shared-RDBMS control plane, VERDICT r8
+#3) — the autouse fixture rebinds this module's ``History``."""
 
+import sys
 import time
 
 import pytest
 
 from pydin_spark.scheduler import History, Scheduler, matches
+
+
+@pytest.fixture(autouse=True)
+def _metadata_backend(history_backend, monkeypatch):
+    if history_backend is not None:
+        monkeypatch.setattr(sys.modules[__name__], "History",
+                            history_backend)
 
 
 @pytest.mark.parametrize("period,unit,expected", [
