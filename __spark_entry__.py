@@ -1164,18 +1164,47 @@ _SB_STAGED: set = set()
 _SB_ATTACHED: dict = {}
 
 
+def _fact_bucket_count(spark: SparkSession, sf_dir: str,
+                       target_bytes: int = 256 * 1024 * 1024) -> int:
+    """Bucket count from STAGED DATA SIZE (VERDICT r8 #6), one shared
+    number for the co-bucketed fact pair: a power of two sized so the
+    LARGER table's buckets land near ``target_bytes`` (the ~256 MB
+    scan-task discipline), floored at the session parallelism so a
+    small fixture never under-fills the cluster, capped at 4096 so a
+    100 TB table gets ~4k multi-GB buckets rather than a catalog of
+    millions. Both tables MUST share the count — co-bucketing is what
+    makes the orderkey join exchange-free on both sides."""
+    import math
+    total = 0
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            total = max(total, sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet")))
+        elif os.path.exists(p):
+            total = max(total, os.path.getsize(p))
+    par = spark.sparkContext.defaultParallelism
+    need = max(1, math.ceil(total / target_bytes))
+    return min(4096, max(par, 2 ** math.ceil(math.log2(need))))
+
+
 def _staged_fact_buckets(spark: SparkSession, sf_dir: str):
     """Stage + attach (once per session+sf) and return the
     StoredBuckets pair for the fact-fact orderkey join shapes:
-    lineitem + orders, both bucketBy(32, orderkey), co-bucketed so
+    lineitem + orders, both bucketBy(n, orderkey) with the SAME
+    size-derived ``n`` (:func:`_fact_bucket_count`), co-bucketed so
     the join is exchange-free on BOTH sides. After this returns the
     catalog tables ``lineitem_sb`` / ``orders_sb`` serve the newest
     committed version for ``sf_dir``."""
     from pydin_spark.operators.buckets import StoredBuckets
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = f"/tmp/pydin_spark_state/buckets/{tag}"
-    li = StoredBuckets(f"{root}/lineitem", "l_orderkey", buckets=32)
-    od = StoredBuckets(f"{root}/orders", "o_orderkey", buckets=32)
+    n_buckets = _fact_bucket_count(spark, sf_dir)
+    li = StoredBuckets(f"{root}/lineitem", "l_orderkey",
+                       buckets=n_buckets)
+    od = StoredBuckets(f"{root}/orders", "o_orderkey",
+                       buckets=n_buckets)
     key = (spark.sparkContext.applicationId, root)
     if key not in _SB_STAGED:
         li.stage(spark.table("lineitem"))

@@ -110,14 +110,36 @@ def replace_dir(spark: SparkSession, staging: str, live: str,
     leaves the ``.__old__`` backup recoverable on disk (and the next
     maintenance sweep removes it)."""
     backup = live.rstrip("/") + ".__old__"
-    if exists(spark, backup):  # crashed prior swap: clear the way
-        delete(spark, backup)
+    if exists(spark, backup):
+        if exists(spark, live):
+            # prior swap completed, only its sweep crashed: clear it
+            delete(spark, backup)
+        else:
+            # crashed BETWEEN the two renames: the backup is the only
+            # copy — restore it, never destroy it (ADVICE r8: a swap
+            # crash must leave the old or new tree resolvable)
+            rename(spark, backup, live)
     had_live = exists(spark, live)
     if had_live:
         rename(spark, live, backup)
     rename(spark, staging, live)
     if had_live and not keep_backup:
         delete(spark, backup, ignore_errors=True)
+
+
+def heal_replaced_dir(spark: SparkSession, live: str) -> bool:
+    """Reader-side recovery for a :func:`replace_dir` that crashed
+    between its two renames: if ``live`` is missing but its
+    ``.__old__`` backup exists, restore the backup and return True.
+    Cheap on the happy path (callers invoke it only after observing
+    ``live`` missing), and it is what keeps a commit log readable
+    through a crashed maintenance swap instead of silently resetting
+    the family's state."""
+    backup = live.rstrip("/") + ".__old__"
+    if not exists(spark, live) and exists(spark, backup):
+        rename(spark, backup, live)
+        return True
+    return False
 
 
 def list_files(spark: SparkSession, path: str,

@@ -9,6 +9,8 @@ date-partitioned layout so date-window queries partition-prune.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fs
@@ -273,10 +275,26 @@ def read_skipping(spark: SparkSession, path: str, stats: DataFrame,
 
     from .. import fs as _fs
     if check_stats:
-        known = {unquote(r["file"]).rsplit("/", 1)[-1]
+        # Coverage guard cost: ONE driver-side collect of the stats
+        # frame's file column (files-count-sized by construction) plus
+        # one recursive metadata listing — no data reads. At the
+        # many-million-file scale pay it once per maintenance epoch
+        # instead: the owning layout job passes check_stats=False and
+        # serializes rebuilds with writes (StatsIndex documents this).
+        # Paths compare RELATIVE to the dataset root, not by basename
+        # (ADVICE r8): a same-named file relocated to a different
+        # subdirectory must read as a difference, and the root prefix
+        # is what differs between input_file_name's URI form and the
+        # Hadoop listing's.
+        root_seg = "/" + os.path.basename(
+            os.path.normpath(unquote(path))) + "/"
+
+        def rel(p: str) -> str:
+            return p.split(root_seg, 1)[-1]
+
+        known = {rel(unquote(r["file"]))
                  for r in stats.select("file").collect()}
-        live = {p.rsplit("/", 1)[-1]
-                for p in _fs.list_files(spark, path)}
+        live = {rel(p) for p in _fs.list_files(spark, path)}
         if known != live:
             raise ValueError(
                 f"stats frame is stale for {path}: "
@@ -331,8 +349,13 @@ class StatsIndex:
         from ..operators.stored import has_commit_state
         if not has_commit_state(spark, self.path):
             return None
+        # deterministic newest under concurrent-writer seq ties
+        # (ADVICE r8): (seq, batch) descending — the family contract
+        # remains SINGLE-writer (one layout job owns the index); the
+        # tie-break only makes a violated contract reproducible
         return (spark.read.parquet(f"{self.path}/commits")
-                .orderBy(F.col("seq").desc()).first())
+                .orderBy(F.col("seq").desc(), F.col("batch").desc())
+                .first())
 
     # -- API -----------------------------------------------------------
 
@@ -400,12 +423,17 @@ class StatsIndex:
             "batch string, seq long, cols_json string, "
             "dataset_path string") \
             .repartition(1).write.mode("overwrite").parquet(tmp)
-        fs.delete(spark, f"{self.path}/commits")
-        fs.rename(spark, tmp, f"{self.path}/commits")
+        # backup-rename swap, NOT delete-then-rename: a crash at any
+        # point leaves the old or the new log resolvable on disk, and
+        # readers self-heal through has_commit_state (ADVICE r8)
+        fs.replace_dir(spark, tmp, f"{self.path}/commits")
         spark.catalog.refreshByPath(f"{self.path}/commits")
         deleted = 0
         for name in fs.listdir(spark, self.path):
-            if name.startswith("data_") and name != live:
+            stale_data = name.startswith("data_") and name != live
+            # crashed pre-swap temp logs are orphans too
+            stale_tmp = name.startswith("commits_next_")
+            if stale_data or stale_tmp:
                 fs.delete(spark, f"{self.path}/{name}",
                           ignore_errors=True)
                 deleted += 1

@@ -85,7 +85,10 @@ class StoredBuckets:
         if not self._has_state(spark):
             return None
         commits = spark.read.parquet(f"{self.path}/commits")
-        return commits.orderBy(F.col("seq").desc()).first()
+        # (seq, batch) descending: deterministic under a violated
+        # single-writer contract (ADVICE r8 tie-break)
+        return commits.orderBy(F.col("seq").desc(),
+                               F.col("batch").desc()).first()
 
     def _append_commit(self, spark: SparkSession, batch: str, seq: int,
                        schema_json: str) -> None:
@@ -185,12 +188,15 @@ class StoredBuckets:
             "batch string, seq long, key string, buckets int, "
             "sorted boolean, schema_json string") \
             .repartition(1).write.mode("overwrite").parquet(tmp)
-        fs.delete(spark, f"{self.path}/commits")
-        fs.rename(spark, tmp, f"{self.path}/commits")
+        # backup-rename swap (ADVICE r8): the commits dir is never in
+        # a deleted-and-not-yet-replaced state; readers self-heal a
+        # crashed swap through has_commit_state
+        fs.replace_dir(spark, tmp, f"{self.path}/commits")
         spark.catalog.refreshByPath(f"{self.path}/commits")
         deleted = 0
         for name in fs.listdir(spark, self.path):
-            if name.startswith("data_") and name != live:
+            if (name.startswith("data_") and name != live) \
+                    or name.startswith("commits_next_"):
                 fs.delete(spark, f"{self.path}/{name}",
                           ignore_errors=True)
                 deleted += 1

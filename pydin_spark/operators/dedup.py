@@ -174,7 +174,8 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
                             threshold: float = 0.5,
                             max_shingle_freq: int = 100,
                             width: int = 1 << 12,
-                            depth: int = 3) -> DataFrame:
+                            depth: int = 3,
+                            owned_frames: list | None = None) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with the hot-shingle cap served by
     a Count-Min sketch instead of the exact document-frequency window
     (ROADMAP item 30). The exact cap pays ONE full shuffle of the
@@ -200,15 +201,25 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
     scale prefer the exact tier's hashed substrate when the df
     aggregate is affordable, this tier when it is not.
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+
+    ``owned_frames`` (a list) collects the two frames this call
+    persists so a long-lived caller can unpersist them once the
+    result is materialized — the same cache-lifetime discipline as
+    :func:`minhash_lsh_pairs` (ADVICE r8: repeated calls otherwise
+    accumulate cached posting lists for the session's lifetime).
     """
     from .rollup import cms_build, cms_query
     shingles = word_shingles(df, id_col, text_col, n,
                              hashed=False).persist()
+    if owned_frames is not None:
+        owned_frames.append(shingles)
     cms = cms_build(shingles, "shingle", width=width, depth=depth)
     est = cms_query(shingles, cms, "shingle", width=width, depth=depth,
                     out_col="__est_df")
     capped = est.where(F.col("__est_df") <= max_shingle_freq) \
         .drop("__est_df").persist()
+    if owned_frames is not None:
+        owned_frames.append(capped)
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     shared = _shared_shingle_pairs(capped, id_col)
     sa = sizes.select(F.col(id_col).alias("id_a"),

@@ -308,15 +308,25 @@ def _cosine_candidates_blocks(df: DataFrame, threshold: float,
 #: reuses the old n — blocks size differently, results are unchanged
 #: (blocking never affects the result; see the invariant below).
 _N_HINT: dict = {}
+_N_HINT_CAP = 256
 
 
 def _corpus_rows(df: DataFrame) -> int:
+    """Plan-keyed corpus rowcount with true LRU eviction (ADVICE r8:
+    clearing the whole cache on overflow caused periodic recount
+    storms — now one stale entry is evicted per insert). Known
+    limitation, accepted: data rewritten under an identical plan
+    reuses the old n — blocks size differently, results never change;
+    long-lived sessions that rewrite inputs in place should open a
+    fresh session or persist the frame (which changes the key)."""
     key = (df.sparkSession.sparkContext.applicationId,
            df.semanticHash())
-    if key not in _N_HINT:
-        if len(_N_HINT) > 256:  # bound per-process growth
-            _N_HINT.clear()
-        _N_HINT[key] = df.count()
+    if key in _N_HINT:
+        _N_HINT[key] = _N_HINT.pop(key)  # refresh recency
+        return _N_HINT[key]
+    if len(_N_HINT) >= _N_HINT_CAP:
+        _N_HINT.pop(next(iter(_N_HINT)))  # evict the oldest only
+    _N_HINT[key] = df.count()
     return _N_HINT[key]
 
 

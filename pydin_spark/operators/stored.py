@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 def has_commit_state(spark, path: str) -> bool:
     """True iff a commit log exists under ``path``/commits.
-    Classifies missing-path errors; anything else re-raises."""
+    Classifies missing-path errors; anything else re-raises. A
+    missing log self-heals first: if a maintenance swap crashed
+    between its renames, the ``commits.__old__`` backup is restored
+    before answering — otherwise the family would read as EMPTY,
+    next_seq would reset to 0, and committed data dirs would become
+    unreachable (ADVICE r8)."""
     try:
         spark.read.parquet(f"{path}/commits").schema
         return True
@@ -26,6 +31,10 @@ def has_commit_state(spark, path: str) -> bool:
         if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
                 or "UNABLE_TO_INFER_SCHEMA" in msg
                 or "Unable to infer schema" in msg):
+            from .. import fs as _fs
+            if _fs.heal_replaced_dir(spark, f"{path}/commits"):
+                spark.catalog.refreshByPath(f"{path}/commits")
+                return has_commit_state(spark, path)
             return False
         raise
 
