@@ -259,14 +259,113 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _prompt_fields(input_fn, echo, fields: tuple) -> dict:
+    """Guided field prompts: empty input keeps the default/skips."""
+    out = {}
+    for name, label in fields:
+        raw = input_fn(f"  {label} [skip]: ").strip()
+        if raw:
+            out[name] = raw
+    return out
+
+
+def menu(driver, input_fn=input, echo=print) -> int:
+    """Guided numbered-menu dialogue over the Driver API — the
+    reference Manager's interactive flow (``pydin/cli.py:22-662``):
+    jobs listed with numbers, a picked job offers numbered actions
+    (run / enable / disable / history / edit schedule / delete), and
+    job creation walks field-by-field with skippable prompts. The
+    same Driver methods back the argv console and the REST API, so
+    every surface stays in lockstep."""
+    while True:
+        jobs = driver.list_jobs()
+        echo("— jobs —")
+        for i, j in enumerate(jobs, 1):
+            echo(f"{i:3d}. [{j.get('status') or '-'}] "
+                 f"#{j['id']} {j.get('job_name')} "
+                 f"(mday={j.get('mday') or '*'} hour={j.get('hour') or '*'}"
+                 f" min={j.get('min') or '*'} sec={j.get('sec') or '*'})")
+        echo("  n. new job    q. back")
+        try:
+            choice = input_fn("menu> ").strip().lower()
+        except (EOFError, KeyboardInterrupt):
+            return 0
+        if choice in ("q", "quit", "exit", ""):
+            return 0
+        if choice == "n":
+            name = input_fn("  job name: ").strip()
+            if not name:
+                echo("(cancelled: a job needs a name)")
+                continue
+            fields = _prompt_fields(input_fn, echo, (
+                ("desc", "description"), ("command", "shell command"),
+                ("mday", "month day"), ("hour", "hour"),
+                ("min", "minute"), ("sec", "second"),
+                ("wday", "week day")))
+            jid = driver.create_job(name, **fields)
+            echo(f"created job #{jid}")
+            continue
+        if not choice.isdigit() or not 1 <= int(choice) <= len(jobs):
+            echo("(pick a listed number, 'n' or 'q')")
+            continue
+        job = jobs[int(choice) - 1]
+        jid = job["id"]
+        while True:
+            echo(f"— job #{jid} {job.get('job_name')} —")
+            for line in ("  1. run now", "  2. enable", "  3. disable",
+                         "  4. history", "  5. edit schedule",
+                         "  6. delete", "  q. back"):
+                echo(line)
+            act = input_fn(f"job {jid}> ").strip().lower()
+            if act in ("q", ""):
+                break
+            if act == "1":
+                rid = driver.run_job(jid)
+                run = driver.get_run(rid) or {}
+                echo(f"run #{rid}: {run.get('status')}")
+            elif act == "2":
+                driver.enable_job(jid)
+                echo("enabled")
+            elif act == "3":
+                driver.disable_job(jid)
+                echo("disabled")
+            elif act == "4":
+                for r in driver.list_runs(job_id=jid)[-10:]:
+                    echo(f"  run #{r['id']} [{r.get('status')}] "
+                         f"added={r.get('added')} "
+                         f"start={r.get('start_date')} "
+                         f"end={r.get('end_date')}")
+            elif act == "5":
+                fields = _prompt_fields(input_fn, echo, (
+                    ("mday", "month day"), ("hour", "hour"),
+                    ("min", "minute"), ("sec", "second"),
+                    ("wday", "week day")))
+                if fields:
+                    driver.configure_job(jid, **fields)
+                    echo(f"updated {sorted(fields)}")
+            elif act == "6":
+                confirm = input_fn(
+                    f"  delete job #{jid}? type its name to "
+                    "confirm: ").strip()
+                if confirm == job.get("job_name"):
+                    driver.delete_job(jid, hard=True)
+                    echo("deleted")
+                    break
+                echo("(name mismatch — not deleted)")
+            else:
+                echo("(pick 1-6 or q)")
+
+
 def console(db: str, input_fn=input, echo=print) -> int:
     """Interactive console: the reference Manager's shell loop
     (``pydin/cli.py:22-662``) over the same verbs as the CLI — each line
     is parsed exactly like an argv, so scripts and the console share one
-    surface. ``exit``/``quit``/EOF leaves."""
+    surface. ``menu`` enters the guided numbered-menu dialogue
+    (reference Manager parity); ``exit``/``quit``/EOF leaves."""
     import shlex
     echo("pydin-spark console — type a verb (e.g. 'list-jobs'), "
-         "'help' for the list, 'exit' to quit")
+         "'menu' for the guided dialogue, 'help' for the list, "
+         "'exit' to quit")
     while True:
         try:
             line = input_fn("pydin> ").strip()
@@ -279,6 +378,11 @@ def console(db: str, input_fn=input, echo=print) -> int:
             return 0
         if line == "help":
             build_parser().print_help()
+            continue
+        if line == "menu":
+            from .api import Driver
+            from .scheduler import History, Scheduler
+            menu(Driver(Scheduler(History(db))), input_fn, echo)
             continue
         try:
             main(["--db", db, *shlex.split(line)])

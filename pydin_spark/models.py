@@ -1142,6 +1142,7 @@ class Select(Model, Extractable):
                  partition_column: str | None = None,
                  lower_bound=None, upper_bound=None,
                  predicates: list[str] | None = None,
+                 hint: str | None = None,
                  **kwargs):
         super().__init__(source_name=source_name, **kwargs)
         self.text = text
@@ -1149,6 +1150,17 @@ class Select(Model, Extractable):
         self.columns = columns
         self.alias = alias
         self.parallel = parallel
+        #: optimizer-hint comment injected after the first SELECT of
+        #: the query text — reference parity for the Oracle source
+        #: hints (``/*+ parallel(n) */``, reference models.py:735-750,
+        #: 1147-1168). On a Database source the hint ships inside the
+        #: REMOTE query (the remote optimizer honors or ignores it);
+        #: on a lakehouse read Spark SQL parses ``/*+ ... */`` hints
+        #: natively (REPARTITION, BROADCAST, MERGE, ...). Validated
+        #: against comment escape at construction.
+        if hint is not None and ("*/" in hint or "/*" in hint):
+            raise ValueError("hint must not contain comment delimiters")
+        self.hint = hint
         #: JDBC read-parallelism spec. The reference maps ``parallel=n``
         #: to an Oracle ``/*+ parallel(n) */`` hint
         #: (reference models.py:921-936); Spark's equivalent is a
@@ -1171,7 +1183,22 @@ class Select(Model, Extractable):
                 text = f.read()
         if text is None:
             raise ValueError("Select needs `text` or `path`")
-        return self._format(text)
+        return self._apply_hint(self._format(text))
+
+    def _apply_hint(self, text: str) -> str:
+        """Inject ``/*+ hint */`` after the query's first SELECT — the
+        reference's Oracle-hint rewrite generalized: remote databases
+        receive it inside the pushed query, Spark SQL parses it as a
+        native hint."""
+        if not self.hint:
+            return text
+        import re
+        out, n = re.subn(r"(?i)\bselect\b",
+                         f"SELECT /*+ {self.hint} */", text, count=1)
+        if n == 0:
+            raise ValueError(f"hint given but no SELECT found in "
+                             f"query text: {text[:80]!r}")
+        return out
 
     def _format(self, text: str) -> str:
         """Interpolate {calendar}/{pipeline}/{vars} variables."""

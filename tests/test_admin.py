@@ -430,3 +430,37 @@ def test_web_server_process_lifecycle(tmp_path):
     assert d.report_web(db=db) is None
     row = History(db).component("RESTAPI")
     assert row["status"] == "N" and row["pid"] is None
+
+
+def test_console_menu_guided_dialogue():
+    """Reference Manager parity (pydin/cli.py:22-662): the guided
+    numbered-menu dialogue — create a job field-by-field, run it,
+    disable, edit the schedule, refuse a mistyped delete, delete on
+    name confirmation — all through scripted input."""
+    from pydin_spark.cli import menu
+
+    d = Driver(Scheduler(History()))
+    lines = []
+    feed = iter([
+        "n", "greet",                 # new job + name
+        "", "echo hi",                # desc (skip), command
+        "", "", "", "*", "",          # mday hour min sec wday
+        "1",                          # pick job 1
+        "1",                          # run now
+        "4",                          # history
+        "3",                          # disable
+        "5", "", "2", "0", "", "",    # edit: hour=2 min=0
+        "6", "nope",                  # delete refused (name mismatch)
+        "6", "greet",                 # delete confirmed
+        "q",                          # leave jobs list
+    ])
+    menu(d, input_fn=lambda prompt="": next(feed),
+         echo=lines.append)
+    out = "\n".join(str(x) for x in lines)
+    assert "created job #" in out
+    assert "run #" in out and "[D]" in out or "status" in out
+    assert "disabled" in out
+    assert "updated ['hour', 'min']" in out
+    assert "(name mismatch — not deleted)" in out
+    assert "deleted" in out
+    assert d.list_jobs() == []

@@ -233,3 +233,29 @@ def test_jdbc_watermark_reaches_pushed_filters(spark, views,
     total = spark.sql(
         "SELECT count(*) FROM events WHERE event_id > 100").first()[0]
     assert df.count() == total
+
+
+def test_select_hint_ships_inside_remote_query(spark, views,
+                                               jdbc_registry):
+    """Select(hint=...) injects /*+ ... */ after the first SELECT of
+    the REMOTE query (reference Oracle-hint parity, models.py:735-750)
+    — the hinted query must run against the live JDBC source, and the
+    hint must be part of the shipped text."""
+    Pipeline(
+        Select(text="SELECT r_regionkey, r_name FROM region"),
+        Table(source_name="warehouse", table_name="REGION_HINT"),
+        spark=spark, registry=jdbc_registry).run()
+    sel = Select(source_name="warehouse",
+                 text="SELECT * FROM REGION_HINT", hint="parallel(4)")
+    sel.pipeline = Pipeline(spark=spark, registry=jdbc_registry)
+    assert sel.query.startswith("SELECT /*+ parallel(4) */")
+    assert sel.extract().count() == spark.table("region").count()
+    # lakehouse side: Spark parses the comment as a native hint
+    sel2 = Select(text="SELECT event_id FROM events",
+                  hint="REPARTITION(3)")
+    sel2.pipeline = Pipeline(spark=spark)
+    df = sel2.extract()
+    assert df.rdd.getNumPartitions() == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="comment delimiters"):
+        Select(text="SELECT 1", hint="x */ DROP TABLE t; /*")
