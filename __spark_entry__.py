@@ -3489,6 +3489,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["q3_bucketed"] = _q_bucketed("q3_shipping_priority")
     out["q5_bucketed"] = _q_bucketed("q5_local_supplier_volume")
+
+    def _layout_zorder_maintain(spark, sf_dir):
+        # ROADMAP 29b end-to-end: lay out orders Z-ordered on
+        # (o_custkey, o_orderkey), degrade it with appends covering
+        # the whole key space, run the INCREMENTAL re-cluster
+        # (zorder_maintain: overlap clusters rewritten, disjoint files
+        # moved metadata-only), then answer a 2-D range query through
+        # stats-pruned skipping. The oracle is the plain SQL range
+        # query — the gate proves maintenance preserved every row
+        # exactly once AND the skipping read stays exact after it.
+        import shutil
+        import tempfile
+        from pyspark.sql import functions as F
+        from pydin_spark.functions import maintenance as M
+        _views(spark, sf_dir)
+        orders = spark.table("orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        scratch = tempfile.mkdtemp(prefix="pydin_zm_")
+        path = scratch + "/orders_z"
+        try:
+            M.zorder_write(orders.where("o_orderkey % 4 != 0"), path,
+                           ["o_custkey", "o_orderkey"], n_files=8)
+            (orders.where("o_orderkey % 4 = 0").coalesce(2)
+             .write.mode("append").parquet(path))
+            spark.catalog.refreshByPath(path)
+            M.zorder_maintain(spark, path,
+                              ["o_custkey", "o_orderkey"],
+                              target_file_bytes=1 << 20)
+            stats = M.file_stats(spark, path,
+                                 ["o_custkey", "o_orderkey"])
+            out_df = M.read_skipping(
+                spark, path, stats,
+                {"o_custkey": (100, 400), "o_orderkey": (1000, 30000)})
+            # materialize before the scratch dir disappears
+            return spark.createDataFrame(out_df.collect(),
+                                         out_df.schema)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    out["layout_zorder_maintain"] = _layout_zorder_maintain
     # NOTE text.learn_bpe_merges (distributed BPE tokenizer training)
     # is deliberately NOT in this inventory: the iterative algorithm
     # has no SQL twin, and the inventory's invariant is that every
@@ -5274,6 +5314,16 @@ def oracle_sql() -> dict[str, str]:
     # oracle IS the plain filtered aggregate (skipping + residual is
     # result-invariant; the gate proves the COMMITTED stats serve it)
     out["layout_skip_stored"] = out["layout_skip_read"]
+    # incremental re-cluster (ROADMAP 29b): layout + degrade +
+    # zorder_maintain + stats-pruned skipping read must return the
+    # plain range query's rows EXACTLY — one row lost or duplicated by
+    # the rewrite/move/swap machinery fails the hash
+    out["layout_zorder_maintain"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 400
+          AND o_orderkey BETWEEN 1000 AND 30000
+    """
     # CMS-capped jaccard tier: the sketch rebuilt cell-for-cell over
     # the distinct (doc, trigram) postings, every posting annotated
     # with min-over-depth estimate, the one-sided shed applied, then

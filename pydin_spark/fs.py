@@ -58,6 +58,15 @@ def is_dir(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
 
 
+def mkdirs(spark: SparkSession, path: str) -> None:
+    """``os.makedirs(exist_ok=True)``: create the directory and any
+    missing parents; raises only on a real failure (e.g. a FILE
+    already occupying the path)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.mkdirs(p):
+        raise OSError(f"mkdirs failed for {path}")
+
+
 def listdir(spark: SparkSession, path: str) -> list[str]:
     """Child names of a directory (``os.listdir`` contract: names not
     paths, ``FileNotFoundError`` when the directory is absent)."""
@@ -156,6 +165,22 @@ def list_files(spark: SparkSession, path: str,
         st = it.next()
         if st.getPath().getName().endswith(suffix):
             out.append(st.getPath().toString())
+    return out
+
+
+def list_file_sizes(spark: SparkSession, path: str,
+                    suffix: str = ".parquet") -> dict:
+    """``{full path: bytes}`` for every ``suffix`` file under ``path``
+    — the :func:`list_files` walk with sizes, still ONE listing."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    out = {}
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(suffix):
+            out[st.getPath().toString()] = int(st.getLen())
     return out
 
 

@@ -214,6 +214,130 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
      .write.mode(mode).parquet(path))
 
 
+def zorder_fragmentation(spark: SparkSession, path: str,
+                         cols: list[str], bits: int = 16) -> list[dict]:
+    """Per-file Z-order clustering health: ``[{file, zmin, zmax,
+    bytes, overlaps}]`` sorted by zmin, where ``overlaps`` counts the
+    OTHER files whose [zmin, zmax] interval intersects this one. A
+    freshly :func:`zorder_write`-laid dataset has overlaps ≈ 0
+    (range-partitioned files own disjoint key ranges); appended files
+    overlap many. ONE column-pruned scan (the zkey is recomputed
+    on the fly under one shared normalization — it was deliberately
+    dropped at write time) + a files-count-sized driver pass."""
+    keyed = zorder_key(spark.read.parquet(path), cols, bits=bits)
+    rows = (keyed.groupBy(F.input_file_name().alias("file"))
+            .agg(F.min("zkey").alias("zmin"),
+                 F.max("zkey").alias("zmax"))
+            .collect())
+    sizes = {f.rsplit("/", 1)[-1]: b
+             for f, b in fs.list_file_sizes(spark, path).items()}
+    from urllib.parse import unquote
+    out = sorted(({"file": unquote(r["file"]),
+                   "zmin": r["zmin"], "zmax": r["zmax"],
+                   "bytes": sizes.get(
+                       unquote(r["file"]).rsplit("/", 1)[-1], 0)}
+                  for r in rows), key=lambda d: (d["zmin"], d["file"]))
+    for i, d in enumerate(out):
+        d["overlaps"] = sum(
+            1 for j, e in enumerate(out) if j != i
+            and e["zmin"] <= d["zmax"] and d["zmin"] <= e["zmax"])
+    return out
+
+
+def _overlap_clusters(frag: list[dict]) -> list[list[dict]]:
+    """Connected components of interval overlap over zmin-sorted file
+    stats: one linear pass — a new cluster starts where zmin exceeds
+    the running max zmax (intervals are sorted by zmin)."""
+    clusters: list[list[dict]] = []
+    cur: list[dict] = []
+    reach = None
+    for d in frag:
+        if cur and d["zmin"] > reach:
+            clusters.append(cur)
+            cur = []
+            reach = None
+        cur.append(d)
+        reach = d["zmax"] if reach is None else max(reach, d["zmax"])
+    if cur:
+        clusters.append(cur)
+    return clusters
+
+
+def zorder_maintain(spark: SparkSession, path: str, cols: list[str],
+                    bits: int = 16,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    min_cluster_files: int = 2) -> dict:
+    """Incremental Z-order upkeep (ROADMAP 29b): re-cluster ONLY the
+    fragmented key ranges instead of rewriting the whole layout.
+    Appends degrade a Z-ordered dataset locally — the new files
+    overlap existing key ranges — but the untouched ranges stay
+    perfectly clustered, and at 100 TB rewriting them again is the
+    cost difference between a maintenance tick and a full layout job.
+
+    Mechanics: per-file [zmin, zmax] intervals (one scan) → connected
+    overlap clusters (driver, files-count-sized) → every cluster of
+    ``min_cluster_files``+ files is rewritten with
+    :func:`zorder_write` sized to ``target_file_bytes``; files in
+    singleton clusters are MOVED (metadata-only rename, zero data IO)
+    into the staging tree untouched. The whole new tree then swaps in
+    via :func:`fs.replace_dir` — the same backup-rename crash story
+    as every stored family, and a staging tree left by a crashed
+    prior run is restored file-by-file before starting over. Rewrites
+    are read from the ORIGINAL files (never the half-built staging),
+    so a crash at any point loses nothing: every original file exists
+    in exactly one of live/staging/backup.
+
+    Single-writer contract: run from the maintenance job that owns
+    the dataset (readers mid-swap see the replace_dir window).
+    Rebuild :func:`file_stats`/:class:`StatsIndex` afterwards — the
+    file set changed. Returns
+    ``{rewritten_files, moved_files, clusters_rewritten}`` or
+    ``{"skipped": n_files}`` when nothing is fragmented."""
+    staging = path.rstrip("/") + ".__zorder__"
+    if fs.exists(spark, staging):
+        # crashed prior run: restore its untouched moves, drop its
+        # partial rewrites (identifiable: they live under __rewrite_*)
+        for name in fs.listdir(spark, staging):
+            full = f"{staging}/{name}"
+            if name.startswith("__rewrite_"):
+                fs.delete(spark, full, ignore_errors=True)
+            elif not fs.exists(spark, f"{path}/{name}"):
+                fs.rename(spark, full, f"{path}/{name}")
+        fs.delete(spark, staging, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
+    frag = zorder_fragmentation(spark, path, cols, bits=bits)
+    clusters = _overlap_clusters(frag)
+    rewrite = [c for c in clusters if len(c) >= min_cluster_files]
+    if not rewrite:
+        return {"skipped": len(frag)}
+    fs.mkdirs(spark, staging)
+    keep = [d for c in clusters if len(c) < min_cluster_files
+            for d in c]
+    moved = 0
+    for d in keep:
+        name = d["file"].rsplit("/", 1)[-1]
+        fs.rename(spark, f"{path}/{name}", f"{staging}/{name}")
+        moved += 1
+    rewritten = 0
+    for ci, cluster in enumerate(rewrite):
+        files = [d["file"] for d in cluster]
+        n_out = max(1, -(-sum(d["bytes"] for d in cluster)
+                         // target_file_bytes))
+        tmp = f"{staging}/__rewrite_{ci}"
+        zorder_write(spark.read.parquet(*files), tmp, cols,
+                     n_files=n_out, bits=bits)
+        for name in fs.listdir(spark, tmp):
+            if name.endswith(".parquet"):
+                fs.rename(spark, f"{tmp}/{name}",
+                          f"{staging}/z{ci}_{name}")
+                rewritten += 1
+        fs.delete(spark, tmp, ignore_errors=True)
+    fs.replace_dir(spark, staging, path)
+    spark.catalog.refreshByPath(path)
+    return {"rewritten_files": rewritten, "moved_files": moved,
+            "clusters_rewritten": len(rewrite)}
+
+
 def file_stats(spark: SparkSession, path: str,
                cols: list[str]) -> DataFrame:
     """Per-file min/max of ``cols``: rows (file, <c>_min, <c>_max …).

@@ -245,3 +245,66 @@ def test_no_row_python_udf_in_package():
                     and "pandas_udf" not in line:
                 hits.append(f"{p.name}:{i}")
     assert not hits, hits
+
+
+def _layout_then_fragment(spark, tmp_path):
+    """A clean 8-file Z-layout over (x, y), then two appended files
+    covering the whole key space — the append pattern that degrades
+    clustering locally."""
+    from pydin_spark.functions import maintenance as M
+
+    path = str(tmp_path / "zds")
+    base = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64)
+        .cast("long").alias("y"), F.col("id").alias("payload"))
+    M.zorder_write(base, path, ["x", "y"], n_files=8)
+    extra = spark.range(4096, 4608).select(
+        (F.col("id") % 64).alias("x"), ((F.col("id") - 4096) / 8)
+        .cast("long").alias("y"), F.col("id").alias("payload"))
+    extra.coalesce(2).write.mode("append").parquet(path)
+    spark.catalog.refreshByPath(path)
+    return path, M
+
+
+def test_zorder_maintain_reclusters_only_fragmented(spark, tmp_path):
+    """ROADMAP 29b: appended files overlap the whole key space; after
+    zorder_maintain the layout is overlap-free again, every row
+    survives exactly once, and a healthy layout is NOT rewritten."""
+    path, M = _layout_then_fragment(spark, tmp_path)
+    before = sorted(
+        map(tuple, spark.read.parquet(path).collect()))
+    frag = M.zorder_fragmentation(spark, path, ["x", "y"])
+    assert max(d["overlaps"] for d in frag) > 0  # degraded
+    out = M.zorder_maintain(spark, path, ["x", "y"],
+                            target_file_bytes=1 << 16)
+    assert out["clusters_rewritten"] >= 1
+    spark.catalog.refreshByPath(path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before                        # nothing lost/duped
+    frag2 = M.zorder_fragmentation(spark, path, ["x", "y"])
+    assert max(d["overlaps"] for d in frag2) == 0  # disjoint again
+    # idempotent: a healthy layout is skipped, zero IO
+    assert "skipped" in M.zorder_maintain(spark, path, ["x", "y"])
+
+
+def test_zorder_maintain_crash_recovery(spark, tmp_path):
+    """A staging tree left by a crashed prior run is restored (moved
+    files return, partial rewrites drop) before the new run starts —
+    no row lost, no duplicate."""
+    path, M = _layout_then_fragment(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    from pydin_spark import fs
+    staging = path + ".__zorder__"
+    fs.mkdirs(spark, staging)
+    # simulate: one untouched file was moved, one rewrite half-built
+    name = next(n for n in fs.listdir(spark, path)
+                if n.endswith(".parquet"))
+    fs.rename(spark, f"{path}/{name}", f"{staging}/{name}")
+    spark.range(5).write.parquet(f"{staging}/__rewrite_0")
+    out = M.zorder_maintain(spark, path, ["x", "y"],
+                            target_file_bytes=1 << 16)
+    assert "skipped" in out or out["clusters_rewritten"] >= 1
+    spark.catalog.refreshByPath(path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    assert not fs.exists(spark, staging)
