@@ -2321,6 +2321,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["text_collocations"] = _text_collocations
 
+    def _text_phrase_join(spark, sf_dir):
+        # collocation-aware compounding (ROADMAP 31): the top-10
+        # word2phrase winners applied in rank order as two-pass
+        # leftmost literal replaces — the preprocessing that makes
+        # BPE training phrase-aware. The phrase list is k driver rows
+        # (bounded by construction); the oracle recomputes the SAME
+        # ranked winners and replays the identical replace cascade in
+        # a recursive CTE.
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+        winners = [r["bigram"] for r in
+                   text.collocations(docs, k=10, min_count=5)
+                   .orderBy(F.desc("score"), F.asc("bigram"))
+                   .collect()]
+        return text.phrase_join(docs, winners)
+
+    out["text_phrase_join"] = _text_phrase_join
+
     def _curation_diverse_sample(spark, sf_dir):
         # diversity-preserving subsample: exactly 10 vectors per SRP
         # orthant (the semantic_order locality key reused as strata)
@@ -5159,6 +5177,49 @@ def oracle_sql() -> dict[str, str]:
         FROM j, n
         ORDER BY score DESC, bigram ASC
         LIMIT 50
+    """
+    # collocation compounding: the SAME ranked top-10 winners as the
+    # collocations oracle, replayed as the identical two-pass replace
+    # cascade via a recursive CTE (step i applies phrase ranked i) —
+    # leftmost-non-overlapping replace is a shared cross-engine
+    # contract, so the phrased text hash-matches byte-for-byte
+    out["text_phrase_join"] = """
+        WITH RECURSIVE t AS (SELECT string_split(text, ' ') AS w
+                             FROM documents),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM uni),
+        bi AS (SELECT w[i] AS x, w[i+1] AS y,
+                      CAST(COUNT(*) AS BIGINT) AS c_xy
+               FROM t, unnest(range(1, len(w))) AS u(i)
+               WHERE len(w) >= 2
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        j AS (SELECT bi.x, bi.y, bi.c_xy, ux.c AS c_x, uy.c AS c_y
+              FROM bi JOIN uni ux ON ux.tok = bi.x
+                      JOIN uni uy ON uy.tok = bi.y),
+        ranked AS (SELECT x, y,
+                          ROW_NUMBER() OVER (
+                              ORDER BY CAST(((c_xy - 1) * 1000000 * nn)
+                                            // (c_x * c_y) AS BIGINT)
+                                  DESC, x || ' ' || y ASC) AS rnk
+                   FROM j, n
+                   ORDER BY rnk LIMIT 10),
+        k AS (SELECT CAST(COUNT(*) AS INT) AS kk FROM ranked),
+        rec AS (
+            SELECT doc_id, ' ' || text || ' ' AS ph, 0 AS i
+            FROM documents
+            UNION ALL
+            SELECT r.doc_id,
+                   replace(replace(r.ph,
+                           ' ' || c.x || ' ' || c.y || ' ',
+                           ' ' || c.x || '_' || c.y || ' '),
+                           ' ' || c.x || ' ' || c.y || ' ',
+                           ' ' || c.x || '_' || c.y || ' '),
+                   r.i + 1
+            FROM rec r JOIN ranked c ON c.rnk = r.i + 1
+        )
+        SELECT doc_id, trim(ph) AS phrased
+        FROM rec, k WHERE i = kk
     """
     # SRP-orthant-stratified exactly-k draw: the same exact seeded
     # projection + sign bits as semantic_order, ranked per orthant by

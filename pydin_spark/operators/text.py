@@ -1656,6 +1656,55 @@ def collocations(df: DataFrame, id_col: str = "doc_id",
             .limit(int(k)))
 
 
+def phrase_join(df: DataFrame, phrases: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                joiner: str = "_",
+                out_col: str = "phrased") -> DataFrame:
+    """Compound the given bigram ``phrases`` ("new york", usually the
+    :func:`collocations` winners in rank order) into single tokens
+    ("new_york") — the word2phrase preprocessing step (Mikolov et al.
+    2013) that makes downstream tokenization collocation-aware
+    (ROADMAP 31): :func:`learn_bpe_merges` over the phrased corpus
+    learns subwords WITHIN the compound as one word unit instead of
+    splitting the collocation at the space.
+
+    Semantics: phrases apply in the given order, each as two passes
+    of leftmost non-overlapping literal replacement over the
+    space-padded text (two passes because a replacement consumes its
+    trailing space, hiding an immediately following occurrence from
+    the same pass — "a b a b" joins both only on the second pass).
+    Deterministic, pure JVM string expressions, and every engine's
+    ``replace`` shares the leftmost-non-overlapping contract, so an
+    oracle replays it verbatim. Leading/trailing whitespace of the
+    original text is not preserved (the padding trim).
+    """
+    col = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    for p in phrases:
+        parts = p.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"phrase {p!r} is not a bigram")
+        x, y = parts
+        s, r = F.lit(f" {x} {y} "), F.lit(f" {x}{joiner}{y} ")
+        col = F.replace(F.replace(col, s, r), s, r)
+    return df.select(F.col(id_col), F.trim(col).alias(out_col))
+
+
+def phrase_bpe_tokenize(df: DataFrame, phrases: list[str],
+                        merges: list[tuple[str, str]],
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        joiner: str = "_",
+                        end_of_word: str = "</w>") -> DataFrame:
+    """Collocation-aware BPE encode: :func:`phrase_join` then
+    :func:`bpe_tokenize` — the standard word2phrase→BPE pipeline.
+    Train the ``merges`` on the SAME phrased corpus
+    (``learn_bpe_merges(phrase_join(df, phrases)...)``) so compound
+    tokens and their subword merges agree."""
+    phrased = phrase_join(df, phrases, id_col, text_col, joiner)
+    return bpe_tokenize(phrased, merges, id_col=id_col,
+                        text_col="phrased", end_of_word=end_of_word)
+
+
 def extract_urls(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
                  blocklist: list[str] | None = None) -> DataFrame:

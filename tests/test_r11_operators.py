@@ -308,3 +308,43 @@ def test_zorder_maintain_crash_recovery(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before
     assert not fs.exists(spark, staging)
+
+
+def test_phrase_join_two_pass_and_order(spark):
+    """word2phrase compounding semantics: adjacent repeats all join
+    (the two-pass property), phrases apply in rank order (an earlier
+    phrase consumes the tokens a later one would have matched)."""
+    from pydin_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x a b c y"), (3, "nomatch here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["phrased"]
+           for r in T.phrase_join(df, ["a b", "b c"]).collect()}
+    assert out[1] == "a_b a_b a_b"     # both passes needed
+    assert out[2] == "x a_b c y"       # 'a b' won; 'b c' finds nothing
+    assert out[3] == "nomatch here"
+    out2 = {r["doc_id"]: r["phrased"]
+            for r in T.phrase_join(df, ["b c", "a b"]).collect()}
+    assert out2[2] == "x a b_c y"      # reversed rank, reversed winner
+
+
+def test_phrase_bpe_learns_inside_compounds(spark):
+    """ROADMAP 31 end-to-end: BPE trained on the phrased corpus
+    learns merges ACROSS the old word boundary — the compound
+    'new_york</w>' becomes one token, which char-BPE over unphrased
+    text can never produce."""
+    from pydin_spark.operators import text as T
+
+    rows = [(i, "the new york office of the new york times") for i
+            in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = ["new york"]
+    phrased = T.phrase_join(df, phrases)
+    merges = T.learn_bpe_merges(phrased, k=40, text_col="phrased")
+    toks = T.phrase_bpe_tokenize(df, phrases, merges).first()["tokens"]
+    assert "new_york</w>" in toks
+    # and the unphrased encode cannot cross the space
+    plain = T.bpe_tokenize(df, T.learn_bpe_merges(df, k=40)) \
+        .first()["tokens"]
+    assert "new_york</w>" not in plain
