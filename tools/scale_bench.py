@@ -610,6 +610,7 @@ LINEAR_OK = {
     "dedup_ngram_jaccard",      # posting lists grow with corpus+dups
     "dedup_weighted_jaccard",   # same substrate + one integer column
     "dedup_minhash_lsh",        # signatures linear; verify with pairs
+    "dedup_minhash_capped",     # same plan + the per-bucket cap window
     "dedup_clusters",           # edge-list-sized pointer-jump rounds
     "dedup_survivors",          # same substrate as dedup_clusters
     "dedup_semantic",           # cluster-bounded pairs: ~n*cluster
