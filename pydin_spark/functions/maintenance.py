@@ -279,13 +279,20 @@ def zorder_maintain(spark: SparkSession, path: str, cols: list[str],
     ``min_cluster_files``+ files is rewritten with
     :func:`zorder_write` sized to ``target_file_bytes``; files in
     singleton clusters are MOVED (metadata-only rename, zero data IO)
-    into the staging tree untouched. The whole new tree then swaps in
-    via :func:`fs.replace_dir` — the same backup-rename crash story
-    as every stored family, and a staging tree left by a crashed
-    prior run is restored file-by-file before starting over. Rewrites
-    are read from the ORIGINAL files (never the half-built staging),
-    so a crash at any point loses nothing: every original file exists
-    in exactly one of live/staging/backup.
+    into the dedicated ``__moved__/`` staging subdir untouched. The
+    whole new tree then swaps in via :func:`fs.replace_dir` — the
+    same backup-rename crash story as every stored family — and the
+    ``__moved__`` files flatten into the live root AFTER the swap
+    (rename only, no data IO). Crash recovery is name-free (ADVICE
+    r9: rewrite outputs in the staging root used to be mistakable
+    for moved originals and got restored NEXT TO their still-live
+    sources, duplicating rows): the moved singletons are exactly the
+    ``__moved__/`` contents and are the ONLY originals in staging —
+    everything else there is reproducible rewrite output and is
+    dropped. Rewrites are read from the ORIGINAL files (never the
+    half-built staging), so a crash at any point loses nothing:
+    every original file exists in exactly one of
+    live/staging-``__moved__``/backup.
 
     Single-writer contract: run from the maintenance job that owns
     the dataset (readers mid-swap see the replace_dir window).
@@ -294,15 +301,31 @@ def zorder_maintain(spark: SparkSession, path: str, cols: list[str],
     ``{rewritten_files, moved_files, clusters_rewritten}`` or
     ``{"skipped": n_files}`` when nothing is fragmented."""
     staging = path.rstrip("/") + ".__zorder__"
+    # A crash inside the final replace_dir can leave the live dir
+    # absent (renamed to .__old__ before staging took its place) —
+    # heal FIRST so every recovery rename below has a parent to land
+    # in and the dataset never wedges unreadable (ADVICE r9).
+    fs.heal_replaced_dir(spark, path)
+    moved_live = f"{path}/__moved__"
+    if fs.exists(spark, moved_live):
+        # swap completed but the post-swap flatten crashed: finish it
+        # (each rename is atomic and removes its source, so a re-run
+        # sees only the not-yet-flattened remainder)
+        for name in fs.listdir(spark, moved_live):
+            fs.rename(spark, f"{moved_live}/{name}", f"{path}/{name}")
+        fs.delete(spark, moved_live, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
     if fs.exists(spark, staging):
-        # crashed prior run: restore its untouched moves, drop its
-        # partial rewrites (identifiable: they live under __rewrite_*)
-        for name in fs.listdir(spark, staging):
-            full = f"{staging}/{name}"
-            if name.startswith("__rewrite_"):
-                fs.delete(spark, full, ignore_errors=True)
-            elif not fs.exists(spark, f"{path}/{name}"):
-                fs.rename(spark, full, f"{path}/{name}")
+        # crashed prior run: restore the moved singletons (the only
+        # originals in staging, segregated under __moved__), then drop
+        # the rest of the tree — rewrite outputs, finished (z{ci}_*)
+        # or half-built (__rewrite_*), are reproducible because their
+        # source files never left the live tree before the swap
+        moved_root = f"{staging}/__moved__"
+        if fs.exists(spark, moved_root):
+            for name in fs.listdir(spark, moved_root):
+                fs.rename(spark, f"{moved_root}/{name}",
+                          f"{path}/{name}")
         fs.delete(spark, staging, ignore_errors=True)
         spark.catalog.refreshByPath(path)
     frag = zorder_fragmentation(spark, path, cols, bits=bits)
@@ -314,9 +337,12 @@ def zorder_maintain(spark: SparkSession, path: str, cols: list[str],
     keep = [d for c in clusters if len(c) < min_cluster_files
             for d in c]
     moved = 0
+    if keep:
+        fs.mkdirs(spark, f"{staging}/__moved__")
     for d in keep:
         name = d["file"].rsplit("/", 1)[-1]
-        fs.rename(spark, f"{path}/{name}", f"{staging}/{name}")
+        fs.rename(spark, f"{path}/{name}",
+                  f"{staging}/__moved__/{name}")
         moved += 1
     rewritten = 0
     for ci, cluster in enumerate(rewrite):
@@ -333,6 +359,12 @@ def zorder_maintain(spark: SparkSession, path: str, cols: list[str],
                 rewritten += 1
         fs.delete(spark, tmp, ignore_errors=True)
     fs.replace_dir(spark, staging, path)
+    # flatten the moved singletons into the live root (metadata-only;
+    # a crash mid-flatten is finished by the recovery block above)
+    if fs.exists(spark, moved_live):
+        for name in fs.listdir(spark, moved_live):
+            fs.rename(spark, f"{moved_live}/{name}", f"{path}/{name}")
+        fs.delete(spark, moved_live, ignore_errors=True)
     spark.catalog.refreshByPath(path)
     return {"rewritten_files": rewritten, "moved_files": moved,
             "clusters_rewritten": len(rewrite)}
@@ -409,12 +441,28 @@ def read_skipping(spark: SparkSession, path: str, stats: DataFrame,
         # (ADVICE r8): a same-named file relocated to a different
         # subdirectory must read as a difference, and the root prefix
         # is what differs between input_file_name's URI form and the
-        # Hadoop listing's.
-        root_seg = "/" + os.path.basename(
-            os.path.normpath(unquote(path))) + "/"
+        # Hadoop listing's. Relativity is computed by stripping the
+        # CANONICALIZED root prefix, not by searching for the root's
+        # basename as a segment (ADVICE r9: a dataset whose basename
+        # also appears as an earlier path segment or as a nested
+        # subdirectory name truncated both sides at the wrong
+        # segment, blinding the relocated-file detection).
+        import re as _re
+
+        def canon(p: str) -> str:
+            # drop any URI scheme (+ optional //authority) so
+            # input_file_name's "file:///x", the Hadoop listing's
+            # "file:/x" and a caller's bare "/x" all compare equal
+            m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", p)
+            if m:
+                p = p[m.end():]
+            return os.path.normpath(p)
+
+        root = canon(unquote(path)).rstrip("/") + "/"
 
         def rel(p: str) -> str:
-            return p.split(root_seg, 1)[-1]
+            c = canon(p)
+            return c[len(root):] if c.startswith(root) else c
 
         known = {rel(unquote(r["file"]))
                  for r in stats.select("file").collect()}

@@ -1185,20 +1185,71 @@ class Select(Model, Extractable):
             raise ValueError("Select needs `text` or `path`")
         return self._apply_hint(self._format(text))
 
+    @staticmethod
+    def _top_level_select_end(text: str) -> int:
+        """Offset just past the statement's TOP-LEVEL ``SELECT``
+        keyword, or -1 if there is none. A lexical scan, not a regex
+        (ADVICE r9): string literals (incl. ``''`` doubling), quoted
+        identifiers, ``--`` and ``/* */`` comments are skipped, and
+        anything inside parentheses — a leading ``WITH x AS
+        (SELECT ...)`` CTE body, subqueries — is depth > 0 and never
+        matches, so the hint lands on the outer statement."""
+        i, n, depth = 0, len(text), 0
+        while i < n:
+            c = text[i]
+            if c == "'":
+                i += 1
+                while i < n:
+                    if text[i] == "'":
+                        if i + 1 < n and text[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+                i += 1
+            elif c == '"' or c == "`":
+                q = c
+                i += 1
+                while i < n and text[i] != q:
+                    i += 1
+                i += 1
+            elif text.startswith("--", i):
+                j = text.find("\n", i)
+                i = n if j < 0 else j + 1
+            elif text.startswith("/*", i):
+                j = text.find("*/", i + 2)
+                i = n if j < 0 else j + 2
+            elif c == "(":
+                depth += 1
+                i += 1
+            elif c == ")":
+                depth -= 1
+                i += 1
+            elif c.isalpha() or c == "_":
+                j = i
+                while j < n and (text[j].isalnum() or text[j] == "_"):
+                    j += 1
+                if depth == 0 and text[i:j].lower() == "select":
+                    return j
+                i = j
+            else:
+                i += 1
+        return -1
+
     def _apply_hint(self, text: str) -> str:
-        """Inject ``/*+ hint */`` after the query's first SELECT — the
-        reference's Oracle-hint rewrite generalized: remote databases
-        receive it inside the pushed query, Spark SQL parses it as a
-        native hint."""
+        """Inject ``/*+ hint */`` after the statement's top-level
+        SELECT — the reference's Oracle-hint rewrite generalized:
+        remote databases receive it inside the pushed query, Spark SQL
+        parses it as a native hint. CTE queries (``WITH ... SELECT``)
+        get the hint on the OUTER select, and ``select`` appearing
+        inside string literals or comments is never touched."""
         if not self.hint:
             return text
-        import re
-        out, n = re.subn(r"(?i)\bselect\b",
-                         f"SELECT /*+ {self.hint} */", text, count=1)
-        if n == 0:
-            raise ValueError(f"hint given but no SELECT found in "
-                             f"query text: {text[:80]!r}")
-        return out
+        pos = self._top_level_select_end(text)
+        if pos < 0:
+            raise ValueError(f"hint given but no top-level SELECT "
+                             f"found in query text: {text[:80]!r}")
+        return f"{text[:pos]} /*+ {self.hint} */{text[pos:]}"
 
     def _format(self, text: str) -> str:
         """Interpolate {calendar}/{pipeline}/{vars} variables."""

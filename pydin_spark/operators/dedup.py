@@ -24,6 +24,28 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import fingerprint as _fingerprint
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "t": 1 << 40, "p": 1 << 50}
+
+
+def _parse_size_bytes(conf: str, default: int) -> int:
+    """Hadoop/Spark byte-size string → bytes, honoring the b/k/m/g/t/p
+    suffix family (``128m`` = 134217728, not 128 — ADVICE r9: stripping
+    non-digits misread suffixed confs by six orders of magnitude and
+    silently disabled the repartition heuristic). Bare numbers are
+    bytes; unparseable values fall back to ``default``."""
+    s = str(conf).strip().lower()
+    for unit in ("kb", "mb", "gb", "tb", "pb"):  # 128mb == 128m
+        if s.endswith(unit):
+            s = s[:-1]
+            break
+    try:
+        if s and s[-1] in _SIZE_SUFFIX:
+            return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+        return int(s)
+    except (ValueError, IndexError):
+        return default
+
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
@@ -56,8 +78,7 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
         from .. import fs as _fs
         conf = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728")
-        max_pb = int("".join(c for c in str(conf) if c.isdigit())
-                     or "134217728")
+        max_pb = _parse_size_bytes(str(conf), default=134217728)
         try:
             splits = sum(
                 max(1, -(-sz // max_pb))

@@ -289,17 +289,17 @@ def test_zorder_maintain_reclusters_only_fragmented(spark, tmp_path):
 
 def test_zorder_maintain_crash_recovery(spark, tmp_path):
     """A staging tree left by a crashed prior run is restored (moved
-    files return, partial rewrites drop) before the new run starts —
-    no row lost, no duplicate."""
+    files return from __moved__, partial rewrites drop) before the
+    new run starts — no row lost, no duplicate."""
     path, M = _layout_then_fragment(spark, tmp_path)
     before = sorted(map(tuple, spark.read.parquet(path).collect()))
     from pydin_spark import fs
     staging = path + ".__zorder__"
-    fs.mkdirs(spark, staging)
+    fs.mkdirs(spark, f"{staging}/__moved__")
     # simulate: one untouched file was moved, one rewrite half-built
     name = next(n for n in fs.listdir(spark, path)
                 if n.endswith(".parquet"))
-    fs.rename(spark, f"{path}/{name}", f"{staging}/{name}")
+    fs.rename(spark, f"{path}/{name}", f"{staging}/__moved__/{name}")
     spark.range(5).write.parquet(f"{staging}/__rewrite_0")
     out = M.zorder_maintain(spark, path, ["x", "y"],
                             target_file_bytes=1 << 16)
@@ -308,6 +308,99 @@ def test_zorder_maintain_crash_recovery(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before
     assert not fs.exists(spark, staging)
+
+
+def test_zorder_maintain_crash_after_finished_rewrite(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r9 (high): kill the REAL run after every cluster's
+    rewrite outputs have landed in the staging root (z{ci}_* files)
+    and the moves are done, but before the swap. The originals are
+    all still live; recovery must restore ONLY the __moved__
+    singletons and drop the finished rewrite outputs — the old
+    recovery renamed those outputs into live next to their source
+    files, duplicating every rewritten row."""
+    path, M = _layout_then_fragment(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    from pydin_spark import fs
+
+    real_replace = fs.replace_dir
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before swap")
+
+    monkeypatch.setattr(M.fs, "replace_dir", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        M.zorder_maintain(spark, path, ["x", "y"],
+                          target_file_bytes=1 << 16)
+    staging = path + ".__zorder__"
+    assert fs.exists(spark, staging)
+    # the dangerous state: finished z{ci}_* outputs sit in the
+    # staging ROOT while their source files are still live
+    root_names = fs.listdir(spark, staging)
+    assert any(n.startswith("z") and n.endswith(".parquet")
+               for n in root_names)
+    monkeypatch.setattr(M.fs, "replace_dir", real_replace)
+    out = M.zorder_maintain(spark, path, ["x", "y"],
+                            target_file_bytes=1 << 16)
+    assert out["clusters_rewritten"] >= 1
+    spark.catalog.refreshByPath(path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before          # no duplicate, no loss
+    assert not fs.exists(spark, staging)
+
+
+def test_zorder_maintain_crash_inside_swap(spark, tmp_path,
+                                           monkeypatch):
+    """ADVICE r9 (medium): a crash inside replace_dir after live was
+    renamed to .__old__ leaves the dataset path ABSENT; the next
+    maintain run must heal the backup back into place before its
+    recovery renames, instead of wedging on a missing parent."""
+    path, M = _layout_then_fragment(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    from pydin_spark import fs
+
+    def crash_mid_swap(spark_, staging_, live_, **k):
+        # replay replace_dir's first rename, then die
+        fs.rename(spark_, live_, live_.rstrip("/") + ".__old__")
+        raise RuntimeError("simulated crash mid-swap")
+
+    real_replace = fs.replace_dir
+    monkeypatch.setattr(M.fs, "replace_dir", crash_mid_swap)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        M.zorder_maintain(spark, path, ["x", "y"],
+                          target_file_bytes=1 << 16)
+    assert not fs.exists(spark, path)           # dataset gone
+    assert fs.exists(spark, path + ".__old__")  # backup holds it
+    monkeypatch.setattr(M.fs, "replace_dir", real_replace)
+    out = M.zorder_maintain(spark, path, ["x", "y"],
+                            target_file_bytes=1 << 16)
+    assert out["clusters_rewritten"] >= 1
+    spark.catalog.refreshByPath(path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    assert not fs.exists(spark, path + ".__zorder__")
+
+
+def test_zorder_maintain_crash_before_flatten(spark, tmp_path):
+    """A completed swap whose post-swap __moved__ flatten never ran
+    (live root still holds the __moved__ subdir) is finished by the
+    next run's recovery — the singleton rows come back."""
+    path, M = _layout_then_fragment(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    from pydin_spark import fs
+    # simulate the post-swap state: pick a live file and tuck it
+    # under __moved__ exactly as an unflattened swap leaves it
+    name = next(n for n in fs.listdir(spark, path)
+                if n.endswith(".parquet"))
+    fs.mkdirs(spark, f"{path}/__moved__")
+    fs.rename(spark, f"{path}/{name}", f"{path}/__moved__/{name}")
+    spark.catalog.refreshByPath(path)
+    M.zorder_maintain(spark, path, ["x", "y"],
+                      target_file_bytes=1 << 16)
+    spark.catalog.refreshByPath(path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    assert not fs.exists(spark, f"{path}/__moved__")
 
 
 def test_phrase_join_two_pass_and_order(spark):
