@@ -1476,6 +1476,53 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";").alias("feature_csv"))
 
 
+def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end in-container (VERDICT r9 #9): each
+    document's first 4 text bytes become four CONSTANT 8×8 tiles of a
+    16×16 grayscale baseline JPEG encoded at quality=100. Constant
+    blocks at quantization step 1 roundtrip EXACTLY (the only nonzero
+    coefficient is the integral DC term 8·(v−128); every AC term is
+    analytically zero), so the lossy format becomes oracle-exact
+    while ``extract_features(fake=False)`` still runs the full real
+    path inside the Arrow stage: marker parse, Huffman entropy
+    decode, dequantize, IDCT, level shift
+    (pydin_spark/operators/jpeg.py). Features are the 4 per-chunk
+    pixel means of the raveled 16×16 image — chunk k covers four
+    rows spanning two tiles, so the oracle recomputes
+    (b0+b1)/2, (b0+b1)/2, (b2+b3)/2, (b2+b3)/2 from the text."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+    from pydin_spark.operators.jpeg import encode_jpeg
+
+    @F.pandas_udf("binary")
+    def to_jpeg(texts):
+        import numpy as np
+        import pandas as pd
+        out = []
+        for t in texts:
+            b = ((t or "").encode("utf-8") + b" " * 4)[:4]
+            px = np.empty((16, 16), dtype=np.uint8)
+            px[:8, :8], px[:8, 8:] = b[0], b[1]
+            px[8:, :8], px[8:, 8:] = b[2], b[3]
+            out.append(encode_jpeg(px, quality=100))
+        return pd.Series(out)
+
+    assets = spark.table("documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        to_jpeg("text").alias("payload"),
+        F.struct(F.lit("image/jpeg").alias("mime"),
+                 F.lit(16).alias("width"), F.lit(16).alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms"))
+        .alias("meta"))
+    feats = multimodal.extract_features(assets, dim=4, fake=False)
+    return feats.select(
+        "asset_id",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)),
+            ";").alias("feature_csv"))
+
+
 def _doc_assets(spark):
     from pyspark.sql import functions as F
     return spark.table("documents").select(
@@ -1708,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sim_topk_ivf"] = _q_sim_topk_ivf
     out["multimodal_features"] = _q_multimodal_features
     out["multimodal_png"] = _q_multimodal_png
+    out["multimodal_jpeg"] = _q_multimodal_jpeg
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
     out["q_sliding_window"] = _q_sliding_window
@@ -3827,6 +3875,24 @@ def oracle_sql() -> dict[str, str]:
                string_agg(format('{:.6f}', v), ';' ORDER BY chunk_no)
                    AS feature_csv
         FROM feat GROUP BY doc_id
+    """
+    # constant 8x8 JPEG tiles at quant step 1 roundtrip exactly, so
+    # the per-chunk means reduce to tile-byte averages (see the gate)
+    out["multimodal_jpeg"] = """
+        WITH d AS (SELECT doc_id, rpad(text, 4, ' ') AS t
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     ord(substr(t, 1, 1)) AS b0,
+                     ord(substr(t, 2, 1)) AS b1,
+                     ord(substr(t, 3, 1)) AS b2,
+                     ord(substr(t, 4, 1)) AS b3
+              FROM d)
+        SELECT doc_id AS asset_id,
+               format('{:.6f}', (b0 + b1) / 2.0) || ';' ||
+               format('{:.6f}', (b0 + b1) / 2.0) || ';' ||
+               format('{:.6f}', (b2 + b3) / 2.0) || ';' ||
+               format('{:.6f}', (b2 + b3) / 2.0) AS feature_csv
+        FROM b
     """
     # frames = 16-char slices at (i*16) mod L, every 1000ms of 3000ms
     out["multimodal_frames"] = """
