@@ -1523,6 +1523,104 @@ def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";").alias("feature_csv"))
 
 
+def _q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end in-container: each document's
+    first 8 text bytes become an 8-bit PCM mono WAV
+    (pydin_spark/operators/riff.py), and
+    ``extract_audio_features(fake=False)`` decodes it through the
+    stdlib codec inside the Arrow stage and emits per-chunk RMS of
+    the zero-centered samples. Per-chunk sums of squared integers
+    stay far below 2^53, so sqrt(avg(...)) is bit-identical between
+    numpy and DuckDB and the gate is hash-exact."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.riff import encode_wav
+
+    @F.pandas_udf("binary")
+    def to_wav(texts):
+        import numpy as np
+        import pandas as pd
+        out = []
+        for t in texts:
+            b = ((t or "").encode("utf-8") + b" " * 8)[:8]
+            out.append(encode_wav(np.frombuffer(b, dtype=np.uint8),
+                                  sample_rate=8000, sample_width=1))
+        return pd.Series(out)
+
+    assets = spark.table("documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        to_wav("text").alias("payload"),
+        F.struct(F.lit("audio/wav").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(1).cast("long").alias("duration_ms"))
+        .alias("meta"))
+    feats = multimodal.extract_audio_features(assets, dim=2,
+                                              fake=False)
+    return feats.select(
+        "asset_id", "n_samples", "sample_rate",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)),
+            ";").alias("rms_csv"))
+
+
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end-to-end in-container: each document's first
+    2 text bytes become two constant 8×8 JPEG frames inside an MJPEG
+    AVI at 1 fps (riff.py encode_avi_mjpeg), ``sample_frames(
+    fake=False)`` parses the RIFF container and samples one frame per
+    1000 ms, and each sampled frame then decodes through
+    ``extract_features(fake=False)`` (stdlib JPEG codec) — constant
+    tiles at quality=100 roundtrip exactly, so the frame mean IS the
+    source byte and the whole chain is oracle-exact."""
+    _views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from pydin_spark.operators.jpeg import encode_jpeg
+    from pydin_spark.operators.riff import encode_avi_mjpeg
+
+    @F.pandas_udf("binary")
+    def to_avi(texts):
+        import numpy as np
+        import pandas as pd
+        out = []
+        for t in texts:
+            b = ((t or "").encode("utf-8") + b"  ")[:2]
+            frames = [encode_jpeg(np.full((8, 8), v, np.uint8),
+                                  quality=100) for v in b]
+            out.append(encode_avi_mjpeg(frames, fps=1))
+        return pd.Series(out)
+
+    assets = spark.table("documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        to_avi("text").alias("payload"),
+        F.struct(F.lit("video/x-msvideo").alias("mime"),
+                 F.lit(8).alias("width"), F.lit(8).alias("height"),
+                 F.lit(2000).cast("long").alias("duration_ms"))
+        .alias("meta"))
+    frames = multimodal.sample_frames(assets, every_ms=1000,
+                                      fake=False)
+    # re-wrap each sampled frame as an image asset (composite id
+    # doc*2+frame_no keeps the pipeline pure-DataFrame, no join)
+    frame_assets = frames.select(
+        (F.col("asset_id") * 2 + F.col("frame_no")).alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame").alias("payload"),
+        F.lit(None).cast(
+            "struct<mime:string,width:int,height:int,"
+            "duration_ms:bigint>").alias("meta"))
+    feats = multimodal.extract_features(frame_assets, dim=1,
+                                        fake=False)
+    return feats.select(
+        (F.col("asset_id") / 2).cast("long").alias("asset_id"),
+        (F.col("asset_id") % 2).cast("int").alias("frame_no"),
+        ((F.col("asset_id") % 2) * 1000).cast("long").alias("ts_ms"),
+        F.element_at("feature", 1).cast("int").alias("px"))
+
+
 def _doc_assets(spark):
     from pyspark.sql import functions as F
     return spark.table("documents").select(
@@ -1756,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _q_multimodal_features
     out["multimodal_png"] = _q_multimodal_png
     out["multimodal_jpeg"] = _q_multimodal_jpeg
+    out["multimodal_wav"] = _q_multimodal_wav
+    out["multimodal_video"] = _q_multimodal_video
     out["multimodal_resize"] = _q_multimodal_resize
     out["multimodal_frames"] = _q_multimodal_frames
     out["q_sliding_window"] = _q_sliding_window
@@ -3893,6 +3993,42 @@ def oracle_sql() -> dict[str, str]:
                format('{:.6f}', (b2 + b3) / 2.0) || ';' ||
                format('{:.6f}', (b2 + b3) / 2.0) AS feature_csv
         FROM b
+    """
+    # 8-bit PCM: samples are the text bytes, RMS chunks are integer
+    # sums of squares / 4 under a sqrt — bit-exact in both engines
+    out["multimodal_wav"] = """
+        WITH d AS (SELECT doc_id, rpad(text, 8, ' ') AS t
+                   FROM documents),
+        p AS (SELECT doc_id,
+                     power(ord(substr(t, 1, 1)) - 128, 2) AS p1,
+                     power(ord(substr(t, 2, 1)) - 128, 2) AS p2,
+                     power(ord(substr(t, 3, 1)) - 128, 2) AS p3,
+                     power(ord(substr(t, 4, 1)) - 128, 2) AS p4,
+                     power(ord(substr(t, 5, 1)) - 128, 2) AS p5,
+                     power(ord(substr(t, 6, 1)) - 128, 2) AS p6,
+                     power(ord(substr(t, 7, 1)) - 128, 2) AS p7,
+                     power(ord(substr(t, 8, 1)) - 128, 2) AS p8
+              FROM d)
+        SELECT doc_id AS asset_id, 8 AS n_samples,
+               8000 AS sample_rate,
+               format('{:.6f}', sqrt((p1 + p2 + p3 + p4) / 4.0))
+               || ';' ||
+               format('{:.6f}', sqrt((p5 + p6 + p7 + p8) / 4.0))
+               AS rms_csv
+        FROM p
+    """
+    # two 1000ms constant JPEG frames per doc; q=100 constant tiles
+    # roundtrip exactly so the frame mean IS the source byte
+    out["multimodal_video"] = """
+        WITH d AS (SELECT doc_id, rpad(text, 2, ' ') AS t
+                   FROM documents),
+        u AS (SELECT doc_id, 0 AS frame_no,
+                     ord(substr(t, 1, 1)) AS px FROM d
+              UNION ALL
+              SELECT doc_id, 1, ord(substr(t, 2, 1)) FROM d)
+        SELECT doc_id AS asset_id, frame_no,
+               frame_no * 1000 AS ts_ms, px
+        FROM u
     """
     # frames = 16-char slices at (i*16) mod L, every 1000ms of 3000ms
     out["multimodal_frames"] = """

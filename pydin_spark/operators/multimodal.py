@@ -7,12 +7,14 @@ Arrow-batched ``mapInPandas`` so each task touches a bounded batch of
 payloads and the pipeline scales by partitioning alone.
 
 The heavyweight codecs (PIL/librosa/ffmpeg) are NOT available in this
-environment. Baseline PNGs decode for real through a pure-stdlib
-codec (``_decode_png``: zlib inflate + filter reconstruction) and
-baseline JPEGs through the stdlib+numpy codec pair in
-:mod:`pydin_spark.operators.jpeg` (Huffman + IDCT); other formats
-decode through PIL when installed, and otherwise raise the
-documented plug-point ``NotImplementedError`` (or run the
+environment, but every modality still has a REAL in-container path
+through representative formats: baseline PNGs via the pure-stdlib
+codec here (``_decode_png``: zlib inflate + filter reconstruction),
+baseline JPEGs via :mod:`pydin_spark.operators.jpeg` (Huffman +
+IDCT), PCM WAV audio and MJPEG AVI video via
+:mod:`pydin_spark.operators.riff`. Compressed/exotic formats decode
+through PIL when installed or the ``decoder=`` seam, and otherwise
+raise the documented plug-point ``NotImplementedError`` (or run the
 deterministic ``fake=True`` path) — the Spark-side plumbing (schema,
 batch iteration, partition sizing) is real and tested either way.
 
@@ -279,6 +281,65 @@ def extract_features(assets: DataFrame, dim: int = 8,
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = ("asset_id long, kind string, n_samples long, "
+                        "sample_rate int, feature array<double>")
+
+
+def extract_audio_features(assets: DataFrame, dim: int = 4,
+                           fake: bool = True,
+                           decoder=None) -> DataFrame:
+    """Per-asset audio features via Arrow-batched mapInPandas:
+    ``dim`` per-chunk RMS values over the mono-mixed, zero-centered
+    sample stream (the classic energy envelope).
+
+    ``fake=True`` treats the payload bytes themselves as 8-bit
+    samples so the plumbing runs codec-free; ``fake=False`` decodes
+    for real — through ``decoder`` (``bytes -> (rate, ndarray)``,
+    the librosa adapter's contract) when given, else the stdlib PCM
+    WAV codec (:func:`pydin_spark.operators.riff.decode_wav`);
+    compressed formats without a decoder raise the plug-point error.
+    """
+
+    def featurize(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .riff import decode_wav
+
+        for pdf in batches:
+            feats, counts, rates = [], [], []
+            for payload in pdf["payload"]:
+                buf = bytes(payload or b"")
+                if fake:
+                    rate, arr = 0, np.frombuffer(
+                        buf, dtype=np.uint8).astype(np.float64) - 128.0
+                elif decoder is not None:
+                    rate, arr = decoder(buf)
+                    arr = np.asarray(arr, dtype=np.float64)
+                else:
+                    rate, arr = decode_wav(buf)
+                if arr.ndim > 1:            # mono mix
+                    arr = arr.mean(axis=1)
+                counts.append(int(arr.size))
+                rates.append(int(rate))
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                else:
+                    feats.append([
+                        float(np.sqrt(np.mean(c * c))) if c.size
+                        else 0.0
+                        for c in np.array_split(arr, dim)])
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_samples": counts,
+                "sample_rate": rates,
+                "feature": feats,
+            })
+
+    return assets.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
                   fake: bool = True, decoder=None) -> DataFrame:
     """Image-resize plumbing: per-asset output payload of the target
@@ -348,8 +409,11 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000,
     With ``fake=True`` emits deterministic slices of the payload as
     pseudo-frames. ``fake=False`` drives the pluggable video seam:
     ``decoder(payload, every_ms)`` must return an iterable of
-    ``(ts_ms, frame_bytes)`` (the ffmpeg adapter's contract); without
-    a decoder the real path raises the plug-point error.
+    ``(ts_ms, frame_bytes)`` (the ffmpeg adapter's contract). With no
+    decoder, MJPEG AVI payloads sample for REAL through the stdlib
+    RIFF parser (:func:`pydin_spark.operators.riff.
+    decode_avi_frames`, frames then being baseline JPEGs the stdlib
+    codec can decode); other containers raise the plug-point error.
     """
 
     def sample(batches):
@@ -362,13 +426,20 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000,
                     pdf["meta"].map(lambda m: (m or {}).get("duration_ms"))):
                 buf = bytes(payload or b"")
                 if not fake:
-                    if decoder is None:
+                    vdec = decoder
+                    if vdec is None and buf[:4] == b"RIFF" \
+                            and buf[8:12] == b"AVI ":
+                        from .riff import decode_avi_frames
+                        vdec = decode_avi_frames
+                    if vdec is None:
                         raise NotImplementedError(
-                            "video decode needs ffmpeg; pass decoder= "
-                            "((payload, every_ms) -> [(ts_ms, bytes)])"
-                            " to plug one in")
+                            "video decode covers MJPEG AVI in-"
+                            "container; other containers need "
+                            "ffmpeg — pass decoder= ((payload, "
+                            "every_ms) -> [(ts_ms, bytes)]) to "
+                            "plug one in")
                     for i, (ts, frame) in enumerate(
-                            decoder(buf, every_ms)):
+                            vdec(buf, every_ms)):
                         rows["asset_id"].append(asset_id)
                         rows["frame_no"].append(i)
                         rows["ts_ms"].append(int(ts))

@@ -1,0 +1,145 @@
+"""RIFF container codecs (PCM WAV + MJPEG AVI) and their multimodal
+wiring — the audio/video halves of the in-container real-decode
+family (images: PNG/JPEG, tested in test_r11_operators / test_jpeg).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pydin_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from pydin_spark.operators.riff import (avi_frames, decode_avi_frames,
+                                        decode_wav, encode_avi_mjpeg,
+                                        encode_wav)
+
+
+def test_wav_roundtrip_8bit_mono():
+    s = np.arange(256, dtype=np.uint8)
+    rate, arr = decode_wav(encode_wav(s, sample_rate=8000,
+                                      sample_width=1))
+    assert rate == 8000
+    assert np.array_equal(arr, s.astype(np.float64) - 128.0)
+
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.default_rng(1)
+    st = rng.integers(-32768, 32767, (100, 2)).astype(np.int16)
+    rate, arr = decode_wav(encode_wav(st, sample_rate=44100,
+                                      sample_width=2))
+    assert rate == 44100 and arr.shape == (100, 2)
+    assert np.array_equal(arr, st.astype(np.float64))
+
+
+def test_wav_odd_data_length_word_alignment():
+    """RIFF chunks are word-aligned; an odd-length data chunk must
+    still parse (the pad byte is not a sample)."""
+    s = np.array([1, 2, 3], dtype=np.uint8)
+    payload = encode_wav(s, sample_width=1) + b"LIST\x04\x00\x00\x00INFO"
+    rate, arr = decode_wav(payload)
+    assert np.array_equal(arr, s.astype(np.float64) - 128.0)
+
+
+def test_wav_error_paths():
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"\xff\xd8\xff\xe0 definitely not riff")
+    # non-PCM format tag is the documented plug-point
+    good = bytearray(encode_wav(np.zeros(4, np.uint8)))
+    fmt_at = good.index(b"fmt ") + 8
+    good[fmt_at:fmt_at + 2] = (85).to_bytes(2, "little")  # MP3 tag
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(bytes(good))
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    frames = [encode_jpeg(np.full((16, 16), v, np.uint8), quality=100)
+              for v in (40, 120, 220)]
+    avi = encode_avi_mjpeg(frames, fps=2)          # 500 ms/frame
+    uspf, back = avi_frames(avi)
+    assert uspf == 500_000
+    assert [bytes(f) for f in back] == frames
+    # floor-sampling: the frame on screen at each instant
+    sampled = decode_avi_frames(avi, 500)
+    assert [t for t, _ in sampled] == [0, 500, 1000]
+    assert [int(decode_jpeg(f).mean()) for _, f in sampled] \
+        == [40, 120, 220]
+    sampled = decode_avi_frames(avi, 700)
+    assert [t for t, _ in sampled] == [0, 700, 1400]
+    assert [int(decode_jpeg(f).mean()) for _, f in sampled] \
+        == [40, 120, 220]
+
+
+def test_avi_odd_frame_length_word_alignment():
+    """An odd-length JPEG frame forces the writer's pad byte; the
+    walker must skip it or every later chunk misparses."""
+    f1 = encode_jpeg(np.full((8, 8), 7, np.uint8), quality=90)
+    if len(f1) % 2 == 0:        # trailing pad after EOI keeps the
+        f1 += b"\x00"           # frame valid but odd-length
+    f2 = encode_jpeg(np.full((8, 8), 200, np.uint8), quality=90)
+    avi = encode_avi_mjpeg([f1, f2], fps=1)
+    _, back = avi_frames(avi)
+    assert [bytes(b) for b in back] == [f1, f2]
+
+
+def test_avi_error_paths():
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE", 1000)
+
+
+def test_extract_audio_features_real_wav(spark):
+    """fake=False with no decoder: PCM WAV decodes through the
+    stdlib codec inside the Arrow stage; per-chunk RMS matches
+    independent numpy math."""
+    from pydin_spark.operators import multimodal
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(0, 256, 64).astype(np.uint8)
+    payload = encode_wav(samples, sample_rate=16000, sample_width=1)
+    assets = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), None)],
+        multimodal.ASSET_SCHEMA)
+    row = multimodal.extract_audio_features(assets, dim=4,
+                                            fake=False).first()
+    centered = samples.astype(np.float64) - 128.0
+    expect = [float(np.sqrt(np.mean(c * c)))
+              for c in np.array_split(centered, 4)]
+    assert row["n_samples"] == 64 and row["sample_rate"] == 16000
+    assert row["feature"] == pytest.approx(expect)
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """fake=False with no decoder: MJPEG AVI parses through the
+    stdlib RIFF walker inside the Arrow stage; each sampled frame is
+    the original JPEG payload."""
+    from pydin_spark.operators import multimodal
+
+    frames = [encode_jpeg(np.full((8, 8), v, np.uint8), quality=100)
+              for v in (11, 222)]
+    avi = encode_avi_mjpeg(frames, fps=1)          # 1000 ms/frame
+    assets = spark.createDataFrame(
+        [(5, "video", bytearray(avi),
+          ("video/x-msvideo", 8, 8, 2000))],
+        multimodal.ASSET_SCHEMA)
+    rows = (multimodal.sample_frames(assets, every_ms=1000,
+                                     fake=False)
+            .orderBy("frame_no").collect())
+    assert [(r["frame_no"], r["ts_ms"]) for r in rows] \
+        == [(0, 0), (1, 1000)]
+    assert [decode_jpeg(bytes(r["frame"]))[0, 0] for r in rows] \
+        == [11, 222]
+
+
+def test_sample_frames_non_avi_still_raises(spark):
+    """The plug-point error survives for containers the stdlib path
+    does not cover (e.g. raw bytes that aren't RIFF/AVI)."""
+    from pyspark.sql.utils import PythonException
+
+    from pydin_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00\x20ftypmp42"),
+          (None, None, None, 1000))],
+        multimodal.ASSET_SCHEMA)
+    with pytest.raises(PythonException, match="MJPEG AVI"):
+        multimodal.sample_frames(assets, every_ms=1000,
+                                 fake=False).collect()
