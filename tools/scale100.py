@@ -119,30 +119,78 @@ def _h_topk_ivf(spark, sf_dir):
                                nlist=_nlist_for(n), nprobe=2)
 
 
-def _h_icws(spark, sf_dir):
+_BOMB_CACHE: dict = {}
+
+
+def _bomb_documents(spark, sf_dir):
+    """Duplicate-heavy corpus at each decade (VERDICT r9 #1): the
+    documents table plus 4x its rows of IDENTICAL boilerplate — the
+    same adversarial shape as SCALE.json's 10x `dedup_lsh_bomb` tier,
+    and what a real crawl looks like. Checkpointed per tier so
+    construction is untimed."""
+    if sf_dir not in _BOMB_CACHE:
+        from pyspark.sql import functions as F
+        docs = spark.table("documents").select("doc_id", "text")
+        n = docs.count()
+        bomb = spark.range(4 * n).select(
+            (F.col("id") + F.lit(10_000_000)).alias("doc_id"),
+            F.lit("the same legal boilerplate footer repeated on "
+                  "every page of the crawl again and again")
+            .alias("text"))
+        _BOMB_CACHE[sf_dir] = (docs.unionByName(bomb)
+                               .localCheckpoint(eager=True))
+    return _BOMB_CACHE[sf_dir]
+
+
+def _h_minhash_capped_bomb(spark, sf_dir):
+    """The flagship CAPPED operating point (dedup.py `_cap_buckets`)
+    at two decades of the duplicate-heavy corpus — the one leg of the
+    100 TB dedup claim whose scale rows stopped at 10x (VERDICT r9
+    #1). The per-bucket cap must shed the slab for the measured
+    ratio to stay corpus-linear instead of slab-quadratic."""
     from pydin_spark.operators import dedup
-    return dedup.icws_lsh_pairs(spark.table("documents"),
-                                threshold=0.5)
+    return dedup.minhash_lsh_pairs(_bomb_documents(spark, sf_dir),
+                                   threshold=0.5, max_bucket_size=100)
+
+
+def _h_jaccard_cms_bomb(spark, sf_dir):
+    """The broadcast-CMS-capped exact tier (dedup.py CMS cap) on the
+    same duplicate-heavy corpus: the sketch shed must keep the
+    posting lists pair-bounded with the slab present."""
+    from pydin_spark.operators import dedup
+    return dedup.ngram_jaccard_pairs_cms(
+        _bomb_documents(spark, sf_dir), threshold=0.5,
+        max_shingle_freq=100)
 
 
 #: HEAVY-tier callables (inventory gates reused where their operating
-#: point is already scale-shaped)
+#: point is already scale-shaped).
+#:
+#: The UNCAPPED pairwise families (dedup_minhash_lsh,
+#: dedup_ngram_jaccard, dedup_weighted_jaccard, icws_lsh_pairs) are
+#: deliberately NOT in this probe (VERDICT r9 #2): on the
+#: permutation-cycling 100x replica their candidate-pair volume is a
+#: replica artifact (measured: surviving-pair count grows ~970x over
+#: the sf1→sf10 step even at cap=100 — cross-replica near-dups below
+#: the cap), so a wall-clock ratio there grades the workload, not the
+#: engine. Their evidence of record is SCALE.json's 10x tier; the
+#: production operating point at two decades is measured by the two
+#: capped bomb rows below, with pair-volume normalization recorded in
+#: PERF.md.
 HEAVY: dict = {
-    "dedup_minhash_lsh": None,        # gate entry, already banded LSH
-    "icws_lsh_pairs_100": _h_icws,
     "ivf_knn_graph_100": _h_ivf_knn_graph,
     "sim_topk_ivf_100": _h_topk_ivf,
     "sim_topk_pq": None,              # gate entry, ADC corpus-linear
     "graph_pagerank_100": _h_pagerank,
-    # round-9 breadth: the posting-list dedup substrate, the two-phase
-    # global-rank substrate, and the CMS sketch build at two decades
-    "dedup_ngram_jaccard": None,      # capped inverted-index self-join
     "curation_curriculum": None,      # range-partitioned global rank
     "rollup_cms": None,               # explode x depth + cell agg
-    # second breadth pass: graph structure + weighted dedup
     "graph_triangles_100": None,      # set below (scaled IVF edges)
     "graph_label_prop_100": None,     # set below (scaled IVF edges)
-    "dedup_weighted_jaccard": None,   # idf-shaped posting substrate
+    # round 12 (VERDICT r9 #1): the CAPPED dedup tier measured on a
+    # duplicate-heavy replica at two decades — the production
+    # operating point of the 100 TB dedup claim
+    "dedup_capped_bomb_100": _h_minhash_capped_bomb,
+    "dedup_cms_bomb_100": _h_jaccard_cms_bomb,
 }
 
 
@@ -247,6 +295,7 @@ def main() -> None:
             _hygiene(spark)
             print(f"# {q} (heavy) @ {name}: {t}s", file=sys.stderr)
         _EDGE_CACHE.clear()
+        _BOMB_CACHE.clear()
         spark.catalog.clearCache()
     out = {}
     for q, t in rows.items():
