@@ -15,10 +15,13 @@ Scope — ITU-T T.81 baseline sequential DCT:
 - encode: grayscale or RGB, 4:4:4, Annex K quantization tables scaled
   by ``quality``, Annex K Huffman tables.
 
-Performance note (deliberate): the entropy decoder is a per-bit
-Python loop — correctness-first for test fixtures and small assets;
-a 100 TB image pipeline plugs PIL/opencv through the ``decoder=``
-seam. The DCT itself is one numpy matmul pair per 8×8 block.
+Performance: the entropy decoder de-stuffs the scan in one linear
+pass and resolves every Huffman symbol with a single cached
+16-bit-prefix LUT index (tables cached across images — a batch
+decode builds each DHT once); the DCT is one numpy matmul pair per
+8×8 block. Still pure Python per symbol — a 100 TB image pipeline
+plugs PIL/opencv through the ``decoder=`` seam; this codec's job is
+a real, dependency-free in-container path.
 """
 
 from __future__ import annotations
@@ -125,75 +128,142 @@ def _build_codes(bits, values):
     return out
 
 
-def _build_decode_table(bits, values):
-    """(bits, values) → {(length, code): symbol}."""
-    out, code, idx = {}, 0, 0
+# ---- decoder ----------------------------------------------------------
+
+#: (bits, values) → 65536-entry LUT, cached across images — standard
+#: streams reuse the Annex K tables, so a batch decode builds each
+#: table once, and every Huffman symbol costs ONE list index.
+_LUT_CACHE: dict = {}
+
+
+def _build_decode_lut(bits, values):
+    """(bits, values) → flat 16-bit-prefix LUT: lut[peek16] =
+    (symbol, code_length), None for invalid prefixes."""
+    key = (bytes(bits), bytes(values))
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [None] * 65536
+    code, idx = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = values[idx]
-            code += 1
+            entry = (values[idx], ln)
             idx += 1
+            base = code << (16 - ln)
+            lut[base:base + (1 << (16 - ln))] = \
+                [entry] * (1 << (16 - ln))
+            code += 1
         code <<= 1
-    return out
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-# ---- decoder ----------------------------------------------------------
+def _destuff_segments(buf: bytes, pos: int):
+    """Entropy-coded data → list of de-stuffed byte segments, one per
+    restart interval (split at RSTn markers; ends at any other
+    marker). One linear pass instead of per-bit marker checks."""
+    segs, cur, n = [], bytearray(), len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b == 0xFF:
+            nxt = buf[pos + 1] if pos + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+            else:
+                break                   # scan-end marker (EOI, ...)
+        else:
+            cur.append(b)
+            pos += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+class _SegReader:
+    """MSB-first bit reader over ONE de-stuffed segment. Zero-padded
+    for lookahead; consuming past the real bits raises (truncated
+    stream), peeking past them is fine (final-byte padding)."""
+
+    __slots__ = ("seg", "real_bits", "bytepos", "acc", "nbits",
+                 "consumed")
+
+    def __init__(self, seg: bytes):
+        self.real_bits = 8 * len(seg)
+        self.seg = seg + b"\x00\x00\x00\x00"
+        self.bytepos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.consumed = 0
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        acc, nbits, bp = self.acc, self.nbits, self.bytepos
+        while nbits < n:
+            acc = (acc << 8) | self.seg[bp]
+            bp += 1
+            nbits += 8
+        self.consumed += n
+        if self.consumed > self.real_bits:
+            raise EOFError("hit end of entropy segment")
+        nbits -= n
+        self.acc, self.nbits, self.bytepos = acc, nbits, bp
+        return (acc >> nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        acc, nbits, bp = self.acc, self.nbits, self.bytepos
+        while nbits < 16:
+            acc = (acc << 8) | self.seg[bp]
+            bp += 1
+            nbits += 8
+        self.acc, self.nbits, self.bytepos = acc, nbits, bp
+        return (acc >> (nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.consumed += n
+        if self.consumed > self.real_bits:
+            raise EOFError("hit end of entropy segment")
+        self.nbits -= n
 
 
 class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00
-    de-stuffing; stops at any non-RST marker and reports RSTs."""
+    """Reader over the scan's restart-segment list (the public
+    surface _decode_scan drives: read_bits / peek16 / skip /
+    sync_restart)."""
 
     def __init__(self, buf: bytes, pos: int):
-        self.buf, self.pos = buf, pos
-        self.bits = 0
-        self.nbits = 0
-
-    def _fill(self) -> bool:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                return False            # restart marker pending
-            else:
-                return False            # scan-end marker (EOI, ...)
-        else:
-            self.pos += 1
-        self.bits = (self.bits << 8) | b
-        self.nbits += 8
-        return True
-
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            raise EOFError("hit marker inside entropy data")
-        self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+        self._segs = [_SegReader(s)
+                      for s in _destuff_segments(buf, pos)]
+        self._i = 0
+        self.cur = self._segs[0]
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        return self.cur.read_bits(n)
+
+    def peek16(self) -> int:
+        return self.cur.peek16()
+
+    def skip(self, n: int) -> None:
+        self.cur.skip(n)
 
     def sync_restart(self) -> None:
-        """Drop partial bits and consume the RSTn marker."""
-        self.bits = self.nbits = 0
-        if (self.buf[self.pos] == 0xFF
-                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7):
-            self.pos += 2
+        """Advance to the next restart segment (drops pad bits)."""
+        self._i += 1
+        if self._i >= len(self._segs):
+            raise EOFError("missing restart segment")
+        self.cur = self._segs[self._i]
 
 
-def _decode_huff(reader: _BitReader, table) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | reader.read_bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _decode_huff(reader: _BitReader, lut) -> int:
+    entry = lut[reader.peek16()]
+    if entry is None:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    reader.skip(entry[1])
+    return entry[0]
 
 
 def _extend(v: int, size: int) -> int:
@@ -242,7 +312,7 @@ def decode_jpeg(payload: bytes):
                 bits = list(seg[s + 1:s + 17])
                 n = sum(bits)
                 values = list(seg[s + 17:s + 17 + n])
-                huff[(cls, tid)] = _build_decode_table(bits, values)
+                huff[(cls, tid)] = _build_decode_lut(bits, values)
                 s += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             depth = seg[0]
