@@ -2,5 +2,5 @@
 reference surface): dedup, similarity search, text analysis, multimodal
 column plumbing."""
 
-from . import (buckets, dedup, graph, multimodal,  # noqa: F401
-               similarity, text)
+from . import (buckets, dedup, graph, jpeg, multimodal,  # noqa: F401
+               riff, similarity, text)
