@@ -211,8 +211,11 @@ class _SegReader:
         if self.consumed > self.real_bits:
             raise EOFError("hit end of entropy segment")
         nbits -= n
-        self.acc, self.nbits, self.bytepos = acc, nbits, bp
-        return (acc >> nbits) & ((1 << n) - 1)
+        v = (acc >> nbits) & ((1 << n) - 1)
+        # drop consumed high bits — acc stays a small int forever
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits, self.bytepos = nbits, bp
+        return v
 
     def peek16(self) -> int:
         acc, nbits, bp = self.acc, self.nbits, self.bytepos
@@ -228,6 +231,7 @@ class _SegReader:
         if self.consumed > self.real_bits:
             raise EOFError("hit end of entropy segment")
         self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
 
 class _BitReader:

@@ -56,7 +56,8 @@ def encode_wav(samples, sample_rate: int = 8000,
                       ch * sample_width, 8 * sample_width)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))  # word-align
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
