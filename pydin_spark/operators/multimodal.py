@@ -50,12 +50,33 @@ FEATURE_SCHEMA = ("asset_id long, kind string, n_bytes long, "
                   "feature array<double>")
 
 
-def read_assets(spark, path: str) -> DataFrame:
-    """Ingest raw files as assets via the distributed binaryFile source."""
+def read_assets(spark, path: str, sniff: bool = False) -> DataFrame:
+    """Ingest raw files as assets via the distributed binaryFile source.
+
+    ``kind`` comes from the file extension by default; ``sniff=True``
+    classifies by payload magic bytes instead (PNG/JPEG → image,
+    RIFF/WAVE → audio, RIFF/AVI → video, else the extension) — pure
+    Column expressions over the first payload bytes, so the sniff
+    rides the same scan with no extra pass."""
     df = spark.read.format("binaryFile").load(path)
+    ext = F.lower(F.element_at(F.split("path", r"\."), -1))
+    if sniff:
+        kind = (F.when(F.substring("content", 1, 8)
+                       == F.lit(_PNG_MAGIC), "image")
+                .when(F.substring("content", 1, 2)
+                      == F.lit(b"\xff\xd8"), "image")
+                .when((F.substring("content", 1, 4) == F.lit(b"RIFF"))
+                      & (F.substring("content", 9, 4)
+                         == F.lit(b"WAVE")), "audio")
+                .when((F.substring("content", 1, 4) == F.lit(b"RIFF"))
+                      & (F.substring("content", 9, 4)
+                         == F.lit(b"AVI ")), "video")
+                .otherwise(ext))
+    else:
+        kind = ext
     return df.select(
         F.abs(F.xxhash64("path")).alias("asset_id"),
-        F.element_at(F.split("path", r"\."), -1).alias("kind"),
+        kind.alias("kind"),
         F.col("content").alias("payload"),
         F.struct(F.lit(None).cast("string").alias("mime"),
                  F.lit(None).cast("int").alias("width"),

@@ -129,6 +129,27 @@ def test_sample_frames_real_mjpeg_avi(spark):
         == [11, 222]
 
 
+def test_read_assets_magic_byte_sniffing(spark, tmp_path):
+    """sniff=True classifies by payload magic bytes (pure Column
+    exprs on the binaryFile scan), regardless of extension."""
+    from pydin_spark.operators import multimodal
+
+    (tmp_path / "a.bin").write_bytes(
+        multimodal.encode_png(np.zeros((4, 4), np.uint8)))
+    (tmp_path / "b.dat").write_bytes(
+        encode_jpeg(np.zeros((8, 8), np.uint8)))
+    (tmp_path / "c.raw").write_bytes(encode_wav(np.zeros(4, np.uint8)))
+    (tmp_path / "d.xyz").write_bytes(
+        encode_avi_mjpeg([encode_jpeg(np.zeros((8, 8), np.uint8))]))
+    (tmp_path / "e.txt").write_bytes(b"hello plain text")
+    sniffed = multimodal.read_assets(spark, str(tmp_path), sniff=True)
+    assert sorted(r["kind"] for r in sniffed.select("kind").collect()) \
+        == ["audio", "image", "image", "txt", "video"]
+    by_ext = multimodal.read_assets(spark, str(tmp_path))
+    assert sorted(r["kind"] for r in by_ext.select("kind").collect()) \
+        == ["bin", "dat", "raw", "txt", "xyz"]
+
+
 def test_sample_frames_non_avi_still_raises(spark):
     """The plug-point error survives for containers the stdlib path
     does not cover (e.g. raw bytes that aren't RIFF/AVI)."""
