@@ -5,6 +5,8 @@ family (images: PNG/JPEG, tested in test_r11_operators / test_jpeg).
 
 from __future__ import annotations
 
+import base64
+
 import numpy as np
 import pytest
 
@@ -29,6 +31,32 @@ def test_wav_roundtrip_16bit_stereo():
                                       sample_width=2))
     assert rate == 44100 and arr.shape == (100, 2)
     assert np.array_equal(arr, st.astype(np.float64))
+
+
+#: 16-bit stereo PCM WAV written by an INDEPENDENT encoder — Java
+#: 17's javax.sound.sampled (AudioSystem.write, WAVE type) over the
+#: deterministic samples below. The reverse direction (the JRE
+#: reading OUR 8-bit and 16-bit-stereo output bit-exactly) was
+#: verified at fixture-generation time.
+JAVA_WAV = base64.b64decode(
+    "UklGRiQBAABXQVZFZm10IBAAAAABAAIAIlYAAIhYAQAEABAAZGF0YQABAADY3EAf"
+    "BN5GHjDfTB1c4FIciOFYG7TiXhrg42QZDOVqGDjmcBdk53YWkOh8FbzpghTo6ogT"
+    "FOyOEkDtlBFs7poQmO+gD8Twpg7w8awNHPOyDEj0uAt09b4KoPbECcz3ygj4+NAH"
+    "JPrWBlD73AV8/OIEqP3oA9T+7gIAAPQBLAH6AFgCAACEAwb/sAQM/twFEv0IBxj8"
+    "NAge+2AJJPqMCir5uAsw+OQMNvcQDjz2PA9C9WgQSPSUEU7zwBJU8uwTWvEYFWDw"
+    "RBZm73AXbO6cGHLtyBl47PQafusgHITqTB2K6XgekOikH5bn0CCc5vwhouUoI6jk"
+    "VCSu44AltOKsJrrh")
+
+
+def test_decode_independent_encoder_wav():
+    """Fixture came from javax.sound.sampled, not our encoder."""
+    rate, arr = decode_wav(JAVA_WAV)
+    n = np.arange(64)
+    expect = np.stack([(n * 300 - 9000).astype(np.int16),
+                       (8000 - n * 250).astype(np.int16)],
+                      axis=1).astype(np.float64)
+    assert rate == 22050 and arr.shape == (64, 2)
+    assert np.array_equal(arr, expect)
 
 
 def test_wav_odd_data_length_word_alignment():
