@@ -7,13 +7,20 @@ multimodal decode path an in-container JPEG codec with zero native
 dependencies. PIL, when installed, still takes precedence and covers
 the full format zoo (progressive, arithmetic, CMYK, EXIF rotation…).
 
-Scope — ITU-T T.81 baseline sequential DCT:
+Scope — ITU-T T.81 Huffman DCT:
 
-- decode: SOF0, 8-bit, grayscale or YCbCr with any sampling factors
-  (4:4:4 / 4:2:2 / 4:2:0 …), DRI/RSTn restart markers. Progressive
-  (SOF2) and arithmetic coding raise the documented plug-point error.
-- encode: grayscale or RGB, 4:4:4, Annex K quantization tables scaled
-  by ``quality``, Annex K Huffman tables.
+- decode: baseline sequential (SOF0/1) AND progressive (SOF2,
+  §G.1.2: spectral selection + successive approximation — DC
+  first/refine, AC band first with EOBRUN/ZRL, AC refinement
+  correction bits), 8-bit, grayscale or YCbCr with any sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 …), DRI/RSTn restart markers.
+  Lossless/hierarchical/arithmetic coding raise the documented
+  plug-point error. Progressive validated coefficient-exact: the
+  JRE's progressive and baseline encodings of one image decode to
+  IDENTICAL pixels (tests/fixtures/).
+- encode: grayscale or RGB, baseline 4:4:4, Annex K quantization
+  tables scaled by ``quality``, Annex K Huffman tables, optional
+  restart markers.
 
 Performance: the entropy decoder de-stuffs the scan in one linear
 pass and resolves every Huffman symbol with a single cached
@@ -159,9 +166,10 @@ def _build_decode_lut(bits, values):
 
 
 def _destuff_segments(buf: bytes, pos: int):
-    """Entropy-coded data → list of de-stuffed byte segments, one per
-    restart interval (split at RSTn markers; ends at any other
-    marker). One linear pass instead of per-bit marker checks."""
+    """Entropy-coded data → (list of de-stuffed byte segments — one
+    per restart interval, split at RSTn markers — and the position of
+    the scan-terminating marker). One linear pass instead of per-bit
+    marker checks."""
     segs, cur, n = [], bytearray(), len(buf)
     while pos < n:
         b = buf[pos]
@@ -180,7 +188,7 @@ def _destuff_segments(buf: bytes, pos: int):
             cur.append(b)
             pos += 1
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
 
 
 class _SegReader:
@@ -236,12 +244,13 @@ class _SegReader:
 
 class _BitReader:
     """Reader over the scan's restart-segment list (the public
-    surface _decode_scan drives: read_bits / peek16 / skip /
-    sync_restart)."""
+    surface the scan decoders drive: read_bits / peek16 / skip /
+    sync_restart). ``end`` is the buffer position of the marker that
+    terminated the scan (where header parsing resumes)."""
 
     def __init__(self, buf: bytes, pos: int):
-        self._segs = [_SegReader(s)
-                      for s in _destuff_segments(buf, pos)]
+        segs, self.end = _destuff_segments(buf, pos)
+        self._segs = [_SegReader(s) for s in segs]
         self._i = 0
         self.cur = self._segs[0]
 
@@ -278,7 +287,11 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG → uint8 ndarray (H×W grayscale or H×W×3 RGB)."""
+    """Baseline or progressive JPEG → uint8 ndarray (H×W grayscale
+    or H×W×3 RGB). Baseline (SOF0/1) decodes in one streaming scan;
+    progressive (SOF2) accumulates coefficient state over every
+    DC/AC first+refinement scan (T.81 §G.1.2) and reconstructs at
+    EOI."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -287,6 +300,8 @@ def decode_jpeg(payload: bytes):
     qt: dict[int, object] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    coefs = None                        # per-comp coefficient state
     restart_interval = 0
     M = _dct_matrix()
     while pos + 4 <= len(payload):
@@ -318,7 +333,7 @@ def decode_jpeg(payload: bytes):
                 values = list(seg[s + 17:s + 17 + n])
                 huff[(cls, tid)] = _build_decode_lut(bits, values)
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, 2 prog
             depth = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
@@ -329,11 +344,12 @@ def decode_jpeg(payload: bytes):
             if depth != 8:
                 raise NotImplementedError("only 8-bit JPEG")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) — install "
-                f"PIL or pass decoder=")
+                f"unsupported JPEG coding (SOF{marker - 0xC0}) — "
+                f"install PIL or pass decoder=")
         elif marker == 0xDD:            # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:            # SOS — entropy data follows
@@ -347,10 +363,222 @@ def decode_jpeg(payload: bytes):
                           if c[0] == cs)
                 scan.append((ci, tda >> 4, tda & 0xF))
             data_pos = pos + ln
-            return _decode_scan(payload, data_pos, frame, scan, qt,
-                                huff, restart_interval, M, np)
+            if not progressive:
+                return _decode_scan(payload, data_pos, frame, scan,
+                                    qt, huff, restart_interval, M, np)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame, np)
+            reader = _BitReader(payload, data_pos)
+            _decode_prog_scan(reader, frame, scan, coefs, huff,
+                              restart_interval, ss, se,
+                              ahal >> 4, ahal & 0xF)
+            pos = reader.end
+            continue
         pos += ln
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt, M, np)
     raise ValueError("no SOS marker in JPEG")
+
+
+def _grid(frame):
+    """((mcux, mcuy), per-comp padded block grid (bh, bw), per-comp
+    REAL block grid for non-interleaved scans (T.81 A.2.2:
+    ceil(ceil(dim·sampling/max)/8), unpadded))."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [(mcuy * vs, mcux * hs) for _, hs, vs, _ in comps]
+
+    def blocks(dim, samp, smax):
+        comp = -(-dim * samp // smax)   # ceil(dim·samp/smax)
+        return -(-comp // 8)
+
+    real = [(blocks(h, vs, vmax), blocks(w, hs, hmax))
+            for _, hs, vs, _ in comps]
+    return (mcux, mcuy), padded, real
+
+
+def _alloc_coefs(frame, np):
+    _, padded, _ = _grid(frame)
+    return [np.zeros((bh, bw, 64), dtype=np.int32)
+            for bh, bw in padded]
+
+
+def _decode_prog_scan(reader, frame, scan, coefs, huff,
+                      restart_interval, ss, se, ah, al):
+    """One progressive scan (T.81 §G.1.2): DC first/refine
+    (interleaved or single), AC first/refine (single component,
+    spectral band [ss, se], successive approximation ah→al)."""
+    h, w, comps = frame
+    (mcux, mcuy), _, real = _grid(frame)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        _prog_dc_scan(reader, frame, scan, coefs, huff,
+                      restart_interval, ah, al, mcux, mcuy, real)
+        return
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-comp")
+    ci, _, ac_tid = scan[0]
+    hb, wb = real[ci]
+    coef = coefs[ci]
+    act = huff[(1, ac_tid)]
+    if ah == 0:
+        _prog_ac_first(reader, coef, act, restart_interval,
+                       ss, se, al, hb, wb)
+    else:
+        _prog_ac_refine(reader, coef, act, restart_interval,
+                        ss, se, al, hb, wb)
+
+
+def _prog_dc_scan(reader, frame, scan, coefs, huff,
+                  restart_interval, ah, al, mcux, mcuy, real):
+    comps = frame[2]
+    preds = [0] * len(comps)
+    nmcu = 0
+    if len(scan) == 1:
+        # non-interleaved: walk the component's REAL block grid
+        # (T.81 A.2.2 — NOT the MCU-padded grid)
+        ci, dc_tid, _ = scan[0]
+        hb, wb = real[ci]
+        units = [(my, mx) for my in range(hb) for mx in range(wb)]
+        per_mcu = [(ci, dc_tid, 1, 1)]
+    else:
+        units = [(my, mx) for my in range(mcuy)
+                 for mx in range(mcux)]
+        per_mcu = [(ci, dc_tid, comps[ci][1], comps[ci][2])
+                   for ci, dc_tid, _ in scan]
+    for my, mx in units:
+        if restart_interval and nmcu \
+                and nmcu % restart_interval == 0:
+            reader.sync_restart()
+            preds = [0] * len(comps)
+        nmcu += 1
+        for ci, dc_tid, hs, vs in per_mcu:
+            coef = coefs[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    y = my * vs + by
+                    x = mx * hs + bx
+                    if ah == 0:
+                        dct = huff[(0, dc_tid)]
+                        size = _decode_huff(reader, dct)
+                        diff = _extend(reader.read_bits(size), size)
+                        preds[ci] += diff
+                        coef[y, x, 0] = preds[ci] << al
+                    else:
+                        coef[y, x, 0] |= reader.read_bits(1) << al
+
+
+def _prog_ac_first(reader, coef, act, restart_interval,
+                   ss, se, al, hb, wb):
+    eobrun = 0
+    nblk = 0
+    for y in range(hb):
+        for x in range(wb):
+            if restart_interval and nblk \
+                    and nblk % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            nblk += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            blk = coef[y, x]
+            k = ss
+            while k <= se:
+                rs = _decode_huff(reader, act)
+                r, s = rs >> 4, rs & 15
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band")
+                    blk[ZIGZAG[k]] = _extend(
+                        reader.read_bits(s), s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16             # ZRL
+
+
+def _prog_ac_refine(reader, coef, act, restart_interval,
+                    ss, se, al, hb, wb):
+    p1 = 1 << al
+    m1 = -1 << al
+    zz = ZIGZAG
+    eobrun = 0
+    nblk = 0
+    rd1 = reader.read_bits
+    for y in range(hb):
+        for x in range(wb):
+            if restart_interval and nblk \
+                    and nblk % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            nblk += 1
+            blk = coef[y, x]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(reader, act)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        s_val = p1 if rd1(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd1(r)
+                        break
+                    # advance r zero-history coeffs, correcting
+                    # every nonzero one passed over
+                    while k <= se:
+                        c = blk[zz[k]]
+                        if c != 0:
+                            if rd1(1) and (c & p1) == 0:
+                                blk[zz[k]] = c + (p1 if c >= 0
+                                                  else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s:
+                        blk[zz[k]] = s_val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = blk[zz[k]]
+                    if c != 0 and rd1(1) and (c & p1) == 0:
+                        blk[zz[k]] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qt, M, np):
+    """Dequantize + vectorized IDCT of the accumulated coefficient
+    state, then the shared upsample/crop/color tail."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for (cid, hs, vs, tq), coef in zip(comps, coefs):
+        bh, bw, _ = coef.shape
+        q = qt[tq].reshape(-1)
+        c = coef.reshape(bh * bw, 64).astype(np.float64) * q
+        blocks = c.reshape(bh * bw, 8, 8)
+        px = M.T @ blocks @ M + 128.0
+        plane = (px.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        planes.append(plane)
+    return _finish_planes(planes, frame, hmax, vmax, np)
 
 
 def _decode_scan(buf, pos, frame, scan, qt, huff, restart_interval,
@@ -404,7 +632,12 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, restart_interval,
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _finish_planes(planes, frame, hmax, vmax, np)
+
+
+def _finish_planes(planes, frame, hmax, vmax, np):
+    """Shared decode tail: chroma upsample, crop, YCbCr→RGB."""
+    h, w, comps = frame
     out = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
         if hs != hmax or vs != vmax:

@@ -147,12 +147,68 @@ def test_restart_interval_roundtrip_identical():
 def test_error_paths():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive (SOF2) is the documented plug-point
+    # lossless (SOF3) stays the documented plug-point
     prog = bytearray(JAVA_GRAY_JPG)
     idx = prog.index(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    prog[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="unsupported"):
         decode_jpeg(bytes(prog))
+
+
+# ---- progressive (SOF2) ----------------------------------------------
+
+_FIXTURES = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+def _fixture(name: str) -> bytes:
+    with open(f"{_FIXTURES}/{name}", "rb") as f:
+        return f.read()
+
+
+def _noise_gray():
+    y, x = np.mgrid[0:64, 0:56]
+    return (x * 37 + y * 91 + ((x * x + y * y) % 7) * 31) % 256
+
+
+def _noise_rgb():
+    y, x = np.mgrid[0:64, 0:56]
+    return np.stack([_noise_gray(), (x * 11 + y * 53) % 256,
+                     (x * x * 3 + y * 29) % 256], axis=-1)
+
+
+def test_progressive_decode_gray():
+    """javax.imageio progressive stream (DC first/refine + AC band
+    first scans + AC refinement, per its default scan script)."""
+    dec = decode_jpeg(_fixture("prog_gray.jpg"))
+    ref = _java_gray()
+    assert dec.shape == ref.shape
+    assert np.abs(dec.astype(float) - ref).mean() < 2.0
+
+
+def test_progressive_decode_rgb_420():
+    """Progressive + 4:2:0 subsampling + interleaved DC scans."""
+    dec = decode_jpeg(_fixture("prog_rgb.jpg"))
+    ref = _java_rgb()
+    assert dec.shape == ref.shape
+    assert np.abs(dec.astype(float) - ref).mean() < 6.0
+
+
+def test_progressive_coefficient_exact_vs_baseline():
+    """The decisive check: the JRE encoded the SAME image both
+    baseline and progressive at the same quality — identical
+    quantized coefficients in two different entropy codings. A
+    correct progressive decode (EOBRUN, ZRL, successive-
+    approximation refinement bits) must therefore produce pixels
+    IDENTICAL to the baseline decode; any scan-logic bug breaks
+    equality. High-frequency fixture keeps every AC band busy."""
+    pg = decode_jpeg(_fixture("prog_noise_gray.jpg"))
+    bg = decode_jpeg(_fixture("base_noise_gray.jpg"))
+    assert np.array_equal(pg, bg)
+    assert np.abs(pg.astype(float) - _noise_gray()).mean() < 15.0
+    pr = decode_jpeg(_fixture("prog_noise_rgb.jpg"))
+    br = decode_jpeg(_fixture("base_noise_rgb.jpg"))
+    assert pr.shape == _noise_rgb().shape
+    assert np.array_equal(pr, br)
 
 
 def test_extract_features_real_decode_on_jpeg(spark):
