@@ -10,8 +10,8 @@ The heavyweight codecs (PIL/librosa/ffmpeg) are NOT available in this
 environment, but every modality still has a REAL in-container path
 through representative formats: baseline PNGs via the pure-stdlib
 codec here (``_decode_png``: zlib inflate + filter reconstruction),
-baseline JPEGs via :mod:`pydin_spark.operators.jpeg` (Huffman +
-IDCT), PCM WAV audio and MJPEG AVI video via
+baseline AND progressive JPEGs via
+:mod:`pydin_spark.operators.jpeg` (Huffman + IDCT, SOF0/2), PCM WAV audio and MJPEG AVI video via
 :mod:`pydin_spark.operators.riff`. Compressed/exotic formats decode
 through PIL when installed or the ``decoder=`` seam, and otherwise
 raise the documented plug-point ``NotImplementedError`` (or run the
@@ -232,9 +232,9 @@ def _decode_image(payload: bytes, decoder=None):
     ``decoder`` is the pluggable seam — any picklable
     ``bytes -> ndarray`` callable. Without one, tries PIL (grayscale
     decode); with PIL absent, baseline PNGs decode through the
-    stdlib codec (:func:`_decode_png`) and baseline JPEGs through
-    :mod:`pydin_spark.operators.jpeg` (VERDICT r9 #9) so the real
-    path covers the two dominant web image formats in-container;
+    stdlib codec (:func:`_decode_png`) and JPEGs (baseline and
+    progressive) through :mod:`pydin_spark.operators.jpeg` so the
+    real path covers the two dominant web image formats in-container;
     anything else raises the documented plug-point error, never a
     silent fake.
     """
