@@ -87,53 +87,22 @@ def read_assets(spark, path: str, sniff: bool = False) -> DataFrame:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib PNG decode (zlib inflate + per-row filter
-    reconstruction, PNG spec §9 and §13): 8-bit depth, color types 0
-    (grayscale, returns H×W), 2 (RGB, H×W×3), 4 (gray+alpha, H×W×2)
-    and 6 (RGBA, H×W×4), non-interlaced — the baseline every PNG
-    writer emits. This gives the real (``fake=False``) decode path a
-    zero-dependency in-container codec for the dominant image format;
-    PIL, when installed, still takes precedence and covers the rest
-    (interlace, palettes, 16-bit, JPEG, ...)."""
-    import struct
-    import zlib
+#: Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    import numpy as np
 
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
-        chunk = payload[pos + 8:pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("truncated PNG: missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or interlace:
-        raise NotImplementedError(
-            f"stdlib PNG path covers 8-bit ctype 0/2/4/6 "
-            f"non-interlaced; got depth={depth} ctype={ctype} "
-            f"interlace={interlace} — install PIL or pass decoder=")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("corrupt PNG: wrong decompressed size")
-    out = np.empty((h, stride), dtype=np.uint8)
+def _png_defilter(raw, off, hp, stride, bpp, np):
+    """Reconstruct one (sub-)image's filtered scanlines (PNG §9):
+    ``hp`` rows of ``stride`` bytes, filter-type byte per row,
+    ``bpp`` = filter byte distance. Returns (pixels, bytes read)."""
+    out = np.empty((hp, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
+    for y in range(hp):
+        ftype = raw[off + y * (stride + 1)]
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride,
-            offset=y * (stride + 1) + 1).astype(np.int32)
+            offset=off + y * (stride + 1) + 1).astype(np.int32)
         up = prev.astype(np.int32)
         if ftype == 0:                      # None
             cur = line
@@ -142,14 +111,14 @@ def _decode_png(payload: bytes):
         else:                               # Sub / Average / Paeth:
             cur = np.empty(stride, dtype=np.int32)  # left-sequential
             for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = up[x]
                 if ftype == 1:              # Sub
                     cur[x] = (line[x] + a) & 0xFF
                 elif ftype == 3:            # Average
                     cur[x] = (line[x] + (a + b) // 2) & 0xFF
                 elif ftype == 4:            # Paeth
-                    c = up[x - channels] if x >= channels else 0
+                    c = up[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) \
@@ -159,6 +128,79 @@ def _decode_png(payload: bytes):
                     raise ValueError(f"bad PNG filter {ftype}")
         prev = cur.astype(np.uint8)
         out[y] = prev
+    return out, off + hp * (stride + 1)
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-row filter
+    reconstruction, PNG spec §9 and §13): color types 0 (grayscale,
+    returns H×W), 2 (RGB, H×W×3), 3 (palette, returns H×W×3 through
+    the PLTE lookup; bit depths 1/2/4/8), 4 (gray+alpha, H×W×2) and
+    6 (RGBA, H×W×4) at 8-bit depth, both non-interlaced and Adam7
+    interlaced (§8.2) — effectively every PNG a standard writer
+    emits. PIL, when installed, still takes precedence (16-bit,
+    tRNS transparency, ...)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    depth_ok = depth == 8 or (ctype == 3 and depth in (1, 2, 4))
+    if channels is None or not depth_ok or interlace > 1:
+        raise NotImplementedError(
+            f"stdlib PNG path covers 8-bit ctype 0/2/4/6 and "
+            f"1/2/4/8-bit palette, interlace 0/1; got depth={depth} "
+            f"ctype={ctype} interlace={interlace} — install PIL or "
+            f"pass decoder=")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    bits_pp = channels * depth
+    bpp = max(1, bits_pp // 8)
+    raw = zlib.decompress(b"".join(idat))
+
+    def pixels(sub, hp, wp):
+        """(hp, stride) filtered bytes → (hp, wp, channels) values."""
+        if depth == 8:
+            return sub.reshape(hp, wp, channels)
+        bits = np.unpackbits(sub, axis=1)[:, :wp * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (bits.reshape(hp, wp, depth) * weights).sum(
+            axis=2, dtype=np.int32).astype(np.uint8)[..., None]
+
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp == 0 or hp == 0:
+            continue
+        stride = -(-wp * bits_pp // 8)
+        sub, off = _png_defilter(raw, off, hp, stride, bpp, np)
+        out[y0::dy, x0::dx] = pixels(sub, hp, wp)
+    if off != len(raw):
+        raise ValueError("corrupt PNG: wrong decompressed size")
+    if ctype == 3:
+        return plte[out[:, :, 0]]
     return out.reshape(h, w, channels) if channels > 1 \
         else out.reshape(h, w)
 
