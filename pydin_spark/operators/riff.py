@@ -64,15 +64,18 @@ def encode_wav(samples, sample_rate: int = 8000,
 def decode_wav(payload: bytes):
     """PCM WAV bytes → ``(sample_rate, samples ndarray)``.
 
-    Samples come back as float64 CENTERED at zero in native integer
-    scale (8-bit: value−128; 16-bit: the signed value), shape (n,)
-    for mono else (n, channels) — the form feature math wants.
+    Samples come back as float64 CENTERED at zero in native scale
+    (8-bit: value−128; 16/24/32-bit integer: the signed value;
+    float WAV: the stored floats, conventionally in [-1, 1]), shape
+    (n,) for mono else (n, channels) — the form feature math wants.
+    Covers integer PCM (tag 1, 8/16/24/32-bit), IEEE float (tag 3,
+    32/64-bit) and WAVE_FORMAT_EXTENSIBLE wrapping either.
     """
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_raw, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid, ln = payload[pos:pos + 4], struct.unpack(
             "<I", payload[pos + 4:pos + 8])[0]
@@ -80,22 +83,42 @@ def decode_wav(payload: bytes):
         pos += 8 + ln + (ln & 1)            # chunks are word-aligned
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", chunk[:16])
+            fmt_raw = chunk
         elif cid == b"data":
             data = chunk
     if fmt is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
     audio_format, ch, rate, _, _, bits = fmt
-    if audio_format != 1:
+    if audio_format == 0xFFFE and len(fmt_raw) >= 40:
+        # WAVE_FORMAT_EXTENSIBLE: real format tag leads the GUID
+        audio_format = struct.unpack("<H", fmt_raw[24:26])[0]
+    if audio_format == 1:                   # integer PCM
+        if bits == 8:
+            arr = np.frombuffer(data, dtype=np.uint8).astype(
+                np.float64) - 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            arr = np.where(v >= 1 << 23, v - (1 << 24),
+                           v).astype(np.float64)
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM WAV")
+    elif audio_format == 3:                 # IEEE float
+        if bits == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAV")
+    else:
         raise NotImplementedError(
             f"non-PCM WAV (format tag {audio_format}) — pass "
             f"decoder= to plug a codec in")
-    if bits == 8:
-        arr = np.frombuffer(data, dtype=np.uint8).astype(
-            np.float64) - 128.0
-    elif bits == 16:
-        arr = np.frombuffer(data, dtype="<i2").astype(np.float64)
-    else:
-        raise NotImplementedError(f"{bits}-bit PCM WAV")
     if ch > 1:
         arr = arr[: (len(arr) // ch) * ch].reshape(-1, ch)
     return rate, arr

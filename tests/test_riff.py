@@ -68,6 +68,45 @@ def test_wav_odd_data_length_word_alignment():
     assert np.array_equal(arr, s.astype(np.float64) - 128.0)
 
 
+def _wav(tag, rate, bits, data, extensible=False):
+    """Hand-build a WAV header around raw sample bytes (mono)."""
+    import struct
+    fmt = struct.pack("<HHIIHH", 0xFFFE if extensible else tag,
+                      1, rate, rate * bits // 8, bits // 8, bits)
+    if extensible:                      # cbSize=22 + GUID(tag)
+        fmt += struct.pack("<HHIH", 22, bits, 0, tag)
+        fmt += b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float_24bit_and_extensible_formats():
+    """IEEE-float (tag 3, 32/64-bit), 24/32-bit integer PCM, and
+    WAVE_FORMAT_EXTENSIBLE wrappers all decode to native-scale
+    float64 exactly."""
+    f = np.array([0.5, -0.25, 1.0, -1.0], dtype="<f4")
+    rate, a = decode_wav(_wav(3, 48000, 32, f.tobytes()))
+    assert rate == 48000 and np.array_equal(a, f.astype(np.float64))
+    f8 = np.array([0.1, -0.9], dtype="<f8")
+    _, a = decode_wav(_wav(3, 96000, 64, f8.tobytes()))
+    assert np.array_equal(a, f8)
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456], np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little")
+                   for v in vals)
+    _, a = decode_wav(_wav(1, 44100, 24, raw))
+    assert np.array_equal(a, vals.astype(np.float64))
+    i4 = np.array([2**31 - 1, -2**31, 7], dtype="<i4")
+    _, a = decode_wav(_wav(1, 44100, 32, i4.tobytes()))
+    assert np.array_equal(a, i4.astype(np.float64))
+    _, a = decode_wav(_wav(3, 48000, 32, f.tobytes(), extensible=True))
+    assert np.array_equal(a, f.astype(np.float64))
+    s = np.array([100, -200], dtype="<i2")
+    _, a = decode_wav(_wav(1, 8000, 16, s.tobytes(), extensible=True))
+    assert np.array_equal(a, s.astype(np.float64))
+
+
 def test_wav_error_paths():
     with pytest.raises(ValueError, match="not a WAV"):
         decode_wav(b"\xff\xd8\xff\xe0 definitely not riff")
