@@ -410,7 +410,13 @@ def hashed_ngram_buckets(df: DataFrame, id_col: str = "doc_id",
     feature space is ``n_buckets`` rows regardless of corpus size, which
     is the point — downstream statistics stay broadcast-sized at 100 TB.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Tokenize ONCE into a materialized column before the explode
+    # (round-10: a Generate's generator expression evaluates
+    # interpreted, so an inlined split(text) re-splits the document on
+    # every element_at — O(tokens²); see dedup.word_shingles).
+    toks = F.col("__pd_toks")
+    df = df.select(F.col(id_col),
+                   F.split(F.col(text_col), " ").alias("__pd_toks"))
 
     def _gram_fn(g):
         return lambda i: F.concat_ws(

@@ -89,7 +89,19 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
             splits = len(files)
         if splits < target:
             df = df.repartition(target, id_col)
-    toks = F.split(F.col(text_col), " ")
+    # Tokenize ONCE into a materialized array column before the
+    # explode (round-10 optimization, guide §1.2 "per-task work"): the
+    # generator expression of a Generate node is evaluated in
+    # INTERPRETED mode (higher-order functions are CodegenFallback),
+    # and with ``split(text)`` inlined every ``element_at`` call
+    # re-split the whole document — O(tokens²) string scanning per
+    # doc, measured as 27-95 s cold / ~4 s warm for the sf0.1 explode.
+    # With the token array projected first (codegen'd Project, one
+    # split per row) the generator does O(1) ``element_at`` lookups:
+    # 0.3-0.7 s for the identical output (plans/r10, OPTIMIZATION_r10).
+    toks = F.col("__pd_toks")
+    df = df.select(F.col(id_col),
+                   F.split(F.col(text_col), " ").alias("__pd_toks"))
     # docs with < n tokens have no n-grams; without the guard,
     # sequence(1, size-(n-1)) would be a DESCENDING sequence (Spark
     # sequences run backwards when start > stop) and element_at(toks, 0)
@@ -153,19 +165,22 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     shingle posting lists with the hot-shingle frequency cap applied,
     plus per-doc capped set sizes. Returns ``(shingles, sizes)``.
 
-    Persist discipline (tuned, keep in ONE place): the raw explode is
-    persisted first, then the capped set (which feeds the size
-    aggregate and both sides of the inverted-index self-join). The cap
-    is a window count — ONE shuffle on the shingle key that the
-    self-join reuses. A broadcast-anti-join alternative (hash-agg the
-    hot list, anti-join it) was A/B'd: ~20% faster on the sparse
-    fixture corpus but 1.4-2.8× SLOWER and unstable on a dense
-    50k-doc near-dup stress — it scans the posting table twice and
-    adds a broadcast build, which dominates exactly when postings are
-    big (PERF.md). Known memory trade: with a cap, both the raw and
-    capped posting lists sit in the block store until the session's
-    cache hygiene releases them — bench's inter-query clearCache is
-    the release point today.
+    Persist discipline (tuned, keep in ONE place): only the CAPPED
+    set is persisted (it feeds the size aggregate and both sides of
+    the inverted-index self-join); the raw explode is consumed exactly
+    once — by the job that populates the capped cache — so persisting
+    it bought nothing (round-10 change; previously both frames were
+    cached and the window pass additionally ran twice when the pair
+    budget was checked). The cap is a window count — ONE shuffle on
+    the shingle key that the self-join reuses. A broadcast-anti-join
+    alternative (hash-agg the hot list, anti-join it) was A/B'd: ~20%
+    faster on the sparse fixture corpus but 1.4-2.8× SLOWER and
+    unstable on a dense 50k-doc near-dup stress — it scans the posting
+    table twice and adds a broadcast build, which dominates exactly
+    when postings are big (PERF.md). Known memory trade: the capped
+    posting list sits in the block store until the session's cache
+    hygiene releases it — bench's inter-query clearCache is the
+    release point today.
 
     ``df_col``: when set, the PRE-CAP document frequency of each
     shingle is kept on the returned frame under that name (the same
@@ -185,16 +200,26 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     uncapped, one (shingle → count) aggregate, still far cheaper than
     the self-join it guards. ``None`` disables.
     """
-    shingles = word_shingles(df, id_col, text_col, n, hashed=True).persist()
+    raw = word_shingles(df, id_col, text_col, n, hashed=True)
     if max_shingle_freq is not None or df_col:
         from pyspark.sql import Window
         w = Window.partitionBy("shingle")
         freq_name = df_col or "df"
-        shingles = shingles.withColumn(freq_name,
-                                       F.count(F.lit(1)).over(w))
+        shingles = raw.withColumn(freq_name,
+                                  F.count(F.lit(1)).over(w))
         if max_shingle_freq is not None:
             shingles = shingles.where(
                 F.col(freq_name) <= max_shingle_freq)
+        # persist BEFORE the budget action (round-10): the guard's
+        # aggregate then POPULATES the capped cache instead of running
+        # the explode+window pass once for the check and again for the
+        # first downstream consumer — previously the whole window pass
+        # executed twice per call (plans/r10, OPTIMIZATION_r10). The
+        # freq column rides along in the cache (one long per row) so
+        # the budget scan and the posting consumers share one frame;
+        # the raw explode is deliberately NOT persisted here — it is
+        # consumed exactly once, inside this same job.
+        shingles = shingles.persist()
         if max_projected_pairs is not None:
             # post-cap each row's freq f ≤ cap is its shingle's true
             # posting length, so Σ_rows (f−1) = Σ_shingle f·(f−1)
@@ -203,15 +228,16 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
             _check_pair_budget(int(row["p"] or 0) // 2,
                                max_projected_pairs, op)
         if not df_col:
-            shingles = shingles.drop("df")
-        shingles = shingles.persist()
-    elif max_projected_pairs is not None:
-        row = (shingles.groupBy("shingle")
-               .agg(F.count(F.lit(1)).alias("f"))
-               .agg(F.sum(F.col("f") * (F.col("f") - 1)).alias("p"))
-               .first())
-        _check_pair_budget(int(row["p"] or 0) // 2,
-                           max_projected_pairs, op)
+            shingles = shingles.drop(freq_name)
+    else:
+        shingles = raw.persist()
+        if max_projected_pairs is not None:
+            row = (shingles.groupBy("shingle")
+                   .agg(F.count(F.lit(1)).alias("f"))
+                   .agg(F.sum(F.col("f") * (F.col("f") - 1)).alias("p"))
+                   .first())
+            _check_pair_budget(int(row["p"] or 0) // 2,
+                               max_projected_pairs, op)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     return shingles, sizes
 

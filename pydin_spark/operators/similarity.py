@@ -31,9 +31,22 @@ def _norm(a):
 
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding",
                    out_col: str = "unit") -> DataFrame:
-    """Attach a double-precision L2-normalized copy of the vector."""
-    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    return df.withColumn(out_col, F.transform(vec, lambda v: v / _norm(vec)))
+    """Attach a double-precision L2-normalized copy of the vector.
+
+    The cast vector and its norm are materialized as columns first
+    (round-10): with ``_norm(vec)`` inlined inside the transform
+    lambda, the interpreted HOF evaluator re-folded the whole vector
+    for EVERY element — O(dim²) per row. Same IEEE values (identical
+    fold, one division per element), linear work.
+    """
+    staged = (df.withColumn("__pd_v",
+                            F.transform(F.col(vec_col),
+                                        lambda v: v.cast("double")))
+              .withColumn("__pd_n", _norm(F.col("__pd_v"))))
+    return (staged.withColumn(
+        out_col, F.transform(F.col("__pd_v"),
+                             lambda v: v / F.col("__pd_n")))
+        .drop("__pd_v", "__pd_n"))
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
@@ -48,13 +61,21 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     DuckDB oracle reproduces the integers exactly. Pure Column math —
     a 100 TB embedding table quantizes in one shuffle-free scan.
     """
+    # scale materialized as a column before the quantize transform
+    # (round-10): inlined, the interpreted HOF evaluator recomputed
+    # array_max over the whole vector per element — O(dim²) per row.
+    # Identical arithmetic per element, linear work.
     vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    amax = F.array_max(F.transform(vec, F.abs))
-    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
-    q = F.transform(vec, lambda x: F.floor(x * scale + F.lit(0.5))
-                    .cast("int"))
-    return df.select(F.col(id_col), scale.alias("scale"),
-                     q.alias("q"))
+    staged = df.withColumn("__pd_v", vec)
+    amax = F.array_max(F.transform(F.col("__pd_v"), F.abs))
+    staged = staged.withColumn(
+        "__pd_scale",
+        F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0)))
+    q = F.transform(F.col("__pd_v"),
+                    lambda x: F.floor(x * F.col("__pd_scale")
+                                      + F.lit(0.5)).cast("int"))
+    return staged.select(F.col(id_col), F.col("__pd_scale").alias("scale"),
+                         q.alias("q"))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -68,17 +89,26 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     with sequential folds, so values are IEEE-deterministic and match the
     SQL oracle bit-for-bit. Ties break on neighbor id.
     """
+    # Norms are projected BELOW the join (round-10): the cosine
+    # expression above the BroadcastNestedLoopJoin used to re-fold
+    # ``_norm`` over both vectors once per (corpus × query) PAIR;
+    # with per-row norm columns each vector is folded once per ROW
+    # and the pair expression is one dot + one divide — ~60% fewer
+    # interpreted HOF evaluations at identical IEEE results (the
+    # norm value and the (cn * qn) association order are unchanged).
     c = corpus.select(F.col(id_col).alias("nbr_id"),
                       F.transform(F.col(vec_col),
-                                  lambda v: v.cast("double")).alias("cv"))
+                                  lambda v: v.cast("double")).alias("cv")) \
+              .withColumn("__cn", _norm(F.col("cv")))
     q = queries.select(F.col(query_id_col),
                        F.transform(F.col(vec_col),
-                                   lambda v: v.cast("double")).alias("qv"))
+                                   lambda v: v.cast("double")).alias("qv")) \
+               .withColumn("__qn", _norm(F.col("qv")))
     pairs = c.join(F.broadcast(q), F.col("nbr_id") != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col), F.col("nbr_id"),
         (_dot(F.col("cv"), F.col("qv"))
-         / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+         / (F.col("__cn") * F.col("__qn"))).alias("cosine"))
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -111,21 +141,24 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     candidate set. Reference surface: engine extension (the reference
     has no vector ops); gate ``sim_hard_negatives``.
     """
+    # per-row norm columns below the join — see :func:`cosine_topk`
     c = corpus.select(F.col(id_col).alias("nbr_id"),
                       F.col(label_col).alias("__nl"),
                       F.transform(F.col(vec_col),
-                                  lambda v: v.cast("double")).alias("cv"))
+                                  lambda v: v.cast("double")).alias("cv")) \
+              .withColumn("__cn", _norm(F.col("cv")))
     q = queries.select(F.col(query_id_col),
                        F.col(label_col).alias("__ql"),
                        F.transform(F.col(vec_col),
-                                   lambda v: v.cast("double")).alias("qv"))
+                                   lambda v: v.cast("double")).alias("qv")) \
+               .withColumn("__qn", _norm(F.col("qv")))
     pairs = c.join(F.broadcast(q),
                    (F.col("nbr_id") != F.col(query_id_col))
                    & (F.col("__nl") != F.col("__ql")))
     scored = pairs.select(
         F.col(query_id_col), F.col("nbr_id"),
         (_dot(F.col("cv"), F.col("qv"))
-         / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+         / (F.col("__cn") * F.col("__qn"))).alias("cosine"))
     if max_cosine is not None:
         scored = scored.where(F.col("cosine") <= float(max_cosine))
     w = (Window.partitionBy(query_id_col)
@@ -226,8 +259,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     dim = len(corpus.select(vec_col).first()[0])
     hyper = rng.randn(planes, dim)
 
-    def bucket_expr(vec):
-        v = F.transform(vec, lambda x: x.cast("double"))
+    def bucket_expr(v):
+        # ``v`` is an already-cast double array COLUMN — the cast
+        # transform used to be inlined here, re-running once per
+        # plane fold (round-10)
         bits = F.lit(0)
         for p in range(planes):
             proj = F.aggregate(
@@ -238,11 +273,24 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
         return bits
 
-    c = corpus.select(F.col(id_col).alias("nbr_id"),
-                      F.col(vec_col).alias("cv"),
-                      bucket_expr(F.col(vec_col)).alias("bucket"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"),
-                       bucket_expr(F.col(vec_col)).alias("bucket"))
+    # cast vectors and their norms are per-ROW columns below the
+    # bucket join (round-10): the cosine above the join used to
+    # re-cast and re-fold both vectors once per candidate PAIR —
+    # identical IEEE values, ~60% fewer interpreted HOF evaluations
+    c = (corpus.select(F.col(id_col).alias("nbr_id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double"))
+                       .alias("cv"))
+         .select(F.col("nbr_id"), F.col("cv"),
+                 bucket_expr(F.col("cv")).alias("bucket"),
+                 _norm(F.col("cv")).alias("__cn")))
+    q = (queries.select(F.col(query_id_col),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double"))
+                        .alias("qv"))
+         .select(F.col(query_id_col), F.col("qv"),
+                 bucket_expr(F.col("qv")).alias("bucket"),
+                 _norm(F.col("qv")).alias("__qn")))
     if multiprobe:
         # explode each query into its probe set: bucket XOR every mask
         # with popcount <= multiprobe (masks are distinct, so each
@@ -250,16 +298,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         masks = [m for m in range(1 << planes)
                  if bin(m).count("1") <= multiprobe]
         q = q.select(
-            F.col(query_id_col), F.col("qv"),
+            F.col(query_id_col), F.col("qv"), F.col("__qn"),
             F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
                                 for m in masks])).alias("bucket"))
     pairs = c.join(F.broadcast(q), "bucket").where(
         F.col("nbr_id") != F.col(query_id_col))
-    cv = F.transform(F.col("cv"), lambda x: x.cast("double"))
-    qv = F.transform(F.col("qv"), lambda x: x.cast("double"))
     scored = pairs.select(
         F.col(query_id_col), F.col("nbr_id"),
-        (_dot(cv, qv) / (_norm(cv) * _norm(qv))).alias("cosine"))
+        (_dot(F.col("cv"), F.col("qv"))
+         / (F.col("__cn") * F.col("__qn"))).alias("cosine"))
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -477,20 +524,30 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     centers = np.array(_train_centers(corpus, vec_col, nlist, seed,
                                       max_iter=20))
 
+    # cast + assign from a materialized column, norms per ROW below
+    # the join (round-10): the inlined forms re-cast the vector per
+    # centroid distance and re-folded both norms per candidate pair
     cv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    c_assigned = corpus.select(
-        F.col(id_col).alias("nbr_id"), cv.alias("cv"),
-        F.element_at(_nearest_lists(cv, 1, centers), 1).alias("list_id"))
+    c_assigned = (corpus.select(F.col(id_col).alias("nbr_id"),
+                                cv.alias("cv"))
+                  .select(F.col("nbr_id"), F.col("cv"),
+                          F.element_at(_nearest_lists(F.col("cv"), 1,
+                                                      centers), 1)
+                          .alias("list_id"),
+                          _norm(F.col("cv")).alias("__cn")))
     qv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    q_assigned = queries.select(
-        F.col(query_id_col), qv.alias("qv"),
-        F.explode(_nearest_lists(qv, nprobe, centers)).alias("list_id"))
+    q_assigned = (queries.select(F.col(query_id_col), qv.alias("qv"))
+                  .select(F.col(query_id_col), F.col("qv"),
+                          F.explode(_nearest_lists(F.col("qv"), nprobe,
+                                                   centers))
+                          .alias("list_id"),
+                          _norm(F.col("qv")).alias("__qn")))
     pairs = c_assigned.join(F2.broadcast(q_assigned), "list_id").where(
         F.col("nbr_id") != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col), F.col("nbr_id"),
         (_dot(F.col("cv"), F.col("qv"))
-         / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+         / (F.col("__cn") * F.col("__qn"))).alias("cosine"))
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -523,11 +580,20 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
     - ``'cross'``: pure expression-fold cross join (tiny corpora; the
       self-contained oracle tier).
     """
-    v = df.select(F.col(id_col),
-                  F.transform(F.col(vec_col),
-                              lambda x: x.cast("double")).alias("v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # per-row norm columns below the pair joins (round-10, same fix
+    # as :func:`cosine_topk`): ``_norm`` is an interpreted O(dim)
+    # fold, so folding it inside the per-PAIR cosine re-folded each
+    # vector once per candidate pair. Projected per ROW the fold runs
+    # once per vector; the (na * nb) product and division order are
+    # unchanged, so values stay IEEE-identical (oracle-gated).
+    v = (df.select(F.col(id_col),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+         .withColumn("__n", _norm(F.col("v"))))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                 F.col("__n").alias("__na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                 F.col("__n").alias("__nb"))
     if method == "block":
         candidates = _cosine_candidates_blocks(df, threshold, id_col,
                                                vec_col, rows_per_block)
@@ -551,12 +617,14 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
             return bits
 
-        ab = v.select(F.col(id_col), F.col("v"),
+        ab = v.select(F.col(id_col), F.col("v"), F.col("__n"),
                       bucket(F.col("v")).alias("bucket"))
         pairs = (ab.select(F.col(id_col).alias("id_a"),
-                           F.col("v").alias("va"), "bucket")
+                           F.col("v").alias("va"),
+                           F.col("__n").alias("__na"), "bucket")
                  .join(ab.select(F.col(id_col).alias("id_b"),
-                                 F.col("v").alias("vb"), "bucket"),
+                                 F.col("v").alias("vb"),
+                                 F.col("__n").alias("__nb"), "bucket"),
                        "bucket")
                  .where(F.col("id_a") < F.col("id_b")))
     elif method == "cross":
@@ -564,7 +632,7 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
     else:
         raise ValueError(f"unknown method: {method!r}")
     cosine = (_dot(F.col("va"), F.col("vb"))
-              / (_norm(F.col("va")) * _norm(F.col("vb"))))
+              / (F.col("__na") * F.col("__nb")))
     return (pairs.select("id_a", "id_b", cosine.alias("cosine"))
             .where(F.col("cosine") >= threshold))
 
@@ -650,13 +718,19 @@ def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
     exact tail of the graph builders: the result is IEEE-exact and
     oracle-matchable regardless of which candidate superset the
     prefilter produced."""
+    # per-row norm columns below the pair joins (round-10): the fold
+    # runs once per vector row instead of once per candidate pair —
+    # identical IEEE value and association order, ~half the HOF work
     vv = df.select(F.col(id_col),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("v"))
-    a = vv.select(F.col(id_col).alias("src"), F.col("v").alias("va"))
-    b = vv.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"))
+    vv = vv.withColumn("__n", _norm(F.col("v")))
+    a = vv.select(F.col(id_col).alias("src"), F.col("v").alias("va"),
+                  F.col("__n").alias("__na"))
+    b = vv.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"),
+                  F.col("__n").alias("__nb"))
     cosine = (_dot(F.col("va"), F.col("vb"))
-              / (_norm(F.col("va")) * _norm(F.col("vb"))))
+              / (F.col("__na") * F.col("__nb")))
     scored = (cand.join(a, "src").join(b, "nbr")
               .select(F.col("src").alias("src_id"),
                       F.col("nbr").alias("nbr_id"),
@@ -1417,23 +1491,30 @@ class IVFIndex:
         # manifest mid-query without affecting this result
         vdir = self._version_path(self._current_vid(spark))
         centers = self._centers(spark, vdir)
+        # norms are per-ROW columns below the list join (round-10,
+        # same fix as :func:`cosine_topk`): the inlined per-pair form
+        # re-folded both vectors once per candidate pair — identical
+        # IEEE values, the fold runs once per row instead
         qv = F.transform(F.col(self.vec_col), lambda v: v.cast("double"))
-        q_assigned = queries.select(
-            F.col(query_id_col), qv.alias("qv"),
-            F.explode(_nearest_lists(qv, nprobe, centers))
-            .alias("list_id")).persist()
+        q_assigned = (queries.select(F.col(query_id_col), qv.alias("qv"))
+                      .select(F.col(query_id_col), F.col("qv"),
+                              F.explode(_nearest_lists(F.col("qv"),
+                                                       nprobe, centers))
+                              .alias("list_id"),
+                              _norm(F.col("qv")).alias("__qn"))).persist()
         # which partitions this batch touches (≤ nlist values — tiny)
         needed = sorted(r["list_id"] for r in
                         q_assigned.select("list_id").distinct().collect())
         corpus = (spark.read.parquet(f"{vdir}/lists")
-                  .where(F.col("list_id").isin(needed)))
+                  .where(F.col("list_id").isin(needed))
+                  .withColumn("__cn", _norm(F.col("cv"))))
         pairs = (corpus.join(F2.broadcast(q_assigned), "list_id")
                  .where(F.col(self.id_col) != F.col(query_id_col)))
         scored = pairs.select(
             F.col(query_id_col),
             F.col(self.id_col).alias("nbr_id"),
             (_dot(F.col("cv"), F.col("qv"))
-             / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cosine"))
+             / (F.col("__cn") * F.col("__qn"))).alias("cosine"))
         w = (Window.partitionBy(query_id_col)
              .orderBy(F.col("cosine").desc(), F.col("nbr_id")))
         out = (scored.withColumn("rnk", F.row_number().over(w))
@@ -1638,16 +1719,23 @@ def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .alias("features"))
         model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
         centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-        assigned = df.select(
-            F.col(id_col), cv.alias("v"),
-            F.element_at(_nearest_lists(cv, 1, centers), 1)
-            .alias("list_id"))
+        # cast once into a materialized column (the inlined ``cv``
+        # expression used to re-run per use — round-10)
+        assigned = (df.select(F.col(id_col), cv.alias("v"))
+                    .select(F.col(id_col), F.col("v"),
+                            F.element_at(_nearest_lists(F.col("v"), 1,
+                                                        centers), 1)
+                            .alias("list_id")))
+    # per-row norm columns below the cluster self-join (round-10, same
+    # fix as :func:`cosine_topk`): the per-pair form re-folded both
+    # norms once per within-cluster pair — identical IEEE values
+    assigned = assigned.withColumn("__n", _norm(F.col("v")))
     a = assigned.select(F.col("list_id"), F.col(id_col).alias("id_a"),
-                        F.col("v").alias("va"))
+                        F.col("v").alias("va"), F.col("__n").alias("__na"))
     b = assigned.select(F.col("list_id"), F.col(id_col).alias("id_b"),
-                        F.col("v").alias("vb"))
+                        F.col("v").alias("vb"), F.col("__n").alias("__nb"))
     cosine = (_dot(F.col("va"), F.col("vb"))
-              / (_norm(F.col("va")) * _norm(F.col("vb"))))
+              / (F.col("__na") * F.col("__nb")))
     return (a.join(b, "list_id")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", cosine.alias("cosine"))

@@ -230,18 +230,43 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     Both are per-row array transforms — nested higher-order functions,
     zero shuffle, zero Python — so the operator scans linearly at any
     corpus size.
+
+    Round-10 rewrite of the top-token count: the original
+    ``transform(array_distinct(toks), t -> size(filter(toks, x==t)))``
+    re-scanned the whole token array once per DISTINCT token —
+    O(tokens²) per document in the interpreted HOF evaluator (a 10k-
+    token crawl doc is 10⁸ comparisons). The max multiplicity is now a
+    single fold over ``array_sort(toks)`` counting the longest run of
+    equal neighbours — O(n log n) sort + O(n) fold, identical integer
+    result (oracle-gated). The token array is also materialized as a
+    column first so the interpreted folds index an attribute instead
+    of re-evaluating ``split(text)`` per reference.
     """
-    toks = _tokens(text_col)
+    staged = df.withColumn("__pd_toks", _tokens(text_col))
+    toks = F.col("__pd_toks")
     n = F.size(toks)
     bg = _bigrams(toks)
     n_bg = F.size(bg)
     dup_frac = F.when(
         n_bg > 0,
         (n_bg - F.size(F.array_distinct(bg))) / n_bg).otherwise(F.lit(0.0))
-    top_count = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t))))
-    return df.select(
+    # longest run of equal neighbours in the sorted array == max
+    # token multiplicity. split() never yields an empty array, so the
+    # fold always sees >= 1 element and best >= 1 (matching the old
+    # array_max over a non-empty distinct set).
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(t == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")))
+    top_count = run_state["best"]
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
         dup_frac.alias("dup_2gram_frac"),

@@ -50,6 +50,15 @@ ENGINE_CONF: dict[str, str] = {
     # buys nothing either; set it back explicitly for HDFS-collocated
     # clusters if needed.
     "spark.locality.wait": "0s",
+    # Generated-code cache (round 10): the default 100-entry LRU
+    # thrashes whenever a session cycles through more than ~100
+    # distinct codegen'd stages (any multi-query ETL session; the
+    # 20-query bench round-robin is the worst case — every pass
+    # re-evicts every class), forcing janino recompilation AND fresh
+    # JIT warm-up of the replacement classes on the single AQE
+    # planning thread. 2000 entries is a few tens of MB of class
+    # metadata on the driver — noise next to any real driver heap.
+    "spark.sql.codegen.cache.maxEntries": "2000",
     "spark.ui.enabled": "false",
 }
 
