@@ -38,9 +38,17 @@ LANG_MARKERS = {
 
 def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Per-document token counts and length statistics."""
-    toks = _tokens(text_col)
-    return df.select(
+    """Per-document token counts and length statistics.
+
+    The token array is materialized as a column first (round-10): the
+    inlined ``split`` expression re-ran once per use — and the
+    ``array_distinct`` use evaluates in interpreted mode (HOF-adjacent
+    CodegenFallback), outside codegen's subexpression elimination.
+    One split per row now; identical values.
+    """
+    staged = df.withColumn("__pd_toks", _tokens(text_col))
+    toks = F.col("__pd_toks")
+    return staged.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
@@ -87,7 +95,11 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     the classic cheap pre-filter shape for LLM training corpora (length +
     diversity + naturalness), all as deterministic column math.
     """
-    toks = _tokens(text_col)
+    # token array materialized once (round-10): the inlined split
+    # re-ran per use, and the F.filter HOF evaluates interpreted —
+    # outside codegen subexpression elimination. Identical values.
+    staged = df.withColumn("__pd_toks", _tokens(text_col))
+    toks = F.col("__pd_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -95,7 +107,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     diversity = n_distinct / n_tokens
     stop_ratio = n_stop / n_tokens
     length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         diversity.alias("diversity"),
@@ -114,7 +126,14 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     as the SQL oracle. For a real corpus swap the marker inventory for
     char-n-gram profiles — the operator shape is identical.
     """
-    toks = _tokens(text_col)
+    # round-10 staging: tokenize once into a column (each per-lang
+    # F.filter is an interpreted HOF that re-split the text per use),
+    # then materialize the per-language score COLUMNS before the
+    # argmax/tie-break chain — every score used to be re-evaluated in
+    # the output column, in `best`, and once per `when` branch.
+    # Identical integer scores and argmax.
+    staged = df.withColumn("__pd_toks", _tokens(text_col))
+    toks = F.col("__pd_toks")
 
     def _marker_filter(arr):
         # single-arg closure: a default-arg lambda would be misread by
@@ -122,20 +141,21 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
         # lambda and swap the arguments
         return lambda t: F.array_contains(arr, t)
 
-    scores = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(toks, _marker_filter(arr)))
+        staged = staged.withColumn(
+            f"score_{lang}", F.size(F.filter(toks, _marker_filter(arr))))
+    scores = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
     best = F.greatest(*scores.values())
     # deterministic tie-break: first language in fixed order wins
     pred = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    out = df.select(F.col(id_col),
-                    *[scores[lang].alias(f"score_{lang}")
-                      for lang in LANG_MARKERS],
-                    pred.alias("pred_lang"))
+    out = staged.select(F.col(id_col),
+                        *[scores[lang].alias(f"score_{lang}")
+                          for lang in LANG_MARKERS],
+                        pred.alias("pred_lang"))
     return out
 
 
@@ -242,10 +262,11 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     column first so the interpreted folds index an attribute instead
     of re-evaluating ``split(text)`` per reference.
     """
-    staged = df.withColumn("__pd_toks", _tokens(text_col))
+    staged = (df.withColumn("__pd_toks", _tokens(text_col))
+              .withColumn("__pd_bg", _bigrams(F.col("__pd_toks"))))
     toks = F.col("__pd_toks")
     n = F.size(toks)
-    bg = _bigrams(toks)
+    bg = F.col("__pd_bg")
     n_bg = F.size(bg)
     dup_frac = F.when(
         n_bg > 0,
@@ -295,31 +316,48 @@ def gopher_quality_filter(df: DataFrame, id_col: str = "doc_id",
     Pure Column math end-to-end; the thresholds are plain literals so
     Catalyst folds them and the scan stays one pass with pushdown intact.
     """
-    toks = _tokens(text_col)
+    # round-10 staging: tokens and bigrams materialized as columns
+    # (split/zip_with used to re-run per referencing expression —
+    # the HOF uses evaluate interpreted, outside codegen CSE), and
+    # each rule metric computed ONCE as a column before it is reused
+    # in both the output and the `keep` conjunction. Values identical.
+    staged = (df.withColumn("__pd_toks", _tokens(text_col))
+              .withColumn("__pd_bg", _bigrams(F.col("__pd_toks"))))
+    toks = F.col("__pd_toks")
     n = F.size(toks)
-    mean_wl = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n
     sym_arr = F.array(*[F.lit(s) for s in SYMBOL_TOKENS])
-    sym_ratio = F.size(F.filter(
-        toks, lambda t: F.array_contains(sym_arr, t))) / n
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_types = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
-    bg = _bigrams(toks)
-    n_bg = F.size(bg)
-    dup_frac = F.when(
-        n_bg > 0,
-        (n_bg - F.size(F.array_distinct(bg))) / n_bg).otherwise(F.lit(0.0))
-    keep = ((n >= min_tokens) & (n <= max_tokens)
-            & (mean_wl >= min_word_len) & (mean_wl <= max_word_len)
-            & (sym_ratio <= max_symbol_ratio)
-            & (stop_types >= min_stop_types)
-            & (dup_frac <= max_dup_2gram))
-    return df.select(
+    n_bg = F.size(F.col("__pd_bg"))
+    staged = (staged
+              .withColumn("n_tokens", n)
+              .withColumn("mean_word_len",
+                          F.length(F.regexp_replace(F.col(text_col),
+                                                    " ", "")) / n)
+              .withColumn("symbol_ratio",
+                          F.size(F.filter(
+                              toks,
+                              lambda t: F.array_contains(sym_arr, t))) / n)
+              .withColumn("n_stop_types",
+                          F.size(F.array_intersect(F.array_distinct(toks),
+                                                   stop_arr)))
+              .withColumn("dup_2gram_frac", F.when(
+                  n_bg > 0,
+                  (n_bg - F.size(F.array_distinct(F.col("__pd_bg"))))
+                  / n_bg).otherwise(F.lit(0.0))))
+    keep = ((F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("mean_word_len") >= min_word_len)
+            & (F.col("mean_word_len") <= max_word_len)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("n_stop_types") >= min_stop_types)
+            & (F.col("dup_2gram_frac") <= max_dup_2gram))
+    return staged.select(
         F.col(id_col),
-        n.alias("n_tokens"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        stop_types.alias("n_stop_types"),
-        dup_frac.alias("dup_2gram_frac"),
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "n_stop_types",
+        "dup_2gram_frac",
         keep.alias("keep"),
     )
 
