@@ -576,8 +576,11 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                  .alias("bh"))
         for b in range(bands)
     ]
+    # band array staged in a Project before the explode — same
+    # interpreted-Generate rationale as :func:`_band_buckets`
     buckets = (sig.select(F.col(id_col),
-                          F.explode(F.array(*band_cols)).alias("bk"))
+                          F.array(*band_cols).alias("__bk_arr"))
+               .select(F.col(id_col), F.explode("__bk_arr").alias("bk"))
                .select(F.col(id_col), F.col("bk.band"),
                        F.col("bk.bh")))
     buckets = _cap_buckets(buckets, max_bucket_size, shed_stats)
@@ -646,8 +649,13 @@ def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int,
                               for r in range(rows_per_band)]).alias("bh"))
         for b in range(bands)
     ]
+    # band array materialized in a codegen'd Project BEFORE the
+    # explode (round-10): a Generate's generator expression evaluates
+    # interpreted, so the per-row element_at/xxhash64 batch ran in the
+    # interpreted evaluator when inlined. Identical rows.
     return (sig.select(F.col(id_col),
-                       F.explode(F.array(*band_cols)).alias("bk"))
+                       F.array(*band_cols).alias("__bk_arr"))
+            .select(F.col(id_col), F.explode("__bk_arr").alias("bk"))
             .select(F.col(id_col), F.col("bk.band"), F.col("bk.bh")))
 
 
