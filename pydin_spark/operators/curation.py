@@ -1815,11 +1815,16 @@ def semantic_order_ivf(df: DataFrame, id_col: str = "vec_id",
     # ONE distance pass: the sorted (d, i) struct array yields both
     # the assigned cell AND its distance — recomputing the nlist×dim
     # expressions twice is exactly the codegen-constant failure mode
-    # PERF.md documents for this family (round-8 review finding)
+    # PERF.md documents for this family (round-8 review finding).
+    # Round-10 staging on top of that: the cast vector and the
+    # winning (d, i) struct are materialized as COLUMNS — inlined,
+    # the interpreted HOF evaluator re-cast the vector once per
+    # centroid fold, and `cell`/`dq` each re-evaluated the whole
+    # array_sort-of-nlist-folds expression. Identical arithmetic.
     dists = F.array(*[
         F.struct(
             F.aggregate(
-                F.zip_with(cv,
+                F.zip_with(F.col("__pd_v"),
                            F.array(*[F.lit(float(x))
                                      for x in centers[c]]),
                            lambda a, b: (a - b) * (a - b)),
@@ -1827,15 +1832,17 @@ def semantic_order_ivf(df: DataFrame, id_col: str = "vec_id",
             F.lit(c).alias("i"))
         for c in range(len(centers))])
     nearest = F.element_at(F.array_sort(dists), 1)
-    cell = nearest["i"].cast("long")
-    d2 = nearest["d"]
+    staged = (df.withColumn("__pd_v", cv)
+              .withColumn("__pd_near", nearest))
+    cell = F.col("__pd_near")["i"].cast("long")
+    d2 = F.col("__pd_near")["d"]
     dq_raw = F.floor(d2 * F.lit(float(quant))).cast("long")
     dq = F.when(dq_raw >= F.lit(1 << 31).cast("long"),
                 F.raise_error(F.lit(
                     "semantic_order_ivf: dist²*quant exceeds the "
                     "2^31 coordinate field — lower quant or "
                     "normalize the embeddings"))).otherwise(dq_raw)
-    keyed = df.select(
+    keyed = staged.select(
         F.col(id_col),
         (cell * F.lit(1 << 32).cast("long")
          + (dq + F.lit(1 << 31).cast("long"))).alias("sem_key"))

@@ -341,7 +341,11 @@ def extract_features(assets: DataFrame, dim: int = 8,
                 "feature": feats,
             })
 
-    return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+    # ship ONLY the columns the Arrow stage reads (guide: an opaque
+    # function over extra columns silently widens the Arrow transfer
+    # and defeats scan pruning) — callers may pass wider frames
+    return (assets.select("asset_id", "kind", "payload")
+            .mapInPandas(featurize, schema=FEATURE_SCHEMA))
 
 
 AUDIO_FEATURE_SCHEMA = ("asset_id long, kind string, n_samples long, "
@@ -400,7 +404,10 @@ def extract_audio_features(assets: DataFrame, dim: int = 4,
                 "feature": feats,
             })
 
-    return assets.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
+    # ship only the columns the Arrow stage reads (see
+    # extract_features)
+    return (assets.select("asset_id", "kind", "payload")
+            .mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA))
 
 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
@@ -457,7 +464,9 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
                 "meta": meta.to_dict("records"),
             })
 
-    return assets.mapInPandas(
+    # ship only the columns the Arrow stage reads (see
+    # extract_features)
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
         resize,
         schema=("asset_id long, kind string, payload binary, "
                 "meta struct<mime:string,width:int,height:int,"
@@ -517,5 +526,7 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000,
                     rows["frame"].append(buf[lo:lo + 16])
             yield pd.DataFrame(rows)
 
-    return assets.mapInPandas(
+    # ship only the columns the Arrow stage reads (see
+    # extract_features)
+    return assets.select("asset_id", "payload", "meta").mapInPandas(
         sample, schema="asset_id long, frame_no int, ts_ms long, frame binary")
