@@ -284,6 +284,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         max_projected_pairs=max_projected_pairs,
         op="ngram_jaccard_pairs")
     shared = _shared_shingle_pairs(shingles, id_col)
+    # the per-doc size frame is joined on BOTH pair sides; without a
+    # persist the whole sizes aggregate subtree (a full pass over the
+    # posting table + an exchange) executes twice — once per alias
+    # (round-10 plan audit, nodes 44-49 vs 53-58). num_docs rows of
+    # (id, count): tiny next to the postings it summarizes.
+    sizes = sizes.persist()
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (shared.join(sa, "id_a").join(sb, "id_b")
@@ -411,7 +417,10 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         df, id_col, text_col, n, max_shingle_freq, weight_scale,
         max_projected_pairs=max_projected_pairs,
         op="weighted_jaccard_pairs")
-    sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W"))
+    # joined on both pair sides — persist so the weight-sum aggregate
+    # (a full pass over the weighted postings) runs once, not once per
+    # alias (same round-10 fix as ngram_jaccard_pairs).
+    sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W")).persist()
     a = weighted.select(F.col(id_col).alias("id_a"), "shingle",
                         F.col("w").alias("wa"))
     b = weighted.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -596,7 +605,10 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # the candidate pairs — never the full inverted-index self-join
     # (that would defeat the banding); wp is the substrate computed
     # above, shared with the signature stage
-    sizes = wp.groupBy(id_col).agg(F.sum("w").alias("W"))
+    # joined on both pair sides — persist so the weight-sum pass over
+    # the postings runs once, not once per alias (round-10 fix, same
+    # as weighted_jaccard_pairs / jaccard_for_pairs).
+    sizes = wp.groupBy(id_col).agg(F.sum("w").alias("W")).persist()
     pa = wp.select(F.col(id_col).alias("id_a"), "shingle",
                    F.col("w").alias("wa"))
     pb = wp.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -793,7 +805,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if not verify:
         return candidates
     return (jaccard_for_pairs(candidates, df, id_col, text_col, n,
-                              shingles=shingles)
+                              shingles=shingles,
+                              owned_frames=owned_frames)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -801,17 +814,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_for_pairs(candidates: DataFrame, df: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      owned_frames: list | None = None) -> DataFrame:
     """Exact Jaccard restricted to given (id_a, id_b) candidate pairs.
 
     Cost is |candidates| × shingles-per-doc (a candidate-bounded join),
     never the all-pairs inverted-index blow-up — this is what makes
     LSH-then-verify cheap at corpus scale.
+
+    ``owned_frames`` (a list) collects the frames this call persists —
+    the per-doc size frame, plus the shingle explode when not supplied
+    — so long-lived callers (the incremental deduper's batch loop) can
+    unpersist them once the result is materialized.
     """
     if shingles is None:
         shingles = word_shingles(df, id_col, text_col, n,
                                  hashed=True).persist()
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        if owned_frames is not None:
+            owned_frames.append(shingles)
+    # joined on both pair sides below — persist so the aggregate over
+    # the full shingle frame runs once, not once per alias (round-10).
+    sizes = shingles.groupBy(id_col) \
+        .agg(F.count(F.lit(1)).alias("sz")).persist()
+    if owned_frames is not None:
+        owned_frames.append(sizes)
     sh_a = shingles.select(F.col(id_col).alias("id_a"),
                            F.col("shingle"))
     sh_b = shingles.select(F.col(id_col).alias("id_b"),

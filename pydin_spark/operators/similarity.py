@@ -590,6 +590,13 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("v"))
          .withColumn("__n", _norm(F.col("v"))))
+    if method in ("block", "cross"):
+        # the substrate feeds BOTH sides of the pair join; without a
+        # persist the scan + cast + norm fold run once per alias
+        # (round-10 — same duplicate-subtree fix as the dedup sizes
+        # frames). The lsh branch caches ``ab`` (which adds the
+        # bucket-bit folds) instead, so the vectors are cached once.
+        v = v.persist()
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                  F.col("__n").alias("__na"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
@@ -617,8 +624,11 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
             return bits
 
+        # persist: the bucket bits are ``planes`` interpreted dot
+        # folds per row and ``ab`` feeds both sides of the self-join —
+        # without the cache the whole subtree runs twice (round-10).
         ab = v.select(F.col(id_col), F.col("v"), F.col("__n"),
-                      bucket(F.col("v")).alias("bucket"))
+                      bucket(F.col("v")).alias("bucket")).persist()
         pairs = (ab.select(F.col(id_col).alias("id_a"),
                            F.col("v").alias("va"),
                            F.col("__n").alias("__na"), "bucket")
@@ -1729,7 +1739,11 @@ def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # per-row norm columns below the cluster self-join (round-10, same
     # fix as :func:`cosine_topk`): the per-pair form re-folded both
     # norms once per within-cluster pair — identical IEEE values
-    assigned = assigned.withColumn("__n", _norm(F.col("v")))
+    # persist: ``assigned`` feeds both sides of the within-cluster
+    # self-join, and its subtree carries the per-row nearest-centroid
+    # fold (nlist distance folds) plus the norm fold — without the
+    # cache all of it runs twice, once per alias (round-10).
+    assigned = assigned.withColumn("__n", _norm(F.col("v"))).persist()
     a = assigned.select(F.col("list_id"), F.col(id_col).alias("id_a"),
                         F.col("v").alias("va"), F.col("__n").alias("__na"))
     b = assigned.select(F.col("list_id"), F.col(id_col).alias("id_b"),

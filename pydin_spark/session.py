@@ -50,6 +50,20 @@ ENGINE_CONF: dict[str, str] = {
     # buys nothing either; set it back explicitly for HDFS-collocated
     # clusters if needed.
     "spark.locality.wait": "0s",
+    # Let AQE size shuffle stages INSIDE cached plans too (round 10):
+    # the default (false) pins every Exchange under a persist() at
+    # initialPartitionNum — the dedup/similarity operators persist
+    # posting/bucket frames, so their window/cap/aggregate stages ran
+    # 256 tasks regardless of data size AND every downstream stage
+    # inherited 256 tiny cache partitions (measured: the ngram-jaccard
+    # entry query fell from 1599 to 72 completed tasks at sf0.1 with
+    # identical results). This is the same data-driven coalescing every
+    # uncached stage already gets, applied to cached plans — scale-
+    # adaptive by construction, not a local-mode tune. Frames whose
+    # partitioning is load-bearing (graph/IVF iteration state) use
+    # explicit repartition(N, key) + localCheckpoint, which AQE never
+    # coalesces and the SQL cache never sees.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Generated-code cache (round 10): the default 100-entry LRU
     # thrashes whenever a session cycles through more than ~100
     # distinct codegen'd stages (any multi-query ETL session; the
