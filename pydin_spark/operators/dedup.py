@@ -336,7 +336,7 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
     aggregate is affordable, this tier when it is not.
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
 
-    ``owned_frames`` (a list) collects the two frames this call
+    ``owned_frames`` (a list) collects the frames this call
     persists so a long-lived caller can unpersist them once the
     result is materialized — the same cache-lifetime discipline as
     :func:`minhash_lsh_pairs` (ADVICE r8: repeated calls otherwise
@@ -364,7 +364,13 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
     capped = surviving.drop("__est_df").persist()
     if owned_frames is not None:
         owned_frames.append(capped)
-    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # joined on both pair sides below — persist so the per-doc size
+    # pass over the cached postings runs once, not once per alias
+    # (round-10, same fix as ngram_jaccard_pairs).
+    sizes = capped.groupBy(id_col) \
+        .agg(F.count(F.lit(1)).alias("sz")).persist()
+    if owned_frames is not None:
+        owned_frames.append(sizes)
     shared = _shared_shingle_pairs(capped, id_col)
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("sz").alias("sz_a"))
@@ -1163,7 +1169,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     any pair within hamming distance 3·k shares a chunk — join on chunk
     equality, then verify the exact hamming distance. Avoids O(n²).
     """
-    sig = simhash(df, id_col, text_col, hash_fn)
+    # the signature aggregate (token explode + 64 bit-position sums)
+    # feeds both sides of the chunk-bucket self-join below — persist
+    # so it runs once, not once per alias (round-10).
+    sig = simhash(df, id_col, text_col, hash_fn).persist()
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), c * 16)

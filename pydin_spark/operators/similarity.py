@@ -734,7 +734,10 @@ def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
     vv = df.select(F.col(id_col),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("v"))
-    vv = vv.withColumn("__n", _norm(F.col("v")))
+    # persist: vv feeds both the src and nbr sides of the candidate
+    # re-attach joins — without the cache the scan + cast + norm fold
+    # run once per alias (round-10, same fix as cosine_dup_pairs).
+    vv = vv.withColumn("__n", _norm(F.col("v"))).persist()
     a = vv.select(F.col(id_col).alias("src"), F.col("v").alias("va"),
                   F.col("__n").alias("__na"))
     b = vv.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"),
@@ -781,23 +784,32 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
     complete graph IS the k-graph for every larger k, so it is
     accepted rather than spuriously rejected.
     """
-    if graph is not None:
-        g = graph
-        if "rnk" in g.columns:
-            gk = g.agg(F.max("rnk").alias("m")).first()["m"] or 0
-            if gk > k:
-                g = g.where(F.col("rnk") <= k)
-            elif gk < k:
-                n_ids = (g.select(F.col("src_id").alias("i"))
-                         .union(g.select(F.col("nbr_id").alias("i")))
-                         .distinct().count())
-                if gk < min(k, n_ids - 1):
-                    raise ValueError(
-                        f"graph= was built at k={gk} but k={k} was "
-                        f"requested; rebuild the graph at k>={k} or "
-                        f"pass k={gk} explicitly")
-    else:
-        g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col)
+    supplied = graph is not None
+    g = graph if supplied else knn_graph(df, k=k, id_col=id_col,
+                                         vec_col=vec_col)
+    # the graph substrate — a full block-matmul kNN build when not
+    # supplied, and often an unmaterialized build when it is (e.g.
+    # semantic_cluster_dedup passes the lazy knn_graph frame) — feeds
+    # the rnk validation aggregate AND both sides of the mutuality
+    # semi-join; persist a projection so it executes once (round-10).
+    # A projection rather than ``graph`` itself: persisting the
+    # caller's frame would collide with any storage level they chose.
+    cols = [c for c in ("src_id", "nbr_id", "cosine", "rnk")
+            if c in g.columns]
+    g = g.select(*cols).persist()
+    if supplied and "rnk" in g.columns:
+        gk = g.agg(F.max("rnk").alias("m")).first()["m"] or 0
+        if gk > k:
+            g = g.where(F.col("rnk") <= k)
+        elif gk < k:
+            n_ids = (g.select(F.col("src_id").alias("i"))
+                     .union(g.select(F.col("nbr_id").alias("i")))
+                     .distinct().count())
+            if gk < min(k, n_ids - 1):
+                raise ValueError(
+                    f"graph= was built at k={gk} but k={k} was "
+                    f"requested; rebuild the graph at k>={k} or "
+                    f"pass k={gk} explicitly")
     e = g.select("src_id", "nbr_id", "cosine")
     rev = e.select(F.col("nbr_id").alias("src_id"),
                    F.col("src_id").alias("nbr_id"))

@@ -767,8 +767,15 @@ def winnow_matches(df: DataFrame, id_col: str = "doc_id",
     ``df`` / id_b from ``other`` in the two-corpus case.
     """
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
-    fp_b = (fp if other is None
-            else winnow_fingerprints(other, id_col, text_col, k, w))
+    if other is None:
+        # single-corpus: the fingerprint frame (k-gram explode + two
+        # windows + distinct) feeds BOTH join sides — persist so its
+        # subtree runs once, not once per alias (round-10). In the
+        # two-corpus case each side is consumed exactly once.
+        fp = fp.persist()
+        fp_b = fp
+    else:
+        fp_b = winnow_fingerprints(other, id_col, text_col, k, w)
     a = fp.select(F.col(id_col).alias("id_a"), F.col("fp"),
                   F.col("pos").alias("pos_a"))
     b = fp_b.select(F.col(id_col).alias("id_b"), F.col("fp"),

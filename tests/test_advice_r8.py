@@ -102,7 +102,9 @@ def test_cms_dedup_owned_frames_unpersist(spark, views):
         spark.table("documents"), threshold=0.2, max_shingle_freq=100,
         width=1024, depth=3, owned_frames=owned)
     out.count()
-    assert len(owned) == 2
+    # shingles + capped postings + per-doc sizes (round-10: the sizes
+    # frame is persisted too — it feeds both pair sides)
+    assert len(owned) == 3
     assert all(f.is_cached for f in owned)
     for f in owned:
         f.unpersist()
