@@ -559,7 +559,8 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      method: str = "block", planes: int = 8,
                      seed: int = 42,
-                     rows_per_block: int = 8192) -> DataFrame:
+                     rows_per_block: int = 8192,
+                     owned_frames: list | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
     Two-phase search: a candidate prefilter, then the candidates are
@@ -579,6 +580,11 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
       100 TB path when exactness can be traded.
     - ``'cross'``: pure expression-fold cross join (tiny corpora; the
       self-contained oracle tier).
+
+    ``owned_frames`` (a list) collects the frames this call persists
+    (the vector substrate shared by both pair-join sides) so a
+    long-lived caller can unpersist them once the result is
+    materialized (ADVICE r10).
     """
     # per-row norm columns below the pair joins (round-10, same fix
     # as :func:`cosine_topk`): ``_norm`` is an interpreted O(dim)
@@ -597,6 +603,8 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
         # frames). The lsh branch caches ``ab`` (which adds the
         # bucket-bit folds) instead, so the vectors are cached once.
         v = v.persist()
+        if owned_frames is not None:
+            owned_frames.append(v)
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                  F.col("__n").alias("__na"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
@@ -629,6 +637,8 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
         # without the cache the whole subtree runs twice (round-10).
         ab = v.select(F.col(id_col), F.col("v"), F.col("__n"),
                       bucket(F.col("v")).alias("bucket")).persist()
+        if owned_frames is not None:
+            owned_frames.append(ab)
         pairs = (ab.select(F.col(id_col).alias("id_a"),
                            F.col("v").alias("va"),
                            F.col("__n").alias("__na"), "bucket")
@@ -649,7 +659,8 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
 def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              rows_per_block: int = 8192) -> DataFrame:
+              rows_per_block: int = 8192,
+              owned_frames: list | None = None) -> DataFrame:
     """EXACT k-nearest-neighbor graph over a whole embedding corpus:
     for EVERY vector, its ``k`` most-cosine-similar neighbors —
     (src_id, nbr_id, cosine, rnk). The all-rows sibling of
@@ -699,7 +710,8 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
     cand = _run_block_pairs(df, id_col, vec_col, rows_per_block,
                             block_knn, "src long, nbr long")
-    return _exact_rescore_topk(df, cand, k, id_col, vec_col)
+    return _exact_rescore_topk(df, cand, k, id_col, vec_col,
+                               owned_frames=owned_frames)
 
 
 def _matrix_topk(src_ids, nbr_ids, sims, k: int):
@@ -722,7 +734,8 @@ def _matrix_topk(src_ids, nbr_ids, sims, k: int):
 
 
 def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
-                        id_col: str, vec_col: str) -> DataFrame:
+                        id_col: str, vec_col: str,
+                        owned_frames: list | None = None) -> DataFrame:
     """Re-score (src, nbr) candidate pairs with the deterministic
     sequential-fold cosine and rank top-k per source — the shared
     exact tail of the graph builders: the result is IEEE-exact and
@@ -738,6 +751,8 @@ def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
     # re-attach joins — without the cache the scan + cast + norm fold
     # run once per alias (round-10, same fix as cosine_dup_pairs).
     vv = vv.withColumn("__n", _norm(F.col("v"))).persist()
+    if owned_frames is not None:
+        owned_frames.append(vv)
     a = vv.select(F.col(id_col).alias("src"), F.col("v").alias("va"),
                   F.col("__n").alias("__na"))
     b = vv.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"),
@@ -758,7 +773,8 @@ def _exact_rescore_topk(df: DataFrame, cand: DataFrame, k: int,
 def mutual_knn_pairs(df: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     graph: DataFrame | None = None) -> DataFrame:
+                     graph: DataFrame | None = None,
+                     owned_frames: list | None = None) -> DataFrame:
     """Mutual-kNN edges: (id_a, id_b, cosine) with id_a < id_b where
     EACH vector is in the other's top-k — the standard symmetric
     robustification of a kNN graph before clustering (one-directional
@@ -786,7 +802,8 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
     """
     supplied = graph is not None
     g = graph if supplied else knn_graph(df, k=k, id_col=id_col,
-                                         vec_col=vec_col)
+                                         vec_col=vec_col,
+                                         owned_frames=owned_frames)
     # the graph substrate — a full block-matmul kNN build when not
     # supplied, and often an unmaterialized build when it is (e.g.
     # semantic_cluster_dedup passes the lazy knn_graph frame) — feeds
@@ -794,9 +811,19 @@ def mutual_knn_pairs(df: DataFrame, k: int = 5,
     # semi-join; persist a projection so it executes once (round-10).
     # A projection rather than ``graph`` itself: persisting the
     # caller's frame would collide with any storage level they chose.
+    # When the caller ALREADY cached the supplied graph (the documented
+    # reuse pattern), the projection reads from their cache — a second
+    # persist would hold the same rows twice with no release path
+    # (ADVICE r10), so it is skipped.
     cols = [c for c in ("src_id", "nbr_id", "cosine", "rnk")
             if c in g.columns]
-    g = g.select(*cols).persist()
+    caller_cached = supplied and (g.storageLevel.useMemory
+                                  or g.storageLevel.useDisk)
+    g = g.select(*cols)
+    if not caller_cached:
+        g = g.persist()
+        if owned_frames is not None:
+            owned_frames.append(g)
     if supplied and "rnk" in g.columns:
         gk = g.agg(F.max("rnk").alias("m")).first()["m"] or 0
         if gk > k:
@@ -828,7 +855,8 @@ def semantic_cluster_dedup(df: DataFrame, k: int = 5,
                            order_col: str | None = None,
                            descending: bool = True,
                            centers=None,
-                           graph: DataFrame | None = None) -> DataFrame:
+                           graph: DataFrame | None = None,
+                           owned_frames: list | None = None) -> DataFrame:
     """Graph-clustered semantic dedup: mutual-kNN edges at cosine >=
     ``threshold`` → connected components → one survivor per cluster.
 
@@ -860,15 +888,16 @@ def semantic_cluster_dedup(df: DataFrame, k: int = 5,
             raise ValueError(
                 "centers= only applies to method='ivf' — the exact "
                 "graph trains nothing (pass method='ivf' or graph=)")
-        g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col)
+        g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col,
+                      owned_frames=owned_frames)
     elif method == "ivf":
         g = ivf_knn_graph(df, k=k, nlist=nlist, nprobe=nprobe,
                           id_col=id_col, vec_col=vec_col,
-                          centers=centers)
+                          centers=centers, owned_frames=owned_frames)
     else:
         raise ValueError(f"unknown method: {method!r}")
     edges = (mutual_knn_pairs(df, k=k, id_col=id_col, vec_col=vec_col,
-                              graph=g)
+                              graph=g, owned_frames=owned_frames)
              .where(F.col("cosine") >= float(threshold)))
     return pick_cluster_survivors(df, edges, id_col=id_col,
                                   order_col=order_col,
@@ -879,7 +908,8 @@ def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
                   nprobe: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding", seed: int = 42,
                   max_iter: int = 20, centers=None,
-                  src_ids: DataFrame | None = None) -> DataFrame:
+                  src_ids: DataFrame | None = None,
+                  owned_frames: list | None = None) -> DataFrame:
     """APPROXIMATE kNN graph: each vector's top-k within its ``nprobe``
     nearest IVF cells — the n²·nprobe/nlist scale path that turns
     :func:`knn_graph`'s inherent n² into a tunable recall/cost trade
@@ -988,7 +1018,8 @@ def ivf_knn_graph(df: DataFrame, k: int = 5, nlist: int = 16,
             # a prober reaches the same neighbor through at most one
             # (cell, its own chunk) task, so pairs are unique
             )
-    return _exact_rescore_topk(df, cand, k, id_col, vec_col)
+    return _exact_rescore_topk(df, cand, k, id_col, vec_col,
+                               owned_frames=owned_frames)
 
 
 class IVFIndex:
@@ -1670,7 +1701,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    nlist: int = 16, max_iter: int = 10,
                    sample_fraction: float = 1.0,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42,
+                   owned_frames: list | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): k-means cluster the embedding space, then WITHIN
@@ -1696,7 +1728,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     failure mode — pick nlist ~ n/10⁴ so clusters stay joinable.
     """
     pairs = semantic_dup_pairs(df, threshold, id_col, vec_col, nlist,
-                               max_iter, sample_fraction, seed)
+                               max_iter, sample_fraction, seed,
+                               owned_frames=owned_frames)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
@@ -1706,7 +1739,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
                        vec_col: str = "embedding",
                        nlist: int = 16, max_iter: int = 10,
                        sample_fraction: float = 1.0,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       owned_frames: list | None = None) -> DataFrame:
     """The pair surface under :func:`semantic_dedup`: every
     within-cluster pair with cosine >= ``threshold``, as
     (id_a, id_b, cosine) with id_a < id_b — same contract as
@@ -1756,6 +1790,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # fold (nlist distance folds) plus the norm fold — without the
     # cache all of it runs twice, once per alias (round-10).
     assigned = assigned.withColumn("__n", _norm(F.col("v"))).persist()
+    if owned_frames is not None:
+        owned_frames.append(assigned)
     a = assigned.select(F.col("list_id"), F.col(id_col).alias("id_a"),
                         F.col("v").alias("va"), F.col("__n").alias("__na"))
     b = assigned.select(F.col("list_id"), F.col(id_col).alias("id_b"),

@@ -72,6 +72,11 @@ ENGINE_CONF: dict[str, str] = {
     # JIT warm-up of the replacement classes on the single AQE
     # planning thread. 2000 entries is a few tens of MB of class
     # metadata on the driver — noise next to any real driver heap.
+    # NOTE: this is a STATIC SQL conf — it only takes effect when this
+    # process launches the JVM. When getOrCreate attaches to a
+    # pre-existing session (spark-submit with its own conf, a shared
+    # gateway, a second get_session with different extra_conf) the
+    # value is silently ignored, same caveat as driver-memory below.
     "spark.sql.codegen.cache.maxEntries": "2000",
     "spark.ui.enabled": "false",
 }
