@@ -159,7 +159,8 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
                           df_col: str | None = None,
                           max_projected_pairs: int | None =
                           DEFAULT_MAX_PROJECTED_PAIRS,
-                          op: str = "pairwise shingle op"):
+                          op: str = "pairwise shingle op",
+                          owned_frames: list | None = None):
     """Shared substrate of the pairwise shingle operators
     (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): hashed
     shingle posting lists with the hot-shingle frequency cap applied,
@@ -177,10 +178,12 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     faster on the sparse fixture corpus but 1.4-2.8× SLOWER and
     unstable on a dense 50k-doc near-dup stress — it scans the posting
     table twice and adds a broadcast build, which dominates exactly
-    when postings are big (PERF.md). Known memory trade: the capped
-    posting list sits in the block store until the session's cache
-    hygiene releases it — bench's inter-query clearCache is the
-    release point today.
+    when postings are big (PERF.md). Cache lifetime: ``owned_frames``
+    (a list) collects the persisted posting frame so the calling
+    operator's own ``owned_frames`` caller can unpersist it once the
+    result is materialized; without it the frame sits in the block
+    store until the session's cache hygiene releases it (bench's
+    inter-query clearCache, or a production clearCache sweep).
 
     ``df_col``: when set, the PRE-CAP document frequency of each
     shingle is kept on the returned frame under that name (the same
@@ -204,7 +207,7 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     if max_shingle_freq is not None or df_col:
         from pyspark.sql import Window
         w = Window.partitionBy("shingle")
-        freq_name = df_col or "df"
+        freq_name = df_col or "__df"
         shingles = raw.withColumn(freq_name,
                                   F.count(F.lit(1)).over(w))
         if max_shingle_freq is not None:
@@ -220,6 +223,8 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
         # the raw explode is deliberately NOT persisted here — it is
         # consumed exactly once, inside this same job.
         shingles = shingles.persist()
+        if owned_frames is not None:
+            owned_frames.append(shingles)
         if max_projected_pairs is not None:
             # post-cap each row's freq f ≤ cap is its shingle's true
             # posting length, so Σ_rows (f−1) = Σ_shingle f·(f−1)
@@ -227,10 +232,15 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
                 F.sum(F.col(freq_name) - 1).alias("p")).first()
             _check_pair_budget(int(row["p"] or 0) // 2,
                                max_projected_pairs, op)
-        if not df_col:
-            shingles = shingles.drop(freq_name)
+        # the document-frequency column stays on the frame (internal
+        # name ``__df`` when the caller didn't ask for it): it rides
+        # in the already-persisted cache for free and lets the pair
+        # enumerators drop singleton postings before the self-join
+        # (:func:`_pairable_postings` — round-11, guide §2.3).
     else:
         shingles = raw.persist()
+        if owned_frames is not None:
+            owned_frames.append(shingles)
         if max_projected_pairs is not None:
             row = (shingles.groupBy("shingle")
                    .agg(F.count(F.lit(1)).alias("f"))
@@ -242,17 +252,46 @@ def _capped_posting_lists(df: DataFrame, id_col: str, text_col: str,
     return shingles, sizes
 
 
+def _pairable_postings(shingles: DataFrame) -> DataFrame:
+    """Posting rows that can actually produce a candidate pair: a
+    shingle appearing in exactly ONE document yields only the self-pair
+    every enumerator excludes, so its postings are dead weight in the
+    inverted-index self-join — provably output-identical to drop them
+    first (round-11, guide §2.3: shuffle fewer bytes). On a natural
+    web corpus singleton shingles are the bulk of the posting table;
+    the document-frequency column is already on the frame (and in its
+    cache) wherever the cap window ran, so the filter costs one
+    codegen'd predicate. Frames without the column pass through."""
+    if "__df" in shingles.columns:
+        return shingles.where(F.col("__df") >= 2)
+    return shingles
+
+
 def _shared_shingle_pairs(shingles: DataFrame, id_col: str,
-                          directed: bool = False) -> DataFrame:
+                          directed: bool = False,
+                          shuffle_hash: bool = False) -> DataFrame:
     """Candidate-pair stage shared by :func:`ngram_jaccard_pairs`,
     :func:`containment_pairs` and :func:`edit_dup_pairs`: the
     inverted-index self-join + shared-shingle count — (id_a, id_b,
     shared). ``directed=True`` keeps both orientations (containment);
     otherwise id_a < id_b. Keeping this in ONE place is what keeps
     the three operators' documented candidate rule — and their SQL
-    oracles — from drifting apart."""
-    a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    oracles — from drifting apart.
+
+    ``shuffle_hash=True`` hints the self-join to a shuffled hash join
+    (round-11, guide §3.1): the posting self-join's sort order is not
+    reused downstream (the next stage is a hash aggregate on the pair
+    key), so SMJ's two sorts are pure overhead; per-partition build
+    memory stays bounded because AQE coalesces post-shuffle partitions
+    to the advisory size and skew-splits oversized ones. Set by
+    callers whose posting frame is too big to broadcast by
+    construction (the string-keyed CMS tier); the hashed-int64 tiers
+    leave it off so the planner's broadcast pick at small SF stands."""
+    pairable = _pairable_postings(shingles)
+    a = pairable.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = pairable.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    if shuffle_hash:
+        b = b.hint("shuffle_hash")
     pred = (F.col("id_a") != F.col("id_b") if directed
             else F.col("id_a") < F.col("id_b"))
     return (a.join(b, "shingle")
@@ -266,7 +305,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5,
                         max_shingle_freq: int | None = 100,
                         max_projected_pairs: int | None =
-                        DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
+                        DEFAULT_MAX_PROJECTED_PAIRS,
+                        owned_frames: list | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams.
@@ -278,11 +318,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     Posting-list construction and persist discipline live in
     :func:`_capped_posting_lists` (shared with containment).
+    ``owned_frames`` (a list) collects the frames this call persists
+    so a long-lived caller can unpersist them once the result is
+    materialized (ADVICE r10 — otherwise repeated calls accumulate
+    cached intermediates for the session's lifetime).
     """
     shingles, sizes = _capped_posting_lists(
         df, id_col, text_col, n, max_shingle_freq,
         max_projected_pairs=max_projected_pairs,
-        op="ngram_jaccard_pairs")
+        op="ngram_jaccard_pairs", owned_frames=owned_frames)
     shared = _shared_shingle_pairs(shingles, id_col)
     # the per-doc size frame is joined on BOTH pair sides; without a
     # persist the whole sizes aggregate subtree (a full pass over the
@@ -290,6 +334,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # (round-10 plan audit, nodes 44-49 vs 53-58). num_docs rows of
     # (id, count): tiny next to the postings it summarizes.
     sizes = sizes.persist()
+    if owned_frames is not None:
+        owned_frames.append(sizes)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (shared.join(sa, "id_a").join(sb, "id_b")
@@ -371,7 +417,14 @@ def ngram_jaccard_pairs_cms(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("sz")).persist()
     if owned_frames is not None:
         owned_frames.append(sizes)
-    shared = _shared_shingle_pairs(capped, id_col)
+    # shuffle-hash hint (round-11, guide §3.1): this tier's postings
+    # are STRING-keyed by design (md5 oracle family), too wide for the
+    # broadcast pick the hashed tiers get at small SF, so the planner
+    # fell back to SortMergeJoin — but the join feeds a hash aggregate
+    # on the pair key, so the sort is pure overhead. Measured r10 A/B:
+    # 4.48 -> 3.17 s at sf0.1 with AQE's runtime SMJ->SHJ rewrite;
+    # the hint applies the same choice statically to just this join.
+    shared = _shared_shingle_pairs(capped, id_col, shuffle_hash=True)
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"),
@@ -391,7 +444,8 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                            max_shingle_freq: int | None = 100,
                            weight_scale: int = 1000,
                            max_projected_pairs: int | None =
-                           DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
+                           DEFAULT_MAX_PROJECTED_PAIRS,
+                           owned_frames: list | None = None) -> DataFrame:
     """Rarity-weighted Jaccard near-dup pairs: two documents sharing
     RARE shingles are nearer duplicates than two sharing boilerplate,
     which plain Jaccard cannot see (every shingle counts 1). The
@@ -415,21 +469,28 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     the shuffle), with one extra integer column through it.
 
     Output: (id_a, id_b, shared_w BIGINT, jaccard_w DOUBLE),
-    id_a < id_b, jaccard_w >= threshold.
+    id_a < id_b, jaccard_w >= threshold. ``owned_frames`` (a list)
+    collects the frames this call persists so a long-lived caller can
+    unpersist them once the result is materialized (ADVICE r10).
     """
     if int(weight_scale) < 1:
         raise ValueError("weight_scale must be a positive integer")
     weighted, _ = _weighted_postings(
         df, id_col, text_col, n, max_shingle_freq, weight_scale,
         max_projected_pairs=max_projected_pairs,
-        op="weighted_jaccard_pairs")
+        op="weighted_jaccard_pairs", owned_frames=owned_frames)
     # joined on both pair sides — persist so the weight-sum aggregate
     # (a full pass over the weighted postings) runs once, not once per
     # alias (same round-10 fix as ngram_jaccard_pairs).
     sizes = weighted.groupBy(id_col).agg(F.sum("w").alias("W")).persist()
-    a = weighted.select(F.col(id_col).alias("id_a"), "shingle",
+    if owned_frames is not None:
+        owned_frames.append(sizes)
+    # singleton postings can't pair — drop them before the self-join
+    # (round-11, output-identical; see _pairable_postings)
+    pairable = _pairable_postings(weighted)
+    a = pairable.select(F.col(id_col).alias("id_a"), "shingle",
                         F.col("w").alias("wa"))
-    b = weighted.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    b = pairable.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     shared = (a.join(b, "shingle")
               .where(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b")
@@ -451,7 +512,8 @@ def _weighted_postings(df: DataFrame, id_col: str, text_col: str,
                        n: int, max_shingle_freq: int | None,
                        weight_scale: int,
                        max_projected_pairs: int | None = None,
-                       op: str = "weighted postings"):
+                       op: str = "weighted postings",
+                       owned_frames: list | None = None):
     """Shared rarity-weighted posting lists: (wp, n_docs) with
     ``w = (N · scale) div df`` attached — computed ONCE and reused by
     :func:`weighted_jaccard_pairs`, :func:`icws_signatures` and
@@ -463,11 +525,13 @@ def _weighted_postings(df: DataFrame, id_col: str, text_col: str,
     n_docs = df.count()
     shingles, _ = _capped_posting_lists(
         df, id_col, text_col, n, max_shingle_freq, df_col="__df",
-        max_projected_pairs=max_projected_pairs, op=op)
-    wp = (shingles
-          .withColumn("w", F.expr(
-              f"({int(n_docs)}L * {int(weight_scale)}L) div __df"))
-          .drop("__df"))
+        max_projected_pairs=max_projected_pairs, op=op,
+        owned_frames=owned_frames)
+    # __df stays on the frame: it is already in the posting cache and
+    # lets the pair enumerators drop singleton postings before their
+    # self-join (:func:`_pairable_postings`)
+    wp = shingles.withColumn("w", F.expr(
+        f"({int(n_docs)}L * {int(weight_scale)}L) div __df"))
     return wp, n_docs
 
 
@@ -484,8 +548,8 @@ def icws_signatures(df: DataFrame, id_col: str = "doc_id",
                     num_hashes: int = 16,
                     max_shingle_freq: int | None = 100,
                     weight_scale: int = 1000,
-                    weighted_postings: DataFrame | None = None
-                    ) -> DataFrame:
+                    weighted_postings: DataFrame | None = None,
+                    owned_frames: list | None = None) -> DataFrame:
     """Improved Consistent Weighted Sampling signatures (Ioffe 2010):
     the MinHash analogue whose collision probability IS the weighted
     Jaccard — ``P(sample_k(A) = sample_k(B)) = J_w(A, B)`` — so LSH
@@ -521,7 +585,8 @@ def icws_signatures(df: DataFrame, id_col: str = "doc_id",
     if weighted_postings is None:
         weighted, _ = _weighted_postings(df, id_col, text_col, n,
                                          max_shingle_freq,
-                                         weight_scale)
+                                         weight_scale,
+                                         owned_frames=owned_frames)
     else:
         weighted = weighted_postings
     lnw = F.log(F.col("w").cast("double"))
@@ -554,7 +619,8 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                    weight_scale: int = 1000,
                    verify: bool = True,
                    max_bucket_size: int | None = None,
-                   shed_stats: dict | None = None) -> DataFrame:
+                   shed_stats: dict | None = None,
+                   owned_frames: list | None = None) -> DataFrame:
     """Weighted near-dup pairs at LSH scale: band the ICWS signatures
     (docs agreeing on any whole band become candidates — a bucket
     equi-join, never a cross product), then verify candidates with
@@ -565,14 +631,17 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Output: (id_a, id_b, shared_w, jaccard_w) with id_a < id_b and
     jaccard_w >= threshold (``verify=False`` returns raw candidate
-    pairs for recall studies).
+    pairs for recall studies). ``owned_frames`` (a list) collects the
+    frames this call persists so a long-lived caller can unpersist
+    them once the result is materialized (ADVICE r10).
     """
     if bands < 1 or num_hashes % bands:
         raise ValueError("bands must be >= 1 and divide num_hashes")
     # ONE posting-list substrate shared by signatures and verify —
     # the review found this path paying the explode + window twice
     wp, _ = _weighted_postings(df, id_col, text_col, n,
-                               max_shingle_freq, weight_scale)
+                               max_shingle_freq, weight_scale,
+                               owned_frames=owned_frames)
     sig = icws_signatures(df, id_col, text_col, n, num_hashes,
                           max_shingle_freq, weight_scale,
                           weighted_postings=wp)
@@ -615,9 +684,15 @@ def icws_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # the postings runs once, not once per alias (round-10 fix, same
     # as weighted_jaccard_pairs / jaccard_for_pairs).
     sizes = wp.groupBy(id_col).agg(F.sum("w").alias("W")).persist()
-    pa = wp.select(F.col(id_col).alias("id_a"), "shingle",
+    if owned_frames is not None:
+        owned_frames.append(sizes)
+    # a singleton shingle can't be shared by two docs — drop its
+    # postings before the candidate-verify joins (round-11,
+    # output-identical; see _pairable_postings)
+    pw = _pairable_postings(wp)
+    pa = pw.select(F.col(id_col).alias("id_a"), "shingle",
                    F.col("w").alias("wa"))
-    pb = wp.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    pb = pw.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     shared = (cand.join(pa, "id_a").join(pb, ["id_b", "shingle"])
               .groupBy("id_a", "id_b")
               .agg(F.sum("wa").alias("shared_w")))
@@ -867,7 +942,8 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
                    method: str = "auto",
                    auto_minhash_above: int = 100_000,
                    transitive: bool = False,
-                   measure: str = "jaccard") -> DataFrame:
+                   measure: str = "jaccard",
+                   owned_frames: list | None = None) -> DataFrame:
     """Corpus scrub: keep one survivor per near-duplicate pair.
 
     Greedy keep-lowest-id policy: any document that appears as the
@@ -906,16 +982,20 @@ def drop_near_dups(df: DataFrame, id_col: str = "doc_id",
         if method == "minhash":
             pairs = icws_lsh_pairs(df, id_col, text_col, n,
                                    threshold=threshold,
-                                   max_shingle_freq=max_shingle_freq)
+                                   max_shingle_freq=max_shingle_freq,
+                                   owned_frames=owned_frames)
         else:
             pairs = weighted_jaccard_pairs(
-                df, id_col, text_col, n, threshold, max_shingle_freq)
+                df, id_col, text_col, n, threshold, max_shingle_freq,
+                owned_frames=owned_frames)
     elif method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, n,
-                                  threshold=threshold)
+                                  threshold=threshold,
+                                  owned_frames=owned_frames)
     else:
         pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
-                                    max_shingle_freq)
+                                    max_shingle_freq,
+                                    owned_frames=owned_frames)
     if transitive:
         comp = connected_components(pairs, "id_a", "id_b", id_col)
         losers = comp.where(F.col(id_col) != F.col("component")) \
@@ -1162,17 +1242,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 8,
-                  hash_fn: str = "xxhash64") -> DataFrame:
+                  hash_fn: str = "xxhash64",
+                  owned_frames: list | None = None) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance.
 
     Banding: split the signature into 4×16-bit chunks; by pigeonhole
     any pair within hamming distance 3·k shares a chunk — join on chunk
     equality, then verify the exact hamming distance. Avoids O(n²).
+    ``owned_frames`` (a list) collects the persisted signature frame so
+    a long-lived caller can unpersist it once the result is
+    materialized (ADVICE r10).
     """
     # the signature aggregate (token explode + 64 bit-position sums)
     # feeds both sides of the chunk-bucket self-join below — persist
     # so it runs once, not once per alias (round-10).
     sig = simhash(df, id_col, text_col, hash_fn).persist()
+    if owned_frames is not None:
+        owned_frames.append(sig)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), c * 16)
@@ -1598,7 +1684,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.9,
                       max_shingle_freq: int | None = 100,
                       max_projected_pairs: int | None =
-                      DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
+                      DEFAULT_MAX_PROJECTED_PAIRS,
+                      owned_frames: list | None = None) -> DataFrame:
     """Asymmetric near-duplicate detection by n-gram CONTAINMENT
     (Broder 1997): ``containment(a in b) = |A∩B| / |A|`` over distinct
     word n-grams — how much of document *a* also appears in *b*. The
@@ -1625,7 +1712,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     shingles, sizes = _capped_posting_lists(
         df, id_col, text_col, n, max_shingle_freq,
         max_projected_pairs=max_projected_pairs,
-        op="containment_pairs")
+        op="containment_pairs", owned_frames=owned_frames)
     shared = _shared_shingle_pairs(shingles, id_col, directed=True)
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("sz").alias("sz_a"))
@@ -1641,7 +1728,8 @@ def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    n: int = 3, min_shared: int = 1,
                    max_shingle_freq: int | None = 100,
                    max_projected_pairs: int | None =
-                   DEFAULT_MAX_PROJECTED_PAIRS) -> DataFrame:
+                   DEFAULT_MAX_PROJECTED_PAIRS,
+                   owned_frames: list | None = None) -> DataFrame:
     """Edit-distance near-duplicate pairs: candidate pairs from the
     shared inverted-index substrate, verified with EXACT character
     Levenshtein distance <= ``max_dist``. This is the tightest dedup
@@ -1684,7 +1772,8 @@ def edit_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     shingles, _ = _capped_posting_lists(
         df, id_col, text_col, n, max_shingle_freq,
-        max_projected_pairs=max_projected_pairs, op="edit_dup_pairs")
+        max_projected_pairs=max_projected_pairs, op="edit_dup_pairs",
+        owned_frames=owned_frames)
     cand = (_shared_shingle_pairs(shingles, id_col)
             .where(F.col("shared") >= int(min_shared))
             .select("id_a", "id_b"))

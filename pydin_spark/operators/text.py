@@ -23,6 +23,18 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _check_reserved(df: DataFrame, op: str) -> None:
+    """The token-staging operators add internal ``__pd_*`` columns via
+    withColumn; a caller column with the same name would be silently
+    overwritten and consumed as the token/bigram array — wrong results
+    instead of an error (ADVICE r10). One cheap schema check."""
+    clash = [c for c in df.columns if c.startswith("__pd_")]
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with reserved "
+            f"internal staging names (__pd_*); rename them first")
+
+
 #: small stopword inventory for quality/language scoring — shared with the
 #: SQL oracles, keep in sync with oracle_sql() in __spark_entry__.py
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -46,6 +58,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     CodegenFallback), outside codegen's subexpression elimination.
     One split per row now; identical values.
     """
+    _check_reserved(df, "token_stats")
     staged = df.withColumn("__pd_toks", _tokens(text_col))
     toks = F.col("__pd_toks")
     return staged.select(
@@ -98,6 +111,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     # token array materialized once (round-10): the inlined split
     # re-ran per use, and the F.filter HOF evaluates interpreted —
     # outside codegen subexpression elimination. Identical values.
+    _check_reserved(df, "quality_score")
     staged = df.withColumn("__pd_toks", _tokens(text_col))
     toks = F.col("__pd_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -132,6 +146,7 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     # argmax/tie-break chain — every score used to be re-evaluated in
     # the output column, in `best`, and once per `when` branch.
     # Identical integer scores and argmax.
+    _check_reserved(df, "language_id")
     staged = df.withColumn("__pd_toks", _tokens(text_col))
     toks = F.col("__pd_toks")
 
@@ -262,6 +277,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     column first so the interpreted folds index an attribute instead
     of re-evaluating ``split(text)`` per reference.
     """
+    _check_reserved(df, "repetition_stats")
     staged = (df.withColumn("__pd_toks", _tokens(text_col))
               .withColumn("__pd_bg", _bigrams(F.col("__pd_toks"))))
     toks = F.col("__pd_toks")
@@ -321,6 +337,7 @@ def gopher_quality_filter(df: DataFrame, id_col: str = "doc_id",
     # the HOF uses evaluate interpreted, outside codegen CSE), and
     # each rule metric computed ONCE as a column before it is reused
     # in both the output and the `keep` conjunction. Values identical.
+    _check_reserved(df, "gopher_quality_filter")
     staged = (df.withColumn("__pd_toks", _tokens(text_col))
               .withColumn("__pd_bg", _bigrams(F.col("__pd_toks"))))
     toks = F.col("__pd_toks")
@@ -747,7 +764,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 def winnow_matches(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 5, w: int = 4,
                    min_shared: int = 2,
-                   other: DataFrame | None = None) -> DataFrame:
+                   other: DataFrame | None = None,
+                   owned_frames: list | None = None) -> DataFrame:
     """Copy-detection reports from the winnowing index: document pairs
     sharing at least ``min_shared`` fingerprints, with the match count
     and the position extent of the overlap on each side — the MOSS-style
@@ -765,6 +783,9 @@ def winnow_matches(df: DataFrame, id_col: str = "doc_id",
     Output: (id_a, id_b, n_shared, a_min_pos, a_max_pos, b_min_pos,
     b_max_pos); id_a < id_b in the single-corpus case, id_a from
     ``df`` / id_b from ``other`` in the two-corpus case.
+    ``owned_frames`` (a list) collects the persisted fingerprint frame
+    so a long-lived caller can unpersist it once the result is
+    materialized (ADVICE r10).
     """
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
     if other is None:
@@ -773,6 +794,8 @@ def winnow_matches(df: DataFrame, id_col: str = "doc_id",
         # subtree runs once, not once per alias (round-10). In the
         # two-corpus case each side is consumed exactly once.
         fp = fp.persist()
+        if owned_frames is not None:
+            owned_frames.append(fp)
         fp_b = fp
     else:
         fp_b = winnow_fingerprints(other, id_col, text_col, k, w)
@@ -780,6 +803,15 @@ def winnow_matches(df: DataFrame, id_col: str = "doc_id",
                   F.col("pos").alias("pos_a"))
     b = fp_b.select(F.col(id_col).alias("id_b"), F.col("fp"),
                     F.col("pos").alias("pos_b"))
+    if other is None:
+        # shuffled-hash hint on the single-corpus self-join (round-11,
+        # guide §3.1): the join feeds a hash aggregate on the pair key,
+        # so SMJ's sorts buy nothing downstream; measured r10 A/B
+        # 1.94 -> 1.72 s at sf0.1 under AQE's runtime SMJ->SHJ rewrite,
+        # applied statically to just this join here. The two-corpus
+        # path is left to the planner (sides can be very differently
+        # sized; broadcast often applies).
+        b = b.hint("shuffle_hash")
     joined = a.join(b, "fp")
     if other is None:
         joined = joined.where(F.col("id_a") < F.col("id_b"))
