@@ -78,8 +78,28 @@ ENGINE_CONF: dict[str, str] = {
     # gateway, a second get_session with different extra_conf) the
     # value is silently ignored, same caveat as driver-memory below.
     "spark.sql.codegen.cache.maxEntries": "2000",
+    # Single-threaded native BLAS inside Python workers (round 11,
+    # guide §4): Spark's task parallelism already fills every core, so
+    # each worker's numpy must NOT spawn its own ncpu BLAS threads —
+    # with 32 concurrent tasks the default OpenBLAS threading runs
+    # 32x32 threads and the block-matmul stages collapse (measured on
+    # this host: 32 concurrent block matmuls take 212 s wall uncapped
+    # vs 8.4 s capped — 25x). One thread per task is the standard
+    # cluster discipline and also removes any thread-count dependence
+    # from BLAS reduction order. These executorEnv entries cover real
+    # cluster managers; local mode inherits the driver env set in
+    # get_session below.
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
     "spark.ui.enabled": "false",
 }
+
+#: env vars that cap native-library threading in Python workers; set
+#: (not overridden) on the driver process in get_session so local-mode
+#: workers, which inherit the driver env, get the same cap
+_BLAS_THREAD_ENV = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                    "MKL_NUM_THREADS")
 
 
 def _local_driver_memory() -> str | None:
@@ -113,6 +133,10 @@ def get_session(app_name: str = "pydin-spark", master: str | None = None,
     the environment-provided config and spark-submit decides.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # cap BLAS threads BEFORE any python worker can spawn (local-mode
+    # workers inherit this process's env); a user-exported value wins
+    for var in _BLAS_THREAD_ENV:
+        os.environ.setdefault(var, "1")
     builder = SparkSession.builder.appName(app_name)
     resolved_master = master or f"local[{cpus}]"
     builder = builder.master(resolved_master)

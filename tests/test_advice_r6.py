@@ -27,9 +27,13 @@ def _corpus(spark, n=60, dim=8, shift=0.0):
 
 def test_query_pq_custom_query_id_col(spark, tmp_path):
     corpus = _corpus(spark)
-    idx = similarity.IVFIndex(str(tmp_path / "idx"), nlist=4)
+    # max_iter=2: the assertions here are column/count/equality
+    # contracts that hold for ANY centroid set — the default training
+    # budget (20+10 k-means iterations) was pure test wall-clock
+    idx = similarity.IVFIndex(str(tmp_path / "idx"), nlist=4,
+                              max_iter=2)
     idx.build(corpus)
-    idx.build_pq(spark, m=4, ksub=16)
+    idx.build_pq(spark, m=4, ksub=16, max_iter=2)
     queries = (corpus.limit(3)
                .select(F.col("vec_id").alias("probe_id"), "embedding"))
     out = idx.query_pq(spark, queries, k=3, query_id_col="probe_id")
@@ -52,9 +56,10 @@ def test_maintain_drift_rebuild_republishes_pq(spark, tmp_path):
     """The drift-triggered rebuild must re-encode PQ codes with the
     remembered codebook — detected by READING the stored book (object
     store safe), not by os.path probing."""
-    idx = similarity.IVFIndex(str(tmp_path / "idx"), nlist=4)
+    idx = similarity.IVFIndex(str(tmp_path / "idx"), nlist=4,
+                              max_iter=2)
     idx.build(_corpus(spark))
-    idx.build_pq(spark, m=4, ksub=16)
+    idx.build_pq(spark, m=4, ksub=16, max_iter=2)
     drifted = _corpus(spark, shift=5.0)
     out = idx.maintain(spark, corpus=drifted, drift_threshold=0.01)
     assert "rebuilt" in out

@@ -47,14 +47,38 @@ def test_entry_returns_rows(spark):
 
 
 def test_column_names_match_oracles(spark, sf_dir, duck):
+    """Identical assertion to the original sequential form, fanned out
+    over a thread pool (round-11: this was the single slowest test in
+    the suite at ~7 min — some query CONSTRUCTORS legitimately run
+    Spark jobs, e.g. the stored-index queries build a whole IVF index
+    into a unique tempdir, and those builds parallelize cleanly).
+    Only the bucketed queries stay serial: their staging does
+    session-level catalog DDL that must not race."""
+    from concurrent.futures import ThreadPoolExecutor
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    mismatches = {}
-    for name, sql in oracles.items():
-        sdf = queries[name](spark, sf_dir)
-        res = duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")
-        d_cols = sorted(d[0] for d in res.description)
-        s_cols = sorted(sdf.columns)
-        if d_cols != s_cols:
-            mismatches[name] = (s_cols, d_cols)
+    names = list(oracles)
+    serial = [n for n in names if "bucketed" in n]
+
+    def spark_cols(name):
+        return sorted(queries[name](spark, sf_dir).columns)
+
+    def duck_cols(name):
+        cur = duck.cursor()  # cursors are the thread-safe handle
+        try:
+            res = cur.execute(
+                f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+            return sorted(d[0] for d in res.description)
+        finally:
+            cur.close()
+
+    s_cols = {n: spark_cols(n) for n in serial}
+    rest = [n for n in names if n not in s_cols]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for n, cols in zip(rest, pool.map(spark_cols, rest)):
+            s_cols[n] = cols
+        d_cols = dict(zip(names, pool.map(duck_cols, names)))
+    mismatches = {n: (s_cols[n], d_cols[n]) for n in names
+                  if s_cols[n] != d_cols[n]}
     assert not mismatches, mismatches
