@@ -831,7 +831,14 @@ def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None,
                      F.count(F.lit(1)).alias("shed_rows")).first())
         shed_stats["shed_buckets"] = int(over["shed_buckets"])
         shed_stats["shed_rows"] = int(over["shed_rows"])
-    return sized.where(F.col("__bsz") <= max_bucket_size) \
+    # a singleton bucket yields only the self-pair the enumerators
+    # exclude, so its rows are dead weight in the self-join — the
+    # bucket analogue of :func:`_pairable_postings` (round-11,
+    # output-identical). The count is already on every row here; on a
+    # real corpus most buckets hold one doc, so this sheds the BULK of
+    # the join input for one extra codegen'd comparison.
+    return sized.where((F.col("__bsz") >= 2)
+                       & (F.col("__bsz") <= max_bucket_size)) \
         .drop("__bsz")
 
 
