@@ -120,23 +120,11 @@ DUAL_SQL: dict[str, str] = {
                    AS prev_event_id
         FROM events
     """,
-    # rollup aggregation (int-only: fully deterministic)
-    # NOTE (SCALE100 r7 ratio_100x=10.41 investigation, round 10): a
-    # pre-aggregate-to-(flag, status, orderkey)-before-ROLLUP rewrite
-    # was built, oracle-verified, and A/B-measured at sf10 — it is
-    # ~5x SLOWER (11.8s vs 2.0s median, same session): the pre-agg
-    # shuffle moves every lineitem row on a nearly-unique key with no
-    # map-side combine benefit, while the direct plan's post-Expand
-    # partial aggregate already dedups (flag, status, gid, orderkey)
-    # map-side before its one exchange. The direct form below IS the
-    # right 100 TB plan; the r7 10.41 row did not reproduce
-    # (re-measured 1.3x — see SCALE100.json / ROUND8 notes).
-    "q_rollup_status": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-               COUNT(DISTINCT l_orderkey) AS n_orders
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
+    # q_rollup_status lives in SPARK_ONLY_SQL / DUCK_ONLY_SQL since
+    # round 11: the Spark side runs a hierarchical-dedup rewrite of
+    # the ROLLUP + COUNT(DISTINCT), the oracle keeps the direct
+    # ROLLUP form (see the SPARK_ONLY_SQL entry for the measurements
+    # and the equivalence argument).
     # anti join: customers with no orders
     "q_customers_no_orders": """
         SELECT c_custkey, c_name
@@ -615,6 +603,54 @@ DUAL_SQL: dict[str, str] = {
 
 # Engine-specific SQL pairs (same semantics, different function names).
 SPARK_ONLY_SQL = {
+    # ROLLUP + COUNT(DISTINCT) via hierarchical dedup (round 11).
+    # The direct ROLLUP form (the oracle) plans Expand x3 -> partial
+    # count keyed (flag, status, gid, orderkey): every input row is
+    # tripled BEFORE the dedup, so the map-side hash state per task is
+    # ~2.3x larger and every expanded row pays a DRAM-random-access
+    # probe into a multi-million-entry map. Measured at the 100x
+    # replica (fresh JVM per arm, event-log CPU totals, 2 runs each):
+    # direct 1697/1649 CPU-s, 89/96 s wall; hierarchical 1381/1018
+    # CPU-s, 66/50 s wall — identical 10-row output, identical
+    # ~1.1 GB shuffle. The hierarchy dedups ONCE at the finest level
+    # (flag, status, orderkey) — the only pass over raw rows — then
+    # derives each coarser level from the one above it (inputs shrink
+    # at every step): n_items is additive (SUM of child counts);
+    # n_orders = COUNT(orderkey) over rows that are distinct by
+    # construction, which also reproduces COUNT(DISTINCT)'s
+    # NULL-skipping exactly. Two earlier pre-aggregate rewrites
+    # (rounds 7/10) measured WORSE because they kept the Expand or
+    # re-shuffled raw rows; this one removes the Expand entirely.
+    # Equivalence: 10/10 rows equal at sf10 by direct comparison,
+    # oracle hash-exact at sf0.001/0.01/0.1, NULL/empty-input edge
+    # cases pinned by tests/test_rollup_hier.py.
+    "q_rollup_status": """
+        WITH level0 AS (
+            SELECT l_returnflag, l_linestatus, l_orderkey,
+                   COUNT(*) AS c
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus, l_orderkey),
+        level1 AS (
+            SELECT l_returnflag, l_orderkey, SUM(c) AS c
+            FROM level0 GROUP BY l_returnflag, l_orderkey)
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(c) AS BIGINT) AS n_items,
+               COUNT(l_orderkey) AS n_orders
+        FROM level0 GROUP BY l_returnflag, l_linestatus
+        UNION ALL
+        SELECT l_returnflag, CAST(NULL AS STRING),
+               CAST(SUM(c) AS BIGINT), COUNT(l_orderkey)
+        FROM level1 GROUP BY l_returnflag
+        UNION ALL
+        -- grand total, grouped on a constant column so EMPTY input
+        -- yields zero rows — matching ROLLUP's Expand-based
+        -- semantics (no input rows, no grouping-set rows)
+        SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+               CAST(SUM(c) AS BIGINT), COUNT(l_orderkey)
+        FROM (SELECT 1 AS g, l_orderkey, SUM(c) AS c
+              FROM level1 GROUP BY l_orderkey)
+        GROUP BY g
+    """,
     # date arithmetic: day deltas, year extraction, month truncation
     "q_date_math": """
         SELECT o_orderkey,
@@ -662,6 +698,14 @@ SPARK_ONLY_SQL = {
     """,
 }
 DUCK_ONLY_SQL = {
+    # the direct ROLLUP form — kept as the independent oracle for the
+    # Spark side's hierarchical-dedup rewrite (see SPARK_ONLY_SQL)
+    "q_rollup_status": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "q_date_math": """
         SELECT o_orderkey,
                date_diff('day', o_orderdate,
