@@ -73,12 +73,36 @@ def test_column_names_match_oracles(spark, sf_dir, duck):
         finally:
             cur.close()
 
-    s_cols = {n: spark_cols(n) for n in serial}
-    rest = [n for n in names if n not in s_cols]
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        for n, cols in zip(rest, pool.map(spark_cols, rest)):
-            s_cols[n] = cols
-        d_cols = dict(zip(names, pool.map(duck_cols, names)))
+    # Pre-register the fixture views ONCE, serially: the first
+    # register_tables call toggles a session conf inside load_table,
+    # and 8 racing first-callers could mis-restore it.
+    from pydin_spark import register_tables
+    register_tables(spark, sf_dir)
+    # Some constructors toggle SESSION confs with save/restore
+    # (graph iteration flips adaptive.enabled around its eager
+    # checkpoints, the stored builders flip partitionOverwriteMode).
+    # Two pool threads interleaving on the same conf can "restore"
+    # the other thread's mid-toggle value and leak it into the shared
+    # session — the exact flake that broke a later AQE plan-shape
+    # test. The column-name assertion is insensitive to these confs,
+    # so snapshot and restore them around the pool.
+    leaky = ["spark.sql.adaptive.enabled",
+             "spark.sql.sources.partitionOverwriteMode",
+             "spark.sql.legacy.parquet.nanosAsLong"]
+    snap = {k: spark.conf.get(k, None) for k in leaky}
+    try:
+        s_cols = {n: spark_cols(n) for n in serial}
+        rest = [n for n in names if n not in s_cols]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for n, cols in zip(rest, pool.map(spark_cols, rest)):
+                s_cols[n] = cols
+            d_cols = dict(zip(names, pool.map(duck_cols, names)))
+    finally:
+        for k, v in snap.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     mismatches = {n: (s_cols[n], d_cols[n]) for n in names
                   if s_cols[n] != d_cols[n]}
     assert not mismatches, mismatches
