@@ -41,7 +41,16 @@ def _check(spark, rows):
         assert [f.dataType for f in h.schema] == \
                [f.dataType for f in r.schema]
     finally:
+        # the session-scoped views fixture registered the REAL
+        # lineitem view; dropping ours must put the fixture's back or
+        # every later spark.table("lineitem") test in the session dies
         spark.catalog.dropTempView("lineitem")
+        # ALL tables, not just lineitem: register_tables caches "this
+        # session is registered for this dir", so a partial re-register
+        # would make the session fixture's later call a no-op
+        from pydin_spark import register_tables
+        from tests.conftest import SF_DIR
+        register_tables(spark, SF_DIR, force=True)
 
 
 def test_hier_equals_rollup_basic(spark):
