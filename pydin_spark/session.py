@@ -89,6 +89,20 @@ ENGINE_CONF: dict[str, str] = {
     # from BLAS reduction order. These executorEnv entries cover real
     # cluster managers; local mode inherits the driver env set in
     # get_session below.
+    # Shuffle/broadcast/spill stream compression (round 11, guide §2.3
+    # "shuffle fewer bytes — measure both"). Measured BOTH ways:
+    # zstd halves shuffle bytes at the 100x replica (1112 → 557 MB on
+    # the heaviest shuffle, wall at-or-better in every interleaved
+    # pair) but costs ~15-20% wall on the small-SF bench, where
+    # shuffles are KB-to-MB and the compression CPU never pays for
+    # itself (interleaved A/B: dedup_ngram 2.4-2.7 s lz4 vs 3.0-3.1 s
+    # zstd at sf0.1; no-shuffle queries unaffected). The right codec
+    # is a function of shuffle volume, so it is an env knob with the
+    # small-data default: export PYDIN_SHUFFLE_CODEC=zstd on
+    # deployments whose shuffles are GB-per-stage and up — at 100 TB
+    # the halved network/disk bytes dominate the compression tax.
+    "spark.io.compression.codec":
+        os.environ.get("PYDIN_SHUFFLE_CODEC", "lz4"),
     "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
     "spark.executorEnv.OMP_NUM_THREADS": "1",
     "spark.executorEnv.MKL_NUM_THREADS": "1",
